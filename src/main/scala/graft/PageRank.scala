@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** C3 PageRank replicating the reference's exact update rule
+  * (reference Pagerank.scala:45-59):
+  *
+  *   acc(dst)  = Σ_{(src,dst) ∈ E, outdeg(src)>0} max(0.15, rank(src)) / outdeg(src)
+  *   rank'(v)  = 0.15 / numVertices + 0.85 * acc(v)
+  *
+  * with rank initialized to 0 (the reference's float column is
+  * zero-initialized, DenseStorage.scala:51-59).
+  *
+  * Arithmetic is SCALED-INTEGER (1e9 = 1.0) so a fixed iteration count is
+  * bit-exact and engine-independent: float group-sums are order-dependent
+  * and would break the DuckDB hash parity, while BIGINT sums are exact.
+  *   contrib = max(150_000_000, r) div outdeg          (integer div)
+  *   r'      = 150_000_000 div n + (17 * acc) div 20   (0.85 = 17/20)
+  */
+object PageRank {
+  val Scale = 1000000000L
+  val Base  = 150000000L // 0.15 scaled
+
+  /** `iters` fixed iterations over a directed edge list; returns
+    * (id, rank_scaled) for the top-20 by (rank desc, id). */
+  def top20(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select("src", "dst").localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val n = verts.agg(count(lit(1)).as("n"))
+    var ranks = verts.withColumn("r", lit(0L))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("greatest(r, 150000000L) div outdeg").as("c"))
+      val acc = contrib.groupBy(col("dst").as("id")).agg(sum("c").as("acc"))
+      ranks = verts
+        .join(acc, Seq("id"), "left_outer")
+        .crossJoin(broadcast(n))
+        .select(col("id"),
+          expr("150000000L div n + (17 * coalesce(acc, 0L)) div 20").as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("id")).limit(20)
+  }
+
+  /** DuckDB oracle: the same fixed iterations unrolled as chained CTEs over
+    * the [[Oracle.EDGES]] graph. */
+  def oracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(Oracle.EDGES).append(",\n")
+    sb.append("deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),\n")
+    // NOTE: no top-level UNION inside a CTE here — under WITH RECURSIVE,
+    // DuckDB 1.0 does not deduplicate a multiply-referenced UNION CTE.
+    sb.append("verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),\n")
+    sb.append("nn AS (SELECT count(*) AS n FROM verts),\n")
+    sb.append("r0 AS (SELECT id, CAST(0 AS BIGINT) AS r FROM verts)")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |acc$i AS (
+        |  SELECT e.dst AS id,
+        |         CAST(sum((CASE WHEN r.r > 150000000 THEN r.r ELSE 150000000 END) // d.outdeg) AS BIGINT) AS acc
+        |  FROM edges e JOIN r${i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.id
+        |  GROUP BY e.dst),
+        |r$i AS (
+        |  SELECT v.id, 150000000 // nn.n + (17 * COALESCE(a.acc, 0)) // 20 AS r
+        |  FROM verts v CROSS JOIN nn LEFT JOIN acc$i a ON v.id = a.id)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r$iters ORDER BY rank_scaled DESC, id LIMIT 20")
+    Oracle.withSql(sb.toString, "")
+  }
+}

@@ -1,13 +1,221 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator family of SURVEY.md §2
+  * against the derived graph/tables of [[Tables]]; [[oracleSql]] holds the
+  * DuckDB-equivalent SQL over the same parquet inputs ([[Oracle]]
+  * fragments). Column names and value types are aligned on both sides —
+  * the driver's compare sorts columns by name and hashes values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import Oracle.withSql
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * Q1/Q7 friends-of-friends + top-20 (reference Queries.scala:49-54). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Queries.friendsOfFriendsExclTop20(Tables.socialEdges(spark, "/root/testdata/sf0.001"))
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val dec = DecimalType(38, 2)
+
+  /** Registry: name -> (spark query, optional DuckDB oracle). */
+  private val registry: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- N1/N2: single-vertex neighborhood (SURVEY §2.3) ----
+    ("n1_query_out",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        db.edges.join(broadcast(Queries.minSrc(db.edges)), col("src") === col("qv"))
+          .select("src", "dst", "etype", "ets", "weight", "rating")
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT src, dst, etype, ets, weight, rating FROM edges
+          |WHERE src = (SELECT min(src) FROM edges)""".stripMargin))),
+
+    ("n2_query_in",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        val v = db.edges.agg(min("dst").as("qv"))
+        db.edges.join(broadcast(v), col("dst") === col("qv"))
+          .select("src", "dst", "etype", "ets", "weight", "rating")
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT src, dst, etype, ets, weight, rating FROM edges
+          |WHERE dst = (SELECT min(dst) FROM edges)""".stripMargin))),
+
+    // ---- N3: batched out-neighbors = semi-join (SURVEY §2.3) ----
+    ("n3_query_out_multiple",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        val ids = db.edges.select("src").distinct().orderBy("src").limit(10)
+        db.queryOutMultiple(ids).select("src", "dst", "etype", "ets", "weight", "rating")
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT src, dst, etype, ets, weight, rating FROM edges
+          |WHERE src IN (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 10)""".stripMargin))),
+
+    // ---- N4/Q10: neighbors joined with vertex + edge columns ----
+    ("n4_join_vertex_column",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        val out = db.edges.join(broadcast(Queries.minSrc(db.edges)), col("src") === col("qv"))
+          .select(col("dst"), col("ets"))
+        db.joinVertex(out, "dst", Seq("name", "vtype")).select("dst", "ets", "name", "vtype")
+      },
+      Some(withSql(Oracle.EDGES + ",\n" + Oracle.VERTICES,
+        """SELECT e.dst, e.ets, v.name, v.vtype
+          |FROM edges e JOIN vertices v ON e.dst = v.id
+          |WHERE e.src = (SELECT min(src) FROM edges)""".stripMargin))),
+
+    // ---- N6: degrees (SURVEY §2.3) ----
+    ("n6_degrees",
+      (s: SparkSession, d: String) => GraphDB.orderGraph(s, d).degrees,
+      Some(withSql(Oracle.EDGES,
+        """, outd AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+          |ind AS (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst)
+          |SELECT COALESCE(o.id, i.id) AS id, COALESCE(i.c, 0) AS indeg,
+          |       COALESCE(o.c, 0) AS outdeg,
+          |       COALESCE(i.c, 0) + COALESCE(o.c, 0) AS degree
+          |FROM outd o FULL OUTER JOIN ind i ON o.id = i.id""".stripMargin))),
+
+    // ---- N8: cardinalities ----
+    ("n8_counts",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        db.numVertices.crossJoin(db.numEdges)
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT (SELECT count(*) FROM (SELECT src FROM edges UNION SELECT dst FROM edges)) AS num_vertices,
+          |       (SELECT count(*) FROM edges) AS num_edges""".stripMargin))),
+
+    // ---- Q1/Q7: FoF + top-20 (flagship) ----
+    ("q1_fof_excl_top20",
+      (s: SparkSession, d: String) =>
+        Queries.friendsOfFriendsExclTop20(Tables.socialEdges(s, d)),
+      Some(withSql(Oracle.UEDGES,
+        """, qv AS (SELECT min(src) AS v FROM uedges),
+          |hop1 AS (SELECT DISTINCT u.dst AS mid FROM uedges u, qv WHERE u.src = qv.v)
+          |SELECT u.dst AS id, count(*) AS paths
+          |FROM hop1 h JOIN uedges u ON u.src = h.mid, qv
+          |WHERE u.dst <> qv.v
+          |GROUP BY u.dst
+          |ORDER BY paths DESC, id LIMIT 20""".stripMargin))),
+
+    // ---- Q3: plain 2-hop reachable set ----
+    ("q3_fof",
+      (s: SparkSession, d: String) => Queries.friendsOfFriends(Tables.socialEdges(s, d)),
+      Some(withSql(Oracle.UEDGES,
+        """, qv AS (SELECT min(src) AS v FROM uedges),
+          |hop1 AS (SELECT DISTINCT u.dst AS mid FROM uedges u, qv WHERE u.src = qv.v)
+          |SELECT DISTINCT u.dst AS id FROM hop1 h JOIN uedges u ON u.src = h.mid""".stripMargin))),
+
+    // ---- Q4: induced subgraph on the typed hierarchy graph ----
+    ("q4_induced_subgraph",
+      (s: SparkSession, d: String) => {
+        val e = Tables.nationEdges(s, d)
+        Queries.inducedSubgraph(e, e.select("src").union(e.select("dst"))
+          .filter(col("src") >= Tables.SupplierBase).distinct())
+      },
+      Some(withSql(Oracle.NEDGES,
+        """, vs AS (SELECT src AS id FROM nedges WHERE src >= 1000000
+          |          UNION SELECT dst FROM nedges WHERE dst >= 1000000)
+          |SELECT e.src, e.dst, e.etype FROM nedges e
+          |WHERE e.src IN (SELECT id FROM vs) AND e.dst IN (SELECT id FROM vs)""".stripMargin))),
+
+    // ---- Q5: shortest-path distance (driver-loop BFS w/ early exit) ----
+    ("q5_shortest_path",
+      (s: SparkSession, d: String) => {
+        val sym = Tables.nationEdgesSym(s, d)
+        val cust = Tables.customer(s, d)
+        val from = cust.agg(min("c_custkey").as("id"))
+        val to = cust.join(from, cust("c_custkey") === from("id"))
+          .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .select((col("n_regionkey") + Tables.RegionBase).cast("long").as("tid"))
+        Traversals.shortestPathDist(sym, from, to, maxDepth = 4)
+      },
+      Some(withSql(Oracle.NEDGES_SYM,
+        """, f AS (SELECT min(c_custkey) AS s FROM customer),
+          |t AS (SELECT n_regionkey + 3000000 AS tid FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |      WHERE c_custkey = (SELECT s FROM f)),
+          |walk(id, dist) AS (
+          |  SELECT s, 0 FROM f
+          |  UNION
+          |  SELECT n.dst, w.dist + 1 FROM walk w JOIN nsym n ON w.id = n.src WHERE w.dist < 4)
+          |SELECT CAST(min(dist) AS BIGINT) AS dist FROM walk WHERE id IN (SELECT tid FROM t)""".stripMargin))),
+
+    // ---- Q6/C5: BFS distance sweep from one source ----
+    ("q6_sssp_dist",
+      (s: SparkSession, d: String) => {
+        val sym = Tables.nationEdgesSym(s, d)
+        val src = sym.filter(col("src") >= Tables.SupplierBase && col("src") < Tables.NationBase)
+          .agg(min("src").as("id")).withColumn("source", col("id"))
+        Traversals.bfsDistances(sym, src, maxDepth = 4).select("id", "dist")
+      },
+      Some(withSql(Oracle.NEDGES_SYM,
+        """, f AS (SELECT min(src) AS s FROM nsym WHERE src >= 1000000 AND src < 2000000),
+          |walk(id, dist) AS (
+          |  SELECT s, 0 FROM f
+          |  UNION
+          |  SELECT n.dst, w.dist + 1 FROM walk w JOIN nsym n ON w.id = n.src WHERE w.dist < 4)
+          |SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY id""".stripMargin))),
+
+    // ---- C4/Q13: connected components to fixpoint + histogram ----
+    ("c4_cc_labels",
+      (s: SparkSession, d: String) =>
+        Traversals.connectedComponents(Tables.nationEdgesSym(s, d)),
+      Some(withSql(Oracle.NEDGES_SYM,
+        """, verts AS (SELECT src AS id FROM nsym UNION SELECT dst FROM nsym),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM verts
+          |  UNION
+          |  SELECT w.id, n.dst FROM reach w JOIN nsym n ON w.r = n.src)
+          |SELECT id, min(r) AS label FROM reach GROUP BY id""".stripMargin))),
+
+    ("q13_cc_histogram",
+      (s: SparkSession, d: String) =>
+        Traversals.componentHistogramTop20(Tables.nationEdgesSym(s, d)),
+      Some(withSql(Oracle.NEDGES_SYM,
+        """, verts AS (SELECT src AS id FROM nsym UNION SELECT dst FROM nsym),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM verts
+          |  UNION
+          |  SELECT w.id, n.dst FROM reach w JOIN nsym n ON w.r = n.src),
+          |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+          |SELECT label, count(*) AS csize FROM labels GROUP BY label
+          |ORDER BY csize DESC, label LIMIT 20""".stripMargin))),
+
+    // ---- C3: PageRank, reference-exact update rule, scaled-int ----
+    ("c3_pagerank_top20",
+      (s: SparkSession, d: String) => PageRank.top20(Tables.orderEdges(s, d), iters = 3),
+      Some(PageRank.oracleSql(3))),
+
+    // ---- W1/§2.8: relational scan-agg surface (decimal-exact sums) ----
+    ("w1_lineitem_agg",
+      (s: SparkSession, d: String) =>
+        Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+          sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast(dec).as("sum_base_price"),
+          count(lit(1)).as("count_order")),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sum_base_price,
+          |  count(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+  )
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, q, _) => n -> q }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical inputs + derived graph tables, shared by the engine API
+  * ([[GraphDB]]), the correctness dump ([[Verify]]) and the bench
+  * ([[Bench]]).
+  *
+  * The graph derivations mirror FIXTURES.md §3 and are kept expressible in
+  * plain ANSI SQL (see [[Oracle]]) so the DuckDB oracle materializes the
+  * *identical* graph from the same parquet files.
+  *
+  * Id spaces are disjoint by offset, replacing the reference's dual
+  * original/internal id translation (reference VertexIdTranslate.java:59-72)
+  * with plain disjoint original ids:
+  * customers = c_custkey, suppliers = s_suppkey + 1e6,
+  * nations = n_nationkey + 2e6, regions = r_regionkey + 3e6.
+  */
+object Tables {
+  val SupplierBase = 1000000L
+  val NationBase   = 2000000L
+  val RegionBase   = 3000000L
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Directed order graph: customer --(one edge per lineitem)--> supplier.
+    * Parallel edges are kept, matching the reference's multigraph edge model
+    * (reference GraphChiDatabase.scala:1112-1117). Edge columns mirror the
+    * example databases' edge properties
+    * (reference SocialNetworkExample.scala:85-86, MovieDatabase.scala:71). */
+  def orderEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val o  = orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(
+        o("o_custkey").as("src"),
+        (li("l_suppkey") + SupplierBase).as("dst"),
+        lit(0).as("etype"),
+        unix_millis(o("o_orderdate").cast("timestamp")).as("ets"),
+        li("l_extendedprice").as("weight"),
+        ((floor(li("l_quantity")).cast("int") % 5) + 1).as("rating"))
+  }
+
+  /** Symmetrized order graph (both directions, etype 0) — the "social"
+    * graph used by the frontier / FoF queries, like the mutual-follow
+    * LiveJournal graph of reference SocialNetworkExample.scala:77-82. */
+  def socialEdges(spark: SparkSession, dir: String): DataFrame = {
+    val e = orderEdges(spark, dir)
+    e.unionByName(e.select(
+      e("dst").as("src"), e("src").as("dst"),
+      e("etype"), e("ets"), e("weight"), e("rating")))
+  }
+
+  /** Typed hierarchy graph: {customer,supplier} --0--> nation --1--> region.
+    * Gives known ≤4-hop BFS diameters per region component (FIXTURES.md §3
+    * nation_graph) and exercises the 4-bit edge-type filter semantics
+    * (reference VertexIdTranslate.java:148-169). */
+  def nationEdges(spark: SparkSession, dir: String): DataFrame = {
+    val s = supplier(spark, dir).select(
+      (col("s_suppkey") + SupplierBase).cast("long").as("src"),
+      (col("s_nationkey") + NationBase).cast("long").as("dst"), lit(0).as("etype"))
+    val c = customer(spark, dir).select(
+      col("c_custkey").cast("long").as("src"),
+      (col("c_nationkey") + NationBase).cast("long").as("dst"), lit(0).as("etype"))
+    val n = nation(spark, dir).select(
+      (col("n_nationkey") + NationBase).cast("long").as("src"),
+      (col("n_regionkey") + RegionBase).cast("long").as("dst"), lit(1).as("etype"))
+    s.unionByName(c).unionByName(n)
+  }
+
+  /** Undirected view of [[nationEdges]] (both directions, etype kept). */
+  def nationEdgesSym(spark: SparkSession, dir: String): DataFrame = {
+    val e = nationEdges(spark, dir)
+    e.unionByName(e.select(e("dst").as("src"), e("src").as("dst"), e("etype")))
+  }
+
+  /** Vertex table with properties (FIXTURES.md §3 `vertices`): all
+    * customers and suppliers under the disjoint id scheme. Vertex property
+    * columns play the role of the reference's vertex columns
+    * (reference Column.scala:40-80). */
+  def vertices(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).select(
+      col("c_custkey").as("id"), lit("customer").as("vtype"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val s = supplier(spark, dir).select(
+      (col("s_suppkey") + SupplierBase).as("id"), lit("supplier").as("vtype"),
+      col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+    c.unionByName(s)
+  }
+
+  /** Supplier co-purchase projection: suppliers sharing ≥1 customer,
+    * canonicalized src<dst, deduplicated — the projected graph used for
+    * ego-nets / triangle census (reference SubgraphFrequencies.scala:92-99
+    * canonicalizes the same way). */
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val e = orderEdges(spark, dir).select("src", "dst")
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.dst").as("src"), col("b.dst").as("dst"))
+      .distinct()
+  }
+}
