@@ -72,7 +72,7 @@ object Queries {
     val e = cpEdges.select("src", "dst")
     val deg = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
-    val wedges = deg.agg(sum(col("d") * (col("d") - 1) / 2).cast("long").as("wedges"))
+    val wedges = deg.agg(expr("sum((d * (d - 1)) div 2)").as("wedges"))
     val ab = e.select(col("src").as("a"), col("dst").as("b"))
     val bc = e.select(col("src").as("b"), col("dst").as("c"))
     val ac = e.select(col("src").as("a"), col("dst").as("c"))

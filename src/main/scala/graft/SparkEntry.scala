@@ -25,7 +25,7 @@ object SparkEntry {
   private val dec = DecimalType(38, 2)
 
   /** Registry: name -> (spark query, optional DuckDB oracle). */
-  private val registry: Seq[(String, Q, Option[String])] = Seq(
+  private val coreEntries: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- N1/N2: single-vertex neighborhood (SURVEY §2.3) ----
     ("n1_query_out",
@@ -210,12 +210,15 @@ object SparkEntry {
           |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
   )
 
+  private def all: Seq[QueryEntry] =
+    coreEntries ++ registry.PointOpsQueries.entries ++ registry.EventQueries.entries
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map { case (n, q, _) => n -> q }.toMap
+    all.map { case (n, q, _) => n -> q }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+    all.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

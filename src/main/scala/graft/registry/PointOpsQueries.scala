@@ -1,0 +1,285 @@
+package graft.registry
+
+import graft._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Oracle.withSql
+
+/** SURVEY.md §2.2 point lookups / mutations (P1-P9), §2.4 frontier algebra
+  * (F2/F8/F9), §2.5 ego-net + census + name index (Q8/Q9/Q10/Q12), §2.6
+  * sweeps (W2/W3). Mutation semantics are verified through aggregate
+  * summaries of the post-mutation table — the mutated table itself is the
+  * operator's output, but a compact summary keeps the parity dump small
+  * while still pinning every row via count+checksum. */
+object PointOpsQueries {
+  private val dec = DecimalType(38, 2)
+
+  val entries: Seq[QueryEntry] = Seq(
+
+    // ---- P1: edge existence (reference QueryShard.java:207-253) ----
+    ("p1_find_edge",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        val v = Queries.minSrc(db.edges)
+        val w = db.edges.join(broadcast(v), col("src") === col("qv"))
+          .agg(min("dst").as("qw"))
+        db.edges.join(broadcast(v), col("src") === col("qv"))
+          .join(broadcast(w), col("dst") === col("qw"))
+          .filter(col("etype") === 0)
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT count(*) AS n FROM edges
+          |WHERE src = (SELECT min(src) FROM edges)
+          |  AND dst = (SELECT min(dst) FROM edges WHERE src = (SELECT min(src) FROM edges))
+          |  AND etype = 0""".stripMargin))),
+
+    // ---- P2: edge value read (reference GraphChiDatabase.scala:1385-1399) ----
+    ("p2_edge_value",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        val v = Queries.minSrc(db.edges)
+        val w = db.edges.join(broadcast(v), col("src") === col("qv"))
+          .agg(min("dst").as("qw"))
+        db.edges.join(broadcast(v), col("src") === col("qv"))
+          .join(broadcast(w), col("dst") === col("qw"))
+          .agg(sum(col("weight").cast(dec)).cast(dec).as("wsum"),
+               count(lit(1)).as("n"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT CAST(sum(CAST(weight AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS wsum,
+          |       count(*) AS n
+          |FROM edges
+          |WHERE src = (SELECT min(src) FROM edges)
+          |  AND dst = (SELECT min(dst) FROM edges WHERE src = (SELECT min(src) FROM edges))""".stripMargin))),
+
+    // ---- P3: updateEdge (reference GraphChiDatabase.scala:1234-1270) ----
+    ("p3_update_edge",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        val v = Queries.minSrc(db.edges)
+        val updated = db.withEdges(db.edges.crossJoin(broadcast(v)))
+          .updateEdge(col("src") === col("qv"), "rating", lit(9))
+        updated.edges.agg(sum(col("rating")).cast("long").as("rating_sum"),
+                          count(lit(1)).as("n"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT CAST(sum(CASE WHEN src = (SELECT min(src) FROM edges) THEN 9 ELSE rating END) AS BIGINT) AS rating_sum,
+          |       count(*) AS n
+          |FROM edges""".stripMargin))),
+
+    // ---- P4: deleteEdge (reference GraphChiDatabase.scala:1273-1305) ----
+    ("p4_delete_edge",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        val v = Queries.minSrc(db.edges)
+        val w = db.edges.join(broadcast(v), col("src") === col("qv"))
+          .agg(min("dst").as("qw"))
+        val del = db.withEdges(db.edges.crossJoin(broadcast(v)).crossJoin(broadcast(w)))
+          .deleteEdges(col("src") === col("qv") && col("dst") === col("qw"))
+        del.edges.agg(count(lit(1)).as("n"),
+                      sum(col("weight").cast(dec)).cast(dec).as("wsum"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT count(*) AS n,
+          |       CAST(sum(CAST(weight AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS wsum
+          |FROM edges
+          |WHERE NOT (src = (SELECT min(src) FROM edges)
+          |       AND dst = (SELECT min(dst) FROM edges WHERE src = (SELECT min(src) FROM edges)))""".stripMargin))),
+
+    // ---- P5: deleteVertex (reference GraphChiDatabase.scala:1307-1339) ----
+    ("p5_delete_vertex",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        val v = Queries.minSrc(db.edges)
+        db.edges.crossJoin(broadcast(v))
+          .filter(col("src") =!= col("qv") && col("dst") =!= col("qv"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("weight").cast(dec)).cast(dec).as("wsum"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT count(*) AS n,
+          |       CAST(sum(CAST(weight AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS wsum
+          |FROM edges
+          |WHERE src <> (SELECT min(src) FROM edges) AND dst <> (SELECT min(src) FROM edges)""".stripMargin))),
+
+    // ---- P7: column predicate scan (reference Column.scala:198-225) ----
+    ("p7_column_select",
+      (s: SparkSession, d: String) =>
+        Tables.vertices(s, d).filter(col("acctbal") < 0).select("id", "acctbal"),
+      Some(withSql(Oracle.VERTICES,
+        "SELECT id, acctbal FROM vertices WHERE acctbal < 0"))),
+
+    // ---- P8: column fold/aggregate (reference Column.scala:175-190) ----
+    ("p8_column_fold",
+      (s: SparkSession, d: String) =>
+        Tables.vertices(s, d).groupBy("vtype").agg(
+          count(lit(1)).as("n"),
+          sum(col("acctbal").cast(dec)).cast(dec).as("bal"),
+          min("name").as("min_name")),
+      Some(withSql(Oracle.VERTICES,
+        """SELECT vtype, count(*) AS n,
+          |       CAST(sum(CAST(acctbal AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS bal,
+          |       min(name) AS min_name
+          |FROM vertices GROUP BY vtype""".stripMargin))),
+
+    // ---- P9: bulk column rewrite (reference Column.scala:187-190) ----
+    ("p9_update_all",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        db.updateAllVertices("acctbal",
+            c => (c.cast(DecimalType(18, 2)) * 2).cast(dec))
+          .vertices.select(col("id"), col("acctbal").as("newbal"))
+      },
+      Some(withSql(Oracle.VERTICES,
+        "SELECT id, CAST(CAST(acctbal AS DECIMAL(18,2)) * 2 AS DECIMAL(38,2)) AS newbal FROM vertices"))),
+
+    // ---- F2: one traverseOut hop (reference FrontierQueries.scala:82-99) ----
+    ("f2_traverse_out",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        val ids = db.edges.select(col("src").as("id")).distinct().orderBy("id").limit(5)
+        db.frontier(ids).traverseOut().ids
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT DISTINCT dst AS id FROM edges
+          |WHERE src IN (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 5)""".stripMargin))),
+
+    // ---- F8: deterministic frontier limit (reference VertexFrontier.scala:53-68) ----
+    ("f8_frontier_limit",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        db.frontier(db.edges.select(col("dst").as("id")).distinct()).limit(7).ids
+      },
+      Some(withSql(Oracle.EDGES,
+        "SELECT id FROM (SELECT DISTINCT dst AS id FROM edges) ORDER BY id LIMIT 7"))),
+
+    // ---- F9: frontier set algebra (reference VertexFrontier.scala:34-201) ----
+    ("f9_frontier_setops",
+      (s: SparkSession, d: String) => {
+        val e = Tables.orderEdges(s, d)
+        val v1 = e.agg(min("src").as("q1"))
+        val v2 = e.crossJoin(broadcast(v1)).filter(col("src") > col("q1"))
+          .agg(min("src").as("q2"))
+        val n1 = e.join(broadcast(v1), col("src") === col("q1"))
+          .select(col("dst").as("id")).distinct()
+        val n2 = e.join(broadcast(v2), col("src") === col("q2"))
+          .select(col("dst").as("id")).distinct()
+        n1.union(n2).distinct().agg(count(lit(1)).as("n_union"))
+          .crossJoin(n1.intersect(n2).agg(count(lit(1)).as("n_intersect")))
+          .crossJoin(n1.except(n2).agg(count(lit(1)).as("n_diff")))
+      },
+      Some(withSql(Oracle.EDGES,
+        """, v1 AS (SELECT min(src) AS q1 FROM edges),
+          |v2 AS (SELECT min(src) AS q2 FROM edges WHERE src > (SELECT q1 FROM v1)),
+          |s1 AS (SELECT DISTINCT dst AS id FROM edges, v1 WHERE src = q1),
+          |s2 AS (SELECT DISTINCT dst AS id FROM edges, v2 WHERE src = q2)
+          |SELECT (SELECT count(*) FROM (SELECT id FROM s1 UNION SELECT id FROM s2)) AS n_union,
+          |       (SELECT count(*) FROM (SELECT id FROM s1 INTERSECT SELECT id FROM s2)) AS n_intersect,
+          |       (SELECT count(*) FROM (SELECT id FROM s1 EXCEPT SELECT id FROM s2)) AS n_diff""".stripMargin))),
+
+    // ---- Q8: ego network (reference SubgraphFrequencies.scala:92-99) ----
+    ("q8_ego_net",
+      (s: SparkSession, d: String) => {
+        val cp = Tables.coPurchaseEdges(s, d)
+        Queries.egoNet(cp, cp.agg(min("src").as("qv")))
+      },
+      Some(withSql(Oracle.CP_EDGES,
+        """, ego AS (SELECT min(src) AS v FROM cp),
+          |nb AS (SELECT DISTINCT id FROM (
+          |  SELECT dst AS id FROM cp, ego WHERE src = v
+          |  UNION ALL SELECT src FROM cp, ego WHERE dst = v))
+          |SELECT src, dst FROM cp
+          |WHERE src IN (SELECT id FROM nb) AND dst IN (SELECT id FROM nb)""".stripMargin))),
+
+    // ---- Q9: exact wedge/triangle census (det. variant of sampling) ----
+    ("q9_subgraph_census",
+      (s: SparkSession, d: String) =>
+        Queries.subgraphCensus(Tables.coPurchaseEdges(s, d)),
+      Some(withSql(Oracle.CP_EDGES,
+        """, deg AS (SELECT id, count(*) AS d FROM
+          |  (SELECT src AS id FROM cp UNION ALL SELECT dst FROM cp) GROUP BY id),
+          |wed AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS wedges FROM deg),
+          |tri AS (SELECT count(*) AS triangles
+          |        FROM cp ab JOIN cp bc ON ab.dst = bc.src
+          |        JOIN cp ac ON ac.src = ab.src AND ac.dst = bc.dst)
+          |SELECT wedges, triangles FROM wed CROSS JOIN tri""".stripMargin))),
+
+    // ---- Q10: out-neighbors with timestamps (reference
+    //      SocialNetworkExample.scala:166-168) ----
+    ("q10_out_with_timestamps",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        db.edges.join(broadcast(Queries.minSrc(db.edges)), col("src") === col("qv"))
+          .select("dst", "ets")
+      },
+      Some(withSql(Oracle.EDGES,
+        "SELECT dst, ets FROM edges WHERE src = (SELECT min(src) FROM edges)"))),
+
+    // ---- Q12: name → id index lookup (reference WikipediaGraph.scala:134-157) ----
+    ("q12_lookup_by_name",
+      (s: SparkSession, d: String) => {
+        val vs = Tables.vertices(s, d)
+        val target = vs.filter(col("vtype") === "supplier").agg(min("name").as("qn"))
+        Queries.lookupByName(vs.crossJoin(broadcast(target)), col("name") === col("qn"))
+      },
+      Some(withSql(Oracle.VERTICES,
+        """SELECT id, vtype, name FROM vertices
+          |WHERE name = (SELECT min(name) FROM vertices WHERE vtype = 'supplier')""".stripMargin))),
+
+    // ---- W2: in-edge sweep over a dst interval (reference
+    //      GraphChiDatabase.scala:2083-2122) — partition-prunable range ----
+    ("w2_sweep_in_interval",
+      (s: SparkSession, d: String) =>
+        Tables.orderEdges(s, d)
+          .filter(col("dst").between(Tables.SupplierBase, Tables.SupplierBase + 4))
+          .groupBy("dst")
+          .agg(count(lit(1)).as("n"), sum("rating").cast("long").as("rating_sum")),
+      Some(withSql(Oracle.EDGES,
+        """SELECT dst, count(*) AS n, CAST(sum(rating) AS BIGINT) AS rating_sum
+          |FROM edges WHERE dst BETWEEN 1000000 AND 1000004 GROUP BY dst""".stripMargin))),
+
+    // ---- W3: sweep with vertex-column join (reference
+    //      GraphChiDatabase.scala:1875-1957) — the PageRank access pattern ----
+    ("w3_sweep_in_join",
+      (s: SparkSession, d: String) => {
+        val e = Tables.orderEdges(s, d)
+        val v = Tables.vertices(s, d).select(col("id").as("src"), col("acctbal"))
+        e.join(v, "src").groupBy(col("dst").as("id"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("acctbal").cast(DecimalType(18, 2))).cast(dec).as("bal"))
+      },
+      Some(withSql(Oracle.EDGES + ",\n" + Oracle.VERTICES,
+        """SELECT e.dst AS id, count(*) AS n,
+          |       CAST(sum(CAST(v.acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+          |FROM edges e JOIN vertices v ON e.src = v.id
+          |GROUP BY e.dst""".stripMargin))),
+
+    // ---- N7: seeded random vertex (reference GraphChiDatabase.scala:1839-1852;
+    //      unseeded there, seeded here for reproducibility — no SQL oracle,
+    //      driver records rows-only) ----
+    ("n7_random_vertex",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        db.endpoints.orderBy(rand(42L), col("id")).limit(1)
+      },
+      None),
+
+    // ---- Q2: FoF with randomized friend limit (reference Queries.scala:64-70;
+    //      seeded rand — Spark-deterministic, not oracle-expressible) ----
+    ("q2_fof_limit",
+      (s: SparkSession, d: String) => {
+        val e = Tables.socialEdges(s, d)
+        val v = Queries.minSrc(e)
+        val hop1 = e.join(broadcast(v), col("src") === col("qv"))
+          .select(col("dst").as("mid"), col("qv")).distinct()
+          .orderBy(rand(42L), col("mid")).limit(10)
+        hop1.join(e.select(col("src").as("mid"), col("dst")), "mid")
+          .filter(col("dst") =!= col("qv"))
+          .groupBy(col("dst").as("id")).agg(count(lit(1)).as("paths"))
+          .orderBy(col("paths").desc, col("id")).limit(20)
+      },
+      None),
+  )
+}
