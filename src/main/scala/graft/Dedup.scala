@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline surface:
+  * exact (hash group-by), MinHash+LSH (shingle → minhash → band →
+  * bucket-join), n-gram Jaccard verification, and SimHash.
+  *
+  * Cross-engine determinism: minhash permutations are min-of-md5-hex
+  * STRINGS (lexicographic min of a keyed md5 is a valid random
+  * permutation and is identical in any engine), SimHash uses the first 60
+  * bits of md5 parsed as an integer, and Jaccard is a scaled-integer
+  * percentage — no floats anywhere.
+  *
+  * Scale notes (100 TB thinking): every stage is a groupBy/join keyed on
+  * doc_id / shingle / band signature — all shuffle-parallel with no
+  * driver-side state; band-bucket join degenerates quadratically only
+  * inside a bucket, which LSH keeps near-duplicate-only by construction.
+  */
+object Dedup {
+  import TextOps.tokens
+
+  val NumHashes = 8
+  val RowsPerBand = 2 // 4 bands of 2 → catches J ≳ 0.5 pairs
+
+  /** D1: exact dedup — keeper id + group size per distinct text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("group_n"))
+      .select("keep_id", "group_n")
+
+  /** Word 3-gram shingle set, exploded to (doc_id, s) distinct rows.
+    * Documents with <3 tokens contribute their whole text as one shingle. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    docs.select(col("doc_id"),
+        explode(when(size(ts) < 3, array(array_join(ts, " ")))
+          .otherwise(transform(sequence(lit(0), size(ts) - 3),
+            i => concat_ws(" ",
+              element_at(ts, i + 1), element_at(ts, i + 2), element_at(ts, i + 3)))))
+          .as("s"))
+      .distinct()
+  }
+
+  /** MinHash signature rows: (doc_id, k, m) for k ∈ [0, NumHashes). */
+  def minhash(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .withColumn("k", explode(sequence(lit(0), lit(NumHashes - 1))))
+      .groupBy("doc_id", "k")
+      .agg(min(md5(concat(col("k").cast("string"), lit("|"), col("s")))).as("m"))
+
+  /** LSH band signatures: (doc_id, b, sig) — 2 minhash rows per band. */
+  def bands(docs: DataFrame): DataFrame = {
+    val mh = minhash(docs)
+    val a = mh.filter(col("k") % 2 === 0)
+      .select(col("doc_id"), (col("k") / 2).cast("int").as("b"), col("m").as("m0"))
+    val b = mh.filter(col("k") % 2 === 1)
+      .select(col("doc_id").as("doc_id2"), (col("k") / 2).cast("int").as("b2"), col("m").as("m1"))
+    a.join(b, col("doc_id") === col("doc_id2") && col("b") === col("b2"))
+      .select(col("doc_id"), col("b"), md5(concat(col("m0"), col("m1"))).as("sig"))
+  }
+
+  /** D2: MinHash-LSH candidate pairs — docs sharing ≥1 band bucket. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val bd = bands(docs)
+    val x = bd.select(col("b"), col("sig"), col("doc_id").as("a"))
+    val y = bd.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bb"))
+    x.join(y, col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bb"))
+      .select(col("a"), col("bb").as("b")).distinct()
+  }
+
+  /** D3: exact shingle-Jaccard verification of the LSH candidates —
+    * (a, b, jacc_pct) with jacc_pct = (100·|∩|) div |∪|. */
+  def jaccardVerify(docs: DataFrame): DataFrame = {
+    val cand = minhashCandidates(docs)
+    val sh = shingles(docs)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("a"), col("s"))
+      .join(sh.select(col("doc_id").as("b"), col("s")), "s")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    cand.join(inter, Seq("a", "b"), "left_outer")
+      .na.fill(0L, Seq("i"))
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        expr("(100 * i) div (na + nb - i)").as("jacc_pct"))
+  }
+
+  /** D4: 60-bit SimHash per document over the distinct token set (first 60
+    * bits of md5(token), per-bit majority vote). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+      .withColumn("h", expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"))
+    tok.withColumn("bit", explode(sequence(lit(0), lit(59))))
+      .groupBy("doc_id", "bit")
+      .agg(sum(expr("2 * ((h >> bit) & 1) - 1")).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(expr("case when v > 0 then shiftleft(cast(1 as bigint), bit) else 0L end")).as("simhash"))
+  }
+}

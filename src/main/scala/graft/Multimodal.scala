@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for the training-data pipeline surface:
+  * media payloads are opaque `binary` columns with typed metadata, and the
+  * decode / feature-extract steps run as typed `mapPartitions` over
+  * batches — the Spark-side schema, partitioning and batch shape are real;
+  * only the codec itself is a clearly-marked deterministic STUB (no media
+  * libraries in this container).
+  *
+  * At scale the pattern is: keep payloads in their own column (Parquet
+  * stores them contiguously), partition by content id, and run decode as a
+  * narrow per-partition transform — no shuffle is introduced.
+  */
+object Multimodal {
+
+  /** An opaque media row: payload + source id. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Extracted metadata (the "decoded" features). */
+  case class MediaMeta(doc_id: Long, byte_len: Long, fake_width: Long,
+                       fake_height: Long, fp: String)
+
+  /** Build a binary media column from the documents table (stand-in for
+    * image/audio payload ingestion). */
+  def asMedia(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")).as[MediaRow]
+  }
+
+  /** STUB decoder: a real codec would parse the container header here.
+    * The deterministic fake derives "dimensions" from the byte length so
+    * the pipeline (and its oracle) stay testable end-to-end. */
+  private def decodeStub(payload: Array[Byte]): (Long, Long) = {
+    val n = payload.length.toLong
+    (n % 640, n / 640)
+  }
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  /** Decode + feature-extract as a typed per-partition batch transform —
+    * the mapPartitions boundary is where a Pandas-UDF/NJPEG/ffmpeg batch
+    * call would sit. */
+  def extractMeta(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h) = decodeStub(r.payload)
+        MediaMeta(r.doc_id, r.payload.length.toLong, w, h, md5hex(r.payload))
+      }
+    }
+  }
+
+  /** End-to-end media metadata pipeline over documents. */
+  def metaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    extractMeta(asMedia(Tables.documents(spark, dir))).toDF()
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`vec_id, embedding:
+  * array<float>, label`): brute-force cosine top-k as the baseline and an
+  * LSH-bucketed variant as the scale path.
+  *
+  * Dot products fold left-to-right over the array on both engines
+  * (Spark `aggregate`, DuckDB `list_reduce`), each element widened to
+  * double first — the result is bit-identical, so scores can be compared
+  * exactly after scaling to integers (floor(1e6·cos)).
+  *
+  * Scale path: brute-force is O(N·Q·dim) but embarrassingly parallel
+  * (broadcast the query side); the LSH variant buckets by sign-pattern so
+  * each query probes ~N/2^bits vectors.
+  */
+object Similarity {
+
+  /** Left-fold dot product of two float-array columns, widened to double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (s, v) => s + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** E1: brute-force cosine top-k for the query vector = embedding of the
+    * smallest vec_id; scores scaled to integers for exact parity. */
+  def bruteForceTopK(emb: DataFrame, k: Int): DataFrame = {
+    val q = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"),
+        floor(cosine(col("embedding"), col("qv")) * 1000000L).cast("long").as("cos_scaled"))
+      .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
+  }
+
+  /** D5: all-pairs near-duplicate detection by cosine threshold (scaled). */
+  def cosinePairs(emb: DataFrame, minCosScaled: Long): DataFrame = {
+    val a = emb.select(col("vec_id").as("x"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("y"), col("embedding").as("vb"))
+    a.join(b, col("x") < col("y"))
+      .select(col("x"), col("y"),
+        floor(cosine(col("va"), col("vb")) * 1000000L).cast("long").as("cos_scaled"))
+      .filter(col("cos_scaled") >= minCosScaled)
+  }
+
+  /** Deterministic pseudo-random hyperplane component w[k][i]: a keyed md5
+    * parsed to an integer in [-500, 500) — reproducible in any engine. */
+  private def planeComponent(k: Column, i: Column): Column =
+    expr(s"cast(conv(substring(md5(concat(cast($k as string), '_', cast($i as string))), 1, 8), 16, 10) as bigint) % 1000 - 500")
+
+  /** E2: LSH-bucketed ANN (scale path): `bits` random-hyperplane signs form
+    * the bucket key; the query probes only its own bucket, falling back to
+    * rank-by-cosine within it. At 100 TB the bucket join replaces the full
+    * cross product. */
+  def lshTopK(emb: DataFrame, bits: Int, k: Int): DataFrame = {
+    // signature = Σ_b (dot(v, plane_b) > 0) << b, planes derived from md5
+    val withSig = emb.withColumn("sig",
+      expr(
+        s"""aggregate(sequence(0, ${bits - 1}), cast(0 as bigint), (acc, b) ->
+           |  acc + if(
+           |    aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
+           |        (x, i) -> cast(x as double) *
+           |          (cast(conv(substring(md5(concat(cast(b as string), '_', cast(i as string))), 1, 8), 16, 10) as bigint) % 1000 - 500)),
+           |      cast(0 as double), (s, v) -> s + v) > 0,
+           |    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin))
+    val q = withSig.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("sig").as("qsig"))
+    withSig.join(broadcast(q), col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
+      .select(col("vec_id"),
+        floor(cosine(col("embedding"), col("qv")) * 1000000L).cast("long").as("cos_scaled"))
+      .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.registry
+
+import graft._
+import org.apache.spark.sql.SparkSession
+
+/** Deduplication pipeline queries over `documents` — see [[graft.Dedup]]:
+  * exact, MinHash+LSH candidates, n-gram-Jaccard verification, SimHash. */
+object DedupQueries {
+
+  /** Shared DuckDB fragments mirroring Dedup.shingles/minhash/bands. */
+  val SHINGLES: String =
+    TextQueries.TOK + """,
+      |shu AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+      |                ELSE list_transform(range(1, len(ts) - 1),
+      |                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS s
+      |  FROM tok)""".stripMargin
+
+  val LSH: String =
+    SHINGLES + """,
+      |mh AS (
+      |  SELECT doc_id, k, min(md5(k || '|' || s)) AS m
+      |  FROM shu, (SELECT unnest(range(0, 8)) AS k) ks
+      |  GROUP BY doc_id, k),
+      |band AS (
+      |  SELECT a.doc_id, a.k // 2 AS b, md5(a.m || b2.m) AS sig
+      |  FROM mh a JOIN mh b2 ON a.doc_id = b2.doc_id AND b2.k = a.k + 1
+      |  WHERE a.k % 2 = 0),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM band x JOIN band y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
+
+  val entries: Seq[QueryEntry] = Seq(
+
+    ("d1_dedup_exact",
+      (s: SparkSession, d: String) => Dedup.exact(Tables.documents(s, d)),
+      Some(
+        """SELECT min(doc_id) AS keep_id, count(*) AS group_n
+          |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    ("d2_dedup_minhash_lsh",
+      (s: SparkSession, d: String) => Dedup.minhashCandidates(Tables.documents(s, d)),
+      Some(Oracle.withSql(LSH, "SELECT a, b FROM cand"))),
+
+    ("d3_dedup_jaccard_verify",
+      (s: SparkSession, d: String) => Dedup.jaccardVerify(Tables.documents(s, d)),
+      Some(Oracle.withSql(LSH,
+        """, sz AS (SELECT doc_id, count(*) AS n FROM shu GROUP BY doc_id),
+          |inter AS (
+          |  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
+          |  FROM shu sa JOIN shu sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT c.a, c.b,
+          |       (100 * COALESCE(i.i, 0)) // (sa.n + sb.n - COALESCE(i.i, 0)) AS jacc_pct
+          |FROM cand c LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+          |JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id""".stripMargin))),
+
+    ("d4_dedup_simhash",
+      (s: SparkSession, d: String) => Dedup.simhash(Tables.documents(s, d)),
+      Some(Oracle.withSql(TextQueries.TOK,
+        """, tokd AS (SELECT DISTINCT doc_id, unnest(ts) AS t FROM tok),
+          |th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tokd),
+          |bv AS (
+          |  SELECT doc_id, bit, sum(2 * ((h >> bit) & 1) - 1) AS v
+          |  FROM th, (SELECT unnest(range(0, 60)) AS bit) bits
+          |  GROUP BY doc_id, bit)
+          |SELECT doc_id,
+          |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+          |FROM bv GROUP BY doc_id""".stripMargin))),
+
+    ("d5_dedup_embedding_cosine",
+      (s: SparkSession, d: String) =>
+        Similarity.cosinePairs(Tables.embeddings(s, d), minCosScaled = 400000L),
+      Some(
+        """WITH p AS (
+          |  SELECT a.vec_id AS x, b.vec_id AS y,
+          |    CAST(floor(
+          |      list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+          |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
+          |      / (sqrt(list_reduce(list_transform(a.embedding,
+          |           x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)), (s, v) -> s + v))
+          |       * sqrt(list_reduce(list_transform(b.embedding,
+          |           x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)), (s, v) -> s + v)))
+          |      * 1000000) AS BIGINT) AS cos_scaled
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          |SELECT x, y, cos_scaled FROM p WHERE cos_scaled >= 400000""".stripMargin)),
+  )
+}

@@ -1,0 +1,75 @@
+package graft.registry
+
+import graft._
+import org.apache.spark.sql.SparkSession
+
+/** Text-analysis pipeline queries over `documents` (language-ID, quality,
+  * token stats, fingerprint) — see [[graft.TextOps]]. All-integer /
+  * md5-string outputs for exact cross-engine parity. */
+object TextQueries {
+
+  /** Shared DuckDB fragment: filtered token lists per document. */
+  val TOK: String =
+    """tok AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      |  FROM documents)""".stripMargin
+
+  private val enList = "('the','a','of','and','to','is','in')"
+
+  val entries: Seq[QueryEntry] = Seq(
+
+    ("t1_token_stats",
+      (s: SparkSession, d: String) => TextOps.tokenStats(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        """SELECT doc_id, length(text) AS len, len(ts) AS n_tokens,
+          |       length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum
+          |FROM tok""".stripMargin))),
+
+    ("t2_lang_id",
+      (s: SparkSession, d: String) => TextOps.langId(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        s"""SELECT doc_id, s_en, s_es, s_de, s_fr,
+           |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+           |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+           |       WHEN s_de >= s_fr THEN 'de'
+           |       ELSE 'fr' END AS pred_lang
+           |FROM (SELECT doc_id,
+           |  len(list_filter(ts, t -> t IN $enList)) AS s_en,
+           |  len(list_filter(ts, t -> t IN ('el','la','de','y','que','los'))) AS s_es,
+           |  len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+           |  len(list_filter(ts, t -> t IN ('le','les','et','est','une'))) AS s_fr
+           |  FROM tok)""".stripMargin))),
+
+    ("t3_quality_score",
+      (s: SparkSession, d: String) => TextOps.qualityScore(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        s""", q1 AS (SELECT doc_id, length(text) AS len, len(ts) AS n_tokens,
+           |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+           |  len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+           |  len(list_filter(ts, t -> t IN $enList)) AS n_stop
+           |  FROM tok),
+           |q2 AS (SELECT *, (100 * n_stop) // greatest(n_tokens, 1) AS stop_pct FROM q1)
+           |SELECT doc_id, len, n_tokens, n_punct, n_digit, n_stop, stop_pct,
+           |  CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 AND stop_pct >= 1
+           |            AND n_punct * 4 <= n_tokens THEN 1 ELSE 0 END AS is_quality
+           |FROM q2""".stripMargin))),
+
+    ("t4_fingerprint",
+      (s: SparkSession, d: String) => TextOps.fingerprint(Tables.documents(s, d)),
+      Some(
+        """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          |FROM documents""".stripMargin)),
+
+    // ---- multimodal metadata pipeline (typed mapPartitions + stub codec) ----
+    ("m1_multimodal_meta",
+      (s: SparkSession, d: String) => Multimodal.metaPipeline(s, d),
+      Some(
+        """SELECT doc_id,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+          |  CAST(octet_length(encode(text)) // 640 AS BIGINT) AS fake_height,
+          |  md5(text) AS fp
+          |FROM documents""".stripMargin)),
+  )
+}
