@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** C6/Q11: matrix factorization + serving (reference
+  * ALSMatrixFactorization.scala:130-223, MovieDatabase.scala:155-166).
+  * The reference factorizes a bipartite ratings graph with per-vertex
+  * least squares over D=10 latent factors and serves predictions as a
+  * dot-product top-k; here `org.apache.spark.ml.recommendation.ALS`
+  * (same loss family) trains the factors and the serving path is the
+  * same dot-product scoring, expressed over the factor arrays.
+  * Seeded — Spark-deterministic, but float math is not oracle-portable:
+  * these are rows-only parity entries by design (FIXTURES.md §3). */
+object ALSRec {
+
+  /** Bipartite ratings from the order graph: user = customer, item =
+    * supplier, rating = the 1..5 edge column (FIXTURES.md tiny_ratings
+    * shape at fixture scale). */
+  def ratings(spark: SparkSession, dir: String): DataFrame =
+    Tables.orderEdges(spark, dir).select(
+      col("src").cast("int").as("user"),
+      (col("dst") - Tables.SupplierBase).cast("int").as("item"),
+      col("rating").cast("float").as("rating"))
+
+  def fit(spark: SparkSession, dir: String): org.apache.spark.ml.recommendation.ALSModel =
+    new ALS().setSeed(42L).setRank(8).setMaxIter(5).setRegParam(0.1)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .fit(ratings(spark, dir))
+
+  /** C6: training RMSE (reference computes RMSE after each sweep,
+    * ALSMatrixFactorization.scala:188-205). */
+  def rmse(spark: SparkSession, dir: String): DataFrame = {
+    val model = fit(spark, dir)
+    model.setColdStartStrategy("drop")
+    model.transform(ratings(spark, dir))
+      .agg(sqrt(avg(pow(col("rating") - col("prediction"), 2))).as("rmse"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q11: serve top-k items for the smallest user id by explicit
+    * dot-product over the factor arrays (the reference's predictRating
+    * path, not recommendForAllUsers — the serving join is the point). */
+  def recommendTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val model = fit(spark, dir)
+    val r = ratings(spark, dir)
+    val minUser = r.agg(min("user").as("qu"))
+    val uf = model.userFactors.join(broadcast(minUser), col("id") === col("qu"))
+      .select(col("features").as("ufeat"))
+    model.itemFactors.crossJoin(broadcast(uf))
+      .select(col("id").as("item"),
+        Similarity.dot(col("features"), col("ufeat")).as("score"))
+      .orderBy(col("score").desc, col("item")).limit(k)
+  }
+}

@@ -213,7 +213,8 @@ object SparkEntry {
   private def all: Seq[QueryEntry] =
     coreEntries ++ registry.PointOpsQueries.entries ++ registry.EventQueries.entries ++
       registry.TextQueries.entries ++ registry.DedupQueries.entries ++
-      registry.VectorQueries.entries
+      registry.VectorQueries.entries ++ registry.ComputeQueries.entries ++
+      registry.RelationalQueries.entries
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,62 @@
+package graft.registry
+
+import graft._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Oracle.withSql
+
+/** SURVEY.md §2.7 batch-compute surface: the Pregel adapter (C1) checked
+  * against the same oracles as the DataFrame implementations, MultiBFS
+  * (C5), and ALS + recommendation serving (C6/Q11, rows-only). */
+object ComputeQueries {
+  val entries: Seq[QueryEntry] = Seq(
+
+    // ---- C1: GraphX Pregel adapter running CC — same oracle as c4 ----
+    ("c1_pregel_cc",
+      (s: SparkSession, d: String) =>
+        VertexCentric.pregelCC(s, Tables.nationEdgesSym(s, d)),
+      Some(withSql(Oracle.NEDGES_SYM,
+        """, verts AS (SELECT src AS id FROM nsym UNION SELECT dst FROM nsym),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM verts
+          |  UNION
+          |  SELECT w.id, n.dst FROM reach w JOIN nsym n ON w.r = n.src)
+          |SELECT id, min(r) AS label FROM reach GROUP BY id""".stripMargin))),
+
+    // ---- C1/C3: Pregel PageRank, scaled-int — same oracle as c3 ----
+    ("c1_pregel_pagerank",
+      (s: SparkSession, d: String) =>
+        VertexCentric.pregelPageRank(s, Tables.orderEdges(s, d), iters = 3),
+      Some(PageRank.oracleSql(3))),
+
+    // ---- C5: MultiBFS — simultaneous BFS from 3 seeds ----
+    ("c5_multi_bfs",
+      (s: SparkSession, d: String) => {
+        val sym = Tables.nationEdgesSym(s, d)
+        val sources = sym.filter(col("src") >= Tables.SupplierBase && col("src") < Tables.NationBase)
+          .select(col("src").as("id")).distinct().orderBy("id").limit(3)
+          .select(col("id").as("source"), col("id"))
+        Traversals.bfsDistances(sym, sources, maxDepth = 4)
+      },
+      Some(withSql(Oracle.NEDGES_SYM,
+        """, srcs AS (SELECT DISTINCT src AS s FROM nsym
+          |           WHERE src >= 1000000 AND src < 2000000 ORDER BY src LIMIT 3),
+          |walk(source, id, dist) AS (
+          |  SELECT s, s, 0 FROM srcs
+          |  UNION
+          |  SELECT w.source, n.dst, w.dist + 1 FROM walk w JOIN nsym n ON w.id = n.src
+          |  WHERE w.dist < 4)
+          |SELECT source, id, CAST(min(dist) AS BIGINT) AS dist
+          |FROM walk GROUP BY source, id""".stripMargin))),
+
+    // ---- C6: ALS training RMSE (seeded; float — rows-only) ----
+    ("c6_als_rmse",
+      (s: SparkSession, d: String) => ALSRec.rmse(s, d),
+      None),
+
+    // ---- Q11: dot-product top-k recommendation serving (rows-only) ----
+    ("q11_recommend_topk",
+      (s: SparkSession, d: String) => ALSRec.recommendTopK(s, d, k = 10),
+      None),
+  )
+}

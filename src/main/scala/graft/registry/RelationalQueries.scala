@@ -1,0 +1,92 @@
+package graft.registry
+
+import graft._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.8: the generic relational surface the reference lacks and
+  * Spark provides natively — window functions, rollup, set ops, range
+  * join. Exposed so a reference user gets the full relational algebra
+  * alongside the graph API. */
+object RelationalQueries {
+  private val dec = DecimalType(38, 2)
+
+  val entries: Seq[QueryEntry] = Seq(
+
+    // ---- window functions: top-3 orders per customer ----
+    ("r2_window_topn",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "rn")
+      },
+      Some(
+        """SELECT o_custkey, o_orderkey, rn FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |         row_number() OVER (PARTITION BY o_custkey
+          |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders) WHERE rn <= 3""".stripMargin)),
+
+    // ---- grouping sets / rollup over the region-nation hierarchy ----
+    ("r3_rollup",
+      (s: SparkSession, d: String) => {
+        Tables.customer(s, d).createOrReplaceTempView("g_customer")
+        Tables.nation(s, d).createOrReplaceTempView("g_nation")
+        Tables.region(s, d).createOrReplaceTempView("g_region")
+        s.sql(
+          """SELECT r_name, n_name, count(*) AS n_cust,
+            |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+            |FROM g_customer
+            |JOIN g_nation ON c_nationkey = n_nationkey
+            |JOIN g_region ON n_regionkey = r_regionkey
+            |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+      },
+      Some(
+        """SELECT r_name, n_name, count(*) AS n_cust,
+          |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)),
+
+    // ---- set operations over arbitrary relations ----
+    ("r4_setops",
+      (s: SparkSession, d: String) => {
+        val cn = Tables.customer(s, d).select(col("c_nationkey").as("nk")).distinct()
+        val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nk")).distinct()
+        cn.intersect(sn).agg(count(lit(1)).as("n_both"))
+          .crossJoin(cn.except(sn).agg(count(lit(1)).as("n_cust_only")))
+          .crossJoin(cn.union(sn).distinct().agg(count(lit(1)).as("n_any")))
+      },
+      Some(
+        """WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+          |sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+          |SELECT
+          |  (SELECT count(*) FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)) AS n_both,
+          |  (SELECT count(*) FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)) AS n_cust_only,
+          |  (SELECT count(*) FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)) AS n_any""".stripMargin)),
+
+    // ---- range join: lineitems shipped within 30 days of order date ----
+    ("r5_range_join",
+      (s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        li.join(o, li("l_orderkey") === o("o_orderkey") &&
+            datediff(li("l_shipdate"), o("o_orderdate")).between(0, 30))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(dec).as("qty"))
+      },
+      Some(
+        """SELECT o_orderstatus, count(*) AS n,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          | AND date_diff('day', o_orderdate, l_shipdate) BETWEEN 0 AND 30
+          |GROUP BY o_orderstatus""".stripMargin)),
+  )
+}
