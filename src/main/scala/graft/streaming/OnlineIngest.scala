@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.GraphDB
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Online ingest + continuous computation (SURVEY.md §2.1 S1, §2.7 C2).
+  *
+  * The reference's online mode buffers inserts in memory and merges them
+  * into LSM shards in the background while queries read buffer ∪ shards
+  * (reference GraphChiDatabase.scala:913-938 flusher,
+  * EdgeBuffer.scala:39-274, query-time union :1436-1474). Here Structured
+  * Streaming IS that machinery: each micro-batch is the in-memory buffer,
+  * `foreachBatch` is the flush point, and read-your-writes holds because
+  * the maintained view is base ∪ all-batches-so-far by construction.
+  *
+  * C2 (continuous computation during ingest, reference
+  * GraphChiDatabase.scala:2258-2283) = re-running an algorithm on the
+  * current snapshot inside `foreachBatch`.
+  */
+object OnlineIngest {
+
+  /** File-based edge stream: new parquet files in `dir` are micro-batches
+    * (one file per trigger — each file plays the role of one flushed
+    * EdgeBuffer). */
+  def edgeStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+
+  /** S1 online ingest: fold each micro-batch into an evolving GraphDB and
+    * hand the post-batch snapshot to `onSnapshot` (the C2 hook). The
+    * snapshot always contains every edge ingested so far —
+    * read-your-writes. */
+  def ingest(spark: SparkSession, schema: StructType, dir: String,
+             base: GraphDB, onSnapshot: (GraphDB, Long) => Unit): StreamingQuery = {
+    // mutable current-view holder, updated at flush points only
+    val current = new java.util.concurrent.atomic.AtomicReference[GraphDB](base)
+    edgeStream(spark, schema, dir).writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // materialize the buffer so the union view doesn't re-read the stream
+        val buffered = batch.localCheckpoint(true)
+        val next = current.get.addEdges(buffered)
+        current.set(next)
+        onSnapshot(next, batchId)
+      }
+      .start()
+  }
+
+  /** Event-time tumbling window aggregation with watermark (the streaming
+    * shape of the s1_event_window batch query). `ts` arrives as raw
+    * nanos (nanosAsLong) and is restored to a timestamp for event time. */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min("value").as("vmin"), max("value").as("vmax"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("event_type"), col("n"), col("vmin"), col("vmax"))
+}

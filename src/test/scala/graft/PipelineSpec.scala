@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup / text / similarity operators on hand-built documents with
+  * planted duplicates. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def docs(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  val corpus = docs(
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    2L -> "the quick brown fox jumps over the lazy dog near the river bank", // exact dup of 1
+    3L -> "the quick brown fox jumps over the lazy dog near the river shore", // near dup of 1
+    4L -> "completely different content about spark catalyst optimizer rules engine",
+    5L -> "le petit chat le la les et est une le la")
+
+  test("exact dedup groups identical texts under the min id") {
+    val m = Dedup.exact(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 2L) // doc 2 collapsed into doc 1
+    assert(m(3L) == 1L && m(4L) == 1L)
+  }
+
+  test("minhash LSH surfaces exact and near duplicates as candidates") {
+    val cand = Dedup.minhashCandidates(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(cand.contains((1L, 3L)) || cand.contains((2L, 3L)))
+    assert(!cand.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard verify scores exact dup at 100") {
+    val j = Dedup.jaccardVerify(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(j((1L, 2L)) == 100L)
+    j.get((1L, 3L)).foreach(p => assert(p > 50L && p < 100L))
+  }
+
+  test("simhash is equal for identical docs, near for near-dups") {
+    val sh = TestSpark.toMap2(Dedup.simhash(corpus))
+    assert(sh(1L) == sh(2L))
+    def popcount(x: Long) = java.lang.Long.bitCount(x)
+    assert(popcount(sh(1L) ^ sh(3L)) < popcount(sh(1L) ^ sh(4L)))
+  }
+
+  test("language id votes stopwords") {
+    val m = TextOps.langId(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(m(1L) == "en" && m(5L) == "fr")
+  }
+
+  test("token stats and fingerprint are deterministic") {
+    val t = TextOps.tokenStats(corpus).filter(col("doc_id") === 1L).first()
+    assert(t.getAs[Int]("n_tokens") == 13)
+    val f1 = TextOps.fingerprint(corpus).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f1(1L) == f1(2L) && f1(1L) != f1(3L))
+  }
+
+  test("cosine similarity: identical vectors score 1e6, orthogonal 0") {
+    val s = spark; import s.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top(2L) == 1000000L && top(3L) == 0L)
+  }
+
+  test("multimodal metadata pipeline extracts deterministic stub features") {
+    implicit val s = spark
+    val media = Multimodal.asMedia(docs(7L -> "abcd").withColumn("text", col("text")))
+    val meta = Multimodal.extractMeta(media).collect().head
+    assert(meta.doc_id == 7L && meta.byte_len == 4L && meta.fake_width == 4L)
+    assert(meta.fp == "e2fc714c4727ee9395f324cd2e7f331f") // md5("abcd")
+  }
+}

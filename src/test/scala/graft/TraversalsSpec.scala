@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TraversalsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.edgesDF
+
+  val chain = edgesDF(Seq((0L, 1L, 0), (1L, 2L, 0), (2L, 3L, 0), (3L, 4L, 0)))
+  val twoComps = edgesDF(Seq( // {0..4} ring-ish + {10..13} chain
+    (0L, 1L, 0), (1L, 2L, 0), (2L, 3L, 0), (3L, 4L, 0), (4L, 0L, 0),
+    (10L, 11L, 0), (11L, 12L, 0), (12L, 13L, 0)))
+
+  def sym(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    df.unionByName(df.select(col("dst").as("src"), col("src").as("dst"), col("etype")))
+  }
+
+  test("bfsDistances on a chain gives exact hop counts") {
+    val s = spark; import s.implicits._
+    val src = Seq((0L, 0L)).toDF("source", "id")
+    val d = Traversals.bfsDistances(chain, src, maxDepth = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("bfsDistances respects maxDepth") {
+    val s = spark; import s.implicits._
+    val src = Seq((0L, 0L)).toDF("source", "id")
+    val d = Traversals.bfsDistances(chain, src, maxDepth = 2)
+    assert(d.count() == 3) // 0,1,2 only
+  }
+
+  test("multi-source BFS keeps sources independent") {
+    val s = spark; import s.implicits._
+    val src = Seq((0L, 0L), (3L, 3L)).toDF("source", "id")
+    val d = Traversals.bfsDistances(chain, src, maxDepth = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d((0L, 3L)) == 3L && d((3L, 4L)) == 1L && !d.contains((3L, 0L)))
+  }
+
+  test("shortestPathDist early-exits with the true distance") {
+    val s = spark; import s.implicits._
+    val from = Seq(0L).toDF("id")
+    val to = Seq(3L).toDF("tid")
+    val d = Traversals.shortestPathDist(chain, from, to, maxDepth = 10).first().getLong(0)
+    assert(d == 3L)
+  }
+
+  test("connected components finds min-label fixpoint per component") {
+    val labels = TestSpark.toMap2(Traversals.connectedComponents(sym(twoComps)))
+    assert(labels(3L) == 0L && labels(0L) == 0L)
+    assert(labels(13L) == 10L && labels(10L) == 10L)
+    val hist = Traversals.componentHistogramTop20(sym(twoComps))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(0L -> 5L, 10L -> 4L))
+  }
+
+  test("Pregel CC matches DataFrame CC") {
+    val df = TestSpark.toMap2(Traversals.connectedComponents(sym(twoComps)))
+    val px = TestSpark.toMap2(VertexCentric.pregelCC(spark, sym(twoComps)))
+    assert(df == px)
+  }
+
+  test("Pregel PageRank matches DataFrame PageRank (scaled-int, bit-exact)") {
+    val e = edgesDF(Seq((0L, 2L, 0), (1L, 2L, 0), (2L, 3L, 0), (0L, 3L, 0)))
+    val a = PageRank.top20(e, iters = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = VertexCentric.pregelPageRank(spark, e, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+}
