@@ -1,5 +1,17 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract benchmark: one JSON line with per-query seconds plus
+  * the ingest-rate metric from BASELINE.md (reference claims >100k edges/s
+  * buffered inserts, README.md:229; our target ≥50k/s sustained).
+  *
+  * Ingest here is the honest Spark path: derive the edge table and append
+  * it to a parquet edge store in micro-batches, sorted within partitions
+  * by (src, dst) — the same physical layout the reference's shard writer
+  * produces (FastSharder.java:55-198), which is what makes point/range
+  * queries on src prunable at scale. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,15 +25,44 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm the JVM/session so the first timed query doesn't absorb startup
+    Tables.lineitem(spark, sfDir).count()
+    Tables.documents(spark, sfDir).count()
+
+    def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- ingest benchmark: micro-batched append to the edge store ----
+    val store = java.nio.file.Files.createTempDirectory("graft-edges").toString
+    val edges = Tables.orderEdges(spark, sfDir)
+      .withColumn("slice", pmod(col("src"), lit(4)))
+      .localCheckpoint(true) // materialize inputs: time the ingest, not the derivation
+    val nEdges = edges.count()
+    val (_, ingestSec) = timed {
+      (0 until 4).foreach { s =>
+        edges.filter(col("slice") === s).drop("slice")
+          .sortWithinPartitions("src", "dst")
+          .write.mode(SaveMode.Append).parquet(s"$store/edges")
+      }
+    }
+    val eps = (nEdges / ingestSec).toLong
+
+    // ---- query latencies over the full registry ----
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = timed {
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+      }
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + ingestSec
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps}""")
     spark.stop()
   }
 }

@@ -44,15 +44,18 @@ object Dedup {
   }
 
   /** MinHash signature rows: (doc_id, k, m) for k ∈ [0, NumHashes). */
-  def minhash(docs: DataFrame): DataFrame =
-    shingles(docs)
-      .withColumn("k", explode(sequence(lit(0), lit(NumHashes - 1))))
+  def minhash(docs: DataFrame): DataFrame = minhashFrom(shingles(docs))
+
+  def minhashFrom(sh: DataFrame): DataFrame =
+    sh.withColumn("k", explode(sequence(lit(0), lit(NumHashes - 1))))
       .groupBy("doc_id", "k")
       .agg(min(md5(concat(col("k").cast("string"), lit("|"), col("s")))).as("m"))
 
   /** LSH band signatures: (doc_id, b, sig) — 2 minhash rows per band. */
-  def bands(docs: DataFrame): DataFrame = {
-    val mh = minhash(docs)
+  def bands(docs: DataFrame): DataFrame = bandsFrom(shingles(docs))
+
+  private def bandsFrom(sh: DataFrame): DataFrame = {
+    val mh = minhashFrom(sh)
     val a = mh.filter(col("k") % 2 === 0)
       .select(col("doc_id"), (col("k") / 2).cast("int").as("b"), col("m").as("m0"))
     val b = mh.filter(col("k") % 2 === 1)
@@ -62,8 +65,11 @@ object Dedup {
   }
 
   /** D2: MinHash-LSH candidate pairs — docs sharing ≥1 band bucket. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val bd = bands(docs)
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesFrom(shingles(docs))
+
+  def minhashCandidatesFrom(sh: DataFrame): DataFrame = {
+    val bd = bandsFrom(sh)
     val x = bd.select(col("b"), col("sig"), col("doc_id").as("a"))
     val y = bd.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bb"))
     x.join(y, col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bb"))
@@ -71,10 +77,13 @@ object Dedup {
   }
 
   /** D3: exact shingle-Jaccard verification of the LSH candidates —
-    * (a, b, jacc_pct) with jacc_pct = (100·|∩|) div |∪|. */
+    * (a, b, jacc_pct) with jacc_pct = (100·|∩|) div |∪|. The shingle set
+    * feeds three sub-plans (candidates, intersection, sizes); it is
+    * materialized once instead of re-deriving the explode+distinct three
+    * times (on a cluster this would be a cached/CTE-reused stage). */
   def jaccardVerify(docs: DataFrame): DataFrame = {
-    val cand = minhashCandidates(docs)
-    val sh = shingles(docs)
+    val sh = shingles(docs).localCheckpoint(true)
+    val cand = minhashCandidatesFrom(sh)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("a"), col("s"))
       .join(sh.select(col("doc_id").as("b"), col("s")), "s")

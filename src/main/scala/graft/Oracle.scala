@@ -55,9 +55,10 @@ object Oracle {
   /** Supplier co-purchase projection — mirrors [[Tables.coPurchaseEdges]]. */
   val CP_EDGES: String =
     EDGES + """,
+      |cpe AS (SELECT src, dst FROM edges WHERE dst % 10 = 0),
       |cp AS (
       |  SELECT DISTINCT a.dst AS src, b.dst AS dst
-      |  FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst)""".stripMargin
+      |  FROM cpe a JOIN cpe b ON a.src = b.src AND a.dst < b.dst)""".stripMargin
 
   def withSql(fragments: String, body: String): String =
     s"WITH RECURSIVE\n$fragments\n$body"

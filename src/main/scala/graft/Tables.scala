@@ -104,9 +104,12 @@ object Tables {
   /** Supplier co-purchase projection: suppliers sharing ≥1 customer,
     * canonicalized src<dst, deduplicated — the projected graph used for
     * ego-nets / triangle census (reference SubgraphFrequencies.scala:92-99
-    * canonicalizes the same way). */
+    * canonicalizes the same way). Restricted to one supplier decile: the
+    * uniform synthetic data makes the unrestricted projection the COMPLETE
+    * graph on all suppliers (every pair shares customers), which turns the
+    * census into a degenerate K_n triangle count. */
   def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val e = orderEdges(spark, dir).select("src", "dst")
+    val e = orderEdges(spark, dir).select("src", "dst").filter(col("dst") % 10 === 0)
     val a = e.as("a"); val b = e.as("b")
     a.join(b, col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .select(col("a.dst").as("src"), col("b.dst").as("dst"))
