@@ -41,9 +41,20 @@ object Tables {
     * (reference GraphChiDatabase.scala:1112-1117). Edge columns mirror the
     * example databases' edge properties
     * (reference SocialNetworkExample.scala:85-86, MovieDatabase.scala:71). */
-  def orderEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
-    val o  = orders(spark, dir)
+  def orderEdges(spark: SparkSession, dir: String): DataFrame =
+    orderEdgesFrom(lineitem(spark, dir), orders(spark, dir))
+
+  /** W2 interval routing (reference VertexInterval.java:50-78 dst-range
+    * shard selection): a dst ∈ [lo, hi] sweep rewritten onto the source
+    * column so the range predicate reaches the parquet scan — Catalyst
+    * does not invert `l_suppkey + C BETWEEN lo AND hi` on its own. */
+  def orderEdgesForDstRange(spark: SparkSession, dir: String, lo: Long, hi: Long): DataFrame =
+    orderEdgesFrom(
+      lineitem(spark, dir)
+        .filter(col("l_suppkey").between(lo - SupplierBase, hi - SupplierBase)),
+      orders(spark, dir))
+
+  private def orderEdgesFrom(li: DataFrame, o: DataFrame): DataFrame = {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select(
         o("o_custkey").as("src"),

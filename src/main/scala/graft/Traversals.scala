@@ -71,6 +71,24 @@ object Traversals {
     visited
   }
 
+  /** Q6: single-source shortest-path tree (reference Queries.scala:198-243
+    * writes a parent pointer per reached vertex): BFS distances + parent =
+    * MIN predecessor id at dist-1 (the reference's parent is
+    * arrival-order-dependent; min makes the tree deterministic, SURVEY
+    * §7.3). The source is its own parent. */
+  def ssspTree(edges: DataFrame, source: DataFrame, maxDepth: Int): DataFrame = {
+    val dists = bfsDistances(edges, source.toDF("id").withColumn("source", col("id")),
+      maxDepth).select("id", "dist").localCheckpoint(true)
+    val e = edges.select("src", "dst")
+    val par = e
+      .join(dists.select(col("id").as("src"), col("dist").as("pdist")), "src")
+      .join(dists.select(col("id").as("dst"), col("dist").as("cdist")), "dst")
+      .filter(col("cdist") === col("pdist") + 1)
+      .groupBy(col("dst").as("id")).agg(min("src").as("parent"))
+    dists.join(par, Seq("id"), "left_outer")
+      .select(col("id"), col("dist"), coalesce(col("parent"), col("id")).as("parent"))
+  }
+
   /** C4 connected components by min-label propagation to fixpoint
     * (reference ConnectedComponentsLabelProp.scala:38-85): label(v) starts
     * as v and contracts to min(label) over the undirected neighborhood.

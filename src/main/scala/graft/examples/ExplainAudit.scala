@@ -1,0 +1,29 @@
+package graft.examples
+
+import graft._
+import org.apache.spark.sql.SparkSession
+
+/** Dumps formatted physical plans for representative queries so the
+  * pushdown / broadcast / codegen story can be audited (see PERF.md).
+  * Usage: runMain graft.examples.ExplainAudit [sfDir] [name ...] */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("p7_column_select", "q1_fof_excl_top20", "w2_sweep_in_interval",
+        "n3_query_out_multiple", "w1_lineitem_agg", "e1_ann_bruteforce_topk")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -232,7 +232,7 @@ object PointOpsQueries {
     //      GraphChiDatabase.scala:2083-2122) — partition-prunable range ----
     ("w2_sweep_in_interval",
       (s: SparkSession, d: String) =>
-        Tables.orderEdges(s, d)
+        Tables.orderEdgesForDstRange(s, d, Tables.SupplierBase, Tables.SupplierBase + 4)
           .filter(col("dst").between(Tables.SupplierBase, Tables.SupplierBase + 4))
           .groupBy("dst")
           .agg(count(lit(1)).as("n"), sum("rating").cast("long").as("rating_sum")),
@@ -255,6 +255,60 @@ object PointOpsQueries {
           |       CAST(sum(CAST(v.acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
           |FROM edges e JOIN vertices v ON e.src = v.id
           |GROUP BY e.dst""".stripMargin))),
+
+    // ---- P6: getMany — point multi-get over a vertex id set (reference
+    //      Column.scala:48-57 getMany) ----
+    ("p6_get_many",
+      (s: SparkSession, d: String) => {
+        val ids = (1L to 5L).map(_ + Tables.SupplierBase)
+        Tables.vertices(s, d).filter(col("id").isin(ids: _*))
+          .select("id", "name", "acctbal")
+      },
+      Some(withSql(Oracle.VERTICES,
+        """SELECT id, name, acctbal FROM vertices
+          |WHERE id IN (1000001, 1000002, 1000003, 1000004, 1000005)""".stripMargin))),
+
+    // ---- C8: auto-fill columns — defaults materialized on first touch
+    //      (reference GraphChiDatabase.scala:888-899, Column.scala:77-78):
+    //      hierarchy-graph endpoints without a vertex row get generated
+    //      property values via coalesce-with-default ----
+    ("c8_autofill",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.nationGraph(s, d)
+        db.endpoints.join(db.vertices, Seq("id"), "left_outer")
+          .select(col("id"),
+            coalesce(col("vtype"), lit("auto")).as("vtype"),
+            coalesce(col("name"), concat(lit("v"), col("id").cast("string"))).as("name"))
+      },
+      Some(withSql(Oracle.NEDGES + ",\n" + Oracle.VERTICES,
+        """, ep AS (SELECT DISTINCT id FROM
+          |  (SELECT src AS id FROM nedges UNION ALL SELECT dst FROM nedges))
+          |SELECT ep.id, COALESCE(v.vtype, 'auto') AS vtype,
+          |       COALESCE(v.name, 'v' || ep.id) AS name
+          |FROM ep LEFT JOIN vertices v ON ep.id = v.id""".stripMargin))),
+
+    // ---- Q6b: SSSP parent tree (deterministic min-parent variant) ----
+    ("q6_sssp_parents",
+      (s: SparkSession, d: String) => {
+        val sym = Tables.nationEdgesSym(s, d)
+        val src = sym.filter(col("src") >= Tables.SupplierBase && col("src") < Tables.NationBase)
+          .agg(min("src").as("id"))
+        Traversals.ssspTree(sym, src, maxDepth = 4)
+      },
+      Some(withSql(Oracle.NEDGES_SYM,
+        """, f AS (SELECT min(src) AS s FROM nsym WHERE src >= 1000000 AND src < 2000000),
+          |walk(id, dist) AS (
+          |  SELECT s, 0 FROM f
+          |  UNION
+          |  SELECT n.dst, w.dist + 1 FROM walk w JOIN nsym n ON w.id = n.src WHERE w.dist < 4),
+          |dd AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY id),
+          |par AS (
+          |  SELECT n.dst AS id, min(n.src) AS parent
+          |  FROM nsym n JOIN dd p ON n.src = p.id JOIN dd c ON n.dst = c.id
+          |  WHERE c.dist = p.dist + 1
+          |  GROUP BY n.dst)
+          |SELECT dd.id, dd.dist, COALESCE(par.parent, dd.id) AS parent
+          |FROM dd LEFT JOIN par ON dd.id = par.id""".stripMargin))),
 
     // ---- N7: seeded random vertex (reference GraphChiDatabase.scala:1839-1852;
     //      unseeded there, seeded here for reproducibility — no SQL oracle,
