@@ -29,15 +29,23 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen dot product (bit-equal to [[dot]], see
+    * [[graft.functions.FloatDotProduct]]). */
+  private def ndot(emb: DataFrame, a: Column, b: Column): Column =
+    graft.functions.FloatDotProduct.dot(emb.sparkSession, a, b)
+
   /** E1: brute-force cosine top-k for the query vector = embedding of the
     * smallest vec_id; scores scaled to integers for exact parity. */
   def bruteForceTopK(emb: DataFrame, k: Int): DataFrame = {
     val q = emb.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cos = ndot(emb, col("embedding"), col("qv")) /
+      (sqrt(ndot(emb, col("embedding"), col("embedding"))) *
+        sqrt(ndot(emb, col("qv"), col("qv"))))
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("vec_id"),
-        floor(cosine(col("embedding"), col("qv")) * 1000000L).cast("long").as("cos_scaled"))
+        floor(cos * 1000000L).cast("long").as("cos_scaled"))
       .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
   }
 
@@ -48,13 +56,14 @@ object Similarity {
     * `dot/(na·nb)` is the same double expression as [[cosine]], so parity
     * with the oracle is unchanged. */
   def cosinePairs(emb: DataFrame, minCosScaled: Long): DataFrame = {
-    val withN = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val withN = emb.select(col("vec_id"), col("embedding"),
+        sqrt(ndot(emb, col("embedding"), col("embedding"))).as("nrm"))
       .localCheckpoint(true)
     val a = withN.select(col("vec_id").as("x"), col("embedding").as("va"), col("nrm").as("na"))
     val b = withN.select(col("vec_id").as("y"), col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, col("x") < col("y"))
       .select(col("x"), col("y"),
-        floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1000000L)
+        floor(ndot(emb, col("va"), col("vb")) / (col("na") * col("nb")) * 1000000L)
           .cast("long").as("cos_scaled"))
       .filter(col("cos_scaled") >= minCosScaled)
   }

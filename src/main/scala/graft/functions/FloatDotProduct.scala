@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Native codegen dot product over two `array<float>` columns.
+  *
+  * Semantically identical to
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)` —
+  * the same left-to-right double accumulation, so results are bit-equal
+  * to the composed form (and to the DuckDB oracle's `list_reduce`) — but
+  * it compiles to a tight loop inside WholeStageCodegen instead of four
+  * interpreted HigherOrderFunction nodes allocating a lambda per element.
+  * This is the preference-order (b) case of SURVEY §7.3: a scalar the
+  * built-ins express only non-codegen-ably.
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0d;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object FloatDotProduct {
+  val FnName = "graft_dot"
+
+  /** Register `graft_dot` on the session and return a Column-builder. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(FnName, a, b)
+  }
+}
