@@ -24,6 +24,12 @@ class Frontier(val db: GraphDB, val ids: DataFrame) {
       .join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
       .select(col("dst").as("id")).distinct())
 
+  /** F3: one out-hop with a per-edge admission predicate (reference
+    * traverseOut(etype, fn), FrontierQueries.scala:105-142) — the
+    * host-language lambda becomes a Column predicate Catalyst can push. */
+  def traverseOutWhere(condition: Column, etype: Option[Int] = None): Frontier =
+    of(selectOut(etype, condition).select(col("dst").as("id")).distinct())
+
   /** One out-hop keeping per-edge rows, filtered by a destination predicate
     * (F6 selectOut, reference FrontierQueries.scala:255-278): repeats are
     * preserved so downstream group-bys count paths. */

@@ -105,6 +105,32 @@ class GraphDB(val spark: SparkSession, val edges: DataFrame, val vertices: DataF
 }
 
 object GraphDB {
+  /** S4 createDatabase (reference GraphChiDatabaseAdmin.createDatabase,
+    * GraphChiDatabase.scala:54-82): an empty graph with the canonical
+    * edge/vertex schemas — shard files/intervals/id-translate have no
+    * Spark equivalent to set up. */
+  def empty(spark: SparkSession): GraphDB = {
+    import org.apache.spark.sql.types._
+    val edgeSchema = StructType(Seq(
+      StructField("src", LongType, nullable = false),
+      StructField("dst", LongType, nullable = false),
+      StructField("etype", IntegerType, nullable = false)))
+    val vertexSchema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    def df(s: StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    new GraphDB(spark, df(edgeSchema), df(vertexSchema))
+  }
+
+  /** Register the derived graph tables as temp views so the whole surface
+    * is also reachable through `spark.sql` (the relational layer the
+    * reference lacks, SURVEY §2.8). */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Tables.orderEdges(spark, dir).createOrReplaceTempView("edges")
+    Tables.socialEdges(spark, dir).createOrReplaceTempView("uedges")
+    Tables.nationEdges(spark, dir).createOrReplaceTempView("nedges")
+    Tables.vertices(spark, dir).createOrReplaceTempView("vertices")
+  }
+
   /** Order-graph database over the driver fixtures (FIXTURES.md §3). */
   def orderGraph(spark: SparkSession, dir: String): GraphDB =
     new GraphDB(spark, Tables.orderEdges(spark, dir), Tables.vertices(spark, dir))

@@ -146,6 +146,18 @@ object PointOpsQueries {
         """SELECT DISTINCT dst AS id FROM edges
           |WHERE src IN (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 5)""".stripMargin))),
 
+    // ---- F3: filtered expansion — per-edge predicate during the hop ----
+    ("f3_traverse_filtered",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraph(s, d)
+        val ids = db.edges.select(col("src").as("id")).distinct().orderBy("id").limit(20)
+        db.frontier(ids).traverseOutWhere(col("weight") >= 50000.0).ids
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT DISTINCT dst AS id FROM edges
+          |WHERE src IN (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 20)
+          |  AND weight >= 50000.0""".stripMargin))),
+
     // ---- F8: deterministic frontier limit (reference VertexFrontier.scala:53-68) ----
     ("f8_frontier_limit",
       (s: SparkSession, d: String) => {

@@ -15,6 +15,38 @@ object RelationalQueries {
 
   val entries: Seq[QueryEntry] = Seq(
 
+    // ---- the whole graph surface through spark.sql over registered views ----
+    ("r1_sql_revenue_per_nation",
+      (s: SparkSession, d: String) => {
+        GraphDB.registerViews(s, d)
+        Tables.customer(s, d).createOrReplaceTempView("g_cust")
+        Tables.nation(s, d).createOrReplaceTempView("g_nat")
+        s.sql(
+          """SELECT n_name, count(*) AS n_edges,
+            |       CAST(sum(CAST(weight AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+            |FROM edges JOIN g_cust ON src = c_custkey
+            |JOIN g_nat ON c_nationkey = n_nationkey
+            |GROUP BY n_name""".stripMargin)
+      },
+      Some(graft.Oracle.withSql(graft.Oracle.EDGES,
+        """SELECT n_name, count(*) AS n_edges,
+          |       CAST(sum(CAST(weight AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+          |FROM edges JOIN customer ON src = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin))),
+
+    // ---- distinct aggregation (absent in the reference, SURVEY §2.8) ----
+    ("r6_distinct_agg",
+      (s: SparkSession, d: String) =>
+        Tables.orderEdges(s, d).groupBy("etype").agg(
+          countDistinct(col("src")).as("n_src"),
+          countDistinct(col("dst")).as("n_dst"),
+          count(lit(1)).as("n")),
+      Some(graft.Oracle.withSql(graft.Oracle.EDGES,
+        """SELECT etype, count(DISTINCT src) AS n_src, count(DISTINCT dst) AS n_dst,
+          |       count(*) AS n
+          |FROM edges GROUP BY etype""".stripMargin))),
+
     // ---- window functions: top-3 orders per customer ----
     ("r2_window_topn",
       (s: SparkSession, d: String) => {
