@@ -43,25 +43,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Wide per-document signature: (doc_id, m0..m7) in ONE shuffle — the 8
+    * keyed hashes are computed as columns of the shingle row and min-agg'd
+    * with map-side combine, instead of exploding k (8× the shuffle rows)
+    * and self-joining for bands. Values are identical to the row form. */
+  def signatureFrom(sh: DataFrame): DataFrame = {
+    val hcols = (0 until NumHashes).map(k =>
+      md5(concat(lit(s"$k|"), col("s"))).as(s"h$k"))
+    sh.select(col("doc_id") +: hcols: _*)
+      .groupBy("doc_id")
+      .agg(min(s"h0").as("m0"),
+        (1 until NumHashes).map(k => min(s"h$k").as(s"m$k")): _*)
+  }
+
   /** MinHash signature rows: (doc_id, k, m) for k ∈ [0, NumHashes). */
   def minhash(docs: DataFrame): DataFrame = minhashFrom(shingles(docs))
 
-  def minhashFrom(sh: DataFrame): DataFrame =
-    sh.withColumn("k", explode(sequence(lit(0), lit(NumHashes - 1))))
-      .groupBy("doc_id", "k")
-      .agg(min(md5(concat(col("k").cast("string"), lit("|"), col("s")))).as("m"))
+  def minhashFrom(sh: DataFrame): DataFrame = {
+    val pairs = (0 until NumHashes).map(k => s"$k, m$k").mkString(", ")
+    signatureFrom(sh).select(col("doc_id"),
+      expr(s"stack(${NumHashes}, $pairs)").as(Seq("k", "m")))
+  }
 
-  /** LSH band signatures: (doc_id, b, sig) — 2 minhash rows per band. */
+  /** LSH band signatures: (doc_id, b, sig) — 2 minhash rows per band,
+    * hashed straight off the wide signature (no self-join). */
   def bands(docs: DataFrame): DataFrame = bandsFrom(shingles(docs))
 
   private def bandsFrom(sh: DataFrame): DataFrame = {
-    val mh = minhashFrom(sh)
-    val a = mh.filter(col("k") % 2 === 0)
-      .select(col("doc_id"), (col("k") / 2).cast("int").as("b"), col("m").as("m0"))
-    val b = mh.filter(col("k") % 2 === 1)
-      .select(col("doc_id").as("doc_id2"), (col("k") / 2).cast("int").as("b2"), col("m").as("m1"))
-    a.join(b, col("doc_id") === col("doc_id2") && col("b") === col("b2"))
-      .select(col("doc_id"), col("b"), md5(concat(col("m0"), col("m1"))).as("sig"))
+    val nBands = NumHashes / RowsPerBand
+    val pairs = (0 until nBands)
+      .map(b => s"$b, md5(concat(m${2 * b}, m${2 * b + 1}))").mkString(", ")
+    signatureFrom(sh).select(col("doc_id"),
+      expr(s"stack($nBands, $pairs)").as(Seq("b", "sig")))
   }
 
   /** D2: MinHash-LSH candidate pairs — docs sharing ≥1 band bucket. */
