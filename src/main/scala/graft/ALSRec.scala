@@ -24,10 +24,15 @@ object ALSRec {
       (col("dst") - Tables.SupplierBase).cast("int").as("item"),
       col("rating").cast("float").as("rating"))
 
+  // one model per fixture dir — RMSE and serving share the training cost
+  private val models =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.recommendation.ALSModel]()
+
   def fit(spark: SparkSession, dir: String): org.apache.spark.ml.recommendation.ALSModel =
-    new ALS().setSeed(42L).setRank(8).setMaxIter(5).setRegParam(0.1)
-      .setUserCol("user").setItemCol("item").setRatingCol("rating")
-      .fit(ratings(spark, dir))
+    models.computeIfAbsent(dir, _ =>
+      new ALS().setSeed(42L).setRank(8).setMaxIter(5).setRegParam(0.1)
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .fit(ratings(spark, dir)))
 
   /** C6: training RMSE (reference computes RMSE after each sweep,
     * ALSMatrixFactorization.scala:188-205). */

@@ -51,6 +51,14 @@ object Bench {
     }
     val eps = (nEdges / ingestSec).toLong
 
+    // point query against the materialized sorted store: parquet min/max
+    // row-group pruning on src is the scale path for N1-style lookups
+    val stored = spark.read.parquet(s"$store/edges")
+    stored.count() // warm file listing
+    val (_, pointSec) = timed {
+      stored.filter(col("src") === 1L).count()
+    }
+
     // ---- query latencies over the full registry ----
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = timed {
@@ -62,7 +70,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + ingestSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f}""")
     spark.stop()
   }
 }

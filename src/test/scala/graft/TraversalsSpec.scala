@@ -56,6 +56,17 @@ class TraversalsSpec extends AnyFunSuite {
     assert(hist == Map(0L -> 5L, 10L -> 4L))
   }
 
+  test("packed-vector MultiBFS (typed Aggregator) matches row-based BFS") {
+    val s = spark; import s.implicits._
+    val sources = Seq(0L, 10L)
+    val srcDf = sources.map(x => (x, x)).toDF("source", "id")
+    val rows = Traversals.bfsDistances(sym(twoComps), srcDf, maxDepth = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val packed = MultiBFSPacked.run(spark, sym(twoComps), sources, maxDepth = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows == packed)
+  }
+
   test("Pregel CC matches DataFrame CC") {
     val df = TestSpark.toMap2(Traversals.connectedComponents(sym(twoComps)))
     val px = TestSpark.toMap2(VertexCentric.pregelCC(spark, sym(twoComps)))
