@@ -31,8 +31,18 @@ object Dedup {
       .select("keep_id", "group_n")
 
   /** Word 3-gram shingle set, exploded to (doc_id, s) distinct rows.
-    * Documents with <3 tokens contribute their whole text as one shingle. */
-  def shingles(docs: DataFrame): DataFrame = {
+    * Documents with <3 tokens contribute their whole text as one shingle.
+    * Uses the single-pass [[graft.functions.ShingleArray]] expression;
+    * [[shinglesComposed]] is the built-ins-only equivalent it is pinned
+    * against in tests. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.ShingleArray.shingles(docs.sparkSession, col("text"))).as("s"))
+      .distinct()
+
+  /** The composed-from-built-ins shingle derivation (mirrors the oracle
+    * SQL shape); semantically identical to [[shingles]]. */
+  def shinglesComposed(docs: DataFrame): DataFrame = {
     val ts = tokens(col("text"))
     docs.select(col("doc_id"),
         explode(when(size(ts) < 3, array(array_join(ts, " ")))

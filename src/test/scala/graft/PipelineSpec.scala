@@ -20,6 +20,18 @@ class PipelineSpec extends AnyFunSuite {
     4L -> "completely different content about spark catalyst optimizer rules engine",
     5L -> "le petit chat le la les et est une le la")
 
+  test("single-pass ShingleArray equals the composed built-ins form") {
+    val a = Dedup.shingles(corpus).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Dedup.shinglesComposed(corpus).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b && a.nonEmpty)
+    // edge cases: empty text, <3 tokens, separators at both ends
+    val edge = docs(1L -> "", 2L -> "one two", 3L -> ",,a b c!!")
+    val x = Dedup.shingles(edge).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val y = Dedup.shinglesComposed(edge).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(x == y)
+    assert(x.contains((3L, "a b c")))
+  }
+
   test("exact dedup groups identical texts under the min id") {
     val m = Dedup.exact(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(1L) == 2L) // doc 2 collapsed into doc 1
