@@ -26,10 +26,12 @@ object PageRank {
     * (id, rank_scaled) for the top-20 by (rank desc, id). */
   def top20(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select("src", "dst").localCheckpoint(true)
+    // degree and |V| are loop-invariant: materialize once, not per iteration
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
-    val n = verts.agg(count(lit(1)).as("n"))
+    val n = verts.agg(count(lit(1)).as("n")).localCheckpoint(true)
     var ranks = verts.withColumn("r", lit(0L))
     for (_ <- 1 to iters) {
       val contrib = e
