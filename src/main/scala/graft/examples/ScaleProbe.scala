@@ -1,0 +1,71 @@
+package graft.examples
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale check: replicate the sf0.1 order graph K× as disjoint
+  * id-shifted copies and re-time the headline operators. Near-linear
+  * growth (vs quadratic blowup or OOM) is the evidence that the plans —
+  * broadcast frontier joins, partial aggs, checkpointed supersteps —
+  * survive a scale-up; run with K=8 → 4.8M edges locally.
+  *
+  * Also times a deliberately skewed variant (every copy's edges
+  * redirected to ONE hot supplier) to exercise AQE's skew handling.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = args.headOption.map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s   (rows=$n)")
+    }
+
+    val base = Tables.orderEdges(spark, dir).localCheckpoint(true)
+    def replicate(copies: Int): DataFrame =
+      (0 until copies).map { i =>
+        val off = i * 10000000L
+        base.select((col("src") + off).as("src"), (col("dst") + off).as("dst"),
+          col("etype"), col("ets"), col("weight"), col("rating"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+
+    for (copies <- Seq(1, k)) {
+      val e = replicate(copies)
+      println(s"== ${copies}x = ${e.count()} edges ==")
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"),
+        col("etype"), col("ets"), col("weight"), col("rating")))
+      timed(s"fof_top20 x$copies") { Queries.friendsOfFriendsExclTop20(sym).count() }
+      timed(s"pagerank_3iter x$copies") { PageRank.top20(e, 3).count() }
+      timed(s"degrees x$copies") {
+        new GraphDB(spark, e, spark.emptyDataFrame).degrees.count()
+      }
+      timed(s"dedup_exact-ish groupBy x$copies") {
+        e.groupBy("src", "dst").count().count()
+      }
+    }
+
+    // skew: all replicas hammer one hot dst
+    val skewed = replicate(k).withColumn("dst",
+      when(rand(7) < 0.5, lit(1000001L)).otherwise(col("dst")))
+      .localCheckpoint(true)
+    println(s"== skewed (50% of ${skewed.count()} edges on one key) ==")
+    timed("degrees skewed") {
+      new GraphDB(spark, skewed, spark.emptyDataFrame).degrees.count()
+    }
+    timed("join-on-skewed-dst") {
+      val names = skewed.select(col("dst").as("id")).distinct()
+        .withColumn("name", concat(lit("s"), col("id")))
+      skewed.join(names, skewed("dst") === names("id")).count()
+    }
+    spark.stop()
+  }
+}
