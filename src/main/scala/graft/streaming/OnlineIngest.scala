@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.GraphDB
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Online ingest + continuous computation (SURVEY.md §2.1 S1, §2.7 C2).
@@ -46,6 +46,58 @@ object OnlineIngest {
         onSnapshot(next, batchId)
       }
       .start()
+  }
+
+  case class Ev(user_id: Long, ts_ms: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+                        n_events: Long, value_sum: Double)
+
+  /** Custom streaming state via `flatMapGroupsWithState`: per-user
+    * sessionization with an inactivity gap. A session closes either when
+    * a later event arrives past the gap (emitted in-batch) or when event
+    * time moves past last+gap (timeout emission). This is the
+    * KeyValueGroupedDataset stateful surface of the builder brief; the
+    * reference has no equivalent (its "online" is only
+    * insert-visibility, SURVEY §2.8). */
+  def sessionize(events: DataFrame, gapMs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def fn(uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(uid, s.start, s.last, s.n, s.sum))
+      } else {
+        var out = List.empty[SessionOut]
+        var cur = state.getOption
+        evs.toSeq.sortBy(_.ts_ms).foreach { e =>
+          cur match {
+            case Some(s) if e.ts_ms - s.last > gapMs =>
+              out ::= SessionOut(uid, s.start, s.last, s.n, s.sum)
+              cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+            case Some(s) =>
+              cur = Some(SessionState(s.start, e.ts_ms, s.n + 1, s.sum + e.value))
+            case None =>
+              cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        out.reverse.iterator
+      }
+    }
+    events
+      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ets", "1 hour")
+      // keep the watermark column in the row — dropping it would detach
+      // the watermark from the stateful operator's input
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("value"), col("ets"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   /** Event-time tumbling window aggregation with watermark (the streaming

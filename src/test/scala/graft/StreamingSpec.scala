@@ -36,6 +36,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.queryOut(lit(2L)).count() == 1L) // queries see buffered edges
   }
 
+  test("stateful sessionization closes sessions on gap (flatMapGroupsWithState)") {
+    val dir = Files.createTempDirectory("graft-sess").toString
+    val s = spark; import s.implicits._
+    val m = 60L * 1000 * 1000 * 1000 // a minute in nanos
+    val base = 6000L * m // away from epoch 0: ts=0 would be <= the initial watermark
+    // user 7: two events close together, then one 2h later -> first session closes
+    Seq((base, 7L, 1.0), (base + 5L * m, 7L, 2.0), (base + 120L * m, 7L, 4.0))
+      .toDF("ts", "user_id", "value").write.parquet(s"$dir/e0.parquet")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("value", DoubleType))))
+      .parquet(s"$dir/*")
+    val q = graft.streaming.OnlineIngest.sessionize(stream, gapMs = 30L * 60 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("sessout").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val baseMs = 6000L * 60 * 1000
+    assert(got.toSeq == Seq((7L, baseMs, baseMs + 5L * 60 * 1000, 2L, 3.0)))
+  }
+
   test("windowed event counts with watermark match the batch equivalent") {
     val dir = Files.createTempDirectory("graft-events").toString
     val s = spark; import s.implicits._
