@@ -97,6 +97,13 @@ class GraphDB(val spark: SparkSession, val edges: DataFrame, val vertices: DataF
 
   def withEdges(e: DataFrame): GraphDB = new GraphDB(spark, e, vertices)
 
+  /** Typed edge view (`Dataset[EdgeRow]`) where compile-time field checks
+    * help (SURVEY §1.2: Dataset[T] with case-class Encoders). */
+  def typedEdges: org.apache.spark.sql.Dataset[GraphDB.EdgeRow] =
+    edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("etype").cast("int"))
+      .as[GraphDB.EdgeRow](org.apache.spark.sql.Encoders.product[GraphDB.EdgeRow])
+
   def frontier(ids: DataFrame): Frontier = new Frontier(this, ids.toDF("id"))
   def frontierOf(ids: Long*): Frontier = {
     import spark.implicits._
@@ -105,6 +112,9 @@ class GraphDB(val spark: SparkSession, val edges: DataFrame, val vertices: DataF
 }
 
 object GraphDB {
+  /** Canonical typed edge (FIXTURES.md §1 schema core). */
+  case class EdgeRow(src: Long, dst: Long, etype: Int)
+
   /** S4 createDatabase (reference GraphChiDatabaseAdmin.createDatabase,
     * GraphChiDatabase.scala:54-82): an empty graph with the canonical
     * edge/vertex schemas — shard files/intervals/id-translate have no

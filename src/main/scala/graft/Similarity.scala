@@ -73,6 +73,37 @@ object Similarity {
   private def planeComponent(k: Column, i: Column): Column =
     expr(s"cast(conv(substring(md5(concat(cast($k as string), '_', cast($i as string))), 1, 8), 16, 10) as bigint) % 1000 - 500")
 
+  /** E2b: IVF-style ANN — seeded k-means centroids (spark.ml), each vector
+    * assigned to its nearest centroid; a query probes only the `nprobe`
+    * nearest cells. At 100 TB the cell assignment is a write-time
+    * partition key and a probe touches ~nprobe/k of the data. */
+  def ivfTopK(emb: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = emb.withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("fv")
+      .setPredictionCol("cell").fit(withVec)
+    val assigned = model.transform(withVec).drop("fv").localCheckpoint(true)
+    val q = assigned.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell").as("qcell"))
+      .collect().head
+    val qCells = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) =>
+        val qv = q.getAs[scala.collection.Seq[Float]]("qv")
+        c.toArray.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      .take(nprobe).map(_._2).toSeq
+    val qDf = spark.createDataFrame(Seq(Tuple2(q.getLong(0), q.getAs[scala.collection.Seq[Float]]("qv").toArray)))
+      .toDF("qid", "qv")
+    assigned.filter(col("cell").isin(qCells: _*))
+      .crossJoin(broadcast(qDf))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"),
+        floor(cosine(col("embedding"), col("qv")) * 1000000L).cast("long").as("cos_scaled"))
+      .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
+  }
+
   /** E2: LSH-bucketed ANN (scale path): `bits` random-hyperplane signs form
     * the bucket key; the query probes only its own bucket, falling back to
     * rank-by-cosine within it. At 100 TB the bucket join replaces the full

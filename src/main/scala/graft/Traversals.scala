@@ -89,6 +89,23 @@ object Traversals {
       .select(col("id"), col("dist"), coalesce(col("parent"), col("id")).as("parent"))
   }
 
+  /** Q5/Q6 path reconstruction (reference ShortestPathTree.pathTo,
+    * Queries.scala:198-243 walks parent pointers): collect the (small)
+    * parent map of the BFS tree and walk target → source. Returns the
+    * path source-first, or empty if unreachable. */
+  def pathTo(tree: DataFrame, source: Long, target: Long): Seq[Long] = {
+    val parents = tree.select("id", "parent").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (!parents.contains(target)) return Seq.empty
+    val path = scala.collection.mutable.ListBuffer(target)
+    var cur = target
+    while (cur != source && parents.contains(cur) && parents(cur) != cur) {
+      cur = parents(cur)
+      path.prepend(cur)
+    }
+    if (cur == source) path.toSeq else Seq.empty
+  }
+
   /** C4 connected components by min-label propagation to fixpoint
     * (reference ConnectedComponentsLabelProp.scala:38-85): label(v) starts
     * as v and contracts to min(label) over the undirected neighborhood.

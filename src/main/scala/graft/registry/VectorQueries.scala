@@ -32,5 +32,10 @@ object VectorQueries {
       (s: SparkSession, d: String) =>
         Similarity.lshTopK(Tables.embeddings(s, d), bits = 4, k = 10),
       None),
+
+    ("e3_ann_ivf_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.ivfTopK(Tables.embeddings(s, d), k = 10, nCells = 16, nprobe = 4),
+      None),
   )
 }

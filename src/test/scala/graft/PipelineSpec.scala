@@ -84,6 +84,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(top(2L) == 1000000L && top(3L) == 0L)
   }
 
+  test("IVF ANN finds the identical vector in its probed cell") {
+    val s = spark; import s.implicits._
+    val emb = (1L to 40L).map(i =>
+      (i, Array.tabulate(8)(j => if (j == (i % 4).toInt) 1.0f else 0.01f * i)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.ivfTopK(emb, k = 3, nCells = 4, nprobe = 2).collect()
+    assert(top.nonEmpty)
+    // query is vec 1 (lane 1); its nearest neighbors share lane 1 (5, 9, ...)
+    assert(top.head.getLong(0) % 4 == 1L)
+  }
+
   test("multimodal metadata pipeline extracts deterministic stub features") {
     implicit val s = spark
     val media = Multimodal.asMedia(docs(7L -> "abcd").withColumn("text", col("text")))

@@ -56,6 +56,13 @@ class TraversalsSpec extends AnyFunSuite {
     assert(hist == Map(0L -> 5L, 10L -> 4L))
   }
 
+  test("ssspTree parents reconstruct the chain path") {
+    val s = spark; import s.implicits._
+    val tree = Traversals.ssspTree(chain, Seq(0L).toDF("id"), maxDepth = 10)
+    assert(Traversals.pathTo(tree, 0L, 4L) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(Traversals.pathTo(tree, 0L, 99L).isEmpty)
+  }
+
   test("packed-vector MultiBFS (typed Aggregator) matches row-based BFS") {
     val s = spark; import s.implicits._
     val sources = Seq(0L, 10L)
