@@ -103,6 +103,32 @@ object RelationalQueries {
           |  (SELECT count(*) FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)) AS n_cust_only,
           |  (SELECT count(*) FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)) AS n_any""".stripMargin)),
 
+    // ---- as-of join: each event matched to the user's latest order on or
+    //      before the event time (window-sweep impl vs naive-join oracle) ----
+    ("r7_asof_join",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ets_ms"))
+        val ord = Tables.orders(s, d)
+          .select(col("o_custkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"),
+            col("o_orderkey"))
+        AsOf.join(
+          ev.withColumnRenamed("user_id", "k"), ord.withColumnRenamed("o_custkey", "k"),
+          key = "k", leftTs = col("ets_ms"), rightTs = col("od_ms"),
+          payload = col("o_orderkey"), leftOut = Seq("event_id"))
+          .select(col("event_id"), col("asof_ts").as("asof_ms"),
+            col("asof_val").as("asof_orderkey"))
+      },
+      Some(
+        """WITH j AS (
+          |  SELECT e.event_id, epoch_ms(o.o_orderdate) AS od, o.o_orderkey AS ok
+          |  FROM events e JOIN orders o ON o.o_custkey = e.user_id
+          |   AND epoch_ms(o.o_orderdate) <= epoch_ns(e.ts) // 1000000),
+          |best AS (SELECT event_id, max(od) AS od FROM j GROUP BY event_id)
+          |SELECT j.event_id, j.od AS asof_ms, max(j.ok) AS asof_orderkey
+          |FROM j JOIN best ON j.event_id = best.event_id AND j.od = best.od
+          |GROUP BY j.event_id, j.od""".stripMargin)),
+
     // ---- range join: lineitems shipped within 30 days of order date ----
     ("r5_range_join",
       (s: SparkSession, d: String) => {

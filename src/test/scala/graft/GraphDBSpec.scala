@@ -52,6 +52,20 @@ class GraphDBSpec extends AnyFunSuite {
     assert(upd.edges.filter(col("etype") === 7).count() == 1)
   }
 
+  test("as-of join picks the latest right row at-or-before, max payload on ties") {
+    val s = spark; import s.implicits._
+    val left = Seq((100L, 1L, 50L), (101L, 1L, 15L), (102L, 2L, 50L))
+      .toDF("event_id", "k", "ets")
+    val right = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 40L, 3L), (2L, 60L, 4L))
+      .toDF("k", "ots", "ok")
+    val got = AsOf.join(left, right, "k", col("ets"), col("ots"), col("ok"),
+        Seq("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // event 100: latest order ≤50 is ts 40 (ok 3); event 101: ts 10 tie -> max ok 9
+    // event 102: right row at 60 > 50 -> no match, dropped
+    assert(got == Set((100L, 40L, 3L), (101L, 10L, 9L)))
+  }
+
   test("frontier algebra: traverse / setops / limit") {
     val g = db(chain: _*)
     val f = g.frontierOf(0L, 1L)
