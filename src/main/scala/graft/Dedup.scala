@@ -99,13 +99,21 @@ object Dedup {
       .select(col("a"), col("bb").as("b")).distinct()
   }
 
+  /** Shingle set materialized once per fixture dir — d2/d3 (and any
+    * later dedup stage) share it instead of re-deriving the
+    * explode+distinct (on a cluster: a cached/CTE-reused stage). */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def shinglesCached(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    shingleCache.computeIfAbsent(dir,
+      _ => shingles(Tables.documents(spark, dir)).localCheckpoint(true))
+
   /** D3: exact shingle-Jaccard verification of the LSH candidates —
-    * (a, b, jacc_pct) with jacc_pct = (100·|∩|) div |∪|. The shingle set
-    * feeds three sub-plans (candidates, intersection, sizes); it is
-    * materialized once instead of re-deriving the explode+distinct three
-    * times (on a cluster this would be a cached/CTE-reused stage). */
-  def jaccardVerify(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).localCheckpoint(true)
+    * (a, b, jacc_pct) with jacc_pct = (100·|∩|) div |∪|. */
+  def jaccardVerify(docs: DataFrame): DataFrame =
+    jaccardVerifyFrom(shingles(docs).localCheckpoint(true))
+
+  def jaccardVerifyFrom(sh: DataFrame): DataFrame = {
     val cand = minhashCandidatesFrom(sh)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("a"), col("s"))

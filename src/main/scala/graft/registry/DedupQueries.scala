@@ -40,11 +40,11 @@ object DedupQueries {
           |FROM documents GROUP BY md5(text)""".stripMargin)),
 
     ("d2_dedup_minhash_lsh",
-      (s: SparkSession, d: String) => Dedup.minhashCandidates(Tables.documents(s, d)),
+      (s: SparkSession, d: String) => Dedup.minhashCandidatesFrom(Dedup.shinglesCached(s, d)),
       Some(Oracle.withSql(LSH, "SELECT a, b FROM cand"))),
 
     ("d3_dedup_jaccard_verify",
-      (s: SparkSession, d: String) => Dedup.jaccardVerify(Tables.documents(s, d)),
+      (s: SparkSession, d: String) => Dedup.jaccardVerifyFrom(Dedup.shinglesCached(s, d)),
       Some(Oracle.withSql(LSH,
         """, sz AS (SELECT doc_id, count(*) AS n FROM shu GROUP BY doc_id),
           |inter AS (
