@@ -24,21 +24,23 @@ object ALSRec {
       (col("dst") - Tables.SupplierBase).cast("int").as("item"),
       col("rating").cast("float").as("rating"))
 
-  // one model per fixture dir — RMSE and serving share the training cost
+  // one model per (session, fixture dir) — RMSE and serving share the
+  // training cost; keying by applicationId avoids serving a model whose
+  // SparkContext has been stopped
   private val models =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.recommendation.ALSModel]()
 
   def fit(spark: SparkSession, dir: String): org.apache.spark.ml.recommendation.ALSModel =
-    models.computeIfAbsent(dir, _ =>
+    models.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ =>
       new ALS().setSeed(42L).setRank(8).setMaxIter(5).setRegParam(0.1)
         .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .setColdStartStrategy("drop")
         .fit(ratings(spark, dir)))
 
   /** C6: training RMSE (reference computes RMSE after each sweep,
     * ALSMatrixFactorization.scala:188-205). */
   def rmse(spark: SparkSession, dir: String): DataFrame = {
     val model = fit(spark, dir)
-    model.setColdStartStrategy("drop")
     model.transform(ratings(spark, dir))
       .agg(sqrt(avg(pow(col("rating") - col("prediction"), 2))).as("rmse"),
         count(lit(1)).as("n"))

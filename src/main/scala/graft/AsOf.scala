@@ -37,10 +37,14 @@ object AsOf {
     val w = Window.partitionBy("_k")
       .orderBy(col("_ts"), col("_side"), col("_p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry (ts, payload) as ONE struct so both fields always come from
+    // the same right row (two independent last(...) calls could mix rows
+    // when the newest match has a NULL payload)
     lAligned.unionByName(rAligned)
-      .withColumn("asof_ts", last(when(col("_side") === 0, col("_ts")), ignoreNulls = true).over(w))
-      .withColumn("asof_val", last(when(col("_side") === 0, col("_p")), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1 && col("asof_val").isNotNull)
-      .select((leftOut.map(col) :+ col("asof_ts") :+ col("asof_val")): _*)
+      .withColumn("_asof",
+        last(when(col("_side") === 0, struct(col("_ts"), col("_p"))), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1 && col("_asof").isNotNull)
+      .select((leftOut.map(col) :+ col("_asof._ts").as("asof_ts")
+        :+ col("_asof._p").as("asof_val")): _*)
   }
 }

@@ -60,16 +60,20 @@ object Bench {
     }
 
     // ---- query latencies over the full registry ----
+    // a failed query reports -1.0, not its time-to-exception — a broken
+    // query must not masquerade as a fast one
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = timed {
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
+      val (ok, sec) = timed {
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
       }
-      name -> sec
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + ingestSec
+    val total = results.map(_._2).filter(_ >= 0).sum + ingestSec
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f}""")
     spark.stop()
   }

@@ -105,7 +105,7 @@ object Dedup {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def shinglesCached(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent(dir,
+    shingleCache.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir",
       _ => shingles(Tables.documents(spark, dir)).localCheckpoint(true))
 
   /** D3: exact shingle-Jaccard verification of the LSH candidates —
@@ -114,10 +114,16 @@ object Dedup {
     jaccardVerifyFrom(shingles(docs).localCheckpoint(true))
 
   def jaccardVerifyFrom(sh: DataFrame): DataFrame = {
-    val cand = minhashCandidatesFrom(sh)
+    val cand = minhashCandidatesFrom(sh).localCheckpoint(true)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("a"), col("s"))
-      .join(sh.select(col("doc_id").as("b"), col("s")), "s")
+    // restrict the shingle self-join to candidate documents FIRST — the
+    // unrestricted join is quadratic in the hottest shingle's frequency,
+    // exactly the blowup the LSH stage exists to avoid
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val inter = shC.select(col("doc_id").as("a"), col("s"))
+      .join(shC.select(col("doc_id").as("b"), col("s")), "s")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
     cand.join(inter, Seq("a", "b"), "left_outer")

@@ -39,11 +39,13 @@ class GraphDB(val spark: SparkSession, val edges: DataFrame, val vertices: DataF
     edges.filter(col("dst") === v && typeFilter(etype))
 
   /** Batched out-neighbors (reference queryOutMultiple,
-    * GraphChiDatabase.scala:1561-1695): a semi-join; Catalyst broadcasts
-    * the id set when small, replacing the sorted-merge shard pass. */
+    * GraphChiDatabase.scala:1561-1695): a semi-join. No broadcast hint —
+    * the id set is caller-supplied and unbounded; Catalyst/AQE broadcast
+    * it when small (the sparse-frontier case) and shuffle when not,
+    * which is the reference's sparse/dense switch. */
   def queryOutMultiple(ids: DataFrame, etype: Option[Int] = None): DataFrame =
     edges.filter(typeFilter(etype))
-      .join(broadcast(ids.select(col(ids.columns.head).as("src"))), "src", "left_semi")
+      .join(ids.select(col(ids.columns.head).as("src")), "src", "left_semi")
 
   /** Neighbor result joined with vertex property columns (N4, reference
     * QueryResult.scala:44-69) — the data-pointer join disappears: edge

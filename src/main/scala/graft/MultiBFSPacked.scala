@@ -53,8 +53,11 @@ object MultiBFSPacked {
 
     for (depth <- 1 to maxDepth) {
       val d = depth
-      // scatter: frontier vertices (dist = d-1 in any lane) propose d
-      val proposals = state.joinWith(
+      // scatter from the FRONTIER only (some lane settled at d-1):
+      // settled vertices would emit useless all-(-1) proposals per edge
+      // per remaining superstep
+      val frontier = state.filter(_.dist.contains(d - 1))
+      val proposals = frontier.joinWith(
           edges.select(col("src").cast("long").as("s"), col("dst").cast("long").as("t")),
           col("id") === col("s"))
         .map { case (vs, row) =>

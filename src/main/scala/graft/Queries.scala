@@ -44,12 +44,14 @@ object Queries {
   }
 
   /** Q4 inducedSubgraph (reference Queries.scala:87-103): edges with both
-    * endpoints in V — two semi-joins, broadcast when V is small. */
+    * endpoints in V — two semi-joins. V is unbounded (whole-graph vertex
+    * sets are legal), so no broadcast hint: AQE picks broadcast only when
+    * V is actually small. */
   def inducedSubgraph(edges: DataFrame, v: DataFrame): DataFrame = {
     val ids = v.toDF("id")
     edges
-      .join(broadcast(ids).withColumnRenamed("id", "src"), "src", "left_semi")
-      .join(broadcast(ids).withColumnRenamed("id", "dst"), "dst", "left_semi")
+      .join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
       .select("src", "dst", "etype")
   }
 

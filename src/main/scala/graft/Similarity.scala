@@ -67,12 +67,6 @@ object Similarity {
           .cast("long").as("cos_scaled"))
       .filter(col("cos_scaled") >= minCosScaled)
   }
-
-  /** Deterministic pseudo-random hyperplane component w[k][i]: a keyed md5
-    * parsed to an integer in [-500, 500) — reproducible in any engine. */
-  private def planeComponent(k: Column, i: Column): Column =
-    expr(s"cast(conv(substring(md5(concat(cast($k as string), '_', cast($i as string))), 1, 8), 16, 10) as bigint) % 1000 - 500")
-
   /** E2b: IVF-style ANN — seeded k-means centroids (spark.ml), each vector
     * assigned to its nearest centroid; a query probes only the `nprobe`
     * nearest cells. At 100 TB the cell assignment is a write-time

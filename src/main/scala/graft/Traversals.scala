@@ -108,7 +108,10 @@ object Traversals {
 
   /** C4 connected components by min-label propagation to fixpoint
     * (reference ConnectedComponentsLabelProp.scala:38-85): label(v) starts
-    * as v and contracts to min(label) over the undirected neighborhood.
+    * as v and contracts to min(label) over the neighborhood.
+    * PRECONDITION: labels propagate along edge direction only — pass a
+    * SYMMETRIZED edge list (e.g. [[Tables.nationEdgesSym]]) for undirected
+    * components, same as [[VertexCentric.pregelCC]].
     * Pregel's active-set is replaced by a convergence count per superstep;
     * the fixpoint (not the per-iteration trace) is what parity checks,
     * per SURVEY §7.3. */

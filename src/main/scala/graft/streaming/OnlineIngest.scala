@@ -77,14 +77,19 @@ object OnlineIngest {
               out ::= SessionOut(uid, s.start, s.last, s.n, s.sum)
               cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
             case Some(s) =>
-              cur = Some(SessionState(s.start, e.ts_ms, s.n + 1, s.sum + e.value))
+              // a late in-gap event must not move the session end backwards
+              cur = Some(SessionState(s.start, math.max(s.last, e.ts_ms), s.n + 1, s.sum + e.value))
             case None =>
               cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
           }
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMs)
+          // a late-but-within-watermark event can put last+gap below the
+          // current watermark; an earlier-than-watermark timeout throws
+          // and kills the query — clamp it forward
+          state.setTimeoutTimestamp(
+            math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
         }
         out.reverse.iterator
       }
