@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +21,6 @@ object SparkEntry {
 
   private type Q = (SparkSession, String) => DataFrame
 
-  private val dec = DecimalType(38, 2)
 
   /** Registry: name -> (spark query, optional DuckDB oracle). */
   private val coreEntries: Seq[(String, Q, Option[String])] = Seq(
@@ -199,13 +197,13 @@ object SparkEntry {
     ("w1_lineitem_agg",
       (s: SparkSession, d: String) =>
         Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
-          sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).cast(dec).as("sum_base_price"),
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_price_cents"),
           count(lit(1)).as("count_order")),
       Some(
         """SELECT l_returnflag, l_linestatus,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sum_qty,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sum_base_price,
+          |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
           |  count(*) AS count_order
           |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
   )

@@ -3,7 +3,6 @@ package graft.registry
 import graft._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.Oracle.withSql
 
 /** SURVEY.md §2.2 point lookups / mutations (P1-P9), §2.4 frontier algebra
@@ -13,7 +12,6 @@ import graft.Oracle.withSql
   * operator's output, but a compact summary keeps the parity dump small
   * while still pinning every row via count+checksum. */
 object PointOpsQueries {
-  private val dec = DecimalType(38, 2)
 
   val entries: Seq[QueryEntry] = Seq(
 
@@ -44,11 +42,11 @@ object PointOpsQueries {
           .agg(min("dst").as("qw"))
         db.edges.join(broadcast(v), col("src") === col("qv"))
           .join(broadcast(w), col("dst") === col("qw"))
-          .agg(sum(col("weight").cast(dec)).cast(dec).as("wsum"),
+          .agg(sum(cents(col("weight"))).as("wsum_cents"),
                count(lit(1)).as("n"))
       },
       Some(withSql(Oracle.EDGES,
-        """SELECT CAST(sum(CAST(weight AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS wsum,
+        """SELECT CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS wsum_cents,
           |       count(*) AS n
           |FROM edges
           |WHERE src = (SELECT min(src) FROM edges)
@@ -79,11 +77,11 @@ object PointOpsQueries {
         val del = db.withEdges(db.edges.crossJoin(broadcast(v)).crossJoin(broadcast(w)))
           .deleteEdges(col("src") === col("qv") && col("dst") === col("qw"))
         del.edges.agg(count(lit(1)).as("n"),
-                      sum(col("weight").cast(dec)).cast(dec).as("wsum"))
+                      sum(cents(col("weight"))).as("wsum_cents"))
       },
       Some(withSql(Oracle.EDGES,
         """SELECT count(*) AS n,
-          |       CAST(sum(CAST(weight AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS wsum
+          |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS wsum_cents
           |FROM edges
           |WHERE NOT (src = (SELECT min(src) FROM edges)
           |       AND dst = (SELECT min(dst) FROM edges WHERE src = (SELECT min(src) FROM edges)))""".stripMargin))),
@@ -96,11 +94,11 @@ object PointOpsQueries {
         db.edges.crossJoin(broadcast(v))
           .filter(col("src") =!= col("qv") && col("dst") =!= col("qv"))
           .agg(count(lit(1)).as("n"),
-               sum(col("weight").cast(dec)).cast(dec).as("wsum"))
+               sum(cents(col("weight"))).as("wsum_cents"))
       },
       Some(withSql(Oracle.EDGES,
         """SELECT count(*) AS n,
-          |       CAST(sum(CAST(weight AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS wsum
+          |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS wsum_cents
           |FROM edges
           |WHERE src <> (SELECT min(src) FROM edges) AND dst <> (SELECT min(src) FROM edges)""".stripMargin))),
 
@@ -116,11 +114,11 @@ object PointOpsQueries {
       (s: SparkSession, d: String) =>
         Tables.vertices(s, d).groupBy("vtype").agg(
           count(lit(1)).as("n"),
-          sum(col("acctbal").cast(dec)).cast(dec).as("bal"),
+          sum(cents(col("acctbal"))).as("bal_cents"),
           min("name").as("min_name")),
       Some(withSql(Oracle.VERTICES,
         """SELECT vtype, count(*) AS n,
-          |       CAST(sum(CAST(acctbal AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS bal,
+          |       CAST(sum(CAST(CAST(acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS bal_cents,
           |       min(name) AS min_name
           |FROM vertices GROUP BY vtype""".stripMargin))),
 
@@ -128,12 +126,11 @@ object PointOpsQueries {
     ("p9_update_all",
       (s: SparkSession, d: String) => {
         val db = GraphDB.orderGraph(s, d)
-        db.updateAllVertices("acctbal",
-            c => (c.cast(DecimalType(18, 2)) * 2).cast(dec))
-          .vertices.select(col("id"), col("acctbal").as("newbal"))
+        db.updateAllVertices("acctbal", c => cents(c) * 2)
+          .vertices.select(col("id"), col("acctbal").as("newbal_cents"))
       },
       Some(withSql(Oracle.VERTICES,
-        "SELECT id, CAST(CAST(acctbal AS DECIMAL(18,2)) * 2 AS DECIMAL(38,2)) AS newbal FROM vertices"))),
+        "SELECT id, CAST(CAST(acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * 2 AS newbal_cents FROM vertices"))),
 
     // ---- F2: one traverseOut hop (reference FrontierQueries.scala:82-99) ----
     ("f2_traverse_out",
@@ -260,11 +257,11 @@ object PointOpsQueries {
         val v = Tables.vertices(s, d).select(col("id").as("src"), col("acctbal"))
         e.join(v, "src").groupBy(col("dst").as("id"))
           .agg(count(lit(1)).as("n"),
-               sum(col("acctbal").cast(DecimalType(18, 2))).cast(dec).as("bal"))
+               sum(cents(col("acctbal"))).as("bal_cents"))
       },
       Some(withSql(Oracle.EDGES + ",\n" + Oracle.VERTICES,
         """SELECT e.dst AS id, count(*) AS n,
-          |       CAST(sum(CAST(v.acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+          |       CAST(sum(CAST(CAST(v.acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS bal_cents
           |FROM edges e JOIN vertices v ON e.src = v.id
           |GROUP BY e.dst""".stripMargin))),
 

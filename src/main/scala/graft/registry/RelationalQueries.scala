@@ -4,14 +4,12 @@ import graft._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY.md §2.8: the generic relational surface the reference lacks and
   * Spark provides natively — window functions, rollup, set ops, range
   * join. Exposed so a reference user gets the full relational algebra
   * alongside the graph API. */
 object RelationalQueries {
-  private val dec = DecimalType(38, 2)
 
   val entries: Seq[QueryEntry] = Seq(
 
@@ -23,14 +21,14 @@ object RelationalQueries {
         Tables.nation(s, d).createOrReplaceTempView("g_nat")
         s.sql(
           """SELECT n_name, count(*) AS n_edges,
-            |       CAST(sum(CAST(weight AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+            |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
             |FROM edges JOIN g_cust ON src = c_custkey
             |JOIN g_nat ON c_nationkey = n_nationkey
             |GROUP BY n_name""".stripMargin)
       },
       Some(graft.Oracle.withSql(graft.Oracle.EDGES,
         """SELECT n_name, count(*) AS n_edges,
-          |       CAST(sum(CAST(weight AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+          |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
           |FROM edges JOIN customer ON src = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name""".stripMargin))),
@@ -72,7 +70,7 @@ object RelationalQueries {
         Tables.region(s, d).createOrReplaceTempView("g_region")
         s.sql(
           """SELECT r_name, n_name, count(*) AS n_cust,
-            |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+            |       CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS bal_cents
             |FROM g_customer
             |JOIN g_nation ON c_nationkey = n_nationkey
             |JOIN g_region ON n_regionkey = r_regionkey
@@ -80,7 +78,7 @@ object RelationalQueries {
       },
       Some(
         """SELECT r_name, n_name, count(*) AS n_cust,
-          |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+          |       CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS bal_cents
           |FROM customer
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
@@ -138,11 +136,11 @@ object RelationalQueries {
             datediff(li("l_shipdate"), o("o_orderdate")).between(0, 30))
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(dec).as("qty"))
+            sum(cents(col("l_quantity"))).as("qty_cents"))
       },
       Some(
         """SELECT o_orderstatus, count(*) AS n,
-          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+          |       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_cents
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           | AND date_diff('day', o_orderdate, l_shipdate) BETWEEN 0 AND 30
           |GROUP BY o_orderstatus""".stripMargin)),

@@ -43,6 +43,13 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         tbl = pq.read_table(files[0])
+        # The driver's hasher coerces DuckDB wide decimals to float while
+        # Spark parquet keeps Decimal — trailing-zero values ('458723.00')
+        # then hash-mismatch even when identical. Flag any decimal output.
+        for f in tbl.schema:
+            if "decimal" in str(f.type):
+                print(f"WARN {name}: decimal output column '{f.name}' "
+                      f"({f.type}) — driver hash risk; emit BIGINT cents")
         s_cols = list(tbl.column_names)
         s_rows = [tuple(d[c] for c in s_cols) for d in tbl.to_pylist()]
         if name not in oracle:
