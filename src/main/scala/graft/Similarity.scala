@@ -67,11 +67,97 @@ object Similarity {
           .cast("long").as("cos_scaled"))
       .filter(col("cos_scaled") >= minCosScaled)
   }
-  /** E2b: IVF-style ANN — seeded k-means centroids (spark.ml), each vector
-    * assigned to its nearest centroid; a query probes only the `nprobe`
-    * nearest cells. At 100 TB the cell assignment is a write-time
-    * partition key and a probe touches ~nprobe/k of the data. */
+  /** Hyperplane band signatures: (vec_id, b, sig) for b ∈ [0, bands) —
+    * sig packs `bits` sign-of-dot-products against md5-derived pseudo-random
+    * planes (keyed by band, bit, dim — identical in any engine). Both
+    * engines fold the dot left-to-right in doubles, so the sign, and hence
+    * the signature, is bit-identical to the DuckDB mirror. */
+  def bandSignatures(emb: DataFrame, bands: Int, bits: Int): DataFrame =
+    emb.select(col("vec_id"), explode(sequence(lit(0), lit(bands - 1))).as("b"),
+        col("embedding"))
+      .select(col("vec_id"), col("b"),
+        expr(
+          s"""aggregate(sequence(0, ${bits - 1}), cast(0 as bigint), (acc, j) ->
+             |  acc + if(
+             |    aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
+             |        (x, i) -> cast(x as double) *
+             |          (cast(conv(substring(md5(concat(b, '_', j, '_', i)), 1, 8), 16, 10) as bigint) % 1000 - 500)),
+             |      cast(0 as double), (s, v) -> s + v) > 0,
+             |    shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin)
+          .as("sig"))
+
+  /** Bits per band sized to the table: ceil(log2 n) - 3 keeps the expected
+    * bucket at ~8 vectors, so candidate volume grows ~linearly with n
+    * instead of the all-pairs n². Floor of 6 so tiny tables still bucket. */
+  def bitsFor(n: Long): Int =
+    math.max(6, (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) - 3)
+
+  /** D5 scale path: near-duplicate pairs by cosine threshold, restricted to
+    * hyperplane-LSH candidates first (the [[cosinePairs]] all-pairs join is
+    * O(n²·dim) — this is the same exact verify over the bucketed candidate
+    * set, mirroring [[Dedup.jaccardVerifyFrom]]'s restriction). Recall vs
+    * brute force is threshold-dependent: ~0.9 on the weak-similarity
+    * (cos≈0.45) fixture pairs, near-1 at production near-dup thresholds
+    * (cos≥0.9) — measured in SimilarityLshSpec; precision is exact. */
+  def cosinePairsLsh(emb: DataFrame, minCosScaled: Long, bands: Int = 32,
+                     bitsPerBand: Int = -1): DataFrame = {
+    val bits = if (bitsPerBand > 0) bitsPerBand else bitsFor(emb.count())
+    val sg = bandSignatures(emb, bands, bits).localCheckpoint(true)
+    val cand = sg.select(col("b"), col("sig"), col("vec_id").as("x"))
+      .join(sg.select(col("b").as("b2"), col("sig").as("sig2"), col("vec_id").as("y")),
+        col("b") === col("b2") && col("sig") === col("sig2") && col("x") < col("y"))
+      .select("x", "y").distinct()
+    val withN = emb.select(col("vec_id"), col("embedding"),
+        sqrt(ndot(emb, col("embedding"), col("embedding"))).as("nrm"))
+      .localCheckpoint(true)
+    cand
+      .join(withN.select(col("vec_id").as("x"), col("embedding").as("va"), col("nrm").as("na")), "x")
+      .join(withN.select(col("vec_id").as("y"), col("embedding").as("vb"), col("nrm").as("nb")), "y")
+      .select(col("x"), col("y"),
+        floor(ndot(emb, col("va"), col("vb")) / (col("na") * col("nb")) * 1000000L)
+          .cast("long").as("cos_scaled"))
+      .filter(col("cos_scaled") >= minCosScaled)
+  }
+
+  /** E3: IVF ANN, deterministic variant — centroids are every (n/nCells)-th
+    * vector in vec_id rank order (no training pass; at 100 TB you would
+    * train/refine them, but sampled centroids are the same query shape);
+    * each vector is assigned to its nearest centroid by cosine, the query
+    * probes the `nprobe` nearest cells. Fully oracle-expressible, unlike
+    * the k-means flavor [[kmeansIvfTopK]]. The cell is a write-time
+    * partition key at scale: a probe touches ~nprobe/nCells of the data. */
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = emb.count()
+    val step = math.max(1L, n / nCells)
+    val st = emb.withColumn("rn", row_number().over(Window.orderBy("vec_id")))
+    val cent = st.filter((col("rn") - 1) % step === 0 && col("rn") <= step * nCells)
+      .select(expr(s"(rn - 1) div $step").cast("long").as("cid"),
+        col("embedding").as("cv"))
+    // rank cells per vector by dot/|c| (own norm is rank-invariant); the
+    // fold is bit-identical cross-engine so the ranking is too
+    val m = ndot(emb, col("embedding"), col("cv")) /
+      sqrt(ndot(emb, col("cv"), col("cv")))
+    val ranked = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        row_number().over(
+          Window.partitionBy("vec_id").orderBy(m.desc, col("cid"))).as("rk"))
+    val assign = ranked.filter(col("rk") === 1).select("vec_id", "cid")
+    val q = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val qCells = ranked.join(broadcast(q), col("vec_id") === col("qid"))
+      .filter(col("rk") <= nprobe).select("cid")
+    emb.join(assign.join(broadcast(qCells), "cid").select("vec_id"), "vec_id")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"),
+        floor(cosine(col("embedding"), col("qv")) * 1000000L).cast("long").as("cos_scaled"))
+      .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
+  }
+
+  /** IVF over seeded spark.ml k-means centroids — the trained-centroid
+    * flavor of [[ivfTopK]] (float/seeded, so not oracle-expressible). */
+  def kmeansIvfTopK(emb: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame = {
     val spark = emb.sparkSession
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -99,10 +185,12 @@ object Similarity {
   }
 
   /** E2: LSH-bucketed ANN (scale path): `bits` random-hyperplane signs form
-    * the bucket key; the query probes only its own bucket, falling back to
-    * rank-by-cosine within it. At 100 TB the bucket join replaces the full
-    * cross product. */
-  def lshTopK(emb: DataFrame, bits: Int, k: Int): DataFrame = {
+    * the bucket key; the query probes its own bucket plus all buckets
+    * within Hamming distance `probeRadius` (multi-probe — the standard
+    * recall lever: radius 1 at 4 bits searches 5/16 of the space), ranking
+    * by exact cosine within the probed set. At 100 TB the bucket join
+    * replaces the full cross product. */
+  def lshTopK(emb: DataFrame, bits: Int, k: Int, probeRadius: Int = 1): DataFrame = {
     // signature = Σ_b (dot(v, plane_b) > 0) << b, planes derived from md5
     val withSig = emb.withColumn("sig",
       expr(
@@ -115,7 +203,15 @@ object Similarity {
            |    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin))
     val q = withSig.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("sig").as("qsig"))
-    withSig.join(broadcast(q), col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
+    // enumerate the probe signatures (query sig XOR every ≤radius-bit mask)
+    // so the probe stays an EQUI-join on the bucket key — prunable at scale,
+    // unlike a hamming-distance predicate
+    val masks = (0 until (1 << bits)).map(_.toLong)
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val probe = q.select(col("qid"), col("qv"),
+      explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("psig"))
+    withSig.join(broadcast(probe),
+        col("sig") === col("psig") && col("vec_id") =!= col("qid"))
       .select(col("vec_id"),
         floor(cosine(col("embedding"), col("qv")) * 1000000L).cast("long").as("cos_scaled"))
       .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)

@@ -69,21 +69,41 @@ object DedupQueries {
           |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
           |FROM bv GROUP BY doc_id""".stripMargin))),
 
+    // Scale path: exact cosine only over hyperplane-LSH candidate pairs
+    // (mirrors d3's candidate restriction; Similarity.cosinePairs remains
+    // the all-pairs small-N reference, recall measured in SimilarityLshSpec).
     ("d5_dedup_embedding_cosine",
       (s: SparkSession, d: String) =>
-        Similarity.cosinePairs(Tables.embeddings(s, d), minCosScaled = 400000L),
+        Similarity.cosinePairsLsh(Tables.embeddings(s, d), minCosScaled = 400000L),
       Some(
-        """WITH p AS (
-          |  SELECT a.vec_id AS x, b.vec_id AS y,
+        """WITH nn AS (
+          |  SELECT greatest(6, CAST(ceil(log2(count(*))) AS BIGINT) - 3) AS r
+          |  FROM embeddings),
+          |sg AS (
+          |  SELECT vec_id, b,
+          |    list_reduce(list_transform(range(0, nn.r), j ->
+          |      CASE WHEN list_reduce(list_transform(range(1, len(embedding) + 1),
+          |        i -> CAST(embedding[i] AS DOUBLE) *
+          |             (CAST(('0x' || substr(md5(b || '_' || j || '_' || (i - 1)), 1, 8)) AS BIGINT) % 1000 - 500)),
+          |        (s, v) -> s + v) > 0
+          |      THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END),
+          |      (s, v) -> s + v) AS sig
+          |  FROM embeddings, (SELECT unnest(range(0, 32)) AS b) bs, nn),
+          |cand AS (
+          |  SELECT DISTINCT a.vec_id AS x, c.vec_id AS y
+          |  FROM sg a JOIN sg c ON a.b = c.b AND a.sig = c.sig AND a.vec_id < c.vec_id),
+          |nrm AS (
+          |  SELECT vec_id, embedding,
+          |    sqrt(list_reduce(list_transform(embedding,
+          |      t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), (s, v) -> s + v)) AS nrm
+          |  FROM embeddings),
+          |p AS (
+          |  SELECT cand.x, cand.y,
           |    CAST(floor(
           |      list_reduce(list_transform(list_zip(a.embedding, b.embedding),
           |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
-          |      / (sqrt(list_reduce(list_transform(a.embedding,
-          |           x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)), (s, v) -> s + v))
-          |       * sqrt(list_reduce(list_transform(b.embedding,
-          |           x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)), (s, v) -> s + v)))
-          |      * 1000000) AS BIGINT) AS cos_scaled
-          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          |      / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cos_scaled
+          |  FROM cand JOIN nrm a ON cand.x = a.vec_id JOIN nrm b ON cand.y = b.vec_id)
           |SELECT x, y, cos_scaled FROM p WHERE cos_scaled >= 400000""".stripMargin)),
   )
 }

@@ -4,38 +4,140 @@ import graft._
 import org.apache.spark.sql.SparkSession
 
 /** Similarity-search queries over `embeddings` — see [[graft.Similarity]].
-  * e1 is the exact brute-force baseline (oracle-checked); e2 is the
-  * LSH-bucketed scale path (seeded-deterministic in Spark; the bucketing
-  * is not worth replicating in SQL — rows-only check). */
+  * e1 is the exact brute-force baseline; e2 (multi-probe hyperplane LSH)
+  * and e3 (deterministic sampled-centroid IVF) are the bucketed scale
+  * paths. All three are fully oracle-checked: the md5-derived planes and
+  * rank-ordered centroids are engine-independent, so DuckDB reproduces the
+  * exact candidate sets. e4/e5 pin recall@10 of each ANN variant against
+  * the brute-force truth as an oracle-checked count. */
 object VectorQueries {
+
+  /** Exact scaled cosine between two embedding columns (DuckDB fragment). */
+  private def cosSql(a: String, b: String): String =
+    s"""CAST(floor(
+       |      list_reduce(list_transform(list_zip($a, $b),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
+       |      / (sqrt(list_reduce(list_transform($a,
+       |           x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)), (s, v) -> s + v))
+       |       * sqrt(list_reduce(list_transform($b,
+       |           x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)), (s, v) -> s + v)))
+       |      * 1000000) AS BIGINT)""".stripMargin
+
+  /** Query vector = smallest vec_id (shared by e1/e2/e3). */
+  private val Q =
+    "q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)"
+
+  /** Brute-force top-10 (e1's result as a CTE). */
+  private val BRUTE =
+    s"""brute AS (
+       |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos_scaled
+       |  FROM embeddings e, q WHERE e.vec_id <> q.qid
+       |  ORDER BY cos_scaled DESC, e.vec_id LIMIT 10)""".stripMargin
+
+  /** 4-bit hyperplane signature per vector (mirrors Similarity.lshTopK). */
+  private val SIG =
+    """sg AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_transform(range(0, 4), b ->
+      |      CASE WHEN list_reduce(list_transform(range(1, len(embedding) + 1),
+      |        i -> CAST(embedding[i] AS DOUBLE) *
+      |             (CAST(('0x' || substr(md5(b || '_' || (i - 1)), 1, 8)) AS BIGINT) % 1000 - 500)),
+      |        (s, v) -> s + v) > 0
+      |      THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END),
+      |      (s, v) -> s + v) AS sig
+      |  FROM embeddings),
+      |qs AS (SELECT sg.sig FROM sg, q WHERE sg.vec_id = q.qid)""".stripMargin
+
+  /** LSH top-10: buckets within Hamming distance 1 of the query signature. */
+  private val LSHTOP =
+    s"""lshtop AS (
+       |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos_scaled
+       |  FROM embeddings e JOIN sg ON e.vec_id = sg.vec_id, q, qs
+       |  WHERE bit_count(xor(sg.sig, qs.sig)) <= 1 AND e.vec_id <> q.qid
+       |  ORDER BY cos_scaled DESC, e.vec_id LIMIT 10)""".stripMargin
+
+  /** Deterministic IVF: every (n/16)-th vector by vec_id rank is a
+    * centroid; vectors assign to the nearest centroid by cosine; the query
+    * probes its 4 nearest cells (mirrors Similarity.ivfTopK). */
+  private val IVF =
+    """st AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn,
+      |              count(*) OVER () AS n
+      |       FROM embeddings),
+      |cent AS (
+      |  SELECT (rn - 1) // greatest(1, n // 16) AS cid, embedding AS cv
+      |  FROM st
+      |  WHERE (rn - 1) % greatest(1, n // 16) = 0 AND rn <= greatest(1, n // 16) * 16),
+      |rankd AS (
+      |  SELECT e.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_reduce(list_transform(list_zip(e.embedding, c.cv),
+      |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
+      |      / sqrt(list_reduce(list_transform(c.cv,
+      |          x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)), (s, v) -> s + v))
+      |      DESC, c.cid) AS rk
+      |  FROM embeddings e CROSS JOIN cent c),
+      |assign AS (SELECT vec_id, cid FROM rankd WHERE rk = 1),
+      |qc AS (SELECT r.cid FROM rankd r, q WHERE r.vec_id = q.qid AND r.rk <= 4),
+      |candv AS (SELECT a.vec_id FROM assign a JOIN qc ON a.cid = qc.cid)""".stripMargin
+
+  private val IVFTOP =
+    s"""ivftop AS (
+       |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos_scaled
+       |  FROM embeddings e JOIN candv ON e.vec_id = candv.vec_id, q
+       |  WHERE e.vec_id <> q.qid
+       |  ORDER BY cos_scaled DESC, e.vec_id LIMIT 10)""".stripMargin
+
   val entries: Seq[QueryEntry] = Seq(
 
     ("e1_ann_bruteforce_topk",
       (s: SparkSession, d: String) =>
         Similarity.bruteForceTopK(Tables.embeddings(s, d), k = 10),
-      Some(
-        """WITH q AS (SELECT vec_id AS qid, embedding AS qv
-          |           FROM embeddings ORDER BY vec_id LIMIT 1)
-          |SELECT e.vec_id,
-          |  CAST(floor(
-          |    list_reduce(list_transform(list_zip(e.embedding, q.qv),
-          |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
-          |    / (sqrt(list_reduce(list_transform(e.embedding,
-          |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, v) -> s + v))
-          |     * sqrt(list_reduce(list_transform(q.qv,
-          |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, v) -> s + v)))
-          |    * 1000000) AS BIGINT) AS cos_scaled
-          |FROM embeddings e, q WHERE e.vec_id <> q.qid
-          |ORDER BY cos_scaled DESC, e.vec_id LIMIT 10""".stripMargin)),
+      Some(s"WITH $Q, $BRUTE\nSELECT vec_id, cos_scaled FROM brute")),
 
     ("e2_ann_lsh_topk",
       (s: SparkSession, d: String) =>
         Similarity.lshTopK(Tables.embeddings(s, d), bits = 4, k = 10),
-      None),
+      Some(s"WITH $Q, $SIG, $LSHTOP\nSELECT vec_id, cos_scaled FROM lshtop")),
 
     ("e3_ann_ivf_topk",
       (s: SparkSession, d: String) =>
         Similarity.ivfTopK(Tables.embeddings(s, d), k = 10, nCells = 16, nprobe = 4),
-      None),
+      Some(s"WITH $Q, $IVF, $IVFTOP\nSELECT vec_id, cos_scaled FROM ivftop")),
+
+    // ---- recall@10 gates: |ANN top-10 ∩ brute top-10| as oracle-checked
+    //      counts — a recall regression (sign flip, probe bug) goes red ----
+    ("e4_ann_lsh_recall",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val emb = Tables.embeddings(s, d)
+        val brute = Similarity.bruteForceTopK(emb, k = 10).select("vec_id")
+        val lsh = Similarity.lshTopK(emb, bits = 4, k = 10).select("vec_id")
+        lsh.agg(count(lit(1)).as("n_ret"))
+          .crossJoin(lsh.join(brute, Seq("vec_id"), "left_semi")
+            .agg(count(lit(1)).as("hits")))
+          .select(lit(10L).as("k"), col("n_ret"), col("hits"))
+      },
+      Some(s"""WITH $Q, $BRUTE, $SIG, $LSHTOP
+              |SELECT CAST(10 AS BIGINT) AS k,
+              |       (SELECT count(*) FROM lshtop) AS n_ret,
+              |       (SELECT count(*) FROM lshtop
+              |        WHERE vec_id IN (SELECT vec_id FROM brute)) AS hits""".stripMargin)),
+
+    ("e5_ann_ivf_recall",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val emb = Tables.embeddings(s, d)
+        val brute = Similarity.bruteForceTopK(emb, k = 10).select("vec_id")
+        val ivf = Similarity.ivfTopK(emb, k = 10, nCells = 16, nprobe = 4).select("vec_id")
+        ivf.agg(count(lit(1)).as("n_ret"))
+          .crossJoin(ivf.join(brute, Seq("vec_id"), "left_semi")
+            .agg(count(lit(1)).as("hits")))
+          .select(lit(10L).as("k"), col("n_ret"), col("hits"))
+      },
+      Some(s"""WITH $Q, $BRUTE, $IVF, $IVFTOP
+              |SELECT CAST(10 AS BIGINT) AS k,
+              |       (SELECT count(*) FROM ivftop) AS n_ret,
+              |       (SELECT count(*) FROM ivftop
+              |        WHERE vec_id IN (SELECT vec_id FROM brute)) AS hits""".stripMargin)),
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality gates for the bucketed similarity paths against the exact
+  * brute-force forms, on the sf0.001 fixture (500 embeddings, dim 64,
+  * planted near-dup pairs at cos≈0.4-0.51 — deliberately WEAK similarity,
+  * the hardest regime for LSH; production near-dup thresholds cos≥0.9
+  * collide far more reliably under the same parameters). */
+class SimilarityLshSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+  lazy val emb = Tables.embeddings(spark, dir)
+
+  test("d5 LSH near-dup pairs are an exact subset of brute-force pairs") {
+    val brute = Similarity.cosinePairs(emb, 400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lsh = Similarity.cosinePairsLsh(emb, 400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // precision 1.0: every candidate-verified pair is a true pair with the
+    // identical exact score
+    lsh.foreach { case (k, v) => assert(brute.get(k).contains(v), s"pair $k") }
+    // recall floor on the weak fixture pairs (measured ~0.9 at 32 bands)
+    assert(brute.nonEmpty)
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.85, s"recall $recall = ${lsh.size}/${brute.size}")
+  }
+
+  test("ANN recall@10 floors: multi-probe LSH and IVF vs brute force") {
+    val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(emb, bits = 4, k = 10).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, k = 10, nCells = 16, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(brute.size == 10)
+    assert((lsh & brute).size >= 4, s"lsh recall ${(lsh & brute).size}/10")
+    assert((ivf & brute).size >= 4, s"ivf recall ${(ivf & brute).size}/10")
+  }
+
+  test("deterministic IVF probes a strict subset of cells") {
+    // with nprobe == nCells the probe is exhaustive and must equal brute
+    val all = Similarity.ivfTopK(emb, k = 10, nCells = 16, nprobe = 16)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSeq
+    assert(all == brute)
+  }
+}
