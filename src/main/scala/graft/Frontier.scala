@@ -43,6 +43,16 @@ class Frontier(val db: GraphDB, val ids: DataFrame) {
   def groupByCountOut(etype: Option[Int] = None, condition: Column = lit(true)): DataFrame =
     selectOut(etype, condition).groupBy(col("dst").as("id")).agg(count(lit(1)).as("cnt"))
 
+  /** F4: generic early-termination expansion (reference traverseOutUntil,
+    * FrontierQueries.scala:191-244): repeat [[traverseOut]] until the
+    * user predicate holds on the current frontier, the frontier empties,
+    * or maxDepth hops are walked — the reusable form of the reference's
+    * FinishQueryException early exit. Returns the frontier at exit. */
+  def traverseOutUntil(maxDepth: Int, etype: Option[Int] = None)
+                      (until: Frontier => Boolean): Frontier =
+    of(Traversals.expandUntil(db.edges.filter(typeFilter(etype)), ids, maxDepth)(
+      f => until(of(f))).frontier)
+
   /** F8: deterministic truncation; randomize uses a SEEDED shuffle (the
     * reference's unseeded Random, VertexFrontier.scala:53-68, is made
     * reproducible for the oracle). */

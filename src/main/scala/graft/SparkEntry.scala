@@ -147,6 +147,61 @@ object SparkEntry {
           |  SELECT n.dst, w.dist + 1 FROM walk w JOIN nsym n ON w.id = n.src WHERE w.dist < 4)
           |SELECT CAST(min(dist) AS BIGINT) AS dist FROM walk WHERE id IN (SELECT tid FROM t)""".stripMargin))),
 
+    // ---- Q5 reference-shaped: bidirectional BFS, same distance ----
+    ("q5_shortest_path_bidi",
+      (s: SparkSession, d: String) => {
+        val sym = Tables.nationEdgesSym(s, d)
+        val cust = Tables.customer(s, d)
+        val from = cust.agg(min("c_custkey").as("id"))
+        val to = cust.join(from, cust("c_custkey") === from("id"))
+          .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .select((col("n_regionkey") + Tables.RegionBase).cast("long").as("tid"))
+        Traversals.bidirectionalDist(sym, from, to.toDF("id"), maxDepth = 4)._1
+      },
+      Some(withSql(Oracle.NEDGES_SYM,
+        """, f AS (SELECT min(c_custkey) AS s FROM customer),
+          |t AS (SELECT n_regionkey + 3000000 AS tid FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |      WHERE c_custkey = (SELECT s FROM f)),
+          |walk(id, dist) AS (
+          |  SELECT s, 0 FROM f
+          |  UNION
+          |  SELECT n.dst, w.dist + 1 FROM walk w JOIN nsym n ON w.id = n.src WHERE w.dist < 4)
+          |SELECT CAST(min(dist) AS BIGINT) AS dist FROM walk WHERE id IN (SELECT tid FROM t)""".stripMargin))),
+
+    // ---- Q5 full output: the path itself via the min-parent tree ----
+    ("q5_shortest_path_nodes",
+      (s: SparkSession, d: String) => {
+        val sym = Tables.nationEdgesSym(s, d)
+        val cust = Tables.customer(s, d)
+        val from = cust.agg(min("c_custkey").as("id"))
+        val to = cust.join(from, cust("c_custkey") === from("id"))
+          .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .select((col("n_regionkey") + Tables.RegionBase).cast("long").as("tid"))
+        Traversals.shortestPathNodes(sym, from, to, maxDepth = 4)
+      },
+      Some(withSql(Oracle.NEDGES_SYM,
+        """, f AS (SELECT min(c_custkey) AS s FROM customer),
+          |t AS (SELECT n_regionkey + 3000000 AS tid FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |      WHERE c_custkey = (SELECT s FROM f)),
+          |walk(id, dist) AS (
+          |  SELECT s, 0 FROM f
+          |  UNION
+          |  SELECT n.dst, w.dist + 1 FROM walk w JOIN nsym n ON w.id = n.src WHERE w.dist < 4),
+          |dd AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY id),
+          |par AS (
+          |  SELECT n.dst AS id, min(n.src) AS parent
+          |  FROM nsym n JOIN dd p ON n.src = p.id JOIN dd c ON n.dst = c.id
+          |  WHERE c.dist = p.dist + 1
+          |  GROUP BY n.dst),
+          |tree AS (SELECT dd.id, dd.dist, COALESCE(par.parent, dd.id) AS parent
+          |         FROM dd LEFT JOIN par ON dd.id = par.id),
+          |wpath(id, dist, parent) AS (
+          |  SELECT tree.id, tree.dist, tree.parent FROM tree, t WHERE tree.id = t.tid
+          |  UNION
+          |  SELECT tr.id, tr.dist, tr.parent FROM wpath w JOIN tree tr ON tr.id = w.parent
+          |  WHERE w.parent <> w.id)
+          |SELECT dist AS pos, id FROM wpath""".stripMargin))),
+
     // ---- Q6/C5: BFS distance sweep from one source ----
     ("q6_sssp_dist",
       (s: SparkSession, d: String) => {

@@ -36,39 +36,116 @@ object Traversals {
     visited
   }
 
-  /** Q5 shortestPath(a,b) distance (reference Queries.scala:107-194): the
-    * reference runs a bidirectional BFS with early meet; per SURVEY §7.3 we
-    * verify the *distance*, computed by a forward BFS with early exit as
-    * soon as the target is reached (the driver-loop form of
-    * FinishQueryException, reference FrontierQueries.scala:191-244). */
-  def shortestPathDist(edges: DataFrame, from: DataFrame, to: DataFrame, maxDepth: Int): DataFrame = {
-    val src = from.toDF("id").withColumn("source", col("id"))
-    val dists = bfsDistancesEarlyStop(edges, src, to.toDF("tid"), maxDepth)
-    dists.join(to.toDF("tid"), dists("id") === col("tid"), "left_semi")
-      .agg(min("dist").as("dist"))
-  }
+  /** Result of a generic until-expansion: the frontier at exit, everything
+    * reached, the depth walked, and whether the predicate fired. */
+  case class Expansion(frontier: DataFrame, visited: DataFrame, depth: Int, hit: Boolean)
 
-  private def bfsDistancesEarlyStop(edges: DataFrame, sources: DataFrame,
-                                    target: DataFrame, maxDepth: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    var visited = sources.select(col("source"), col("id"), lit(0L).as("dist"))
-      .localCheckpoint(true)
-    var frontier = visited
+  /** F4: the generic early-termination combinator (reference
+    * traverseOutUntil, FrontierQueries.scala:191-244): expand the frontier
+    * one out-hop per superstep until `until(frontier)` holds, the frontier
+    * empties, or maxDepth is reached. Each superstep is one semi-join +
+    * anti-join; `until` typically costs one extra small action per step
+    * (the reference's FinishQueryException early exit, as a driver-loop
+    * condition). */
+  def expandUntil(edges: DataFrame, seeds: DataFrame, maxDepth: Int)
+                 (until: DataFrame => Boolean): Expansion = {
+    val e = edges.select("src", "dst")
+    var frontier = seeds.select("id").distinct().localCheckpoint(true)
+    var visited = frontier
     var depth = 0
-    var found = !visited.join(target, col("id") === col("tid"), "left_semi").isEmpty
-    while (depth < maxDepth && !found && !frontier.isEmpty) {
+    var hit = until(frontier)
+    while (!hit && depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      val next = frontier.join(e, frontier("id") === e("src"))
-        .select(col("source"), col("dst").as("id"), lit(depth.toLong).as("dist"))
-        .distinct()
-        .join(visited.select(col("source").as("vsource"), col("id").as("vid")),
-          col("id") === col("vid") && col("source") === col("vsource"), "left_anti")
-        .localCheckpoint(true)
+      val next = e.join(frontier.withColumnRenamed("id", "src"), "src", "left_semi")
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti").localCheckpoint(true)
       visited = visited.union(next).localCheckpoint(true)
       frontier = next
-      found = !next.join(target, col("id") === col("tid"), "left_semi").isEmpty
+      hit = until(frontier)
     }
-    visited
+    Expansion(frontier, visited, depth, hit)
+  }
+
+  /** Q5 shortestPath(a,b) distance, rebuilt on [[expandUntil]]: forward BFS
+    * that stops the superstep loop as soon as any target enters the
+    * frontier. Returns one row — the distance, or NULL when unreachable
+    * within maxDepth (matching the oracle's min-over-empty). */
+  def shortestPathDist(edges: DataFrame, from: DataFrame, to: DataFrame, maxDepth: Int): DataFrame = {
+    val tid = to.toDF("tid").localCheckpoint(true)
+    val exp = expandUntil(edges, from.toDF("id"), maxDepth)(
+      f => !f.join(tid, col("id") === col("tid"), "left_semi").isEmpty)
+    val spark = edges.sparkSession
+    if (exp.hit) spark.sql(s"SELECT CAST(${exp.depth} AS BIGINT) AS dist")
+    else spark.sql("SELECT CAST(NULL AS BIGINT) AS dist")
+  }
+
+  /** Q5, reference-shaped: bidirectional BFS meeting in the middle
+    * (reference Queries.scala:117-189) — two frontiers, the smaller side
+    * expands each superstep, stop at first intersection. Explores
+    * O(b^(d/2)) per side instead of the forward-only O(b^d); with complete
+    * level expansions the first meet yields the exact distance. Directed
+    * edges: the target side walks in-edges (src/dst swapped). Returns the
+    * same single-row distance as [[shortestPathDist]] plus explored-vertex
+    * and superstep counts for the work comparison. */
+  def bidirectionalDist(edges: DataFrame, from: DataFrame, to: DataFrame,
+                        maxDepth: Int): (DataFrame, Long, Int) = {
+    val fwd = edges.select("src", "dst").localCheckpoint(true)
+    val rev = fwd.select(col("dst").as("src"), col("src").as("dst"))
+    def step(vis: DataFrame, fr: DataFrame, e: DataFrame, d: Long) = {
+      val next = e.join(fr.select(col("id").as("src")), "src", "left_semi")
+        .select(col("dst").as("id")).distinct()
+        .join(vis, Seq("id"), "left_anti")
+        .withColumn("dist", lit(d)).localCheckpoint(true)
+      (vis.union(next).localCheckpoint(true), next)
+    }
+    var visA = from.toDF("id").distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
+    var visB = to.toDF("id").distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frA = visA
+    var frB = visB
+    var dA = 0L
+    var dB = 0L
+    var steps = 0
+    def meet() = visA.join(visB.select(col("id"), col("dist").as("bdist")), "id")
+      .agg(min(col("dist") + col("bdist")).as("dist"))
+    var met = !meet().filter(col("dist").isNotNull).isEmpty
+    while (!met && dA + dB < maxDepth && !(frA.isEmpty && frB.isEmpty)) {
+      steps += 1
+      // expand the cheaper side (reference picks the smaller frontier)
+      val aSize = frA.count(); val bSize = frB.count()
+      if (bSize == 0 || (aSize <= bSize && aSize > 0)) {
+        dA += 1; val (v, f) = step(visA, frA, fwd, dA); visA = v; frA = f
+      } else {
+        dB += 1; val (v, f) = step(visB, frB, rev, dB); visB = v; frB = f
+      }
+      met = !meet().filter(col("dist").isNotNull).isEmpty
+    }
+    val explored = visA.count() + visB.count()
+    (meet(), explored, steps)
+  }
+
+  /** Q5, full output: the actual shortest path as (pos, id) rows, source
+    * first (reference Queries.scala:107-194 returns the vertex list). The
+    * deterministic min-parent tree of [[ssspTree]] makes the path unique,
+    * so the oracle reconstructs the identical walk with a recursive query.
+    * The walk itself is ≤ maxDepth tiny semi-joins — no driver-side state
+    * beyond the loop counter. Empty result when unreachable. */
+  def shortestPathNodes(edges: DataFrame, from: DataFrame, to: DataFrame,
+                        maxDepth: Int): DataFrame = {
+    val tree = ssspTree(edges, from, maxDepth).localCheckpoint(true)
+    var cur = tree.join(to.toDF("tid"), col("id") === col("tid"), "left_semi")
+      .localCheckpoint(true)
+    var path = cur.select("id", "dist")
+    var done = cur.isEmpty
+    var i = 0
+    while (!done && i < maxDepth) {
+      i += 1
+      val nxt = tree.join(
+        cur.filter(col("parent") =!= col("id")).select(col("parent").as("pid")),
+        col("id") === col("pid"), "left_semi").localCheckpoint(true)
+      done = nxt.isEmpty
+      if (!done) { path = path.union(nxt.select("id", "dist")); cur = nxt }
+    }
+    path.select(col("dist").as("pos"), col("id"))
   }
 
   /** Q6: single-source shortest-path tree (reference Queries.scala:198-243

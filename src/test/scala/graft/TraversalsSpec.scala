@@ -47,6 +47,57 @@ class TraversalsSpec extends AnyFunSuite {
     assert(d == 3L)
   }
 
+  test("expandUntil stops at the predicate and reports depth + hit") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val seeds = Seq(0L).toDF("id")
+    val exp = Traversals.expandUntil(chain, seeds, maxDepth = 10)(
+      f => !f.filter(col("id") === 2L).isEmpty)
+    assert(exp.hit && exp.depth == 2)
+    assert(exp.frontier.collect().map(_.getLong(0)).toSet == Set(2L))
+    // never fires -> walks to exhaustion, hit=false
+    val miss = Traversals.expandUntil(chain, seeds, maxDepth = 10)(_ => false)
+    assert(!miss.hit && miss.visited.count() == 5)
+  }
+
+  test("bidirectional BFS: same distance, fewer vertices explored") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // complete 3-ary tree of depth 4 (121 nodes): forward-only floods all
+    // of it before the leaf enters the frontier; meeting in the middle
+    // explores ~b^(d/2) per side
+    val tree = (0L until 40L).flatMap(n => (1L to 3L).map(c => (n, 3 * n + c, 0)))
+    val g = sym(edgesDF(tree))
+    val from = Seq(0L).toDF("id")
+    val to = Seq(40L).toDF("tid") // leftmost depth-4 leaf: 0→1→4→13→40
+    val fwdDist = Traversals.shortestPathDist(g, from, to, maxDepth = 6).first().getLong(0)
+    val fwdExplored = Traversals.expandUntil(g, from, maxDepth = 6)(
+      f => !f.filter(col("id") === 40L).isEmpty).visited.count()
+    val (bidi, explored, steps) = Traversals.bidirectionalDist(g, from, to.toDF("id"), maxDepth = 6)
+    assert(bidi.first().getLong(0) == fwdDist && fwdDist == 4L)
+    assert(explored < fwdExplored / 2, s"bidi $explored vs fwd $fwdExplored")
+    assert(steps <= 4)
+  }
+
+  test("shortestPathNodes returns the deterministic min-parent path") {
+    val s = spark; import s.implicits._
+    val from = Seq(0L).toDF("id")
+    val path = Traversals.shortestPathNodes(chain, from, Seq(4L).toDF("tid"), maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).map(_._2).toSeq
+    assert(path == Seq(0L, 1L, 2L, 3L, 4L))
+    val none = Traversals.shortestPathNodes(chain, from, Seq(99L).toDF("tid"), maxDepth = 10)
+    assert(none.isEmpty)
+  }
+
+  test("Frontier.traverseOutUntil stops a fan-out early") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val db = new GraphDB(s, chain, s.emptyDataFrame)
+    val f = db.frontier(Seq(0L).toDF("id"))
+      .traverseOutUntil(maxDepth = 10)(fr => fr.hasVertex(3L))
+    assert(f.ids.collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("connected components finds min-label fixpoint per component") {
     val labels = TestSpark.toMap2(Traversals.connectedComponents(sym(twoComps)))
     assert(labels(3L) == 0L && labels(0L) == 0L)
