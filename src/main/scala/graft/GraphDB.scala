@@ -147,6 +147,17 @@ object GraphDB {
   def orderGraph(spark: SparkSession, dir: String): GraphDB =
     new GraphDB(spark, Tables.orderEdges(spark, dir), Tables.vertices(spark, dir))
 
+  /** Open over an existing materialized edge store (sorted parquet — the
+    * shard files of the reference, S5/S6): the durable substrate point
+    * queries should hit at scale. */
+  def openStore(spark: SparkSession, path: String, vertices: DataFrame): GraphDB =
+    new GraphDB(spark, spark.read.parquet(path), vertices)
+
+  /** Order graph served from the per-dir materialized store
+    * ([[Tables.orderEdgesStored]]) instead of the derivation join. */
+  def orderGraphStored(spark: SparkSession, dir: String): GraphDB =
+    openStore(spark, Tables.edgeStorePath(spark, dir), Tables.vertices(spark, dir))
+
   def socialGraph(spark: SparkSession, dir: String): GraphDB =
     new GraphDB(spark, Tables.socialEdges(spark, dir), Tables.vertices(spark, dir))
 

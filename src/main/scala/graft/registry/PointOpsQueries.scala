@@ -319,6 +319,37 @@ object PointOpsQueries {
           |SELECT dd.id, dd.dist, COALESCE(par.parent, dd.id) AS parent
           |FROM dd LEFT JOIN par ON dd.id = par.id""".stripMargin))),
 
+    // ---- N1/P1 served from the materialized sorted edge store: same
+    //      oracle as the derived-graph entries — the store must hold the
+    //      identical graph; only the physical layout (range-partitioned,
+    //      src-sorted, row-group prunable) differs ----
+    ("n1_query_out_store",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraphStored(s, d)
+        db.edges.join(broadcast(Queries.minSrc(db.edges)), col("src") === col("qv"))
+          .select("src", "dst", "etype", "ets", "weight", "rating")
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT src, dst, etype, ets, weight, rating FROM edges
+          |WHERE src = (SELECT min(src) FROM edges)""".stripMargin))),
+
+    ("p1_find_edge_store",
+      (s: SparkSession, d: String) => {
+        val db = GraphDB.orderGraphStored(s, d)
+        val v = Queries.minSrc(db.edges)
+        val w = db.edges.join(broadcast(v), col("src") === col("qv"))
+          .agg(min("dst").as("qw"))
+        db.edges.join(broadcast(v), col("src") === col("qv"))
+          .join(broadcast(w), col("dst") === col("qw"))
+          .filter(col("etype") === 0)
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT count(*) AS n FROM edges
+          |WHERE src = (SELECT min(src) FROM edges)
+          |  AND dst = (SELECT min(dst) FROM edges WHERE src = (SELECT min(src) FROM edges))
+          |  AND etype = 0""".stripMargin))),
+
     // ---- N7: seeded random vertex (reference GraphChiDatabase.scala:1839-1852;
     //      unseeded there, seeded here for reproducibility — no SQL oracle,
     //      driver records rows-only) ----
