@@ -46,6 +46,16 @@ object ALSRec {
         count(lit(1)).as("n"))
   }
 
+  /** C6 parity gate: the float RMSE itself is not oracle-portable, but the
+    * CLAIM "the seeded model converged" is — emit the rating count plus
+    * `rmse_ok = rmse < bound`, with the bound (1.38) strictly below the
+    * trivial predict-the-mean RMSE (~1.41 for uniform 1..5 ratings) and
+    * above the converged value (~1.30 measured at sf0.001/sf0.01). A
+    * silently divergent or degenerate model flips the boolean and fails
+    * the oracle hash. */
+  def rmseChecked(spark: SparkSession, dir: String, bound: Double = 1.38): DataFrame =
+    rmse(spark, dir).select(col("n"), (col("rmse") < bound).as("rmse_ok"))
+
   /** Q11: serve top-k items for the smallest user id by explicit
     * dot-product over the factor arrays (the reference's predictRating
     * path, not recommendForAllUsers — the serving join is the point). */

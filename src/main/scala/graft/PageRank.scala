@@ -33,7 +33,7 @@ object PageRank {
       .distinct().localCheckpoint(true)
     val n = verts.agg(count(lit(1)).as("n")).localCheckpoint(true)
     var ranks = verts.withColumn("r", lit(0L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .join(deg.withColumnRenamed("id", "src"), "src")
@@ -44,6 +44,10 @@ object PageRank {
         .crossJoin(broadcast(n))
         .select(col("id"),
           expr("150000000L div n + (17 * coalesce(acc, 0L)) div 20").as("r"))
+      // truncate lineage every few supersteps — otherwise the plan deepens
+      // linearly and convergence-length runs (50+ iters) re-analyze an
+      // ever-growing DAG; every-5 keeps short benchmark runs job-free
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("id"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("id")).limit(20)

@@ -67,12 +67,43 @@ object Similarity {
           .cast("long").as("cos_scaled"))
       .filter(col("cos_scaled") >= minCosScaled)
   }
+  /** Driver-side replica of the oracle's SQL plane derivation: coefficient
+    * for (key) = first 8 hex chars of md5(key) as int, % 1000 - 500. The
+    * values are engine-independent (md5 is md5), and the [-500,499] range
+    * is exact in float/double, so literal planes multiply bit-identically
+    * to the in-SQL derivation. */
+  private[graft] def planeCoeff(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000 - 500
+  }
+
   /** Hyperplane band signatures: (vec_id, b, sig) for b ∈ [0, bands) —
     * sig packs `bits` sign-of-dot-products against md5-derived pseudo-random
-    * planes (keyed by band, bit, dim — identical in any engine). Both
-    * engines fold the dot left-to-right in doubles, so the sign, and hence
-    * the signature, is bit-identical to the DuckDB mirror. */
-  def bandSignatures(emb: DataFrame, bands: Int, bits: Int): DataFrame =
+    * planes (keyed by band, bit, dim — identical in any engine). The planes
+    * are data-independent, so they are hoisted to DRIVER-SIDE literal
+    * arrays and the dots run through the codegen [[functions.FloatDotProduct]]
+    * — the in-SQL md5 form ([[bandSignaturesSql]], which the DuckDB oracle
+    * mirrors) recomputes bands·bits·dim md5 calls per row and is ~50×
+    * slower; a spec pins the two bit-equal. */
+  def bandSignatures(emb: DataFrame, bands: Int, bits: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val dim = emb.select(size(col("embedding")).as("d")).first().getInt(0)
+    val sigCols = (0 until bands).map { b =>
+      (0 until bits).map { j =>
+        val plane = Array.tabulate(dim)(i => planeCoeff(s"${b}_${j}_${i}").toFloat)
+        when(graft.functions.FloatDotProduct.dot(spark, col("embedding"), typedlit(plane)) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    emb.select(col("vec_id"), posexplode(array(sigCols: _*)))
+      .toDF("vec_id", "b", "sig")
+  }
+
+  /** The built-ins-only signature derivation (md5 planes computed in-SQL,
+    * mirroring the DuckDB oracle shape) — the form [[bandSignatures]] is
+    * pinned against in SimilarityLshSpec. */
+  def bandSignaturesSql(emb: DataFrame, bands: Int, bits: Int): DataFrame =
     emb.select(col("vec_id"), explode(sequence(lit(0), lit(bands - 1))).as("b"),
         col("embedding"))
       .select(col("vec_id"), col("b"),
@@ -191,16 +222,17 @@ object Similarity {
     * by exact cosine within the probed set. At 100 TB the bucket join
     * replaces the full cross product. */
   def lshTopK(emb: DataFrame, bits: Int, k: Int, probeRadius: Int = 1): DataFrame = {
-    // signature = Σ_b (dot(v, plane_b) > 0) << b, planes derived from md5
-    val withSig = emb.withColumn("sig",
-      expr(
-        s"""aggregate(sequence(0, ${bits - 1}), cast(0 as bigint), (acc, b) ->
-           |  acc + if(
-           |    aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-           |        (x, i) -> cast(x as double) *
-           |          (cast(conv(substring(md5(concat(cast(b as string), '_', cast(i as string))), 1, 8), 16, 10) as bigint) % 1000 - 500)),
-           |      cast(0 as double), (s, v) -> s + v) > 0,
-           |    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin))
+    // signature = Σ_b (dot(v, plane_b) > 0) << b; planes md5-derived like
+    // the oracle's SQL form but hoisted to driver-side literals (the
+    // coefficients are data-independent — see planeCoeff)
+    val spark = emb.sparkSession
+    val dim = emb.select(size(col("embedding")).as("d")).first().getInt(0)
+    val sigCol = (0 until bits).map { b =>
+      val plane = Array.tabulate(dim)(i => planeCoeff(s"${b}_${i}").toFloat)
+      when(graft.functions.FloatDotProduct.dot(spark, col("embedding"), typedlit(plane)) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withSig = emb.withColumn("sig", sigCol)
     val q = withSig.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("sig").as("qsig"))
     // enumerate the probe signatures (query sig XOR every ≤radius-bit mask)

@@ -202,12 +202,16 @@ object Traversals {
       iter += 1
       val nbMin = e.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nblabel"))
+      // fold the convergence signal into the superstep result as a flag
+      // column: the count is then a scan of the checkpointed rows instead
+      // of a second labels⋈next join per superstep
       val next = labels.join(nbMin, Seq("id"), "left_outer")
-        .select(col("id"), least(col("label"), coalesce(col("nblabel"), col("label"))).as("label"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nblabel"), col("label"))).as("label"),
+          coalesce(col("nblabel") < col("label"), lit(false)).as("_chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("_chg")).count()
+      labels = next.select("id", "label")
     }
     labels
   }

@@ -53,6 +53,42 @@ object ScaleProbe {
       }
     }
 
+    // MultiBFS at reference scale: 1,000 simultaneous seeds (reference runs
+    // 1,200) over the Kx symmetric graph — packed state is K ints/vertex,
+    // one frontier-only scatter per superstep
+    {
+      val e = replicate(k)
+      val sym = e.select("src", "dst")
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      val seeds = sym.select("src").distinct().orderBy("src")
+        .limit(1000).collect().map(_.getLong(0)).toSeq
+      timed(s"multibfs_1000seeds x$k") {
+        MultiBFSPacked.run(spark, sym, seeds, maxDepth = 3).count()
+      }
+    }
+
+    // d5 embedding near-dup: LSH-candidate path vs all-pairs growth.
+    // Replicating embeddings Kx (id-shifted) multiplies true pairs by K;
+    // all-pairs work grows K^2 while the bucketed path stays near-linear
+    // (bits scale with log n via Similarity.bitsFor)
+    {
+      val emb = Tables.embeddings(spark, dir).localCheckpoint(true)
+      def embCopies(copies: Int): DataFrame =
+        (0 until copies).map { i =>
+          emb.select((col("vec_id") + i * 10000000L).as("vec_id"), col("embedding"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+      for (copies <- Seq(1, k)) {
+        val ec = embCopies(copies)
+        timed(s"d5_lsh_cosine_pairs x$copies") {
+          Similarity.cosinePairsLsh(ec, 400000L).count()
+        }
+      }
+      timed(s"d5_allpairs_cosine x$k") {
+        Similarity.cosinePairs(embCopies(k), 400000L).count()
+      }
+    }
+
     // skew: all replicas hammer one hot dst
     val skewed = replicate(k).withColumn("dst",
       when(rand(7) < 0.5, lit(1000001L)).otherwise(col("dst")))

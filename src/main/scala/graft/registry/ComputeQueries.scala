@@ -51,8 +51,9 @@ object ComputeQueries {
 
     // ---- C6: ALS training RMSE (seeded; float — rows-only) ----
     ("c6_als_rmse",
-      (s: SparkSession, d: String) => ALSRec.rmse(s, d),
-      None),
+      (s: SparkSession, d: String) => ALSRec.rmseChecked(s, d),
+      Some(Oracle.withSql(Oracle.EDGES,
+        "SELECT count(*) AS n, true AS rmse_ok FROM edges"))),
 
     // ---- Q11: dot-product top-k recommendation serving (rows-only) ----
     ("q11_recommend_topk",

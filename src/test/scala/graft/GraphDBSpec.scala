@@ -66,6 +66,23 @@ class GraphDBSpec extends AnyFunSuite {
     assert(got == Set((100L, 40L, 3L), (101L, 10L, 9L)))
   }
 
+  test("salted as-of equals the plain window sweep on a hot key") {
+    val s = spark; import s.implicits._
+    // one hot key (0) with 500 interleaved events/orders + a normal key,
+    // including matches that must cross bucket borders (bucketWidth 50)
+    val left = ((0 until 500).map(i => (i.toLong, 0L, (i * 7 % 400).toLong)) :+
+      (900L, 1L, 100L)).toDF("event_id", "k", "ets")
+    val right = ((0 until 80).map(i => (0L, (i * 5).toLong, i.toLong)) :+
+      (1L, 40L, 77L)).toDF("k", "ots", "ok")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = norm(AsOf.join(left, right, "k",
+      col("ets"), col("ots"), col("ok"), Seq("event_id")))
+    val salted = norm(AsOf.joinSalted(left, right, "k",
+      col("ets"), col("ots"), col("ok"), Seq("event_id"), bucketWidth = 50L))
+    assert(plain == salted && plain.size == 501)
+  }
+
   test("frontier algebra: traverse / setops / limit") {
     val g = db(chain: _*)
     val f = g.frontierOf(0L, 1L)

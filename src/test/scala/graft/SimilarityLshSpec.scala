@@ -37,6 +37,15 @@ class SimilarityLshSpec extends AnyFunSuite {
     assert((ivf & brute).size >= 4, s"ivf recall ${(ivf & brute).size}/10")
   }
 
+  test("literal-plane signatures are bit-equal to the in-SQL md5 form") {
+    val sub = emb.limit(40).localCheckpoint(true)
+    val fast = Similarity.bandSignatures(sub, bands = 4, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val sql = Similarity.bandSignaturesSql(sub, bands = 4, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fast.nonEmpty && fast == sql)
+  }
+
   test("deterministic IVF probes a strict subset of cells") {
     // with nprobe == nCells the probe is exhaustive and must equal brute
     val all = Similarity.ivfTopK(emb, k = 10, nCells = 16, nprobe = 16)
