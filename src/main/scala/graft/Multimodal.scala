@@ -60,4 +60,53 @@ object Multimodal {
     implicit val s: SparkSession = spark
     extractMeta(asMedia(Tables.documents(spark, dir))).toDF()
   }
+
+  /** One sampled "frame": parent id, frame index, the frame's byte slice
+    * length and its fingerprint. */
+  case class FrameRow(doc_id: Long, frame_idx: Long, frame_len: Long, frame_fp: String)
+
+  /** Frame sampling (video → every k-th frame): the payload is cut into
+    * fixed-size "frames" and every `stride`-th one is emitted. A real
+    * implementation swaps the slicing for an ffmpeg/decoder batch call at
+    * the same mapPartitions boundary; the 1→N row fan-out, typed output
+    * schema, and narrow (shuffle-free) execution are the production shape.
+    * Deterministic (byte slices + md5) so an oracle can mirror it. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int)
+                  (implicit spark: SparkSession): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, r.payload.length)
+          val slice = java.util.Arrays.copyOfRange(r.payload, from, until)
+          FrameRow(r.doc_id, f.toLong, slice.length.toLong, md5hex(slice))
+        }
+      }
+    }
+  }
+
+  /** "Resize" / re-encode step (image → thumbnail): a real codec call
+    * would sit in the partition batch; the deterministic stand-in keeps
+    * every `ratio`-th byte, preserving the binary-in/binary-out column
+    * shape so downstream stages (storage, dedup over `fp`) are exercised
+    * for real. */
+  def resizeStub(media: Dataset[MediaRow], ratio: Int)
+                (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = r.payload.zipWithIndex.collect { case (b, i) if i % ratio == 0 => b }
+        MediaRow(r.doc_id, out)
+      }
+    }
+  }
+
+  /** End-to-end frame-sample pipeline over documents (m2). */
+  def framePipeline(spark: SparkSession, dir: String,
+                    frameBytes: Int = 16, stride: Int = 2): DataFrame = {
+    implicit val s: SparkSession = spark
+    sampleFrames(asMedia(Tables.documents(spark, dir)), frameBytes, stride).toDF()
+  }
 }

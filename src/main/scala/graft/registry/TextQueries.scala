@@ -71,5 +71,19 @@ object TextQueries {
           |  CAST(octet_length(encode(text)) // 640 AS BIGINT) AS fake_height,
           |  md5(text) AS fp
           |FROM documents""".stripMargin)),
+
+    // ---- m2: frame sampling — 1→N fan-out of byte-slice "frames" with
+    //      typed output, every 2nd 16-byte frame (fixture text is ASCII,
+    //      so char slicing == byte slicing in the oracle) ----
+    ("m2_multimodal_framesample",
+      (s: SparkSession, d: String) => Multimodal.framePipeline(s, d),
+      Some(
+        """SELECT d.doc_id, CAST(u.f AS BIGINT) AS frame_idx,
+          |  CAST(CASE WHEN (u.f + 1) * 16 <= strlen(d.text) THEN 16
+          |            ELSE strlen(d.text) - u.f * 16 END AS BIGINT) AS frame_len,
+          |  md5(substr(d.text, CAST(u.f * 16 + 1 AS BIGINT), 16)) AS frame_fp
+          |FROM documents d,
+          |  UNNEST(range(0, CAST(ceil(strlen(d.text) / 16.0) AS BIGINT))) AS u(f)
+          |WHERE u.f % 2 = 0""".stripMargin)),
   )
 }

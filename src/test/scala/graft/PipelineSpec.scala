@@ -102,4 +102,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(meta.doc_id == 7L && meta.byte_len == 4L && meta.fake_width == 4L)
     assert(meta.fp == "e2fc714c4727ee9395f324cd2e7f331f") // md5("abcd")
   }
+
+  test("multimodal frame sampling fans out every k-th fixed-size slice") {
+    implicit val s = spark
+    // 40 bytes, frameBytes=16 -> frames 0..2 (last is 8 bytes); stride 2 -> 0, 2
+    val media = Multimodal.asMedia(docs(3L -> ("ab" * 20)))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.frame_idx, f.frame_len)).toSeq == Seq((0L, 16L), (2L, 8L)))
+    // resize keeps every ratio-th byte, binary-in/binary-out
+    val small = Multimodal.resizeStub(media, ratio = 4).collect().head
+    assert(small.doc_id == 3L && small.payload.length == 10)
+  }
 }
