@@ -249,6 +249,23 @@ object PointOpsQueries {
         """SELECT dst, count(*) AS n, CAST(sum(rating) AS BIGINT) AS rating_sum
           |FROM edges WHERE dst BETWEEN 1000000 AND 1000004 GROUP BY dst""".stripMargin))),
 
+    // ---- W2b: the same dst-interval sweep in its NATURAL form — no
+    //      hand-rewrite; the OffsetComparisonRewrite optimizer rule inverts
+    //      `l_suppkey + 1e6 BETWEEN lo AND hi` onto the source column so
+    //      the range still reaches the parquet scan (plan asserted in
+    //      RuleSpec; same oracle as w2) ----
+    ("w2b_sweep_in_interval_rule",
+      (s: SparkSession, d: String) => {
+        graft.plans.OffsetComparisonRewrite.install(s)
+        Tables.orderEdges(s, d)
+          .filter(col("dst").between(Tables.SupplierBase, Tables.SupplierBase + 4))
+          .groupBy("dst")
+          .agg(count(lit(1)).as("n"), sum("rating").cast("long").as("rating_sum"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT dst, count(*) AS n, CAST(sum(rating) AS BIGINT) AS rating_sum
+          |FROM edges WHERE dst BETWEEN 1000000 AND 1000004 GROUP BY dst""".stripMargin))),
+
     // ---- W3: sweep with vertex-column join (reference
     //      GraphChiDatabase.scala:1875-1957) — the PageRank access pattern ----
     ("w3_sweep_in_join",

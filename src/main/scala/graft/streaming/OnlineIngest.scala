@@ -105,6 +105,19 @@ object OnlineIngest {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact dedup for the ingest pipeline (the streaming shape of
+    * d1): drop rows whose content hash was already seen, with state bounded
+    * by the watermark via `dropDuplicatesWithinWatermark` — duplicates
+    * arriving within the watermark horizon are suppressed, state for
+    * hashes older than the horizon is evicted (unbounded-state-free, the
+    * property that matters on an always-on 100 TB ingest). */
+  def streamingDedup(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ets", watermarkDelay)
+      .withColumn("h", md5(col("text")))
+      .dropDuplicatesWithinWatermark("h")
+
   /** Event-time tumbling window aggregation with watermark (the streaming
     * shape of the s1_event_window batch query). `ts` arrives as raw
     * nanos (nanosAsLong) and is restored to a timestamp for event time. */

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom optimizer rule [[graft.plans.OffsetComparisonRewrite]]:
+  * range predicates through constant-offset arithmetic must reach the
+  * parquet scan as plain attribute filters. */
+class RuleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("offset comparisons are inverted onto the source column and pushed") {
+    graft.plans.OffsetComparisonRewrite.install(spark)
+    val lo = Tables.SupplierBase
+    val hi = Tables.SupplierBase + 4
+    val natural = Tables.orderEdges(spark, dir)
+      .filter(col("dst").between(lo, hi))
+      .groupBy("dst").agg(count(lit(1)).as("n"))
+    val plan = natural.queryExecution.executedPlan.toString
+    // the folded bounds (1000000-1000000=0 .. 1000004-1000000=4) must
+    // appear as pushed parquet filters on the SOURCE column
+    assert(plan.contains("GreaterThanOrEqual(l_suppkey,0)"), plan.take(2000))
+    assert(plan.contains("LessThanOrEqual(l_suppkey,4)"), plan.take(2000))
+    // and the results must equal the hand-rewritten W2 form
+    val hand = Tables.orderEdgesForDstRange(spark, dir, lo, hi)
+      .filter(col("dst").between(lo, hi))
+      .groupBy("dst").agg(count(lit(1)).as("n"))
+    assert(natural.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      hand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("rewrite skips when folding would overflow") {
+    graft.plans.OffsetComparisonRewrite.install(spark)
+    val s = spark; import s.implicits._
+    val df = Seq(1L, 5L).toDF("x")
+      .filter(expr(s"x - 100 < ${Long.MaxValue - 10}")) // k + 100 overflows
+    assert(df.collect().map(_.getLong(0)).toSet == Set(1L, 5L)) // semantics intact
+  }
+}

@@ -57,6 +57,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((7L, baseMs, baseMs + 5L * 60 * 1000, 2L, 3.0)))
   }
 
+  test("streaming dedup drops in-watermark duplicates with bounded state") {
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    val s = spark; import s.implicits._
+    val m = 60L * 1000 * 1000 * 1000 // a minute in nanos
+    val base = 6000L * m
+    // batch 0: two distinct texts; batch 1: a duplicate of "aaa" within the
+    // watermark (dropped) and one new text (kept)
+    Seq((base, 1L, "aaa"), (base + m, 2L, "bbb"))
+      .toDF("ts", "doc_id", "text").write.parquet(s"$dir/b0.parquet")
+    Seq((base + 2 * m, 3L, "aaa"), (base + 3 * m, 4L, "ccc"))
+      .toDF("ts", "doc_id", "text").write.parquet(s"$dir/b1.parquet")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("ts", LongType),
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = graft.streaming.OnlineIngest.streamingDedup(stream)
+      .select("doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("sdedup").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sdedup").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.map(_._2) == Set("aaa", "bbb", "ccc"))
+    assert(!got.exists(_._1 == 3L)) // the duplicate doc was suppressed
+  }
+
   test("windowed event counts with watermark match the batch equivalent") {
     val dir = Files.createTempDirectory("graft-events").toString
     val s = spark; import s.implicits._
