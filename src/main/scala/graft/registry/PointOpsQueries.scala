@@ -367,30 +367,44 @@ object PointOpsQueries {
           |  AND dst = (SELECT min(dst) FROM edges WHERE src = (SELECT min(src) FROM edges))
           |  AND etype = 0""".stripMargin))),
 
-    // ---- N7: seeded random vertex (reference GraphChiDatabase.scala:1839-1852;
-    //      unseeded there, seeded here for reproducibility — no SQL oracle,
-    //      driver records rows-only) ----
+    // ---- N7: random vertex (reference GraphChiDatabase.scala:1839-1852;
+    //      unseeded there — determinized as an md5 keyed shuffle, which is
+    //      just as arbitrary but reproducible in ANY engine, so the pick
+    //      is fully oracle-checked) ----
     ("n7_random_vertex",
       (s: SparkSession, d: String) => {
         val db = GraphDB.orderGraph(s, d)
-        db.endpoints.orderBy(rand(42L), col("id")).limit(1)
+        db.endpoints.orderBy(md5(concat(lit("n7|"), col("id"))), col("id")).limit(1)
       },
-      None),
+      Some(withSql(Oracle.EDGES,
+        """, ep AS (SELECT DISTINCT id FROM
+          |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))
+          |SELECT id FROM ep ORDER BY md5('n7|' || id), id LIMIT 1""".stripMargin))),
 
     // ---- Q2: FoF with randomized friend limit (reference Queries.scala:64-70;
-    //      seeded rand — Spark-deterministic, not oracle-expressible) ----
+    //      unseeded Random there — md5-shuffled hop-1 subset here, engine-
+    //      independent so the whole query is oracle-checked) ----
     ("q2_fof_limit",
       (s: SparkSession, d: String) => {
         val e = Tables.socialEdges(s, d)
         val v = Queries.minSrc(e)
         val hop1 = e.join(broadcast(v), col("src") === col("qv"))
           .select(col("dst").as("mid"), col("qv")).distinct()
-          .orderBy(rand(42L), col("mid")).limit(10)
+          .orderBy(md5(concat(lit("q2|"), col("mid"))), col("mid")).limit(10)
         hop1.join(e.select(col("src").as("mid"), col("dst")), "mid")
           .filter(col("dst") =!= col("qv"))
           .groupBy(col("dst").as("id")).agg(count(lit(1)).as("paths"))
           .orderBy(col("paths").desc, col("id")).limit(20)
       },
-      None),
+      Some(withSql(Oracle.UEDGES,
+        """, qv AS (SELECT min(src) AS v FROM uedges),
+          |hop1 AS (
+          |  SELECT mid FROM (SELECT DISTINCT u.dst AS mid FROM uedges u, qv WHERE u.src = qv.v)
+          |  ORDER BY md5('q2|' || mid), mid LIMIT 10)
+          |SELECT u.dst AS id, count(*) AS paths
+          |FROM hop1 h JOIN uedges u ON u.src = h.mid, qv
+          |WHERE u.dst <> qv.v
+          |GROUP BY u.dst
+          |ORDER BY paths DESC, id LIMIT 20""".stripMargin))),
   )
 }

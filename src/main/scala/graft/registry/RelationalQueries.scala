@@ -127,6 +127,46 @@ object RelationalQueries {
           |FROM j JOIN best ON j.event_id = best.event_id AND j.od = best.od
           |GROUP BY j.event_id, j.od""".stripMargin)),
 
+    // ---- exact percentiles over money-cents per vertex type: Spark
+    //      `percentile` and DuckDB `quantile_cont` both interpolate as
+    //      lower + (upper-lower)·frac at index p·(n-1) over the sorted
+    //      values — on exact integer cents the doubles agree bit-for-bit ----
+    ("r8_percentiles",
+      (s: SparkSession, d: String) =>
+        Tables.vertices(s, d)
+          .select(col("vtype"), cents(col("acctbal")).as("bc"))
+          .groupBy("vtype").agg(
+            count(lit(1)).as("n"),
+            expr("percentile(bc, 0.25D)").as("p25"),
+            expr("percentile(bc, 0.5D)").as("p50"),
+            expr("percentile(bc, 0.9D)").as("p90")),
+      Some(graft.Oracle.withSql(graft.Oracle.VERTICES,
+        """SELECT vtype, count(*) AS n,
+          |  quantile_cont(CAST(CAST(acctbal AS DECIMAL(18,2)) * 100 AS BIGINT), 0.25) AS p25,
+          |  quantile_cont(CAST(CAST(acctbal AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5) AS p50,
+          |  quantile_cont(CAST(CAST(acctbal AS DECIMAL(18,2)) * 100 AS BIGINT), 0.9) AS p90
+          |FROM vertices GROUP BY vtype""".stripMargin))),
+
+    // ---- HLL distinct sketch with an oracle-pinned error bound: the
+    //      sketch itself is engine-specific, but the CLAIM |approx-exact|
+    //      ≤ 5%·exact is checkable — a broken sketch flips the boolean.
+    //      rsd 0.01 makes the 5% bound a 5σ envelope, so the boolean is
+    //      stable while still catching any real sketch regression ----
+    ("r9_sketch_distinct",
+      (s: SparkSession, d: String) => {
+        val e = Tables.orderEdges(s, d)
+        e.agg(
+          countDistinct(col("src")).as("exact_src"),
+          countDistinct(col("dst")).as("exact_dst"),
+          (abs(approx_count_distinct(col("src"), 0.01) - countDistinct(col("src")))
+            <= countDistinct(col("src")) * 0.05).as("approx_ok"))
+      },
+      Some(graft.Oracle.withSql(graft.Oracle.EDGES,
+        """SELECT count(DISTINCT src) AS exact_src,
+          |       count(DISTINCT dst) AS exact_dst,
+          |       true AS approx_ok
+          |FROM edges""".stripMargin))),
+
     // ---- range join: lineitems shipped within 30 days of order date ----
     ("r5_range_join",
       (s: SparkSession, d: String) => {
