@@ -34,11 +34,11 @@ object VectorQueries {
        |  FROM embeddings e, q WHERE e.vec_id <> q.qid
        |  ORDER BY cos_scaled DESC, e.vec_id LIMIT 10)""".stripMargin
 
-  /** 4-bit hyperplane signature per vector (mirrors Similarity.lshTopK). */
+  /** 6-bit hyperplane signature per vector (mirrors Similarity.lshTopK). */
   private val SIG =
     """sg AS (
       |  SELECT vec_id,
-      |    list_reduce(list_transform(range(0, 4), b ->
+      |    list_reduce(list_transform(range(0, 6), b ->
       |      CASE WHEN list_reduce(list_transform(range(1, len(embedding) + 1),
       |        i -> CAST(embedding[i] AS DOUBLE) *
       |             (CAST(('0x' || substr(md5(b || '_' || (i - 1)), 1, 8)) AS BIGINT) % 1000 - 500)),
@@ -48,12 +48,14 @@ object VectorQueries {
       |  FROM embeddings),
       |qs AS (SELECT sg.sig FROM sg, q WHERE sg.vec_id = q.qid)""".stripMargin
 
-  /** LSH top-10: buckets within Hamming distance 1 of the query signature. */
+  /** LSH top-10: buckets within Hamming distance 2 of the query signature
+    * (6-bit space: 22/64 buckets probed — deeper buckets AND higher recall
+    * than 4-bit radius-1). */
   private val LSHTOP =
     s"""lshtop AS (
        |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos_scaled
        |  FROM embeddings e JOIN sg ON e.vec_id = sg.vec_id, q, qs
-       |  WHERE bit_count(xor(sg.sig, qs.sig)) <= 1 AND e.vec_id <> q.qid
+       |  WHERE bit_count(xor(sg.sig, qs.sig)) <= 2 AND e.vec_id <> q.qid
        |  ORDER BY cos_scaled DESC, e.vec_id LIMIT 10)""".stripMargin
 
   /** Deterministic IVF: every (n/16)-th vector by vec_id rank is a
@@ -96,7 +98,7 @@ object VectorQueries {
 
     ("e2_ann_lsh_topk",
       (s: SparkSession, d: String) =>
-        Similarity.lshTopK(Tables.embeddings(s, d), bits = 4, k = 10),
+        Similarity.lshTopK(Tables.embeddings(s, d), bits = 6, k = 10, probeRadius = 2),
       Some(s"WITH $Q, $SIG, $LSHTOP\nSELECT vec_id, cos_scaled FROM lshtop")),
 
     ("e3_ann_ivf_topk",
@@ -111,7 +113,7 @@ object VectorQueries {
         import org.apache.spark.sql.functions._
         val emb = Tables.embeddings(s, d)
         val brute = Similarity.bruteForceTopK(emb, k = 10).select("vec_id")
-        val lsh = Similarity.lshTopK(emb, bits = 4, k = 10).select("vec_id")
+        val lsh = Similarity.lshTopK(emb, bits = 6, k = 10, probeRadius = 2).select("vec_id")
         lsh.agg(count(lit(1)).as("n_ret"))
           .crossJoin(lsh.join(brute, Seq("vec_id"), "left_semi")
             .agg(count(lit(1)).as("hits")))

@@ -29,7 +29,8 @@ class SimilarityLshSpec extends AnyFunSuite {
 
   test("ANN recall@10 floors: multi-probe LSH and IVF vs brute force") {
     val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
-    val lsh = Similarity.lshTopK(emb, bits = 4, k = 10).collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(emb, bits = 6, k = 10, probeRadius = 2)
+      .collect().map(_.getLong(0)).toSet
     val ivf = Similarity.ivfTopK(emb, k = 10, nCells = 16, nprobe = 4)
       .collect().map(_.getLong(0)).toSet
     assert(brute.size == 10)
