@@ -18,7 +18,9 @@ def canon_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # exact repr, no rounding — the driver hashes exact values, so a
+        # last-ulp interpolation difference must FAIL here too
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
