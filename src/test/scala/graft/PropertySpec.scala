@@ -55,6 +55,46 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bidirectional distance equals forward BFS distance on random graphs") {
+    check(Prop.forAll(genEdges) { es =>
+      val s = spark; import s.implicits._
+      val edges = TestSpark.edgesDF(es.map { case (a, b) => (a, b, 0) })
+      val from = es.map(_._1).min
+      val to = es.map(_._2).max
+      val fwd = Traversals.shortestPathDist(edges,
+        Seq(from).toDF("id"), Seq(to).toDF("tid"), maxDepth = 15).first()
+      val (bidiDf, _, _) = Traversals.bidirectionalDist(edges,
+        Seq(from).toDF("id"), Seq(to).toDF("id"), maxDepth = 15)
+      val bidi = bidiDf.first()
+      (fwd.isNullAt(0) && bidi.isNullAt(0)) ||
+        (!fwd.isNullAt(0) && !bidi.isNullAt(0) && fwd.getLong(0) == bidi.getLong(0))
+    })
+  }
+
+  test("salted as-of equals plain as-of on random event/order sets") {
+    import org.apache.spark.sql.functions.col
+    val genData = for {
+      evs <- Gen.nonEmptyListOf(for {
+        k <- Gen.choose(0L, 2L); ts <- Gen.choose(0L, 200L)
+      } yield (k, ts))
+      ords <- Gen.nonEmptyListOf(for {
+        k <- Gen.choose(0L, 2L); ts <- Gen.choose(0L, 200L); p <- Gen.choose(0L, 9L)
+      } yield (k, ts, p))
+      w <- Gen.choose(1L, 60L)
+    } yield (evs, ords, w)
+    check(Prop.forAll(genData) { case (evs, ords, w) =>
+      val s = spark; import s.implicits._
+      val left = evs.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("event_id", "k", "ets")
+      val right = ords.toDF("k", "ots", "ok")
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      norm(AsOf.join(left, right, "k", col("ets"), col("ots"), col("ok"), Seq("event_id"))) ==
+        norm(AsOf.joinSalted(left, right, "k", col("ets"), col("ots"), col("ok"),
+          Seq("event_id"), bucketWidth = w))
+    })
+  }
+
   test("connected components equal brute-force union-find") {
     check(Prop.forAll(genEdges) { es =>
       val sym = (es ++ es.map(_.swap)).distinct
