@@ -127,6 +127,34 @@ object RelationalQueries {
           |FROM j JOIN best ON j.event_id = best.event_id AND j.od = best.od
           |GROUP BY j.event_id, j.od""".stripMargin)),
 
+    // ---- r7b: the SAME as-of semantics through the skew-safe salted
+    //      window (time-bucketed, carry-merged) — identical oracle to r7,
+    //      so plain == salted is also pinned cross-engine ----
+    ("r7b_asof_join_salted",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ets_ms"))
+        val ord = Tables.orders(s, d)
+          .select(col("o_custkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"),
+            col("o_orderkey"))
+        AsOf.joinSalted(
+          ev.withColumnRenamed("user_id", "k"), ord.withColumnRenamed("o_custkey", "k"),
+          key = "k", leftTs = col("ets_ms"), rightTs = col("od_ms"),
+          payload = col("o_orderkey"), leftOut = Seq("event_id"),
+          bucketWidth = 7L * 24 * 3600 * 1000) // one-week buckets
+          .select(col("event_id"), col("asof_ts").as("asof_ms"),
+            col("asof_val").as("asof_orderkey"))
+      },
+      Some(
+        """WITH j AS (
+          |  SELECT e.event_id, epoch_ms(o.o_orderdate) AS od, o.o_orderkey AS ok
+          |  FROM events e JOIN orders o ON o.o_custkey = e.user_id
+          |   AND epoch_ms(o.o_orderdate) <= epoch_ns(e.ts) // 1000000),
+          |best AS (SELECT event_id, max(od) AS od FROM j GROUP BY event_id)
+          |SELECT j.event_id, j.od AS asof_ms, max(j.ok) AS asof_orderkey
+          |FROM j JOIN best ON j.event_id = best.event_id AND j.od = best.od
+          |GROUP BY j.event_id, j.od""".stripMargin)),
+
     // ---- exact percentiles over money-cents per vertex type: Spark
     //      `percentile` and DuckDB `quantile_cont` both interpolate as
     //      lower + (upper-lower)·frac at index p·(n-1) over the sorted
