@@ -32,6 +32,7 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
     Tables.documents(spark, sfDir).count()
     Tables.edgeStorePath(spark, sfDir)
+    Tables.edgeStoreByDstPath(spark, sfDir)
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()

@@ -89,6 +89,27 @@ object Tables {
   def orderEdgesStored(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(edgeStorePath(spark, dir))
 
+  /** Second materialization of the SAME edge table, range-partitioned and
+    * sorted by dst — the reference keeps an in-edge index per shard
+    * (QueryShard.java:662-812) precisely because one sort order cannot
+    * serve both directions; at 100 TB both orders are kept as separate
+    * materializations. dst sweeps prune row groups directly here (the
+    * dst column is materialized, so no arithmetic inversion is needed). */
+  private val dstStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def edgeStoreByDstPath(spark: SparkSession, dir: String): String =
+    dstStoreCache.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-store-dst").toString + "/edges"
+      orderEdges(spark, dir)
+        .repartitionByRange(8, col("dst"))
+        .sortWithinPartitions("dst", "src")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      path
+    })
+
+  def orderEdgesStoredByDst(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(edgeStoreByDstPath(spark, dir))
+
   /** Symmetrized order graph (both directions, etype 0) — the "social"
     * graph used by the frontier / FoF queries, like the mutual-follow
     * LiveJournal graph of reference SocialNetworkExample.scala:77-82. */

@@ -249,6 +249,20 @@ object PointOpsQueries {
         """SELECT dst, count(*) AS n, CAST(sum(rating) AS BIGINT) AS rating_sum
           |FROM edges WHERE dst BETWEEN 1000000 AND 1000004 GROUP BY dst""".stripMargin))),
 
+    // ---- W2c: the dst-interval sweep served from the dst-SORTED second
+    //      materialization of the edge store (the reference's in-edge
+    //      index): dst is a real column there, so the range prunes row
+    //      groups with no rewrite at all; same oracle as w2 ----
+    ("w2c_sweep_in_interval_store",
+      (s: SparkSession, d: String) =>
+        Tables.orderEdgesStoredByDst(s, d)
+          .filter(col("dst").between(Tables.SupplierBase, Tables.SupplierBase + 4))
+          .groupBy("dst")
+          .agg(count(lit(1)).as("n"), sum("rating").cast("long").as("rating_sum")),
+      Some(withSql(Oracle.EDGES,
+        """SELECT dst, count(*) AS n, CAST(sum(rating) AS BIGINT) AS rating_sum
+          |FROM edges WHERE dst BETWEEN 1000000 AND 1000004 GROUP BY dst""".stripMargin))),
+
     // ---- W2b: the same dst-interval sweep in its NATURAL form — no
     //      hand-rewrite; the OffsetComparisonRewrite optimizer rule inverts
     //      `l_suppkey + 1e6 BETWEEN lo AND hi` onto the source column so
