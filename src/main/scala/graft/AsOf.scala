@@ -24,9 +24,12 @@ object AsOf {
   /** Returns left rows (selected by `leftOut`) + `asof_ts` + `asof_val`
     * of the matched right row; left rows with no match are dropped
     * (inner as-of). */
-  def join(left: DataFrame, right: DataFrame, key: String,
-           leftTs: Column, rightTs: Column, payload: Column,
-           leftOut: Seq[String]): DataFrame = {
+  /** Shared prelude of [[join]]/[[joinSalted]]: tag left (side 1) and right
+    * (side 0) rows and align them to one schema — the input contract both
+    * variants MUST share (their equality is the salted form's invariant). */
+  private def tagAndAlign(left: DataFrame, right: DataFrame, key: String,
+                          leftTs: Column, rightTs: Column, payload: Column,
+                          leftOut: Seq[String]): DataFrame = {
     val l = left.select(
       (leftOut.map(col) :+ col(key).as("_k") :+ leftTs.as("_ts")): _*)
       .withColumn("_side", lit(1)).withColumn("_p", lit(null).cast("long"))
@@ -37,13 +40,20 @@ object AsOf {
     val rAligned = leftOut.foldLeft(r.select("_k", "_ts", "_side", "_p")) {
       (df, c) => df.withColumn(c, lit(null))
     }
+    lAligned.unionByName(rAligned)
+  }
+
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTs: Column, rightTs: Column, payload: Column,
+           leftOut: Seq[String]): DataFrame = {
+    val all = tagAndAlign(left, right, key, leftTs, rightTs, payload, leftOut)
     val w = Window.partitionBy("_k")
       .orderBy(col("_ts"), col("_side"), col("_p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry (ts, payload) as ONE struct so both fields always come from
     // the same right row (two independent last(...) calls could mix rows
     // when the newest match has a NULL payload)
-    lAligned.unionByName(rAligned)
+    all
       .withColumn("_asof",
         last(when(col("_side") === 0, struct(col("_ts"), col("_p"))), ignoreNulls = true).over(w))
       .filter(col("_side") === 1 && col("_asof").isNotNull)
@@ -68,19 +78,9 @@ object AsOf {
                  leftTs: Column, rightTs: Column, payload: Column,
                  leftOut: Seq[String], bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val l = left.select(
-      (leftOut.map(col) :+ col(key).as("_k") :+ leftTs.as("_ts")): _*)
-      .withColumn("_side", lit(1)).withColumn("_p", lit(null).cast("long"))
-    val r = right.select(col(key).as("_k"), rightTs.as("_ts"),
-        payload.cast("long").as("_p"))
-      .withColumn("_side", lit(0))
-    val lAligned = l.select(("_k" +: "_ts" +: "_side" +: "_p" +: leftOut).map(col): _*)
-    val rAligned = leftOut.foldLeft(r.select("_k", "_ts", "_side", "_p")) {
-      (df, c) => df.withColumn(c, lit(null))
-    }
     // integer div (not double floor) — exact at any ts magnitude; any
     // monotone bucketing of the timeline is correct here
-    val all = lAligned.unionByName(rAligned)
+    val all = tagAndAlign(left, right, key, leftTs, rightTs, payload, leftOut)
       .withColumn("_b", expr(s"_ts div $bucketWidth"))
     // pass 1: within-bucket sweep (hot key now parallel across buckets)
     val wb = Window.partitionBy("_k", "_b")

@@ -73,6 +73,8 @@ object Multimodal {
     * Deterministic (byte slices + md5) so an oracle can mirror it. */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int)
                   (implicit spark: SparkSession): Dataset[FrameRow] = {
+    require(frameBytes > 0, "frameBytes must be positive")
+    require(stride > 0, "stride must be positive")
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
@@ -94,6 +96,7 @@ object Multimodal {
     * for real. */
   def resizeStub(media: Dataset[MediaRow], ratio: Int)
                 (implicit spark: SparkSession): Dataset[MediaRow] = {
+    require(ratio > 0, "ratio must be positive")
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>

@@ -86,18 +86,28 @@ object Similarity {
     * — the in-SQL md5 form ([[bandSignaturesSql]], which the DuckDB oracle
     * mirrors) recomputes bands·bits·dim md5 calls per row and is ~50×
     * slower; a spec pins the two bit-equal. */
+  /** Plane dimension = the first row's array length (embeddings tables are
+    * fixed-dim by contract; a ragged row would null its dot and read as
+    * sign-0 bits). None on an empty table. */
+  private def embDim(emb: DataFrame): Option[Int] =
+    emb.select(size(col("embedding")).as("d")).head(1).headOption.map(_.getInt(0))
+
   def bandSignatures(emb: DataFrame, bands: Int, bits: Int): DataFrame = {
     val spark = emb.sparkSession
-    val dim = emb.select(size(col("embedding")).as("d")).first().getInt(0)
-    val sigCols = (0 until bands).map { b =>
-      (0 until bits).map { j =>
-        val plane = Array.tabulate(dim)(i => planeCoeff(s"${b}_${j}_${i}").toFloat)
-        when(graft.functions.FloatDotProduct.dot(spark, col("embedding"), typedlit(plane)) > 0,
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    embDim(emb) match {
+      case None =>
+        emb.select(col("vec_id"), lit(0).as("b"), lit(0L).as("sig")).limit(0)
+      case Some(dim) =>
+        val sigCols = (0 until bands).map { b =>
+          (0 until bits).map { j =>
+            val plane = Array.tabulate(dim)(i => planeCoeff(s"${b}_${j}_${i}").toFloat)
+            when(graft.functions.FloatDotProduct.dot(spark, col("embedding"), typedlit(plane)) > 0,
+              lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        }
+        emb.select(col("vec_id"), posexplode(array(sigCols: _*)))
+          .toDF("vec_id", "b", "sig")
     }
-    emb.select(col("vec_id"), posexplode(array(sigCols: _*)))
-      .toDF("vec_id", "b", "sig")
   }
 
   /** The built-ins-only signature derivation (md5 planes computed in-SQL,
@@ -132,7 +142,11 @@ object Similarity {
     * (cos≥0.9) — measured in SimilarityLshSpec; precision is exact. */
   def cosinePairsLsh(emb: DataFrame, minCosScaled: Long, bands: Int = 32,
                      bitsPerBand: Int = -1): DataFrame = {
-    val bits = if (bitsPerBand > 0) bitsPerBand else bitsFor(emb.count())
+    val n = emb.count()
+    if (n == 0)
+      return emb.select(col("vec_id").as("x"), col("vec_id").as("y"),
+        lit(0L).as("cos_scaled")).limit(0)
+    val bits = if (bitsPerBand > 0) bitsPerBand else bitsFor(n)
     val sg = bandSignatures(emb, bands, bits).localCheckpoint(true)
     val cand = sg.select(col("b"), col("sig"), col("vec_id").as("x"))
       .join(sg.select(col("b").as("b2"), col("sig").as("sig2"), col("vec_id").as("y")),
@@ -226,7 +240,8 @@ object Similarity {
     // the oracle's SQL form but hoisted to driver-side literals (the
     // coefficients are data-independent — see planeCoeff)
     val spark = emb.sparkSession
-    val dim = emb.select(size(col("embedding")).as("d")).first().getInt(0)
+    val dim = embDim(emb).getOrElse(
+      return emb.select(col("vec_id"), lit(0L).as("cos_scaled")).limit(0))
     val sigCol = (0 until bits).map { b =>
       val plane = Array.tabulate(dim)(i => planeCoeff(s"${b}_${i}").toFloat)
       when(graft.functions.FloatDotProduct.dot(spark, col("embedding"), typedlit(plane)) > 0,
@@ -237,9 +252,10 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("sig").as("qsig"))
     // enumerate the probe signatures (query sig XOR every ≤radius-bit mask)
     // so the probe stays an EQUI-join on the bucket key — prunable at scale,
-    // unlike a hamming-distance predicate
-    val masks = (0 until (1 << bits)).map(_.toLong)
-      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    // unlike a hamming-distance predicate. Masks are built from bit-position
+    // combinations: C(bits, ≤radius) of them, never a 2^bits sweep
+    val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
+      (0 until bits).combinations(r).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
     val probe = q.select(col("qid"), col("qv"),
       explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("psig"))
     withSig.join(broadcast(probe),

@@ -72,17 +72,25 @@ object Tables {
     * of re-deriving the lineitem⋈orders join per query. At 100 TB the
     * store IS the query substrate — re-joining fact tables per point query
     * is not. Bench measures the latency gap (~4×). */
+  // one cache per sort order; the temp stores live for the JVM (bench and
+  // verify are one-shot processes — a long-lived service would write them
+  // to managed storage via GraphDB.openStore instead)
   private val storeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def materializedStore(spark: SparkSession, dir: String,
+                                prefix: String, sortCols: Seq[String]): String =
+    storeCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir|$prefix", { _ =>
+        val path = java.nio.file.Files.createTempDirectory(prefix).toString + "/edges"
+        orderEdges(spark, dir)
+          .repartitionByRange(8, col(sortCols.head))
+          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        path
+      })
+
   def edgeStorePath(spark: SparkSession, dir: String): String =
-    storeCache.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", { _ =>
-      val path = java.nio.file.Files.createTempDirectory("graft-store").toString + "/edges"
-      orderEdges(spark, dir)
-        .repartitionByRange(8, col("src"))
-        .sortWithinPartitions("src", "dst")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-      path
-    })
+    materializedStore(spark, dir, "graft-store", Seq("src", "dst"))
 
   /** The order graph read back from the materialized store — same rows as
     * [[orderEdges]], physical layout optimized for src point/range scans. */
@@ -95,17 +103,8 @@ object Tables {
     * serve both directions; at 100 TB both orders are kept as separate
     * materializations. dst sweeps prune row groups directly here (the
     * dst column is materialized, so no arithmetic inversion is needed). */
-  private val dstStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   def edgeStoreByDstPath(spark: SparkSession, dir: String): String =
-    dstStoreCache.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", { _ =>
-      val path = java.nio.file.Files.createTempDirectory("graft-store-dst").toString + "/edges"
-      orderEdges(spark, dir)
-        .repartitionByRange(8, col("dst"))
-        .sortWithinPartitions("dst", "src")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-      path
-    })
+    materializedStore(spark, dir, "graft-store-dst", Seq("dst", "src"))
 
   def orderEdgesStoredByDst(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(edgeStoreByDstPath(spark, dir))

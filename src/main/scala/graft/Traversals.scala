@@ -89,8 +89,12 @@ object Traversals {
     * and superstep counts for the work comparison. */
   def bidirectionalDist(edges: DataFrame, from: DataFrame, to: DataFrame,
                         maxDepth: Int): (DataFrame, Long, Int) = {
+    val spark = edges.sparkSession
     val fwd = edges.select("src", "dst").localCheckpoint(true)
     val rev = fwd.select(col("dst").as("src"), col("src").as("dst"))
+    // one superstep = one checkpointed frontier; counts on checkpointed
+    // frames are cheap cached scans, and the meet check is evaluated ONCE
+    // per superstep via first() (a single-row aggregate)
     def step(vis: DataFrame, fr: DataFrame, e: DataFrame, d: Long) = {
       val next = e.join(fr.select(col("id").as("src")), "src", "left_semi")
         .select(col("dst").as("id")).distinct()
@@ -102,25 +106,35 @@ object Traversals {
     var visB = to.toDF("id").distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
     var frA = visA
     var frB = visB
+    var aSize = frA.count()
+    var bSize = frB.count()
     var dA = 0L
     var dB = 0L
     var steps = 0
-    def meet() = visA.join(visB.select(col("id"), col("dist").as("bdist")), "id")
-      .agg(min(col("dist") + col("bdist")).as("dist"))
-    var met = !meet().filter(col("dist").isNotNull).isEmpty
-    while (!met && dA + dB < maxDepth && !(frA.isEmpty && frB.isEmpty)) {
+    def meetDist(): Option[Long] = {
+      val row = visA.join(visB.select(col("id"), col("dist").as("bdist")), "id")
+        .agg(min(col("dist") + col("bdist")).as("dist")).first()
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    }
+    var met = meetDist()
+    while (met.isEmpty && dA + dB < maxDepth && (aSize > 0 || bSize > 0)) {
       steps += 1
       // expand the cheaper side (reference picks the smaller frontier)
-      val aSize = frA.count(); val bSize = frB.count()
       if (bSize == 0 || (aSize <= bSize && aSize > 0)) {
         dA += 1; val (v, f) = step(visA, frA, fwd, dA); visA = v; frA = f
+        aSize = frA.count()
       } else {
         dB += 1; val (v, f) = step(visB, frB, rev, dB); visB = v; frB = f
+        bSize = frB.count()
       }
-      met = !meet().filter(col("dist").isNotNull).isEmpty
+      met = meetDist()
     }
     val explored = visA.count() + visB.count()
-    (meet(), explored, steps)
+    val result = met match {
+      case Some(d) => spark.sql(s"SELECT CAST($d AS BIGINT) AS dist")
+      case None    => spark.sql("SELECT CAST(NULL AS BIGINT) AS dist")
+    }
+    (result, explored, steps)
   }
 
   /** Q5, full output: the actual shortest path as (pos, id) rows, source

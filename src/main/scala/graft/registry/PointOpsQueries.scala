@@ -270,8 +270,12 @@ object PointOpsQueries {
     //      RuleSpec; same oracle as w2) ----
     ("w2b_sweep_in_interval_rule",
       (s: SparkSession, d: String) => {
-        graft.plans.OffsetComparisonRewrite.install(s)
-        Tables.orderEdges(s, d)
+        // install into a CHILD session (same SparkContext, own sessionState)
+        // so the rewrite never leaks into other queries' planning — the
+        // rule is semantics-changing in non-ANSI overflow corners
+        val s2 = s.newSession()
+        graft.plans.OffsetComparisonRewrite.install(s2)
+        Tables.orderEdges(s2, d)
           .filter(col("dst").between(Tables.SupplierBase, Tables.SupplierBase + 4))
           .groupBy("dst")
           .agg(count(lit(1)).as("n"), sum("rating").cast("long").as("rating_sum"))
