@@ -78,6 +78,12 @@ object Similarity {
     java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000 - 500
   }
 
+  /** Plane dimension = the first row's array length (embeddings tables are
+    * fixed-dim by contract; a ragged row would null its dot and read as
+    * sign-0 bits). None on an empty table. */
+  private def embDim(emb: DataFrame): Option[Int] =
+    emb.select(size(col("embedding")).as("d")).head(1).headOption.map(_.getInt(0))
+
   /** Hyperplane band signatures: (vec_id, b, sig) for b ∈ [0, bands) —
     * sig packs `bits` sign-of-dot-products against md5-derived pseudo-random
     * planes (keyed by band, bit, dim — identical in any engine). The planes
@@ -86,12 +92,6 @@ object Similarity {
     * — the in-SQL md5 form ([[bandSignaturesSql]], which the DuckDB oracle
     * mirrors) recomputes bands·bits·dim md5 calls per row and is ~50×
     * slower; a spec pins the two bit-equal. */
-  /** Plane dimension = the first row's array length (embeddings tables are
-    * fixed-dim by contract; a ragged row would null its dot and read as
-    * sign-0 bits). None on an empty table. */
-  private def embDim(emb: DataFrame): Option[Int] =
-    emb.select(size(col("embedding")).as("d")).head(1).headOption.map(_.getInt(0))
-
   def bandSignatures(emb: DataFrame, bands: Int, bits: Int): DataFrame = {
     val spark = emb.sparkSession
     embDim(emb) match {
