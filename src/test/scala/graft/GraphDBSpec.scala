@@ -83,6 +83,20 @@ class GraphDBSpec extends AnyFunSuite {
     assert(plain == salted && plain.size == 501)
   }
 
+  test("materialized stores hold exactly the derived edge table") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "etype", "ets", "weight", "rating")
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val derived = rows(Tables.orderEdges(spark, dir))
+    assert(rows(Tables.orderEdgesStored(spark, dir)) == derived)
+    assert(rows(Tables.orderEdgesStoredByDst(spark, dir)) == derived)
+    // openStore serves the same graph through the GraphDB facade
+    val db = GraphDB.openStore(spark, Tables.edgeStorePath(spark, dir),
+      Tables.vertices(spark, dir))
+    assert(db.numEdges.first().getLong(0) == derived.values.map(_.toLong).sum)
+  }
+
   test("frontier algebra: traverse / setops / limit") {
     val g = db(chain: _*)
     val f = g.frontierOf(0L, 1L)
