@@ -135,8 +135,33 @@ object Dedup {
   }
 
   /** D4: 60-bit SimHash per document over the distinct token set (first 60
-    * bits of md5(token), per-bit majority vote). */
-  def simhash(docs: DataFrame): DataFrame = {
+    * bits of md5(token), per-bit majority vote).
+    *
+    * Single-pass form (VERDICT r2 §wrong-3): one narrow per-row projection —
+    * fold the document's token-hash array into a 60-long vote vector with
+    * `aggregate`+`zip_with`, then pack the sign bits. NO shuffle and no row
+    * amplification; the r2 form exploded every distinct token into 60
+    * bit-rows (60×·tokens CPU + a two-level groupBy) before aggregating.
+    * Values are identical: per (doc, bit) the vote is the same
+    * order-independent integer sum. Documents with zero tokens emit no row
+    * (the exploded form dropped them implicitly; the oracle does too). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  zip_with(
+          |    aggregate(
+          |      transform(ts, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+          |      array_repeat(cast(0 as bigint), 60),
+          |      (acc, h) -> zip_with(acc, sequence(0, 59), (a, b) -> a + 2 * ((h >> b) & 1) - 1)),
+          |    sequence(0, 59),
+          |    (v, b) -> if(v > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+          |  cast(0 as bigint), (s, v) -> s + v)""".stripMargin).as("simhash"))
+
+  /** The r2 explode-per-bit SimHash derivation — kept (test-pinned against
+    * [[simhash]]) as the shape the oracle SQL mirrors. */
+  private[graft] def simhashExploded(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
       .withColumn("h", expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"))
     tok.withColumn("bit", explode(sequence(lit(0), lit(59))))

@@ -129,7 +129,13 @@ object Similarity {
 
   /** Bits per band sized to the table: ceil(log2 n) - 3 keeps the expected
     * bucket at ~8 vectors, so candidate volume grows ~linearly with n
-    * instead of the all-pairs n². Floor of 6 so tiny tables still bucket. */
+    * instead of the all-pairs n². Floor of 6 so tiny tables still bucket.
+    *
+    * Parity note (ADVICE r2): this is exact integer ceil-log2 = number of
+    * bits in (n-1); the d5 oracle mirrors it with the same integer
+    * arithmetic (`length(format('{:b}', n-1))`), NOT float log2 — float
+    * log2 rounds down for n slightly above large powers of two (n ≳ 2^47),
+    * which would desync the candidate sets. */
   def bitsFor(n: Long): Int =
     math.max(6, (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) - 3)
 
@@ -142,18 +148,22 @@ object Similarity {
     * (cos≥0.9) — measured in SimilarityLshSpec; precision is exact. */
   def cosinePairsLsh(emb: DataFrame, minCosScaled: Long, bands: Int = 32,
                      bitsPerBand: Int = -1): DataFrame = {
-    val n = emb.count()
+    // checkpoint the input ONCE; the count (bits sizing) and both derived
+    // frames (signatures, norms) read the materialized rows instead of
+    // re-running the upstream lineage per consumer (ADVICE r2)
+    val e = emb.localCheckpoint(true)
+    val n = e.count()
     if (n == 0)
-      return emb.select(col("vec_id").as("x"), col("vec_id").as("y"),
+      return e.select(col("vec_id").as("x"), col("vec_id").as("y"),
         lit(0L).as("cos_scaled")).limit(0)
     val bits = if (bitsPerBand > 0) bitsPerBand else bitsFor(n)
-    val sg = bandSignatures(emb, bands, bits).localCheckpoint(true)
+    val sg = bandSignatures(e, bands, bits).localCheckpoint(true)
     val cand = sg.select(col("b"), col("sig"), col("vec_id").as("x"))
       .join(sg.select(col("b").as("b2"), col("sig").as("sig2"), col("vec_id").as("y")),
         col("b") === col("b2") && col("sig") === col("sig2") && col("x") < col("y"))
       .select("x", "y").distinct()
-    val withN = emb.select(col("vec_id"), col("embedding"),
-        sqrt(ndot(emb, col("embedding"), col("embedding"))).as("nrm"))
+    val withN = e.select(col("vec_id"), col("embedding"),
+        sqrt(ndot(e, col("embedding"), col("embedding"))).as("nrm"))
       .localCheckpoint(true)
     cand
       .join(withN.select(col("vec_id").as("x"), col("embedding").as("va"), col("nrm").as("na")), "x")
@@ -164,21 +174,29 @@ object Similarity {
       .filter(col("cos_scaled") >= minCosScaled)
   }
 
-  /** E3: IVF ANN, deterministic variant — centroids are every (n/nCells)-th
-    * vector in vec_id rank order (no training pass; at 100 TB you would
-    * train/refine them, but sampled centroids are the same query shape);
-    * each vector is assigned to its nearest centroid by cosine, the query
-    * probes the `nprobe` nearest cells. Fully oracle-expressible, unlike
-    * the k-means flavor [[kmeansIvfTopK]]. The cell is a write-time
-    * partition key at scale: a probe touches ~nprobe/nCells of the data. */
+  /** E3: IVF ANN, deterministic variant — centroids are `nCells` vectors
+    * picked by a deterministic md5 pseudo-random shuffle (the n7/q2
+    * determinism pattern: engine-independent, so DuckDB picks the same
+    * set), selected with a DISTRIBUTED top-k (TakeOrderedAndProject: each
+    * partition keeps its nCells best, the driver merges nCells rows). The
+    * r2 form ranked ALL vectors through one global-window task — the
+    * classic single-partition sort, fatal at 100× (VERDICT r2 §wrong-1).
+    * No training pass (at 100 TB you would train/refine the centroids,
+    * but sampled centroids are the same query shape); each vector is
+    * assigned to its nearest centroid by cosine, the query probes the
+    * `nprobe` nearest cells. Fully oracle-expressible, unlike the k-means
+    * flavor [[kmeansIvfTopK]]. The cell is a write-time partition key at
+    * scale: a probe touches ~nprobe/nCells of the data. */
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = emb.count()
-    val step = math.max(1L, n / nCells)
-    val st = emb.withColumn("rn", row_number().over(Window.orderBy("vec_id")))
-    val cent = st.filter((col("rn") - 1) % step === 0 && col("rn") <= step * nCells)
-      .select(expr(s"(rn - 1) div $step").cast("long").as("cid"),
-        col("embedding").as("cv"))
+    val picked = emb
+      .orderBy(md5(concat(lit("ivf|"), col("vec_id"))), col("vec_id"))
+      .limit(nCells)
+    // cid = vec_id rank WITHIN the picked set — this window sees exactly
+    // nCells rows (a constant), never the table
+    val cent = picked
+      .withColumn("cid", row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+      .select(col("cid"), col("embedding").as("cv"))
     // rank cells per vector by dot/|c| (own norm is rank-invariant); the
     // fold is bit-identical cross-engine so the ranking is too
     val m = ndot(emb, col("embedding"), col("cv")) /
@@ -238,30 +256,37 @@ object Similarity {
   def lshTopK(emb: DataFrame, bits: Int, k: Int, probeRadius: Int = 1): DataFrame = {
     // signature = Σ_b (dot(v, plane_b) > 0) << b; planes md5-derived like
     // the oracle's SQL form but hoisted to driver-side literals (the
-    // coefficients are data-independent — see planeCoeff)
+    // coefficients are data-independent — see planeCoeff).
+    // Explicit match on the dimension probe (ADVICE r2): the previous
+    // non-local return from inside getOrElse breaks silently if this body
+    // is ever moved into a lambda/Future context.
     val spark = emb.sparkSession
-    val dim = embDim(emb).getOrElse(
-      return emb.select(col("vec_id"), lit(0L).as("cos_scaled")).limit(0))
-    val sigCol = (0 until bits).map { b =>
-      val plane = Array.tabulate(dim)(i => planeCoeff(s"${b}_${i}").toFloat)
-      when(graft.functions.FloatDotProduct.dot(spark, col("embedding"), typedlit(plane)) > 0,
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val withSig = emb.withColumn("sig", sigCol)
-    val q = withSig.orderBy("vec_id").limit(1)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("sig").as("qsig"))
-    // enumerate the probe signatures (query sig XOR every ≤radius-bit mask)
-    // so the probe stays an EQUI-join on the bucket key — prunable at scale,
-    // unlike a hamming-distance predicate. Masks are built from bit-position
-    // combinations: C(bits, ≤radius) of them, never a 2^bits sweep
-    val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
-      (0 until bits).combinations(r).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
-    val probe = q.select(col("qid"), col("qv"),
-      explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("psig"))
-    withSig.join(broadcast(probe),
-        col("sig") === col("psig") && col("vec_id") =!= col("qid"))
-      .select(col("vec_id"),
-        floor(cosine(col("embedding"), col("qv")) * 1000000L).cast("long").as("cos_scaled"))
-      .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
+    embDim(emb) match {
+      case None =>
+        emb.select(col("vec_id"), lit(0L).as("cos_scaled")).limit(0)
+      case Some(dim) =>
+        val sigCol = (0 until bits).map { b =>
+          val plane = Array.tabulate(dim)(i => planeCoeff(s"${b}_${i}").toFloat)
+          when(graft.functions.FloatDotProduct.dot(spark, col("embedding"), typedlit(plane)) > 0,
+            lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val withSig = emb.withColumn("sig", sigCol)
+        val q = withSig.orderBy("vec_id").limit(1)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("sig").as("qsig"))
+        // enumerate the probe signatures (query sig XOR every ≤radius-bit
+        // mask) so the probe stays an EQUI-join on the bucket key —
+        // prunable at scale, unlike a hamming-distance predicate. Masks are
+        // built from bit-position combinations: C(bits, ≤radius) of them,
+        // never a 2^bits sweep
+        val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
+          (0 until bits).combinations(r).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+        val probe = q.select(col("qid"), col("qv"),
+          explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("psig"))
+        withSig.join(broadcast(probe),
+            col("sig") === col("psig") && col("vec_id") =!= col("qid"))
+          .select(col("vec_id"),
+            floor(cosine(col("embedding"), col("qv")) * 1000000L).cast("long").as("cos_scaled"))
+          .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
+    }
   }
 }

@@ -14,7 +14,22 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` on a cluster.
   * This is the packaged-deploy form of what the registry does per-session
   * with `experimental.extraOptimizations` / `createOrReplaceTempFunction`
-  * (see `examples.ExtensionsDemo` for a self-contained run). */
+  * (see `examples.ExtensionsDemo` for a self-contained run).
+  *
+  * ==Overflow caveat (read before deploying session-wide)==
+  * [[OffsetComparisonRewrite]] turns `x + C cmp K` into `x cmp K - C`. It
+  * already refuses to rewrite when folding `K ∓ C` itself would overflow,
+  * but under non-ANSI mode (`spark.sql.ansi.enabled=false`) the two forms
+  * can still disagree on rows where the ORIGINAL `x + C` wraps around
+  * Long/Int range: the original predicate sees the wrapped value, the
+  * rewritten one sees the true comparison. Installing via this class
+  * applies the rule to EVERY query in the session — do that only when (a)
+  * ANSI mode is on (overflow errors instead of wrapping, so the rewrite
+  * can never silently change a result), or (b) the offset columns are
+  * known to be far from the integer boundaries, as with the id-space
+  * offsets here (≤3e6 + keys). For surgical use, install into a child
+  * session via `OffsetComparisonRewrite.install(spark.newSession())` —
+  * the pattern the w2b registry entry and RuleSpec use. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => OffsetComparisonRewrite)

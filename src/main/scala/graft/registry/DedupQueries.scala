@@ -70,14 +70,21 @@ object DedupQueries {
           |FROM bv GROUP BY doc_id""".stripMargin))),
 
     // Scale path: exact cosine only over hyperplane-LSH candidate pairs
-    // (mirrors d3's candidate restriction; Similarity.cosinePairs remains
-    // the all-pairs small-N reference, recall measured in SimilarityLshSpec).
+    // (mirrors d3's candidate restriction). APPROXIMATE BY CONTRACT
+    // (ADVICE r2): at this low registered threshold (cos>=0.4, the weak
+    // fixture-pair regime) LSH recall vs brute force is ~0.9 — the oracle
+    // mirrors the LSH restriction, so parity checks the bucketed plan, not
+    // exhaustiveness. The EXACT all-pairs contract is the separate d5b
+    // entry below; recall of this entry vs d5b is measured in
+    // SimilarityLshSpec and near-1 at production near-dup thresholds.
+    // The oracle derives r with the same INTEGER ceil-log2 as
+    // Similarity.bitsFor (bits in n-1) — float log2 desyncs at n ≳ 2^47.
     ("d5_dedup_embedding_cosine",
       (s: SparkSession, d: String) =>
         Similarity.cosinePairsLsh(Tables.embeddings(s, d), minCosScaled = 400000L),
       Some(
         """WITH nn AS (
-          |  SELECT greatest(6, CAST(ceil(log2(count(*))) AS BIGINT) - 3) AS r
+          |  SELECT greatest(6, length(format('{:b}', greatest(1, count(*) - 1))) - 3) AS r
           |  FROM embeddings),
           |sg AS (
           |  SELECT vec_id, b,
@@ -105,5 +112,29 @@ object DedupQueries {
           |      / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cos_scaled
           |  FROM cand JOIN nrm a ON cand.x = a.vec_id JOIN nrm b ON cand.y = b.vec_id)
           |SELECT x, y, cos_scaled FROM p WHERE cos_scaled >= 400000""".stripMargin)),
+
+    // The EXACT near-duplicate contract: all-pairs cosine with precomputed
+    // norms — O(n²·dim), the small-N / final-verify reference that d5's
+    // LSH path approximates (ScaleProbe times the crossover; at 100 TB
+    // only the bucketed path survives).
+    ("d5b_dedup_embedding_cosine_exact",
+      (s: SparkSession, d: String) =>
+        Similarity.cosinePairs(Tables.embeddings(s, d), minCosScaled = 400000L),
+      Some(
+        """WITH nrm AS (
+          |  SELECT vec_id, embedding,
+          |    sqrt(list_reduce(list_transform(embedding,
+          |      t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), (s, v) -> s + v)) AS nrm
+          |  FROM embeddings)
+          |SELECT a.vec_id AS x, b.vec_id AS y,
+          |  CAST(floor(
+          |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+          |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
+          |    / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cos_scaled
+          |FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+          |WHERE CAST(floor(
+          |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+          |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
+          |    / (a.nrm * b.nrm) * 1000000) AS BIGINT) >= 400000""".stripMargin)),
   )
 }

@@ -58,17 +58,15 @@ object VectorQueries {
        |  WHERE bit_count(xor(sg.sig, qs.sig)) <= 2 AND e.vec_id <> q.qid
        |  ORDER BY cos_scaled DESC, e.vec_id LIMIT 10)""".stripMargin
 
-  /** Deterministic IVF: every (n/16)-th vector by vec_id rank is a
-    * centroid; vectors assign to the nearest centroid by cosine; the query
-    * probes its 4 nearest cells (mirrors Similarity.ivfTopK). */
+  /** Deterministic IVF: 16 centroids picked by md5 pseudo-random shuffle
+    * (engine-independent; the Spark side computes the same pick with a
+    * distributed top-k); vectors assign to the nearest centroid by cosine;
+    * the query probes its 4 nearest cells (mirrors Similarity.ivfTopK). */
   private val IVF =
-    """st AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn,
-      |              count(*) OVER () AS n
-      |       FROM embeddings),
-      |cent AS (
-      |  SELECT (rn - 1) // greatest(1, n // 16) AS cid, embedding AS cv
-      |  FROM st
-      |  WHERE (rn - 1) % greatest(1, n // 16) = 0 AND rn <= greatest(1, n // 16) * 16),
+    """cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16) pick),
       |rankd AS (
       |  SELECT e.vec_id, c.cid,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY

@@ -60,6 +60,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(popcount(sh(1L) ^ sh(3L)) < popcount(sh(1L) ^ sh(4L)))
   }
 
+  test("single-pass simhash equals the exploded per-bit form") {
+    val fast = TestSpark.toMap2(Dedup.simhash(corpus))
+    val slow = TestSpark.toMap2(Dedup.simhashExploded(corpus))
+    assert(fast == slow && fast.nonEmpty)
+    // zero-token docs emit no row in either form
+    val edge = docs(1L -> "", 2L -> "one")
+    assert(TestSpark.toMap2(Dedup.simhash(edge)).keySet == Set(2L))
+    assert(TestSpark.toMap2(Dedup.simhashExploded(edge)).keySet == Set(2L))
+  }
+
   test("language id votes stopwords") {
     val m = TextOps.langId(corpus).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap

@@ -5,16 +5,22 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The custom optimizer rule [[graft.plans.OffsetComparisonRewrite]]:
   * range predicates through constant-offset arithmetic must reach the
-  * parquet scan as plain attribute filters. */
+  * parquet scan as plain attribute filters.
+  *
+  * The rule is installed into a CHILD session (`spark.newSession()`, same
+  * SparkContext, own sessionState) — never into the shared TestSpark
+  * session: the rewrite is semantics-changing in non-ANSI overflow corners
+  * and must not leak into other specs' planning (ADVICE r2). */
 class RuleSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
   test("offset comparisons are inverted onto the source column and pushed") {
-    graft.plans.OffsetComparisonRewrite.install(spark)
+    val s2 = spark.newSession()
+    graft.plans.OffsetComparisonRewrite.install(s2)
     val lo = Tables.SupplierBase
     val hi = Tables.SupplierBase + 4
-    val natural = Tables.orderEdges(spark, dir)
+    val natural = Tables.orderEdges(s2, dir)
       .filter(col("dst").between(lo, hi))
       .groupBy("dst").agg(count(lit(1)).as("n"))
     val plan = natural.queryExecution.executedPlan.toString
@@ -22,7 +28,8 @@ class RuleSpec extends AnyFunSuite {
     // appear as pushed parquet filters on the SOURCE column
     assert(plan.contains("GreaterThanOrEqual(l_suppkey,0)"), plan.take(2000))
     assert(plan.contains("LessThanOrEqual(l_suppkey,4)"), plan.take(2000))
-    // and the results must equal the hand-rewritten W2 form
+    // and the results must equal the hand-rewritten W2 form (planned on the
+    // pristine shared session — no rule installed there)
     val hand = Tables.orderEdgesForDstRange(spark, dir, lo, hi)
       .filter(col("dst").between(lo, hi))
       .groupBy("dst").agg(count(lit(1)).as("n"))
@@ -31,10 +38,17 @@ class RuleSpec extends AnyFunSuite {
   }
 
   test("rewrite skips when folding would overflow") {
-    graft.plans.OffsetComparisonRewrite.install(spark)
-    val s = spark; import s.implicits._
+    val s2 = spark.newSession()
+    graft.plans.OffsetComparisonRewrite.install(s2)
+    import s2.implicits._
     val df = Seq(1L, 5L).toDF("x")
       .filter(expr(s"x - 100 < ${Long.MaxValue - 10}")) // k + 100 overflows
     assert(df.collect().map(_.getLong(0)).toSet == Set(1L, 5L)) // semantics intact
+  }
+
+  test("the shared session's optimizer stays pristine (no rule leak)") {
+    val extra = spark.experimental.extraOptimizations
+    assert(!extra.contains(graft.plans.OffsetComparisonRewrite),
+      s"OffsetComparisonRewrite leaked into the shared session: $extra")
   }
 }
