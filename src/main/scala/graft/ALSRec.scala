@@ -56,18 +56,42 @@ object ALSRec {
   def rmseChecked(spark: SparkSession, dir: String, bound: Double = 1.38): DataFrame =
     rmse(spark, dir).select(col("n"), (col("rmse") < bound).as("rmse_ok"))
 
+  /** Where [[recommendTopK]] dumps the factors behind each served ranking
+    * so the DuckDB oracle can re-rank them with identical arithmetic.
+    * Partitioned by the training-set row count (dynamic overwrite), so
+    * runs at different scale factors coexist and the oracle picks its
+    * partition by recomputing `count(edges)` from the base tables —
+    * robust to Verify/Bench run order. */
+  val OracleDumpDir = "/tmp/graft_oracle"
+
+  private def dump(df: DataFrame, name: String): Unit =
+    df.coalesce(1).write.partitionBy("n_ratings")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$OracleDumpDir/$name.parquet")
+
   /** Q11: serve top-k items for the smallest user id by explicit
     * dot-product over the factor arrays (the reference's predictRating
-    * path, not recommendForAllUsers — the serving join is the point). */
+    * path, MovieDatabase.scala:155-166 — not recommendForAllUsers; the
+    * serving join is the point).
+    *
+    * Oracle-checked (VERDICT r2 §next-2): the score is the bit-equal
+    * left-fold double dot scaled to integer (the e1/d5 pattern), and the
+    * factors it ranks are dumped to [[OracleDumpDir]], so DuckDB
+    * re-derives the EXACT served ranking from the same floats — the
+    * previously rows-only float serving now hash-matches. */
   def recommendTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val model = fit(spark, dir)
     val r = ratings(spark, dir)
-    val minUser = r.agg(min("user").as("qu"))
-    val uf = model.userFactors.join(broadcast(minUser), col("id") === col("qu"))
-      .select(col("features").as("ufeat"))
-    model.itemFactors.crossJoin(broadcast(uf))
-      .select(col("id").as("item"),
-        Similarity.dot(col("features"), col("ufeat")).as("score"))
-      .orderBy(col("score").desc, col("item")).limit(k)
+    val n = r.count()
+    val minUser = r.agg(min("user")).head.getInt(0)
+    val uf = model.userFactors.filter(col("id") === minUser)
+    dump(uf.select(col("features"), lit(n).as("n_ratings")), "q11_user")
+    dump(model.itemFactors.select(col("id"), col("features"), lit(n).as("n_ratings")),
+      "q11_items")
+    model.itemFactors.crossJoin(broadcast(uf.select(col("features").as("ufeat"))))
+      .select(col("id").cast("long").as("item"),
+        floor(Similarity.dot(col("features"), col("ufeat")) * 1000000L)
+          .cast("long").as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("item")).limit(k)
   }
 }

@@ -55,9 +55,28 @@ object ComputeQueries {
       Some(Oracle.withSql(Oracle.EDGES,
         "SELECT count(*) AS n, true AS rmse_ok FROM edges"))),
 
-    // ---- Q11: dot-product top-k recommendation serving (rows-only) ----
+    // ---- Q11: dot-product top-k recommendation serving. The float
+    // factors are not oracle-derivable, but the served RANKING is: the
+    // query dumps the factors it ranked (partitioned by training-set
+    // size), and the oracle re-ranks them with the identical left-fold
+    // scaled-int dot, selecting its partition via count(edges). ----
     ("q11_recommend_topk",
       (s: SparkSession, d: String) => ALSRec.recommendTopK(s, d, k = 10),
-      None),
+      Some(Oracle.withSql(Oracle.EDGES,
+        s"""SELECT CAST(it.id AS BIGINT) AS item,
+           |  CAST(floor(list_reduce(list_transform(
+           |      list_zip(it.features, uf.features),
+           |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+           |    (s, v) -> s + v) * 1000000) AS BIGINT) AS score_scaled
+           |FROM (SELECT id, features
+           |      FROM read_parquet('${ALSRec.OracleDumpDir}/q11_items.parquet/*/*.parquet',
+           |                        hive_partitioning = true)
+           |      WHERE CAST(n_ratings AS BIGINT) = (SELECT count(*) FROM edges)) it
+           |CROSS JOIN
+           |     (SELECT features
+           |      FROM read_parquet('${ALSRec.OracleDumpDir}/q11_user.parquet/*/*.parquet',
+           |                        hive_partitioning = true)
+           |      WHERE CAST(n_ratings AS BIGINT) = (SELECT count(*) FROM edges)) uf
+           |ORDER BY score_scaled DESC, item LIMIT 10""".stripMargin))),
   )
 }
