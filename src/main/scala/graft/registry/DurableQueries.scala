@@ -1,0 +1,112 @@
+package graft.registry
+
+import graft._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Oracle.withSql
+
+/** P3/P4/P5 + S5 against the DURABLE store ([[graft.DurableStore]]):
+  * the same point mutations as the plan-rewrite entries in
+  * [[PointOpsQueries]], but persisted via copy-on-write partition rewrite
+  * and read back through a REOPENED store (fresh manifest from disk), so
+  * the oracle checks what survived the commit, not what a session plan
+  * holds. Oracles are identical to the p3/p4/p5 entries — durability must
+  * not change a single value.
+  *
+  * Every entry branches from version 1 of a shared per-dir base store, so
+  * entries are order-independent (old versions are immutable) and repeat
+  * runs are deterministic. */
+object DurableQueries {
+
+  private val stores =
+    new java.util.concurrent.ConcurrentHashMap[String, DurableStore]()
+
+  /** Base store (version 1) for a fixture dir, created once per JVM. */
+  def baseStore(s: SparkSession, d: String): DurableStore =
+    stores.computeIfAbsent(s"${s.sparkContext.applicationId}|$d", _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-durable").toString
+      DurableStore.create(s, Tables.orderEdges(s, d), root)
+    })
+
+  /** Reopen from disk — drops every in-memory handle the mutation held. */
+  private def reopen(s: SparkSession, st: DurableStore): DurableStore =
+    new DurableStore(s, st.root)
+
+  private def minSrcVal(s: SparkSession, d: String): Long =
+    Tables.orderEdges(s, d).agg(min("src")).head.getLong(0)
+
+  val entries: Seq[QueryEntry] = Seq(
+
+    // ---- P3 durable: updateEdge persisted by bucket rewrite ----
+    ("p3_update_edge_store",
+      (s: SparkSession, d: String) => {
+        val st = baseStore(s, d)
+        val v = minSrcVal(s, d)
+        val nv = st.updateEdges(1, col("src") === v, "rating", lit(9), srcKey = Some(v))
+        reopen(s, st).read(nv)
+          .agg(sum(col("rating")).cast("long").as("rating_sum"),
+               count(lit(1)).as("n"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT CAST(sum(CASE WHEN src = (SELECT min(src) FROM edges) THEN 9 ELSE rating END) AS BIGINT) AS rating_sum,
+          |       count(*) AS n
+          |FROM edges""".stripMargin))),
+
+    // ---- P4 durable: deleteEdges persisted ----
+    ("p4_delete_edge_store",
+      (s: SparkSession, d: String) => {
+        val st = baseStore(s, d)
+        val v = minSrcVal(s, d)
+        val w = st.read(1).filter(col("src") === v).agg(min("dst")).head.getLong(0)
+        val nv = st.deleteEdges(1, col("src") === v && col("dst") === w,
+          srcKey = Some(v), dstKey = Some(w))
+        reopen(s, st).read(nv)
+          .agg(count(lit(1)).as("n"), sum(cents(col("weight"))).as("wsum_cents"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT count(*) AS n,
+          |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS wsum_cents
+          |FROM edges
+          |WHERE NOT (src = (SELECT min(src) FROM edges)
+          |       AND dst = (SELECT min(dst) FROM edges WHERE src = (SELECT min(src) FROM edges)))""".stripMargin))),
+
+    // ---- P5 durable: deleteVertex persisted (both endpoint sides) ----
+    ("p5_delete_vertex_store",
+      (s: SparkSession, d: String) => {
+        val st = baseStore(s, d)
+        val v = minSrcVal(s, d)
+        val nv = st.deleteVertex(1, v)
+        reopen(s, st).read(nv)
+          .agg(count(lit(1)).as("n"), sum(cents(col("weight"))).as("wsum_cents"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT count(*) AS n,
+          |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS wsum_cents
+          |FROM edges
+          |WHERE src <> (SELECT min(src) FROM edges) AND dst <> (SELECT min(src) FROM edges)""".stripMargin))),
+
+    // ---- S5 durable log + compaction: append a micro-batch as a delta
+    //      file, compact it into the sorted buckets, read back the merged
+    //      store — the LSM merge cycle end-to-end, value-checked ----
+    ("s5_durable_append_compact",
+      (s: SparkSession, d: String) => {
+        val st = baseStore(s, d)
+        val v = minSrcVal(s, d)
+        val batch = Tables.orderEdges(s, d).filter(col("src") === v)
+        val appended = st.append(1, batch)
+        val compacted = st.compact(appended)
+        val m = reopen(s, st).manifest(compacted)
+        require(m.files.forall(_.sorted), "compaction left delta files behind")
+        reopen(s, st).read(compacted)
+          .agg(count(lit(1)).as("n"), sum(cents(col("weight"))).as("wsum_cents"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """, aug AS (
+          |  SELECT * FROM edges
+          |  UNION ALL
+          |  SELECT * FROM edges WHERE src = (SELECT min(src) FROM edges))
+          |SELECT count(*) AS n,
+          |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS wsum_cents
+          |FROM aug""".stripMargin))),
+  )
+}

@@ -48,6 +48,25 @@ object OnlineIngest {
       .start()
   }
 
+  /** S1+S5 durable online ingest: every micro-batch is committed to the
+    * [[graft.DurableStore]] as one delta file (the reference's
+    * flushAllBuffers, GraphChiDatabase.scala:913-938), and every
+    * `compactEvery` batches the deltas are merged back into the sorted
+    * buckets (the LSM merge, DiskShard.mergeToAndClear:309-420) — so an
+    * always-on ingest never accumulates unbounded small files, and a
+    * reader opening the store's latest version sees every committed batch
+    * (durable read-your-writes, vs [[ingest]]'s session-plan union). */
+  def ingestDurable(spark: SparkSession, schema: StructType, dir: String,
+                    store: graft.DurableStore, compactEvery: Int = 4): StreamingQuery =
+    edgeStream(spark, schema, dir).writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val v = store.append(store.currentVersion, batch)
+        if ((batchId + 1) % compactEvery == 0) store.compact(v)
+        ()
+      }
+      .start()
+
   case class Ev(user_id: Long, ts_ms: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** [[DurableStore]]: versioned copy-on-write mutations, manifest-routed
+  * pruning, LSM-style append + compaction — the durable substrate behind
+  * the p3/p4/p5_store and s5 registry entries. */
+class DurableStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def edges(rows: (Long, Long)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("src", "dst").select(col("src"), col("dst"),
+      lit(0).as("etype"), (col("src") * 10 + col("dst")).as("w"))
+  }
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+
+  private def fresh(rows: (Long, Long)*): DurableStore =
+    DurableStore.create(spark, edges(rows: _*),
+      Files.createTempDirectory("graft-ds").toString, numBuckets = 4)
+
+  val base = Seq((1L, 10L), (1L, 11L), (5L, 10L), (9L, 12L), (13L, 10L), (17L, 11L))
+
+  test("create + read round-trips the edge multiset; reopen sees the same") {
+    val st = fresh(base: _*)
+    assert(rowSet(st.read(1)) == rowSet(edges(base: _*)))
+    assert(rowSet(new DurableStore(spark, st.root).readLatest()) == rowSet(edges(base: _*)))
+  }
+
+  test("readForSrc prunes to the files whose range covers the key") {
+    val st = fresh(base: _*)
+    val m = st.manifest(1)
+    assert(m.files.size > 1, "fixture should span multiple buckets")
+    val hit = m.files.filter(f => 1L >= f.srcMin && 1L <= f.srcMax)
+    assert(hit.size < m.files.size, "point read must not touch every file")
+    assert(rowSet(st.readForSrc(1, 1L).filter(col("src") === 1L)) ==
+      rowSet(edges(base: _*)).filter(_._1 == 1L).map(identity))
+  }
+
+  test("updateEdges is copy-on-write: only covering files rewritten, old version intact") {
+    val st = fresh(base: _*)
+    val v2 = st.updateEdges(1, col("src") === 1L, "w", lit(99L), srcKey = Some(1L))
+    // durable: reopen from disk, new version reflects the update
+    val re = new DurableStore(spark, st.root)
+    assert(re.read(v2).filter(col("src") === 1L).select("w")
+      .collect().map(_.getLong(0)).toSet == Set(99L))
+    // time travel: version 1 is untouched
+    assert(rowSet(re.read(1)) == rowSet(edges(base: _*)))
+    // copy-on-write: files not covering src=1 are the SAME paths in both manifests
+    val before = st.manifest(1).files.filter(f => !(1L >= f.srcMin && 1L <= f.srcMax))
+    val after = re.manifest(v2).files
+    assert(before.forall(f => after.exists(_.path == f.path)), "untouched files must be reused")
+    assert(st.manifest(1).files.size == after.size)
+  }
+
+  test("deleteEdges and deleteVertex persist; branches from v1 are independent") {
+    val st = fresh(base: _*)
+    val vDel = st.deleteEdges(1, col("src") === 1L && col("dst") === 10L,
+      srcKey = Some(1L), dstKey = Some(10L))
+    val vVtx = st.deleteVertex(1, 10L) // branches from v1, NOT from vDel
+    val re = new DurableStore(spark, st.root)
+    assert(rowSet(re.read(vDel)) == rowSet(edges(base.filterNot(_ == (1L, 10L)): _*)))
+    assert(rowSet(re.read(vVtx)) == rowSet(edges(base.filterNot(_._2 == 10L): _*)))
+    assert(rowSet(re.read(1)) == rowSet(edges(base: _*)))
+  }
+
+  test("append adds a delta file without touching base; compact bin-packs it away sorted") {
+    val st = fresh(base: _*)
+    val batch = Seq((2L, 10L), (16L, 12L), (2L, 11L))
+    val vApp = st.append(1, edges(batch: _*))
+    val mApp = st.manifest(vApp)
+    assert(mApp.files.count(!_.sorted) == 1, "append = exactly one new delta file set")
+    assert(st.manifest(1).files.forall(f => mApp.files.exists(_.path == f.path)),
+      "append must reuse every base file")
+    assert(rowSet(st.read(vApp)) == rowSet(edges(base ++ batch: _*)))
+
+    val vC = st.compact(vApp)
+    val mC = new DurableStore(spark, st.root).manifest(vC)
+    assert(mC.files.forall(_.sorted), "no delta files after compaction")
+    assert(mC.files.size <= mApp.files.size - 1, "compaction must shrink the file count")
+    assert(rowSet(st.read(vC)) == rowSet(edges(base ++ batch: _*)))
+    // each compacted bucket file is (src, dst)-sorted on disk
+    mC.files.foreach { f =>
+      val rows = spark.read.parquet(f.path).select("src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sorted), s"bucket ${f.bucket} not sorted")
+    }
+    // compacting an already-compacted version is a no-op
+    assert(st.compact(vC) == vC)
+  }
+
+  test("streaming micro-batches append durably; compaction merges a week of small files") {
+    val st = fresh(base: _*)
+    // five micro-batches, each one small file — the streaming-ingest shape
+    var v = 1
+    val batches = (0 until 5).map(i => Seq((20L + i, 10L + i % 3)))
+    batches.foreach { b => v = st.append(v, edges(b: _*)) }
+    assert(st.manifest(v).files.count(!_.sorted) == 5)
+    val all = base ++ batches.flatten
+    assert(rowSet(st.read(v)) == rowSet(edges(all: _*)))
+    val vC = st.compact(v)
+    val mC = st.manifest(vC)
+    assert(mC.files.forall(_.sorted) && mC.files.size <= st.manifest(1).files.size + 2)
+    assert(rowSet(st.read(vC)) == rowSet(edges(all: _*)))
+  }
+}

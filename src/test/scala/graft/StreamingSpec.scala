@@ -36,6 +36,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.queryOut(lit(2L)).count() == 1L) // queries see buffered edges
   }
 
+  test("durable ingest: micro-batches commit to the store, compaction bounds the file count") {
+    val dir = Files.createTempDirectory("graft-dstream").toString
+    // four micro-batches (maxFilesPerTrigger=1) with an edge-table schema
+    val sch = StructType(Seq(StructField("src", LongType), StructField("dst", LongType),
+      StructField("etype", IntegerType), StructField("w", LongType)))
+    val s = spark; import s.implicits._
+    def batch(rows: (Long, Long)*) =
+      rows.toDF("src", "dst").select(col("src"), col("dst"),
+        lit(0).as("etype"), (col("src") * 10 + col("dst")).as("w"))
+    (0 until 4).foreach(i => batch((30L + i, 7L)).write.parquet(s"$dir/b$i.parquet"))
+
+    val store = DurableStore.create(spark, batch((1L, 7L), (9L, 8L)),
+      Files.createTempDirectory("graft-dstore").toString, numBuckets = 2)
+    val q = graft.streaming.OnlineIngest.ingestDurable(spark, sch, s"$dir/*", store,
+      compactEvery = 4)
+    q.awaitTermination()
+
+    // reopen cold: all 6 edges are durably visible
+    val re = new DurableStore(spark, store.root)
+    val got = re.readLatest().select("src").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 9L, 30L, 31L, 32L, 33L))
+    // the 4th batch triggered compaction: no deltas left, file count is
+    // back to ~bucket count instead of base+4 micro-batch files
+    val m = re.manifest(re.currentVersion)
+    assert(m.files.forall(_.sorted), s"deltas survived: $m")
+    assert(m.files.size <= 3)
+  }
+
   test("stateful sessionization closes sessions on gap (flatMapGroupsWithState)") {
     val dir = Files.createTempDirectory("graft-sess").toString
     val s = spark; import s.implicits._
