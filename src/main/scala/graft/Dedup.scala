@@ -138,26 +138,22 @@ object Dedup {
     * bits of md5(token), per-bit majority vote).
     *
     * Single-pass form (VERDICT r2 §wrong-3): one narrow per-row projection —
-    * fold the document's token-hash array into a 60-long vote vector with
-    * `aggregate`+`zip_with`, then pack the sign bits. NO shuffle and no row
+    * the codegen'd [[graft.functions.SimHash60]] expression folds the
+    * distinct-token array straight to the packed 60-bit majority vote
+    * (md5 + vote + pack in one compiled loop). NO shuffle and no row
     * amplification; the r2 form exploded every distinct token into 60
-    * bit-rows (60×·tokens CPU + a two-level groupBy) before aggregating.
-    * Values are identical: per (doc, bit) the vote is the same
-    * order-independent integer sum. Documents with zero tokens emit no row
-    * (the exploded form dropped them implicitly; the oracle does too). */
+    * bit-rows (60×·tokens rows + a two-level groupBy) before aggregating,
+    * and a pure higher-order-function fold (tried in between) was slower
+    * than either — `transform`/`aggregate` lambdas are interpreted per
+    * element. Values are identical across all forms: per (doc, bit) the
+    * vote is the same order-independent integer sum. Documents with zero
+    * tokens emit no row (the exploded form dropped them implicitly; the
+    * oracle does too). */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
       .filter(size(col("ts")) > 0)
-      .select(col("doc_id"), expr(
-        """aggregate(
-          |  zip_with(
-          |    aggregate(
-          |      transform(ts, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
-          |      array_repeat(cast(0 as bigint), 60),
-          |      (acc, h) -> zip_with(acc, sequence(0, 59), (a, b) -> a + 2 * ((h >> b) & 1) - 1)),
-          |    sequence(0, 59),
-          |    (v, b) -> if(v > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
-          |  cast(0 as bigint), (s, v) -> s + v)""".stripMargin).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SimHash60.of(docs.sparkSession, col("ts")).as("simhash"))
 
   /** The r2 explode-per-bit SimHash derivation — kept (test-pinned against
     * [[simhash]]) as the shape the oracle SQL mirrors. */

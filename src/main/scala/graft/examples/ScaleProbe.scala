@@ -53,19 +53,34 @@ object ScaleProbe {
       }
     }
 
-    // MultiBFS at reference scale: 1,000 simultaneous seeds (reference runs
-    // 1,200) over the Kx symmetric graph — packed state is K ints/vertex,
-    // one frontier-only scatter per superstep
+    // MultiBFS at reference scale: 1,200 simultaneous seeds (exactly the
+    // reference's run, MultiBFS.scala:51,61) over the Kx symmetric graph —
+    // packed state is K ints/vertex (V·1200·4B ≈ 80 MB at 16×), one
+    // frontier-only scatter per superstep
     {
       val e = replicate(k)
       val sym = e.select("src", "dst")
         .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint(true)
       val seeds = sym.select("src").distinct().orderBy("src")
-        .limit(1000).collect().map(_.getLong(0)).toSeq
-      timed(s"multibfs_1000seeds x$k") {
+        .limit(1200).collect().map(_.getLong(0)).toSeq
+      timed(s"multibfs_1200seeds x$k") {
         MultiBFSPacked.run(spark, sym, seeds, maxDepth = 3).count()
       }
+    }
+
+    // d4 SimHash: single-pass per-document array aggregate vs the r2
+    // explode-per-bit form (60× row amplification) on Kx documents
+    {
+      val docs = Tables.documents(spark, dir).localCheckpoint(true)
+      val docsK = (0 until k).map { i =>
+        docs.select((col("doc_id") + i * 10000000L).as("doc_id"), col("text"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      // one untimed pass each so JIT/codegen warmup doesn't mask the
+      // steady-state CPU difference (the quantity that scales)
+      Dedup.simhash(docsK).count(); Dedup.simhashExploded(docsK).count()
+      timed(s"d4_simhash_singlepass x$k") { Dedup.simhash(docsK).count() }
+      timed(s"d4_simhash_exploded x$k") { Dedup.simhashExploded(docsK).count() }
     }
 
     // d5 embedding near-dup: LSH-candidate path vs all-pairs growth.
@@ -88,6 +103,14 @@ object ScaleProbe {
       }
       timed(s"d5_allpairs_cosine x$k") {
         Similarity.cosinePairs(ecK, 400000L).count()
+      }
+      // e3 IVF ANN: distributed centroid pick (r3) — query cost ∝ probed
+      // fraction, no global single-partition window anywhere in the plan
+      timed(s"e3_ivf_topk x1") {
+        Similarity.ivfTopK(ec1, k = 10, nCells = 16, nprobe = 4).count()
+      }
+      timed(s"e3_ivf_topk x$k") {
+        Similarity.ivfTopK(ecK, k = 10, nCells = 16, nprobe = 4).count()
       }
     }
 
