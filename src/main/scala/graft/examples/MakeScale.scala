@@ -1,0 +1,56 @@
+package graft.examples
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize a data-bound bench fixture: replicate an sf dir K× as
+  * id-shifted disjoint copies of every table, keeping all join keys
+  * consistent (orderkey shifts match between lineitem and orders, custkey
+  * between orders and customer, …) and keeping the disjoint-id-space
+  * invariants of [[graft.Tables]] (shifted suppliers stay below
+  * NationBase, shifted customers below SupplierBase). `sf0.1 × 10` ≈ sf1:
+  * 6M lineitem rows, the scale where per-job overhead stops hiding plan
+  * differences — the BENCH_sf1 input.
+  *
+  * Usage: MakeScale <srcDir> <outDir> [k=10]
+  */
+object MakeScale {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val k = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rep(name: String, shifts: Map[String, Long], parts: Int = 8): Unit = {
+      val t = spark.read.parquet(s"$src/$name.parquet")
+      val all = (0 until k).map { i =>
+        shifts.foldLeft(t) { case (df, (c, base)) =>
+          df.withColumn(c, col(c) + lit(i * base)) }
+      }.reduce(_ unionByName _)
+      all.repartition(parts).write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+      println(s"[makescale] $name x$k -> ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    // shift bases sized so k<=10 copies never cross an id-space boundary
+    rep("lineitem", Map("l_orderkey" -> 10000000L, "l_suppkey" -> 10000L,
+      "l_partkey" -> 1000000L), parts = 16)
+    rep("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 50000L))
+    rep("customer", Map("c_custkey" -> 50000L))
+    rep("supplier", Map("s_suppkey" -> 10000L))
+    rep("part", Map("p_partkey" -> 1000000L))
+    rep("events", Map("event_id" -> 10000000L, "user_id" -> 100000L))
+    rep("documents", Map("doc_id" -> 10000000L))
+    rep("embeddings", Map("vec_id" -> 10000000L))
+    // reference dimensions stay fixed (shared by every copy)
+    Seq("nation", "region").foreach { n =>
+      spark.read.parquet(s"$src/$n.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$n.parquet")
+    }
+    spark.stop()
+  }
+}

@@ -55,6 +55,16 @@ object ComputeQueries {
       Some(Oracle.withSql(Oracle.EDGES,
         "SELECT count(*) AS n, true AS rmse_ok FROM edges"))),
 
+    // ---- C6b: reference-EXACT ALS — the per-vertex D=10 λ=0.065
+    // Cholesky least-squares sweep (ALSMatrixFactorization.scala:130-223)
+    // as a typed-Aggregator DataFrame port, same convergence-boolean
+    // oracle pattern as c6 (converges to ~1.20-1.25; bound 1.38 sits
+    // between that and the ~1.41 predict-the-mean baseline) ----
+    ("c6b_als_sweep_rmse",
+      (s: SparkSession, d: String) => ALSSweep.rmseChecked(s, d),
+      Some(Oracle.withSql(Oracle.EDGES,
+        "SELECT count(*) AS n, true AS rmse_ok FROM edges"))),
+
     // ---- Q11: dot-product top-k recommendation serving. The float
     // factors are not oracle-derivable, but the served RANKING is: the
     // query dumps the factors it ranked (partitioned by training-set

@@ -38,5 +38,50 @@ object EventQueries {
       Some(
         """SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k, count(*) AS n
           |FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- S2b: the reference's real parser shape (WikipediaParsers.scala:
+    //      40-140): multi-field SQL-dump tuples `(id,uid,'type')` parsed
+    //      with a multi-group regex, MALFORMED LINES TOLERATED (skipped
+    //      and counted, not fatal — the reference's chunk parser bails to
+    //      the next '(' the same way). The dump lines are synthesized
+    //      deterministically from event columns (a corrupt line every
+    //      event_id % 17), so both engines parse the identical corpus. ----
+    ("s2b_parse_tuples",
+      (s: SparkSession, d: String) => {
+        val P = "^\\(([0-9]+),([0-9]+),'([a-z_]+)'\\)$"
+        val lines = Tables.events(s, d)
+          .select(col("event_id"),
+            concat(lit("("), col("event_id"), lit(","), col("user_id"),
+              lit(",'"), col("event_type"), lit("')")).as("line0"))
+          .select(when(col("event_id") % 17 === 0,
+              expr("substring(line0, 1, length(line0)-2)"))
+            .otherwise(col("line0")).as("line"))
+        val ex = lines.select(
+          regexp_extract(col("line"), P, 2).as("uid_s"),
+          regexp_extract(col("line"), P, 3).as("et"))
+        val good = ex.filter(col("et") =!= "").groupBy("et")
+          .agg(count(lit(1)).as("n"), sum(col("uid_s").cast("long")).as("uid_sum"))
+        val bad = ex.filter(col("et") === "").agg(count(lit(1)).as("n"))
+          .select(lit("__rejected").as("et"), col("n"), lit(0L).as("uid_sum"))
+        good.unionByName(bad)
+      },
+      Some(
+        """WITH lines AS (
+          |  SELECT event_id,
+          |    '(' || event_id || ',' || user_id || ',''' || event_type || ''')' AS line0
+          |  FROM events),
+          |corrupted AS (
+          |  SELECT CASE WHEN event_id % 17 = 0
+          |         THEN substring(line0, 1, length(line0)-2) ELSE line0 END AS line
+          |  FROM lines),
+          |ex AS (
+          |  SELECT regexp_extract(line, '^\(([0-9]+),([0-9]+),''([a-z_]+)''\)$', 2) AS uid_s,
+          |         regexp_extract(line, '^\(([0-9]+),([0-9]+),''([a-z_]+)''\)$', 3) AS et
+          |  FROM corrupted)
+          |SELECT et, count(*) AS n, CAST(sum(CAST(uid_s AS BIGINT)) AS BIGINT) AS uid_sum
+          |FROM ex WHERE et <> '' GROUP BY et
+          |UNION ALL
+          |SELECT '__rejected' AS et, count(*) AS n, 0 AS uid_sum
+          |FROM ex WHERE et = ''""".stripMargin)),
   )
 }
