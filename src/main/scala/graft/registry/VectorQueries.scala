@@ -12,6 +12,16 @@ import org.apache.spark.sql.SparkSession
   * the brute-force truth as an oracle-checked count. */
 object VectorQueries {
 
+  // cell-partitioned IVF store, written once per (session, fixture dir)
+  private val ivfStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfStorePath(s: SparkSession, d: String): String =
+    ivfStores.computeIfAbsent(s"${s.sparkContext.applicationId}|$d", _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      Similarity.ivfStoreWrite(Tables.embeddings(s, d), path, nCells = 16)
+      path
+    })
+
   /** Exact scaled cosine between two embedding columns (DuckDB fragment). */
   private def cosSql(a: String, b: String): String =
     s"""CAST(floor(
@@ -102,6 +112,14 @@ object VectorQueries {
     ("e3_ann_ivf_topk",
       (s: SparkSession, d: String) =>
         Similarity.ivfTopK(Tables.embeddings(s, d), k = 10, nCells = 16, nprobe = 4),
+      Some(s"WITH $Q, $IVF, $IVFTOP\nSELECT vec_id, cos_scaled FROM ivftop")),
+
+    // e3's probe served from the CELL-PARTITIONED store: the probe reads
+    // only the nprobe cell directories (PartitionFilters at the scan) —
+    // same deterministic centroids/assignment, so the SAME oracle as e3
+    ("e3b_ann_ivf_store_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.ivfStoreTopK(s, ivfStorePath(s, d), k = 10, nprobe = 4),
       Some(s"WITH $Q, $IVF, $IVFTOP\nSELECT vec_id, cos_scaled FROM ivftop")),
 
     // ---- recall@10 gates: |ANN top-10 ∩ brute top-10| as oracle-checked

@@ -27,6 +27,19 @@ class SimilarityLshSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall = ${lsh.size}/${brute.size}")
   }
 
+  test("cell-partitioned IVF store: directory pruning in the plan, same results as ivfTopK") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfStoreWrite(emb, path, nCells = 16)
+    val got = Similarity.ivfStoreTopK(spark, path, k = 10, nprobe = 4)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid#") ||
+      "PartitionFilters: \\[.*cid".r.findFirstIn(plan).isDefined,
+      "probe must prune at the partition level:\n" + plan.take(2000))
+    val want = Similarity.ivfTopK(emb, k = 10, nCells = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == want)
+  }
+
   test("ANN recall@10 floors: multi-probe LSH and IVF vs brute force") {
     val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
     val lsh = Similarity.lshTopK(emb, bits = 6, k = 10, probeRadius = 2)
