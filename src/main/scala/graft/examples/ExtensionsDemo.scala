@@ -33,7 +33,14 @@ object ExtensionsDemo {
       "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").first().getDouble(0)
     println(s"[ext] graft_dot via SQL: $dot (expect 11.0)")
-    require(pushed && dot == 11.0, "extensions not active")
+    // the injected SimHash60 must agree with the SQL derivation of one
+    // token's hash: a single token votes its own bits
+    val sh = spark.sql(
+      "SELECT graft_simhash60(array('hello')) = " +
+        "CAST(conv(substring(md5('hello'), 1, 15), 16, 10) AS BIGINT) AS ok")
+      .first().getBoolean(0)
+    println(s"[ext] graft_simhash60 via SQL matches md5 derivation: $sh")
+    require(pushed && dot == 11.0 && sh, "extensions not active")
     println("[ext] OK")
     spark.stop()
   }

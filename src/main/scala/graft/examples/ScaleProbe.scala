@@ -114,6 +114,29 @@ object ScaleProbe {
       }
     }
 
+    // DurableStore at Kx: a src-keyed point mutation must rewrite ONE
+    // bucket (copy-on-write routed by manifest stats) — its cost tracks
+    // bucket size, not table size; compaction folds appended deltas back
+    // into sorted buckets
+    {
+      val e = replicate(k)
+      val root = java.nio.file.Files.createTempDirectory("graft-probe-ds").toString
+      var st: graft.DurableStore = null
+      timed(s"durable_create x$k") {
+        st = graft.DurableStore.create(spark, e, root, numBuckets = 16)
+        st.read(1).count()
+      }
+      val v = e.agg(min("src")).head.getLong(0)
+      timed(s"durable_point_update x$k") {
+        val nv = st.updateEdges(1, col("src") === v, "rating", lit(9), srcKey = Some(v))
+        st.manifest(nv).files.count(f => !st.manifest(1).files.exists(_.path == f.path)).toLong
+      }
+      timed(s"durable_append+compact x$k") {
+        val va = st.append(1, e.filter(col("src") === v))
+        st.read(st.compact(va)).count()
+      }
+    }
+
     // skew: all replicas hammer one hot dst
     val skewed = replicate(k).withColumn("dst",
       when(rand(7) < 0.5, lit(1000001L)).otherwise(col("dst")))

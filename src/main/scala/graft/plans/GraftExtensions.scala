@@ -39,5 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.FloatDotProduct.FnName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.FloatDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.SimHash60.FnName),
+      new ExpressionInfo(classOf[graft.functions.SimHash60].getName,
+        graft.functions.SimHash60.FnName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SimHash60(exprs.head)))
   }
 }
