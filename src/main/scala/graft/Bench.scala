@@ -33,6 +33,8 @@ object Bench {
     Tables.documents(spark, sfDir).count()
     Tables.edgeStorePath(spark, sfDir)
     Tables.edgeStoreByDstPath(spark, sfDir)
+    registry.DurableQueries.baseStore(spark, sfDir) // durable bulk load
+    registry.VectorQueries.ivfStorePath(spark, sfDir) // IVF cell partitions
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()

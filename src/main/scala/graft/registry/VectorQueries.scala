@@ -15,7 +15,7 @@ object VectorQueries {
   // cell-partitioned IVF store, written once per (session, fixture dir)
   private val ivfStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ivfStorePath(s: SparkSession, d: String): String =
+  private[graft] def ivfStorePath(s: SparkSession, d: String): String =
     ivfStores.computeIfAbsent(s"${s.sparkContext.applicationId}|$d", _ => {
       val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
       Similarity.ivfStoreWrite(Tables.embeddings(s, d), path, nCells = 16)
