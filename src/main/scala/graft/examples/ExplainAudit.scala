@@ -11,7 +11,10 @@ object ExplainAudit {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("p7_column_select", "q1_fof_excl_top20", "w2_sweep_in_interval",
-        "n3_query_out_multiple", "w1_lineitem_agg", "e1_ann_bruteforce_topk")
+        "n3_query_out_multiple", "w1_lineitem_agg", "e1_ann_bruteforce_topk",
+        // r3: cell-partition pruning (PartitionFilters: [cid IN …]),
+        // manifest-pruned durable point read, codegen simhash projection
+        "e3b_ann_ivf_store_topk", "n1_query_out_durable", "d4_dedup_simhash")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

@@ -37,6 +37,21 @@ object DurableQueries {
 
   val entries: Seq[QueryEntry] = Seq(
 
+    // ---- N1 served from the durable store's manifest-pruned point-read
+    //      path (readForSrc: only files whose [srcMin, srcMax] cover the
+    //      key are even listed — the interval→shard routing of the
+    //      reference, file-level, before row-group pruning) ----
+    ("n1_query_out_durable",
+      (s: SparkSession, d: String) => {
+        val st = baseStore(s, d)
+        val v = minSrcVal(s, d)
+        st.readForSrc(1, v).filter(col("src") === v)
+          .select("src", "dst", "etype", "ets", "weight", "rating")
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT src, dst, etype, ets, weight, rating FROM edges
+          |WHERE src = (SELECT min(src) FROM edges)""".stripMargin))),
+
     // ---- P3 durable: updateEdge persisted by bucket rewrite ----
     ("p3_update_edge_store",
       (s: SparkSession, d: String) => {
