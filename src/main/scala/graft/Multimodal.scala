@@ -112,4 +112,40 @@ object Multimodal {
     implicit val s: SparkSession = spark
     sampleFrames(asMedia(Tables.documents(spark, dir)), frameBytes, stride).toDF()
   }
+
+  /** One analysis window: parent id, window index, length, and a
+    * per-window scalar feature ("energy" = byte sum). */
+  case class WindowRow(doc_id: Long, win_idx: Long, win_len: Long, energy: Long)
+
+  /** Audio-shaped feature extraction: OVERLAPPING windows (hop < window,
+    * the STFT/MFCC access pattern — unlike [[sampleFrames]]' disjoint
+    * strided frames) with a per-window scalar computed from the raw
+    * bytes. A real pipeline swaps the byte-sum for the DSP batch call at
+    * this same mapPartitions boundary; the windowing arithmetic, 1→N
+    * fan-out and narrow execution are the production shape, and the
+    * deterministic byte-sum keeps it oracle-expressible. */
+  def windowFeatures(media: Dataset[MediaRow], winBytes: Int, hopBytes: Int)
+                    (implicit spark: SparkSession): Dataset[WindowRow] = {
+    require(winBytes > 0 && hopBytes > 0, "winBytes and hopBytes must be positive")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.payload.length
+        (0 until n by hopBytes).iterator.map { from =>
+          val until = math.min(from + winBytes, n)
+          var e = 0L
+          var i = from
+          while (i < until) { e += r.payload(i) & 0xFF; i += 1 }
+          WindowRow(r.doc_id, (from / hopBytes).toLong, (until - from).toLong, e)
+        }
+      }
+    }
+  }
+
+  /** End-to-end windowed-feature pipeline over documents (m3). */
+  def windowPipeline(spark: SparkSession, dir: String,
+                     winBytes: Int = 32, hopBytes: Int = 16): DataFrame = {
+    implicit val s: SparkSession = spark
+    windowFeatures(asMedia(Tables.documents(spark, dir)), winBytes, hopBytes).toDF()
+  }
 }

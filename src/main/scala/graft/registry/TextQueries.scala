@@ -85,5 +85,18 @@ object TextQueries {
           |FROM documents d,
           |  UNNEST(range(0, CAST(ceil(strlen(d.text) / 16.0) AS BIGINT))) AS u(f)
           |WHERE u.f % 2 = 0""".stripMargin)),
+
+    // ---- M3: audio-shaped OVERLAPPING window features (hop < window,
+    //      the STFT access pattern) — per-window byte-sum "energy" keeps
+    //      the DSP slot deterministic and oracle-expressible ----
+    ("m3_multimodal_audio_windows",
+      (s: SparkSession, d: String) => Multimodal.windowPipeline(s, d),
+      Some(
+        """SELECT d.doc_id, CAST(u.s // 16 AS BIGINT) AS win_idx,
+          |  CAST(least(32, strlen(d.text) - u.s) AS BIGINT) AS win_len,
+          |  CAST(list_sum(list_transform(
+          |    range(1, CAST(least(32, strlen(d.text) - u.s) AS BIGINT) + 1),
+          |    j -> ord(substr(d.text, CAST(u.s + j AS BIGINT), 1)))) AS BIGINT) AS energy
+          |FROM documents d, UNNEST(range(0, strlen(d.text), 16)) AS u(s)""".stripMargin)),
   )
 }

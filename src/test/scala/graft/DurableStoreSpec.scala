@@ -93,6 +93,50 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(st.compact(vC) == vC)
   }
 
+  test("random op sequences: store state always equals an in-memory model") {
+    // model-based check: apply the same mutation sequence to the store
+    // (chained versions) and to a plain multiset; every intermediate
+    // version must match the model at that point, including after reopen
+    type Row = (Long, Long, Long) // (src, dst, w)
+    val r = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      var model: Vector[Row] =
+        Vector.tabulate(12)(i => (r.nextInt(20).toLong, 10L + r.nextInt(5), 0L))
+          .map { case (s, d, _) => (s, d, s * 10 + d) }
+      val st = fresh(model.map(t => (t._1, t._2)): _*)
+      var v = 1
+      val history = scala.collection.mutable.ArrayBuffer((v, model))
+      for (step <- 0 until 6) {
+        r.nextInt(4) match {
+          case 0 if model.nonEmpty => // point update of one existing src
+            val k = model(r.nextInt(model.size))._1
+            v = st.updateEdges(v, col("src") === k, "w", lit(-1L), srcKey = Some(k))
+            model = model.map { case (s, d, w) => (s, d, if (s == k) -1L else w) }
+          case 1 if model.nonEmpty => // delete one vertex
+            val k = model(r.nextInt(model.size))._2
+            v = st.deleteVertex(v, k)
+            model = model.filterNot(t => t._1 == k || t._2 == k)
+          case 2 => // append a batch
+            val b = Vector.tabulate(3)(i => {
+              val s = 30L + r.nextInt(10); val d = 10L + r.nextInt(5)
+              (s, d, s * 10 + d)
+            })
+            v = st.append(v, edges(b.map(t => (t._1, t._2)): _*))
+            model = model ++ b
+          case _ => // compact (also the empty-model fallback)
+            v = st.compact(v)
+        }
+        history += ((v, model))
+      }
+      // every recorded version still reads back exactly its model state
+      val re = new DurableStore(spark, st.root)
+      history.foreach { case (ver, m) =>
+        assert(rowSet(re.read(ver)) == m.toSet,
+          s"trial $trial version $ver diverged from model")
+      }
+    }
+  }
+
   test("streaming micro-batches append durably; compaction merges a week of small files") {
     val st = fresh(base: _*)
     // five micro-batches, each one small file — the streaming-ingest shape
