@@ -40,6 +40,18 @@ class SimilarityLshSpec extends AnyFunSuite {
     assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == want)
   }
 
+  test("trained k-means IVF: seeded, top-k from probed cells only, recall floor") {
+    val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
+    val km = Similarity.kmeansIvfTopK(emb, k = 10, nCells = 16, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(km.size == 10)
+    assert((km & brute).size >= 4, s"kmeans-ivf recall ${(km & brute).size}/10")
+    // seeded: two runs are identical
+    val again = Similarity.kmeansIvfTopK(emb, k = 10, nCells = 16, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(km == again)
+  }
+
   test("ANN recall@10 floors: multi-probe LSH and IVF vs brute force") {
     val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
     val lsh = Similarity.lshTopK(emb, bits = 6, k = 10, probeRadius = 2)
