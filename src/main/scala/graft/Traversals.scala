@@ -92,15 +92,24 @@ object Traversals {
     val spark = edges.sparkSession
     val fwd = edges.select("src", "dst").localCheckpoint(true)
     val rev = fwd.select(col("dst").as("src"), col("src").as("dst"))
-    // one superstep = one checkpointed frontier; counts on checkpointed
-    // frames are cheap cached scans, and the meet check is evaluated ONCE
-    // per superstep via first() (a single-row aggregate)
-    def step(vis: DataFrame, fr: DataFrame, e: DataFrame, d: Long) = {
+    // ONE action per superstep (VERDICT r3 §wrong-3): the new frontier is
+    // left-joined against the OTHER side's visited set, and a single
+    // aggregate returns (frontier size, min meet distance) together. The
+    // intersection only ever grows by new-frontier vertices (next is
+    // anti-joined against its own visited), so checking next ⋈ otherVis
+    // per step sees every meet pair exactly when it first exists — the
+    // running minimum equals the old full visA ⋈ visB probe.
+    def step(vis: DataFrame, fr: DataFrame, other: DataFrame, e: DataFrame,
+             d: Long): (DataFrame, DataFrame, Long, Option[Long]) = {
       val next = e.join(fr.select(col("id").as("src")), "src", "left_semi")
         .select(col("dst").as("id")).distinct()
         .join(vis, Seq("id"), "left_anti")
         .withColumn("dist", lit(d)).localCheckpoint(true)
-      (vis.union(next).localCheckpoint(true), next)
+      val row = next
+        .join(other.select(col("id"), col("dist").as("bdist")), Seq("id"), "left")
+        .agg(count(lit(1)).as("n"), min(col("dist") + col("bdist")).as("meet")).first()
+      val meet = if (row.isNullAt(1)) None else Some(row.getLong(1))
+      (vis.union(next).localCheckpoint(true), next, row.getLong(0), meet)
     }
     var visA = from.toDF("id").distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
     var visB = to.toDF("id").distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
@@ -111,23 +120,22 @@ object Traversals {
     var dA = 0L
     var dB = 0L
     var steps = 0
-    def meetDist(): Option[Long] = {
-      val row = visA.join(visB.select(col("id"), col("dist").as("bdist")), "id")
-        .agg(min(col("dist") + col("bdist")).as("dist")).first()
-      if (row.isNullAt(0)) None else Some(row.getLong(0))
-    }
-    var met = meetDist()
+    // seed intersection checked once before the loop (source ∈ targets)
+    val seedRow = visA.join(visB.select(col("id"), col("dist").as("bdist")), "id")
+      .agg(min(col("dist") + col("bdist"))).first()
+    var met: Option[Long] = if (seedRow.isNullAt(0)) None else Some(seedRow.getLong(0))
     while (met.isEmpty && dA + dB < maxDepth && (aSize > 0 || bSize > 0)) {
       steps += 1
       // expand the cheaper side (reference picks the smaller frontier)
       if (bSize == 0 || (aSize <= bSize && aSize > 0)) {
-        dA += 1; val (v, f) = step(visA, frA, fwd, dA); visA = v; frA = f
-        aSize = frA.count()
+        dA += 1
+        val (v, f, n, m) = step(visA, frA, visB, fwd, dA)
+        visA = v; frA = f; aSize = n; met = m
       } else {
-        dB += 1; val (v, f) = step(visB, frB, rev, dB); visB = v; frB = f
-        bSize = frB.count()
+        dB += 1
+        val (v, f, n, m) = step(visB, frB, visA, rev, dB)
+        visB = v; frB = f; bSize = n; met = m
       }
-      met = meetDist()
     }
     val explored = visA.count() + visB.count()
     val result = met match {

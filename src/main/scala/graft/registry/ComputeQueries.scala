@@ -79,14 +79,16 @@ object ComputeQueries {
            |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
            |    (s, v) -> s + v) * 1000000) AS BIGINT) AS score_scaled
            |FROM (SELECT id, features
-           |      FROM read_parquet('${ALSRec.OracleDumpDir}/q11_items.parquet/*/*.parquet',
+           |      FROM read_parquet('${ALSRec.OracleDumpDir}/q11_items.parquet/*/*/*.parquet',
            |                        hive_partitioning = true)
-           |      WHERE CAST(n_ratings AS BIGINT) = (SELECT count(*) FROM edges)) it
+           |      WHERE CAST(n_ratings AS BIGINT) = (SELECT count(*) FROM edges)
+           |        AND CAST(fp AS BIGINT) = (SELECT ${ALSRec.FpSql} FROM edges)) it
            |CROSS JOIN
            |     (SELECT features
-           |      FROM read_parquet('${ALSRec.OracleDumpDir}/q11_user.parquet/*/*.parquet',
+           |      FROM read_parquet('${ALSRec.OracleDumpDir}/q11_user.parquet/*/*/*.parquet',
            |                        hive_partitioning = true)
-           |      WHERE CAST(n_ratings AS BIGINT) = (SELECT count(*) FROM edges)) uf
+           |      WHERE CAST(n_ratings AS BIGINT) = (SELECT count(*) FROM edges)
+           |        AND CAST(fp AS BIGINT) = (SELECT ${ALSRec.FpSql} FROM edges)) uf
            |ORDER BY score_scaled DESC, item LIMIT 10""".stripMargin))),
   )
 }

@@ -55,13 +55,19 @@ object OnlineIngest {
     * buckets (the LSM merge, DiskShard.mergeToAndClear:309-420) — so an
     * always-on ingest never accumulates unbounded small files, and a
     * reader opening the store's latest version sees every committed batch
-    * (durable read-your-writes, vs [[ingest]]'s session-plan union). */
+    * (durable read-your-writes, vs [[ingest]]'s session-plan union).
+    *
+    * Restart-safe end-to-end (ADVICE r3): the query checkpoints under the
+    * store root, and the append carries the batchId — the manifest's
+    * lastBatch watermark makes a replayed batch (query restart, batch
+    * retry) a no-op, so the durable contract holds exactly-once. */
   def ingestDurable(spark: SparkSession, schema: StructType, dir: String,
                     store: graft.DurableStore, compactEvery: Int = 4): StreamingQuery =
     edgeStream(spark, schema, dir).writeStream
+      .option("checkpointLocation", s"${store.root}/_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val v = store.append(store.currentVersion, batch)
+        val v = store.append(store.currentVersion, batch, batchId)
         if ((batchId + 1) % compactEvery == 0) store.compact(v)
         ()
       }

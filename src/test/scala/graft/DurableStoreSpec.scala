@@ -137,6 +137,44 @@ class DurableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction splits a bucket over maxBucketRows; reads stay exact across the split") {
+    val st = fresh(base: _*)
+    val b0 = st.manifest(1).bounds
+    // a delta big enough to blow one bucket past the threshold: 200 edges
+    // spread across one bucket's src range (distinct srcs — splittable)
+    val big = (0 until 200).map(i => (2L + i % 4, 100L + i))
+    var v = st.append(1, edges(big: _*))
+    v = st.compact(v, maxBucketRows = 50)
+    val m = st.manifest(v)
+    assert(m.bounds.size > b0.size, "no bucket was split")
+    assert(m.files.forall(_.sorted))
+    // every file's rows stay inside its bucket's bound range
+    m.files.foreach { f =>
+      val lo = if (f.bucket == 0) Long.MinValue else m.bounds(f.bucket - 1)
+      assert(f.srcMin > lo && f.srcMax <= m.bounds(f.bucket),
+        s"file stats escape bucket ${f.bucket}: [${f.srcMin},${f.srcMax}] vs ($lo,${m.bounds(f.bucket)}]")
+    }
+    assert(rowSet(st.read(v)) == rowSet(edges(base ++ big: _*)))
+    // point reads through the re-indexed manifest still prune and match
+    assert(rowSet(st.readForSrc(v, 17L).filter(col("src") === 17L)) ==
+      rowSet(edges(base: _*)).filter(_._1 == 17L).map(identity))
+  }
+
+  test("append with a batchId at or below the manifest watermark is a no-op (idempotent replay)") {
+    val st = fresh(base: _*)
+    val v2 = st.append(1, edges(Seq((2L, 10L)): _*), batchId = 0L)
+    assert(v2 != 1 && st.manifest(v2).lastBatch == 0L)
+    // replay of batch 0 — e.g. a restarted streaming query — must not duplicate
+    val v3 = st.append(v2, edges(Seq((2L, 10L)): _*), batchId = 0L)
+    assert(v3 == v2, "replayed batch must not commit")
+    assert(rowSet(st.read(v2)) == rowSet(edges(base :+ (2L, 10L): _*)))
+    // the watermark survives compaction
+    val vC = st.compact(v2)
+    assert(st.manifest(vC).lastBatch == 0L)
+    val v4 = st.append(vC, edges(Seq((3L, 11L)): _*), batchId = 1L)
+    assert(st.manifest(v4).lastBatch == 1L)
+  }
+
   test("streaming micro-batches append durably; compaction merges a week of small files") {
     val st = fresh(base: _*)
     // five micro-batches, each one small file — the streaming-ingest shape
