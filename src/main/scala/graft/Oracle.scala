@@ -28,6 +28,23 @@ object Oracle {
       |  UNION ALL
       |  SELECT dst AS src, src AS dst, etype, ets, weight, rating FROM edges)""".stripMargin
 
+  /** Multi-etype order graph — mirrors [[Tables.orderEdgesTyped]]. */
+  val TEDGES: String =
+    """tedges AS (
+      |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst,
+      |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS etype,
+      |         epoch_ms(o_orderdate) AS ets, l_extendedprice AS weight,
+      |         CAST(floor(l_quantity) AS INT) % 5 + 1 AS rating
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""".stripMargin
+
+  /** Symmetrized multi-etype graph — mirrors [[Tables.orderEdgesTypedSym]]. */
+  val TEDGES_SYM: String =
+    TEDGES + """,
+      |tsym AS (
+      |  SELECT src, dst, etype, ets, weight, rating FROM tedges
+      |  UNION ALL
+      |  SELECT dst AS src, src AS dst, etype, ets, weight, rating FROM tedges)""".stripMargin
+
   /** Typed hierarchy graph — mirrors [[Tables.nationEdges]]. */
   val NEDGES: String =
     """nedges AS (

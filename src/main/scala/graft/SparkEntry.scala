@@ -267,7 +267,8 @@ object SparkEntry {
     coreEntries ++ registry.PointOpsQueries.entries ++ registry.EventQueries.entries ++
       registry.TextQueries.entries ++ registry.DedupQueries.entries ++
       registry.VectorQueries.entries ++ registry.ComputeQueries.entries ++
-      registry.RelationalQueries.entries ++ registry.DurableQueries.entries
+      registry.RelationalQueries.entries ++ registry.DurableQueries.entries ++
+      registry.TypedQueries.entries
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

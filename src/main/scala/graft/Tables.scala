@@ -65,6 +65,31 @@ object Tables {
         ((floor(li("l_quantity")).cast("int") % 5) + 1).as("rating"))
   }
 
+  /** Multi-etype order graph (reference multiplexes up to 15 edge types
+    * per graph via 4-bit packing, VertexIdTranslate.java:148-177; here the
+    * type is a plain TINYINT-ish column, SURVEY §1.1): etype 1 = returned
+    * lineitems (l_returnflag = 'R'), etype 0 = the rest — a REAL second
+    * type with meaningful skew, not a synthetic tag. */
+  def orderEdgesTyped(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir); val o = orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(
+        o("o_custkey").as("src"),
+        (li("l_suppkey") + SupplierBase).as("dst"),
+        when(li("l_returnflag") === "R", 1).otherwise(0).as("etype"),
+        unix_millis(o("o_orderdate").cast("timestamp")).as("ets"),
+        li("l_extendedprice").as("weight"),
+        ((floor(li("l_quantity")).cast("int") % 5) + 1).as("rating"))
+  }
+
+  /** Symmetrized multi-etype graph (etype rides both directions). */
+  def orderEdgesTypedSym(spark: SparkSession, dir: String): DataFrame = {
+    val e = orderEdgesTyped(spark, dir)
+    e.unionByName(e.select(
+      e("dst").as("src"), e("src").as("dst"),
+      e("etype"), e("ets"), e("weight"), e("rating")))
+  }
+
   /** Materialized sorted edge store (the S6 shard-writer shape, reference
     * FastSharder.java:55-198): [[orderEdges]] written once per fixture dir
     * as range-partitioned parquet sorted by (src, dst), so parquet min/max

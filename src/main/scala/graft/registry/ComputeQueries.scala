@@ -49,6 +49,35 @@ object ComputeQueries {
           |SELECT source, id, CAST(min(dist) AS BIGINT) AS dist
           |FROM walk GROUP BY source, id""".stripMargin))),
 
+    // ---- C5 at the reference's OWN scale (MultiBFS.scala:51: 1,200
+    //      simultaneous BFS): the packed Array[Int]-per-vertex Aggregator
+    //      path, previously spec-pinned only at K=3, now value-checked at
+    //      K=1200 against the oracle's recursive walk via integer claims
+    //      (pair count, distance sum, seed-mixed checksum) ----
+    ("c5b_multi_bfs_packed_1200",
+      (s: SparkSession, d: String) => {
+        val sym = Tables.nationEdgesSym(s, d)
+        val seeds = sym.filter(col("src") < Tables.SupplierBase)
+          .select(col("src").as("id")).distinct().orderBy("id").limit(1200)
+          .collect().map(_.getLong(0)).toSeq
+        MultiBFSPacked.run(s, sym, seeds, maxDepth = 4)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("dist").cast("long").as("dist_sum"),
+            sum(pmod(col("source"), lit(1009L)) * col("dist")).cast("long").as("xsum"))
+      },
+      Some(withSql(Oracle.NEDGES_SYM,
+        """, srcs AS (SELECT DISTINCT src AS s FROM nsym WHERE src < 1000000
+          |           ORDER BY src LIMIT 1200),
+          |walk(source, id, dist) AS (
+          |  SELECT s, s, 0 FROM srcs
+          |  UNION
+          |  SELECT w.source, n.dst, w.dist + 1 FROM walk w JOIN nsym n ON w.id = n.src
+          |  WHERE w.dist < 4),
+          |dd AS (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id)
+          |SELECT count(*) AS n_pairs, CAST(sum(dist) AS BIGINT) AS dist_sum,
+          |       CAST(sum((source % 1009) * dist) AS BIGINT) AS xsum
+          |FROM dd""".stripMargin))),
+
     // ---- C6: ALS training RMSE (seeded; float — rows-only) ----
     ("c6_als_rmse",
       (s: SparkSession, d: String) => ALSRec.rmseChecked(s, d),

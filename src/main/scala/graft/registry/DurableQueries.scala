@@ -35,6 +35,34 @@ object DurableQueries {
   private def minSrcVal(s: SparkSession, d: String): Long =
     Tables.orderEdges(s, d).agg(min("src")).head.getLong(0)
 
+  /** C2 substrate (reference runs continuous computation while inserting,
+    * GraphChiDatabase.scala:2258-2283): 1/4 of the order graph bulk-loads
+    * a fresh durable store, the remaining 3/4 arrives through a REAL
+    * Structured Streaming query ([[graft.streaming.OnlineIngest
+    * .ingestDurable]], checkpointed + idempotent), with mid-stream
+    * compaction, then a final compact. Built once per (session, fixture);
+    * the s6 entry computes on the drained snapshot. */
+  private val ingested =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ingestedStoreRoot(s: SparkSession, d: String): String =
+    ingested.computeIfAbsent(s"${s.sparkContext.applicationId}|$d", _ => {
+      val watch = java.nio.file.Files.createTempDirectory("graft-c2-in").toString
+      val root = java.nio.file.Files.createTempDirectory("graft-c2-store").toString
+      val e = Tables.orderEdges(s, d)
+        .withColumn("_s", pmod(col("src"), lit(4))).localCheckpoint(true)
+      val base = e.filter(col("_s") === 0).drop("_s")
+      (1 to 3).foreach(i => e.filter(col("_s") === i).drop("_s")
+        .coalesce(1).write.parquet(s"$watch/b$i.parquet"))
+      val st = DurableStore.create(s, base, root)
+      graft.streaming.OnlineIngest
+        .ingestDurable(s, base.schema, s"$watch/*", st, compactEvery = 2)
+        .awaitTermination()
+      val re = new DurableStore(s, root)
+      re.compact(re.currentVersion)
+      root
+    })
+
   val entries: Seq[QueryEntry] = Seq(
 
     // ---- N1 served from the durable store's manifest-pruned point-read
@@ -123,5 +151,18 @@ object DurableQueries {
           |SELECT count(*) AS n,
           |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS wsum_cents
           |FROM aug""".stripMargin))),
+
+    // ---- C2 end-to-end: streaming ingest → LSM compaction → batch
+    //      compute on the drained durable snapshot. The PageRank oracle is
+    //      IDENTICAL to c3's — if one streamed edge were lost, duplicated
+    //      (idempotency), or mangled by compaction, the fixpoint hash
+    //      would diverge ----
+    ("s6_continuous_pagerank",
+      (s: SparkSession, d: String) => {
+        val root = ingestedStoreRoot(s, d)
+        val m = new DurableStore(s, root)
+        PageRank.top20(m.read(m.currentVersion), iters = 3)
+      },
+      Some(PageRank.oracleSql(3))),
   )
 }
