@@ -80,6 +80,12 @@ object ALSRec {
   // pure crossJoin+topk plan (VERDICT r3 §wrong-2)
   private val dumps = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
 
+  /** Warm hook for Bench: the factor dump exists solely for the DuckDB
+    * oracle — doing it up front leaves the timed q11 entry as the pure
+    * serving plan (crossJoin + scaled-int dot + top-k). */
+  def warmOracleDump(spark: SparkSession, dir: String): Unit =
+    ensureDumped(spark, dir)
+
   private def ensureDumped(spark: SparkSession, dir: String): Unit =
     dumps.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ => {
       val model = fit(spark, dir)

@@ -34,7 +34,9 @@ object Bench {
     Tables.edgeStorePath(spark, sfDir)
     Tables.edgeStoreByDstPath(spark, sfDir)
     registry.DurableQueries.baseStore(spark, sfDir) // durable bulk load
+    registry.DurableQueries.ingestedStoreRoot(spark, sfDir) // s6 streaming ingest fixture
     registry.VectorQueries.ivfStorePath(spark, sfDir) // IVF cell partitions
+    ALSRec.warmOracleDump(spark, sfDir) // q11's oracle-only factor dump
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -48,9 +50,15 @@ object Bench {
       .withColumn("slice", pmod(col("src"), lit(4)))
       .localCheckpoint(true) // materialize inputs: time the ingest, not the derivation
     val nEdges = edges.count()
+    // each micro-batch is range-partitioned on src before the sorted
+    // write, so every produced file covers a DISJOINT src range (the
+    // reference's shard writer invariant, FastSharder.java:55-198) — a
+    // point read then prunes whole files by footer min/max instead of
+    // probing one row group in every file of every batch
     val (_, ingestSec) = timed {
       (0 until 4).foreach { s =>
         edges.filter(col("slice") === s).drop("slice")
+          .repartitionByRange(8, col("src"))
           .sortWithinPartitions("src", "dst")
           .write.mode(SaveMode.Append).parquet(s"$store/edges")
       }

@@ -26,7 +26,13 @@ object VertexCentric {
   // the DataFrame→RDD graph build is cached per (session, key) with the
   // edge RDDs persisted, so back-to-back computations (cc then pagerank
   // in one bench/verify pass, or the reference's interactive use) pay the
-  // conversion once
+  // conversion once.
+  // CALLER CONTRACT (ADVICE r3): the key, not the DataFrame, is the cache
+  // identity — the caller must guarantee that one key names one immutable
+  // edge set for the life of the JVM (the registry keys by fixture dir
+  // over immutable driver fixtures). Pass a fresh key — or no cacheKey at
+  // all — for edges that can differ under the same name; entries live
+  // until session end (persisted RDDs die with the SparkContext).
   private val graphs =
     new java.util.concurrent.ConcurrentHashMap[String, Graph[Long, Byte]]()
   def toGraphCached(edges: DataFrame, key: String): Graph[Long, Byte] =

@@ -45,6 +45,9 @@ object ScaleProbe {
         col("etype"), col("ets"), col("weight"), col("rating")))
       timed(s"fof_top20 x$copies") { Queries.friendsOfFriendsExclTop20(sym).count() }
       timed(s"pagerank_3iter x$copies") { PageRank.top20(e, 3).count() }
+      timed(s"cc_labelprop x$copies") {
+        Traversals.connectedComponents(sym.select("src", "dst")).count()
+      }
       timed(s"degrees x$copies") {
         new GraphDB(spark, e, spark.emptyDataFrame).degrees.count()
       }
@@ -134,6 +137,42 @@ object ScaleProbe {
       timed(s"durable_append+compact x$k") {
         val va = st.append(1, e.filter(col("src") === v))
         st.read(st.compact(va)).count()
+      }
+      // size-triggered bucket split: a broad delta pushes every bucket
+      // past the (lowered) threshold — compaction splits them at their
+      // median src in the SAME one-shuffle write; reported rows = buckets
+      // added to the topology
+      timed(s"durable_compact_split x$k") {
+        val va = st.append(st.currentVersion, e.filter(col("src") % 10 === 0))
+        val vc = st.compact(va, maxBucketRows = 256L << 10)
+        (st.manifest(vc).bounds.size - st.manifest(1).bounds.size).toLong
+      }
+    }
+
+    // power-law probe (VERDICT r3 §next-7): the TPC-H fixtures are
+    // uniform, but the reference's workloads (LiveJournal, Twitter —
+    // SocialNetworkExample.scala:77-82) are heavy-tailed. Redirect every
+    // dst to a zipf-distributed supplier, p(rank) ∝ 1/rank via the
+    // inverse-CDF draw ceil(N^u), and re-time the graph operators next to
+    // their uniform rows above.
+    {
+      val e = replicate(k)
+      val nSup = e.select("dst").distinct().count()
+      val zipf = e.withColumn("dst",
+          (lit(Tables.SupplierBase) + ceil(pow(lit(nSup.toDouble), rand(13)))).cast("long"))
+        .localCheckpoint(true)
+      val hot = zipf.groupBy("dst").count().orderBy(col("count").desc).limit(3)
+        .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(", ")
+      println(s"== zipfian dst over $nSup keys (${zipf.count()} edges; hottest $hot) ==")
+      val zsym = zipf.unionByName(zipf.select(col("dst").as("src"), col("src").as("dst"),
+        col("etype"), col("ets"), col("weight"), col("rating"))).localCheckpoint(true)
+      timed(s"degrees zipf x$k") {
+        new GraphDB(spark, zipf, spark.emptyDataFrame).degrees.count()
+      }
+      timed(s"fof_top20 zipf x$k") { Queries.friendsOfFriendsExclTop20(zsym).count() }
+      timed(s"pagerank_3iter zipf x$k") { PageRank.top20(zipf, 3).count() }
+      timed(s"cc_labelprop zipf x$k") {
+        Traversals.connectedComponents(zsym.select("src", "dst")).count()
       }
     }
 
