@@ -79,6 +79,16 @@ class DurableStore(val spark: SparkSession, val root: String) {
     if (hit.isEmpty) read(v).limit(0) else readFiles(spark, hit.map(_.path))
   }
 
+  /** W2 on the durable store: a src-range sweep pruned at the FILE level
+    * by manifest [srcMin, srcMax] overlap — the dst-interval shard
+    * selection of the reference (VertexInterval.java:50-78) applied to
+    * the mutable store; row-group stats prune further inside hit files. */
+  def readForSrcRange(v: Int, lo: Long, hi: Long): DataFrame = {
+    val m = manifest(v)
+    val hit = m.files.filter(f => f.srcMax >= lo && f.srcMin <= hi)
+    if (hit.isEmpty) read(v).limit(0) else readFiles(spark, hit.map(_.path))
+  }
+
   /** S1 durable append: the batch becomes one delta file set (stats
     * recorded, rows untouched) — the flush of one EdgeBuffer. O(batch),
     * no base files rewritten. A non-negative `batchId` makes the append

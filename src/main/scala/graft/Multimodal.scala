@@ -100,7 +100,9 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val out = r.payload.zipWithIndex.collect { case (b, i) if i % ratio == 0 => b }
+        val out = new Array[Byte]((r.payload.length + ratio - 1) / ratio)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * ratio); i += 1 }
         MediaRow(r.doc_id, out)
       }
     }

@@ -152,6 +152,25 @@ object DurableQueries {
           |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS wsum_cents
           |FROM aug""".stripMargin))),
 
+    // ---- W2 against the durable store: src-range sweep served through
+    //      manifest file pruning (readForSrcRange), aggregated — the
+    //      interval sweep of w2/w2c on the MUTABLE substrate ----
+    ("w2d_sweep_durable_range",
+      (s: SparkSession, d: String) => {
+        val st = baseStore(s, d)
+        val lo = minSrcVal(s, d)
+        val hi = lo + 100
+        st.readForSrcRange(1, lo, hi)
+          .filter(col("src").between(lo, hi))
+          .agg(count(lit(1)).as("n"), sum(cents(col("weight"))).as("wsum_cents"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT count(*) AS n,
+          |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS wsum_cents
+          |FROM edges
+          |WHERE src BETWEEN (SELECT min(src) FROM edges)
+          |              AND (SELECT min(src) FROM edges) + 100""".stripMargin))),
+
     // ---- C2 end-to-end: streaming ingest → LSM compaction → batch
     //      compute on the drained durable snapshot. The PageRank oracle is
     //      IDENTICAL to c3's — if one streamed edge were lost, duplicated

@@ -98,5 +98,28 @@ object TextQueries {
           |    range(1, CAST(least(32, strlen(d.text) - u.s) AS BIGINT) + 1),
           |    j -> ord(substr(d.text, CAST(u.s + j AS BIGINT), 1)))) AS BIGINT) AS energy
           |FROM documents d, UNNEST(range(0, strlen(d.text), 16)) AS u(s)""".stripMargin)),
+
+    // ---- m4: resize/re-encode — binary-in/binary-out transform (every
+    //      4th byte kept), verified through the downstream metadata
+    //      extraction; fixture text is ASCII so the oracle reconstructs
+    //      the strided payload with char arithmetic ----
+    ("m4_multimodal_resize",
+      (s: SparkSession, d: String) => {
+        implicit val sp: SparkSession = s
+        Multimodal.extractMeta(
+          Multimodal.resizeStub(
+            Multimodal.asMedia(Tables.documents(s, d)), ratio = 4)).toDF()
+      },
+      Some(
+        """WITH r AS (
+          |  SELECT doc_id,
+          |    list_aggregate(list_transform(range(0, strlen(text), 4),
+          |      i -> substr(text, CAST(i + 1 AS BIGINT), 1)), 'string_agg', '') AS rt
+          |  FROM documents)
+          |SELECT doc_id, CAST(strlen(rt) AS BIGINT) AS byte_len,
+          |  CAST(strlen(rt) % 640 AS BIGINT) AS fake_width,
+          |  CAST(strlen(rt) // 640 AS BIGINT) AS fake_height,
+          |  md5(rt) AS fp
+          |FROM r""".stripMargin)),
   )
 }

@@ -123,8 +123,10 @@ class DurableStoreSpec extends AnyFunSuite {
             })
             v = st.append(v, edges(b.map(t => (t._1, t._2)): _*))
             model = model ++ b
-          case _ => // compact (also the empty-model fallback)
-            v = st.compact(v)
+          case _ => // compact (also the empty-model fallback); every other
+            // one runs with a tiny split threshold so the random sequence
+            // also exercises bucket splits + manifest re-indexing
+            v = if (step % 2 == 0) st.compact(v, maxBucketRows = 8) else st.compact(v)
         }
         history += ((v, model))
       }
@@ -158,6 +160,21 @@ class DurableStoreSpec extends AnyFunSuite {
     // point reads through the re-indexed manifest still prune and match
     assert(rowSet(st.readForSrc(v, 17L).filter(col("src") === 17L)) ==
       rowSet(edges(base: _*)).filter(_._1 == 17L).map(identity))
+  }
+
+  test("degenerate creates: empty table rejected; all-equal srcs collapse to one bucket") {
+    intercept[IllegalArgumentException] {
+      DurableStore.create(spark, edges(), // zero rows
+        Files.createTempDirectory("graft-ds-empty").toString)
+    }
+    // all srcs equal -> quantiles collapse to a single bound; bucketCol
+    // short-circuits to constant 0 and everything lives in one bucket
+    val same = Seq((7L, 10L), (7L, 11L), (7L, 12L))
+    val st = fresh(same: _*)
+    assert(st.manifest(1).bounds == Seq(Long.MaxValue))
+    assert(rowSet(st.read(1)) == rowSet(edges(same: _*)))
+    val v2 = st.append(1, edges(Seq((7L, 13L)): _*))
+    assert(rowSet(st.read(st.compact(v2))) == rowSet(edges(same :+ (7L, 13L): _*)))
   }
 
   test("append with a batchId at or below the manifest watermark is a no-op (idempotent replay)") {
