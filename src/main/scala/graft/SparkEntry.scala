@@ -105,6 +105,26 @@ object SparkEntry {
           |GROUP BY u.dst
           |ORDER BY paths DESC, id LIMIT 20""".stripMargin))),
 
+    // ---- Q1 served from the materialized sorted store: the flagship
+    //      query against the substrate a 100 TB deployment reads — no
+    //      lineitem⋈orders derivation in the plan, point hop-1 prunes
+    //      row groups. Same oracle as q1 (same rows by construction). ----
+    ("q1b_fof_excl_top20_store",
+      (s: SparkSession, d: String) => {
+        val e = Tables.orderEdgesStored(s, d)
+        val sym = e.unionByName(e.select(e("dst").as("src"), e("src").as("dst"),
+          e("etype"), e("ets"), e("weight"), e("rating")))
+        Queries.friendsOfFriendsExclTop20(sym)
+      },
+      Some(withSql(Oracle.UEDGES,
+        """, qv AS (SELECT min(src) AS v FROM uedges),
+          |hop1 AS (SELECT DISTINCT u.dst AS mid FROM uedges u, qv WHERE u.src = qv.v)
+          |SELECT u.dst AS id, count(*) AS paths
+          |FROM hop1 h JOIN uedges u ON u.src = h.mid, qv
+          |WHERE u.dst <> qv.v
+          |GROUP BY u.dst
+          |ORDER BY paths DESC, id LIMIT 20""".stripMargin))),
+
     // ---- Q3: plain 2-hop reachable set ----
     ("q3_fof",
       (s: SparkSession, d: String) => Queries.friendsOfFriends(Tables.socialEdges(s, d)),

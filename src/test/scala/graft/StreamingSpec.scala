@@ -36,6 +36,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.queryOut(lit(2L)).count() == 1L) // queries see buffered edges
   }
 
+  test("continuous PageRank during ingest: per-batch fixpoints, final equals batch answer") {
+    // C2 literally (reference GraphChiDatabase.scala:2258-2283 runs
+    // continuous PageRank while inserting): the algorithm runs on EVERY
+    // micro-batch snapshot; the last snapshot's result must equal the
+    // plain batch computation over all edges
+    val dir = Files.createTempDirectory("graft-c2").toString
+    val chain = Seq((0L, 1L, 0), (1L, 2L, 0), (2L, 3L, 0))
+    val extra = Seq((3L, 0L, 0), (1L, 3L, 0))
+    TestSpark.edgesDF(chain).coalesce(1).write.parquet(s"$dir/b0.parquet")
+    TestSpark.edgesDF(extra).coalesce(1).write.parquet(s"$dir/b1.parquet")
+    val base = new GraphDB(spark, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], edgeSchema), spark.emptyDataFrame)
+    val perBatch = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long)]]()
+    OnlineIngest.ingest(spark, edgeSchema, s"$dir/*", base, (snap, _) => {
+      perBatch += PageRank.top20(snap.edges, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }).awaitTermination()
+    assert(perBatch.size == 2, "one computation per micro-batch")
+    val batch = PageRank.top20(TestSpark.edgesDF(chain ++ extra), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(perBatch.last == batch,
+      "continuous result on the final snapshot must equal the batch fixpoint")
+    assert(perBatch.head != batch, "intermediate snapshot differs (fewer edges)")
+  }
+
   test("durable ingest: micro-batches commit to the store, compaction bounds the file count") {
     val dir = Files.createTempDirectory("graft-dstream").toString
     // four micro-batches (maxFilesPerTrigger=1) with an edge-table schema
