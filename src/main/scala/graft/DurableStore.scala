@@ -50,6 +50,20 @@ import scala.jdk.CollectionConverters._
   * the same two-phase shape (write immutable files, then atomically swing
   * a pointer) is what object-store table formats do — the design carries
   * over, only the pointer swap needs a conditional-put.
+  *
+  * In-edge index (optional): the reference answers queryIn through a
+  * per-shard in-edge index it maintains alongside the out-sorted edge
+  * data (reference QueryShard.java:662-812, written by FastSharder
+  * alongside each shard). The Spark form is a MIRROR file set: the same
+  * rows range-bucketed by `dst` under its own bounds (`mbounds`), each
+  * file (dst, src)-sorted, living under `v<N>/m/`. Deltas are shared by
+  * both views (one copy, unsorted, prunable by either side's stats), so
+  * [[readForDst]] = mirror files covering the key ∪ covering deltas —
+  * file-level pruning on dst symmetric to [[readForSrc]]'s on src.
+  * Mutations rewrite hit files on BOTH sides from the same predicate
+  * (the write cost of any secondary index; the reference pays it in
+  * FastSharder too), and compaction merges deltas into both. Invariant:
+  * multiset(mirror) == multiset(sorted primary files), spec-pinned.
   */
 class DurableStore(val spark: SparkSession, val root: String) {
   import DurableStore._
@@ -88,6 +102,58 @@ class DurableStore(val spark: SparkSession, val root: String) {
     val hit = m.files.filter(f => f.srcMax >= lo && f.srcMin <= hi)
     if (hit.isEmpty) read(v).limit(0) else readFiles(spark, hit.map(_.path))
   }
+
+  /** N2 on the durable store: in-neighbor point read served by the
+    * dst-bucketed mirror (the reference's per-shard in-edge index,
+    * QueryShard.java:662-812) plus any covering deltas. Falls back to the
+    * full (correct, unpruned) view when the store has no in-edge index. */
+  def readForDst(v: Int, dst: Long): DataFrame = {
+    val m = manifest(v)
+    if (m.mbounds.isEmpty) return read(v)
+    val hit = (m.mirror ++ m.files.filterNot(_.sorted))
+      .filter(f => dst >= f.dstMin && dst <= f.dstMax)
+    if (hit.isEmpty) read(v).limit(0) else readFiles(spark, hit.map(_.path))
+  }
+
+  /** In-edge range sweep via the mirror's file stats (dst side of
+    * [[readForSrcRange]]). */
+  def readForDstRange(v: Int, lo: Long, hi: Long): DataFrame = {
+    val m = manifest(v)
+    if (m.mbounds.isEmpty) return read(v)
+    val hit = (m.mirror ++ m.files.filterNot(_.sorted))
+      .filter(f => f.dstMax >= lo && f.dstMin <= hi)
+    if (hit.isEmpty) read(v).limit(0) else readFiles(spark, hit.map(_.path))
+  }
+
+  /** The full table as served by the in-edge side: mirror files ∪ deltas.
+    * Equal to [[read]] as a multiset whenever the index exists — the
+    * cross-side consistency the spec and the p5b entry pin. */
+  def readMirror(v: Int): DataFrame = {
+    val m = manifest(v)
+    if (m.mbounds.isEmpty) return read(v)
+    val paths = (m.mirror ++ m.files.filterNot(_.sorted)).map(_.path)
+    if (paths.isEmpty) emptyLike(spark, m.schemaDDL) else readFiles(spark, paths)
+  }
+
+  /** Index an existing store online: one shuffled write of the current
+    * sorted files into the dst-bucketed mirror layout, committed as a new
+    * version. No-op (returns `fromV`) if the index already exists. */
+  def buildInEdgeIndex(fromV: Int, numBuckets: Int = 8,
+                       targetFileRows: Long = DefaultTargetFileRows): Int =
+    commitOpt(fromV) { (m, nv) =>
+      if (m.mbounds.nonEmpty) None
+      else {
+        val all = read(fromV).localCheckpoint(true)
+        val mb = boundsFor(all, "dst", numBuckets)
+        val sortedF = m.files.filter(_.sorted)
+        val mf =
+          if (sortedF.isEmpty) Nil
+          else writeBuckets(spark,
+            readFiles(spark, sortedF.map(_.path)).withColumn("_b", bucketCol("dst", mb)),
+            s"$root/v$nv/m", targetFileRows, key = "dst", sec = "src")
+        Some(m.copy(mbounds = mb, mirror = mf))
+      }
+    }
 
   /** S1 durable append: the batch becomes one delta file set (stats
     * recorded, rows untouched) — the flush of one EdgeBuffer. O(batch),
@@ -143,36 +209,75 @@ class DurableStore(val spark: SparkSession, val root: String) {
     if (!m0.files.exists(!_.sorted)) return fromV
     commitOpt(fromV) { (m, nv) =>
       val (keep, deltas) = m.files.partition(_.sorted)
-      val d = readFiles(spark, deltas.map(_.path))
-        .withColumn("_b", bucketCol(m.bounds)).localCheckpoint(true)
-      val hitBuckets = d.select("_b").distinct().collect().map(_.getInt(0)).toSet
-      val (hit, untouched) = keep.partition(f => hitBuckets.contains(f.bucket))
-      val merged = (if (hit.isEmpty) d
-        else readFiles(spark, hit.map(_.path))
-          .withColumn("_b", bucketCol(m.bounds)).unionByName(d))
-        .localCheckpoint(true)
-      // split decision: merged size per bucket (untouched buckets are not
-      // being rewritten, so they split on THEIR next compaction)
-      val perBucket = merged.groupBy("_b")
-        .agg(count(lit(1)).as("n"), percentile_approx(col("src"), lit(0.5), lit(1000)).as("med"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      val splits = perBucket.collect { case (b, n, med)
-        if n > maxBucketRows && med > lowerBound(m.bounds, b) && med < m.bounds(b) =>
-        (b, med)
-      }.sortBy(_._1)
-      val bounds =
-        if (splits.isEmpty) m.bounds
-        else (m.bounds ++ splits.map(_._2)).sorted
-      // untouched files keep their data; their bucket INDEX shifts by the
-      // number of split points inserted below it — metadata-only re-index
-      val reIdx = untouched.map(f =>
-        f.copy(bucket = f.bucket + splits.count(_._1 < f.bucket)))
-      val out = writeBuckets(spark,
-        (if (splits.isEmpty) merged
-         else merged.drop("_b").withColumn("_b", bucketCol(bounds))),
-        s"$root/v$nv", targetFileRows)
-      Some(Manifest(nv, bounds, reIdx ++ out, m.lastBatch))
+      val dRaw = readFiles(spark, deltas.map(_.path)).localCheckpoint(true)
+      val (bounds, outFiles) = mergeSide(dRaw, keep, m.bounds, "src", "dst",
+        s"$root/v$nv", maxBucketRows, targetFileRows)
+      val (mb, mf) =
+        if (m.mbounds.isEmpty) (m.mbounds, m.mirror)
+        else mergeSide(dRaw, m.mirror, m.mbounds, "dst", "src",
+          s"$root/v$nv/m", maxBucketRows, targetFileRows)
+      Some(Manifest(nv, bounds, outFiles, m.lastBatch, m.schemaDDL, mb, mf))
     }
+  }
+
+  /** One side of a compaction: bucket the delta rows under this side's
+    * `key` bounds, merge each hit bucket's files with its delta rows,
+    * split any merged bucket over `maxBucketRows` at its median key
+    * (untouched files re-index by metadata only — they split on THEIR
+    * next compaction), and write everything back as ONE shuffled
+    * multi-task write. Returns the side's new (bounds, file set). */
+  private def mergeSide(delta: DataFrame, sortedFiles: Seq[StoreFile],
+                        bounds0: Seq[Long], key: String, sec: String, dir: String,
+                        maxBucketRows: Long, targetFileRows: Long): (Seq[Long], Seq[StoreFile]) = {
+    val d = delta.withColumn("_b", bucketCol(key, bounds0)).localCheckpoint(true)
+    val hitBuckets = d.select("_b").distinct().collect().map(_.getInt(0)).toSet
+    val (hit, untouched) = sortedFiles.partition(f => hitBuckets.contains(f.bucket))
+    val merged = (if (hit.isEmpty) d
+      else readFiles(spark, hit.map(_.path))
+        .withColumn("_b", bucketCol(key, bounds0)).unionByName(d))
+      .localCheckpoint(true)
+    val perBucket = merged.groupBy("_b")
+      .agg(count(lit(1)).as("n"), percentile_approx(col(key), lit(0.5), lit(1000)).as("med"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val splits = perBucket.collect { case (b, n, med)
+      if n > maxBucketRows && med > lowerBound(bounds0, b) && med < bounds0(b) =>
+      (b, med)
+    }.sortBy(_._1)
+    val bounds =
+      if (splits.isEmpty) bounds0
+      else (bounds0 ++ splits.map(_._2)).sorted
+    val reIdx = untouched.map(f =>
+      f.copy(bucket = f.bucket + splits.count(_._1 < f.bucket)))
+    val out = writeBuckets(spark,
+      (if (splits.isEmpty) merged
+       else merged.drop("_b").withColumn("_b", bucketCol(key, bounds))),
+      dir, targetFileRows, key = key, sec = sec)
+    (bounds, reIdx ++ out)
+  }
+
+  /** Drop every version below `keepFrom`: delete their manifests and all
+    * data files (primary, mirror, delta) unreachable from any kept
+    * manifest. Shared files — reused by reference across versions — are
+    * kept as long as one kept version lists them. Returns the number of
+    * file entries physically deleted. Time travel remains available for
+    * versions ≥ `keepFrom`. */
+  def vacuum(keepFrom: Int): Int = DurableStore.synchronized {
+    require(keepFrom <= currentVersion,
+      s"vacuum($keepFrom) would drop the current version ${currentVersion}")
+    val all = manifestVersions(root)
+    val (drop, kept) = all.partition(_ < keepFrom)
+    val keepPaths = kept.flatMap { v =>
+      val m = manifest(v); (m.files ++ m.mirror).map(_.path)
+    }.toSet
+    var removed = 0
+    drop.foreach { v =>
+      val m = manifest(v)
+      (m.files ++ m.mirror).map(_.path).distinct.foreach { p =>
+        if (!keepPaths.contains(p)) { deletePath(p); removed += 1 }
+      }
+      Files.deleteIfExists(manifestPath(root, v))
+    }
+    removed
   }
 
   def asGraph(vertices: DataFrame, v: Int): GraphDB =
@@ -187,7 +292,11 @@ class DurableStore(val spark: SparkSession, val root: String) {
   /** Copy-on-write core: rewrite files matched by `touch` with `f`, reuse
     * the rest, commit a new manifest. All hit bucket files are rewritten
     * by ONE shuffled multi-task write (the create() shape); hit delta
-    * files are rewritten together as one (smaller) delta set. */
+    * files are rewritten together as one (smaller) delta set. When the
+    * store carries an in-edge index, the SAME predicate routes the mirror
+    * side from its own stats (tight on dst, broad on src — the transpose
+    * of the primary) and hit mirror files are rewritten with the same
+    * row-wise `f`, so both views stay one multiset. */
   private def rewrite(fromV: Int, touch: StoreFile => Boolean,
                       f: DataFrame => DataFrame): Int = commitOpt(fromV) { (m, nv) =>
     val (hit, keep) = m.files.partition(touch)
@@ -195,13 +304,19 @@ class DurableStore(val spark: SparkSession, val root: String) {
     val outSorted =
       if (hitSorted.isEmpty) Nil
       else writeBuckets(spark,
-        f(readFiles(spark, hitSorted.map(_.path))).withColumn("_b", bucketCol(m.bounds)),
+        f(readFiles(spark, hitSorted.map(_.path))).withColumn("_b", bucketCol("src", m.bounds)),
         s"$root/v$nv", DefaultTargetFileRows)
     val outDelta =
       if (hitDelta.isEmpty) Nil
       else writeDelta(f(readFiles(spark, hitDelta.map(_.path))).localCheckpoint(true),
         s"$root/v$nv/delta")
-    Some(m.copy(files = keep ++ outSorted ++ outDelta))
+    val (mHit, mKeep) = m.mirror.partition(touch)
+    val outMirror =
+      if (mHit.isEmpty) Nil
+      else writeBuckets(spark,
+        f(readFiles(spark, mHit.map(_.path))).withColumn("_b", bucketCol("dst", m.mbounds)),
+        s"$root/v$nv/m", DefaultTargetFileRows, key = "dst", sec = "src")
+    Some(m.copy(files = keep ++ outSorted ++ outDelta, mirror = mKeep ++ outMirror))
   }
 
   /** Allocate the next version, build its manifest, write it, flip the
@@ -234,9 +349,11 @@ object DurableStore {
   /** `bounds(i)` is bucket i's inclusive upper src bound (last =
     * Long.MaxValue); `lastBatch` is the highest committed streaming batch
     * id (idempotent append watermark); `schemaDDL` keeps an all-rows-
-    * deleted version readable. */
+    * deleted version readable. `mbounds`/`mirror` are the dst-bucketed
+    * in-edge index (empty = unindexed store). */
   final case class Manifest(version: Int, bounds: Seq[Long], files: Seq[StoreFile],
-                            lastBatch: Long = -1L, schemaDDL: String = "")
+                            lastBatch: Long = -1L, schemaDDL: String = "",
+                            mbounds: Seq[Long] = Nil, mirror: Seq[StoreFile] = Nil)
 
   /** Default split threshold: a compacted bucket above this many rows is
     * split at its median src. The local default is sized so sf-scale
@@ -250,54 +367,74 @@ object DurableStore {
   private def lowerBound(bounds: Seq[Long], b: Int): Long =
     if (b == 0) Long.MinValue else bounds(b - 1)
 
-  /** src → bucket index against the version's upper bounds: the number
-    * of bounds strictly below src (last bound = Long.MaxValue covers the
+  /** key → bucket index against a side's upper bounds: the number of
+    * bounds strictly below the key (last bound = Long.MaxValue covers the
     * tail). Pure array arithmetic — codegen-friendly, no join. Degenerate
     * single-bucket bounds short-circuit to 0 (an empty array() literal
     * would be ArrayType(NullType), ADVICE r3). */
-  def bucketCol(bounds: Seq[Long]): Column =
+  def bucketCol(key: String, bounds: Seq[Long]): Column =
     if (bounds.size <= 1) lit(0)
     else aggregate(
       array(bounds.dropRight(1).map(lit(_)): _*),
       lit(0),
-      (acc, b) => acc + when(col("src") > b, 1).otherwise(0)).cast("int")
+      (acc, b) => acc + when(col(key) > b, 1).otherwise(0)).cast("int")
+
+  /** Upper bounds for range-bucketing `key` into ~numBuckets buckets:
+    * quantiles, deduplicated, tail capped at Long.MaxValue. */
+  private def boundsFor(df: DataFrame, key: String, numBuckets: Int): Seq[Long] = {
+    val qs = df.stat.approxQuantile(key,
+      (1 to numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
+      .map(_.toLong).distinct.sorted
+    (qs.dropRight(1) :+ Long.MaxValue).toSeq
+  }
 
   /** Create version 1 from a full edge table: range-bucket by src (bounds
     * from quantiles, deduplicated), a sorted multi-file set per bucket.
     * ONE shuffled write plus one stats aggregation — not a scan per
-    * bucket; this is the full-table path, it must scale like a bulk load. */
+    * bucket; this is the full-table path, it must scale like a bulk load.
+    * `withInEdgeIndex` also writes the dst-bucketed mirror (a second
+    * shuffled write) so [[DurableStore.readForDst]] prunes from birth. */
   def create(spark: SparkSession, edges: DataFrame, root: String,
              numBuckets: Int = 8,
-             targetFileRows: Long = DefaultTargetFileRows): DurableStore = {
+             targetFileRows: Long = DefaultTargetFileRows,
+             withInEdgeIndex: Boolean = false): DurableStore = {
     val e = edges.localCheckpoint(true)
     require(!e.isEmpty, "DurableStore.create needs a non-empty edge table")
-    val qs = e.stat.approxQuantile("src",
-      (1 to numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
-      .map(_.toLong).distinct.sorted
-    val bounds = (qs.dropRight(1) :+ Long.MaxValue).toSeq
-    val files = writeBuckets(spark, e.withColumn("_b", bucketCol(bounds)),
+    val bounds = boundsFor(e, "src", numBuckets)
+    val files = writeBuckets(spark, e.withColumn("_b", bucketCol("src", bounds)),
       s"$root/v1", targetFileRows, minParts = bounds.size)
+    val (mb, mf) =
+      if (!withInEdgeIndex) (Nil, Nil)
+      else {
+        val mbounds = boundsFor(e, "dst", numBuckets)
+        (mbounds, writeBuckets(spark, e.withColumn("_b", bucketCol("dst", mbounds)),
+          s"$root/v1/m", targetFileRows, minParts = mbounds.size, key = "dst", sec = "src"))
+      }
     Files.createDirectories(Paths.get(root, "manifest"))
-    writeManifest(root, Manifest(1, bounds, files, schemaDDL = e.schema.toDDL))
+    writeManifest(root, Manifest(1, bounds, files, schemaDDL = e.schema.toDDL,
+      mbounds = mb, mirror = mf))
     setPointer(root, 1)
     new DurableStore(spark, root)
   }
 
   /** The one write shape every sorted rewrite uses: range-shuffle the
-    * rows by (_b, src, dst) across `max(minParts, rows/targetFileRows)`
+    * rows by (_b, key, sec) across `max(minParts, rows/targetFileRows)`
     * tasks, sort within each task, write hive-partitioned by bucket.
-    * Each task's slice of a bucket lands as one (src, dst)-sorted file
-    * covering a disjoint src sub-range — a multi-file sorted bucket —
-    * and per-file stats come back from ONE grouped scan of the output. */
+    * Each task's slice of a bucket lands as one (key, sec)-sorted file
+    * covering a disjoint key sub-range — a multi-file sorted bucket —
+    * and per-file stats come back from ONE grouped scan of the output.
+    * (key, sec) = ("src", "dst") for the primary, ("dst", "src") for the
+    * in-edge mirror. */
   private def writeBuckets(spark: SparkSession, eb: DataFrame, dir: String,
-                           targetFileRows: Long, minParts: Int = 1): Seq[StoreFile] = {
+                           targetFileRows: Long, minParts: Int = 1,
+                           key: String = "src", sec: String = "dst"): Seq[StoreFile] = {
     val e = eb.localCheckpoint(true)
     val total = e.count()
     if (total == 0) return Nil
     val nParts = math.max(minParts,
       ((total + targetFileRows - 1) / targetFileRows).toInt)
-    e.repartitionByRange(nParts, col("_b"), col("src"), col("dst"))
-      .sortWithinPartitions("_b", "src", "dst")
+    e.repartitionByRange(nParts, col("_b"), col(key), col(sec))
+      .sortWithinPartitions("_b", key, sec)
       .write.mode(SaveMode.Overwrite).partitionBy("_b").parquet(dir)
     statsForDir(spark, dir)
   }
@@ -332,29 +469,34 @@ object DurableStore {
 
   private def manifestPath(root: String, v: Int) = Paths.get(root, "manifest", s"v$v.tsv")
 
+  /** All committed (or orphaned) manifest versions under `root`. */
+  private def manifestVersions(root: String): Seq[Int] = {
+    val stream = Files.list(Paths.get(root, "manifest"))
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".tsv") =>
+        s.stripPrefix("v").stripSuffix(".tsv").toInt }
+      .toSeq.sorted
+    finally stream.close()
+  }
+
   /** Next version = max existing manifest + 1 — immune to orphan
     * manifests above the pointer (ADVICE r3). */
-  private def nextVersion(root: String): Int = {
-    val stream = Files.list(Paths.get(root, "manifest"))
-    try {
-      val vs = stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".tsv") =>
-          s.stripPrefix("v").stripSuffix(".tsv").toInt }
-        .toSeq
-      (if (vs.isEmpty) 0 else vs.max) + 1
-    } finally stream.close()
-  }
+  private def nextVersion(root: String): Int =
+    manifestVersions(root).lastOption.getOrElse(0) + 1
 
   private def writeManifest(root: String, m: Manifest): Unit = {
     Files.createDirectories(Paths.get(root, "manifest"))
+    def fileLine(tag: String)(f: StoreFile) =
+      s"$tag\t${f.bucket}\t${f.sorted}\t${f.srcMin}\t${f.srcMax}\t${f.dstMin}\t${f.dstMax}\t${f.rows}\t${f.path}"
     val lines =
-      s"version\t${m.version}" +:
+      (s"version\t${m.version}" +:
       s"bounds\t${m.bounds.mkString(",")}" +:
       s"lastbatch\t${m.lastBatch}" +:
       s"schema\t${m.schemaDDL}" +:
-      m.files.map(f =>
-        s"file\t${f.bucket}\t${f.sorted}\t${f.srcMin}\t${f.srcMax}\t${f.dstMin}\t${f.dstMax}\t${f.rows}\t${f.path}")
+      m.files.map(fileLine("file"))) ++
+      (if (m.mbounds.isEmpty) Nil else s"mbounds\t${m.mbounds.mkString(",")}" +:
+        m.mirror.map(fileLine("mfile")))
     // TRUNCATE (not CREATE_NEW): a manifest at this version can only be a
     // crash orphan — the pointer has never referenced it — so overwrite
     Files.write(manifestPath(root, m.version), lines.mkString("\n").getBytes,
@@ -364,18 +506,36 @@ object DurableStore {
 
   private def readManifest(root: String, v: Int): Manifest = {
     val lines = new String(Files.readAllBytes(manifestPath(root, v))).split("\n")
+    def parseFile(l: String): StoreFile = {
+      val p = l.split("\t")
+      StoreFile(p(1).toInt, p(8), p(3).toLong, p(4).toLong, p(5).toLong, p(6).toLong,
+        p(2).toBoolean, p(7).toLong)
+    }
     val bounds = lines.collectFirst { case l if l.startsWith("bounds\t") =>
       l.split("\t")(1).split(",").map(_.toLong).toSeq }.get
     val lastBatch = lines.collectFirst { case l if l.startsWith("lastbatch\t") =>
       l.split("\t")(1).toLong }.getOrElse(-1L)
     val schemaDDL = lines.collectFirst { case l if l.startsWith("schema\t") =>
       l.split("\t", 2)(1) }.getOrElse("")
-    val files = lines.toSeq.filter(_.startsWith("file\t")).map { l =>
-      val p = l.split("\t")
-      StoreFile(p(1).toInt, p(8), p(3).toLong, p(4).toLong, p(5).toLong, p(6).toLong,
-        p(2).toBoolean, p(7).toLong)
-    }
-    Manifest(v, bounds, files, lastBatch, schemaDDL)
+    val mbounds = lines.collectFirst { case l if l.startsWith("mbounds\t") =>
+      l.split("\t")(1).split(",").map(_.toLong).toSeq }.getOrElse(Nil)
+    val files = lines.toSeq.filter(_.startsWith("file\t")).map(parseFile)
+    val mirror = lines.toSeq.filter(_.startsWith("mfile\t")).map(parseFile)
+    Manifest(v, bounds, files, lastBatch, schemaDDL, mbounds, mirror)
+  }
+
+  /** Delete one manifest-listed path: a single parquet file (sorted
+    * bucket file, `file:`-scheme from input_file_name) or a delta
+    * DIRECTORY (whole appended file set). */
+  private def deletePath(p: String): Unit = {
+    val path =
+      if (p.startsWith("file:")) Paths.get(java.net.URI.create(p)) else Paths.get(p)
+    if (Files.isDirectory(path)) {
+      val walk = Files.walk(path)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    } else Files.deleteIfExists(path)
   }
 
   /** Atomic pointer flip: write aside, rename over. */

@@ -23,6 +23,11 @@ class DurableStoreSpec extends AnyFunSuite {
     DurableStore.create(spark, edges(rows: _*),
       Files.createTempDirectory("graft-ds").toString, numBuckets = 4)
 
+  private def freshMirrored(rows: (Long, Long)*): DurableStore =
+    DurableStore.create(spark, edges(rows: _*),
+      Files.createTempDirectory("graft-dsm").toString, numBuckets = 4,
+      withInEdgeIndex = true)
+
   val base = Seq((1L, 10L), (1L, 11L), (5L, 10L), (9L, 12L), (13L, 10L), (17L, 11L))
 
   test("create + read round-trips the edge multiset; reopen sees the same") {
@@ -93,6 +98,90 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(st.compact(vC) == vC)
   }
 
+  test("in-edge index: readForDst prunes via mirror stats; mirror holds the same multiset") {
+    val st = freshMirrored(base: _*)
+    val m = st.manifest(1)
+    assert(m.mbounds.nonEmpty && m.mirror.nonEmpty, "create(withInEdgeIndex) must write the mirror")
+    assert(rowSet(st.readMirror(1)) == rowSet(st.read(1)), "mirror != primary multiset")
+    // dst=10 must not touch every mirror file
+    val hit = m.mirror.filter(f => 10L >= f.dstMin && 10L <= f.dstMax)
+    assert(hit.size < m.mirror.size, "in-edge point read must not touch every mirror file")
+    assert(rowSet(st.readForDst(1, 10L).filter(col("dst") === 10L)) ==
+      rowSet(edges(base: _*)).filter(_._2 == 10L).map(identity))
+    // mirror files are (dst, src)-sorted on disk
+    m.mirror.foreach { f =>
+      val rows = spark.read.parquet(f.path).select("dst", "src")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sorted), s"mirror bucket ${f.bucket} not (dst,src)-sorted")
+    }
+    // an unindexed store falls back to the full (correct) view
+    val plain = fresh(base: _*)
+    assert(rowSet(plain.readForDst(1, 10L).filter(col("dst") === 10L)) ==
+      rowSet(edges(base: _*)).filter(_._2 == 10L).map(identity))
+  }
+
+  test("mutations keep the mirror consistent; deltas serve both sides until compaction") {
+    val st = freshMirrored(base: _*)
+    // COW mutation rewrites hit files on BOTH sides from one predicate
+    val v2 = st.deleteVertex(1, 10L)
+    assert(rowSet(st.read(v2)) == rowSet(edges(base.filterNot(_._2 == 10L): _*)))
+    assert(rowSet(st.readMirror(v2)) == rowSet(st.read(v2)), "mirror diverged after deleteVertex")
+    // append lands ONE shared delta, visible from both sides pre-compaction
+    val batch = Seq((2L, 10L), (16L, 12L))
+    val v3 = st.append(1, edges(batch: _*))
+    assert(rowSet(st.readForDst(v3, 12L).filter(col("dst") === 12L)) ==
+      rowSet(edges(base ++ batch: _*)).filter(_._2 == 12L).map(identity),
+      "delta rows must be visible to the in-edge side before compaction")
+    // compaction merges the delta into BOTH orders
+    val v4 = st.compact(v3)
+    val m4 = st.manifest(v4)
+    assert(m4.files.forall(_.sorted))
+    assert(rowSet(st.read(v4)) == rowSet(edges(base ++ batch: _*)))
+    assert(rowSet(st.readMirror(v4)) == rowSet(st.read(v4)), "mirror diverged after compaction")
+    assert(rowSet(st.readForDstRange(v4, 11L, 12L).filter(col("dst").between(11L, 12L))) ==
+      rowSet(edges(base ++ batch: _*)).filter(t => t._2 >= 11L && t._2 <= 12L).map(identity))
+  }
+
+  test("buildInEdgeIndex retrofits a mirror onto an existing store as a new version") {
+    val st = fresh(base: _*)
+    assert(st.manifest(1).mbounds.isEmpty)
+    val v2 = st.buildInEdgeIndex(1)
+    assert(v2 != 1)
+    val re = new DurableStore(spark, st.root)
+    assert(re.manifest(v2).mbounds.nonEmpty)
+    assert(rowSet(re.readMirror(v2)) == rowSet(edges(base: _*)))
+    assert(rowSet(re.readForDst(v2, 11L).filter(col("dst") === 11L)) ==
+      rowSet(edges(base: _*)).filter(_._2 == 11L).map(identity))
+    // indexing an already-indexed version is a no-op
+    assert(re.buildInEdgeIndex(v2) == v2)
+  }
+
+  test("vacuum drops old versions' exclusive files, keeps shared ones, preserves kept reads") {
+    val st = freshMirrored(base: _*)
+    val v2 = st.updateEdges(1, col("src") === 1L, "w", lit(99L), srcKey = Some(1L))
+    val v3 = st.deleteVertex(v2, 12L)
+    val exclusiveV1 = (st.manifest(1).files ++ st.manifest(1).mirror).map(_.path).toSet --
+      (st.manifest(v2).files ++ st.manifest(v2).mirror).map(_.path) --
+      (st.manifest(v3).files ++ st.manifest(v3).mirror).map(_.path)
+    val sharedV1 = (st.manifest(1).files ++ st.manifest(1).mirror).map(_.path).toSet
+      .intersect((st.manifest(v3).files ++ st.manifest(v3).mirror).map(_.path).toSet)
+    assert(exclusiveV1.nonEmpty && sharedV1.nonEmpty, "fixture must have both shared and exclusive files")
+    val expected = rowSet(st.read(v3))
+    val removed = st.vacuum(keepFrom = v3)
+    assert(removed > 0)
+    def local(p: String) = java.nio.file.Paths.get(java.net.URI.create(p))
+    exclusiveV1.foreach(p => assert(!Files.exists(local(p)), s"exclusive v1 file survived vacuum: $p"))
+    sharedV1.foreach(p => assert(Files.exists(local(p)), s"shared file deleted by vacuum: $p"))
+    // kept version reads exactly as before, including through the mirror
+    val re = new DurableStore(spark, st.root)
+    assert(rowSet(re.read(v3)) == expected)
+    assert(rowSet(re.readMirror(v3)) == expected)
+    // vacuumed versions are gone
+    intercept[java.nio.file.NoSuchFileException] { re.read(1).count() }
+    // vacuum cannot drop the current version
+    intercept[IllegalArgumentException] { re.vacuum(keepFrom = v3 + 1) }
+  }
+
   test("random op sequences: store state always equals an in-memory model") {
     // model-based check: apply the same mutation sequence to the store
     // (chained versions) and to a plain multiset; every intermediate
@@ -103,7 +192,10 @@ class DurableStoreSpec extends AnyFunSuite {
       var model: Vector[Row] =
         Vector.tabulate(12)(i => (r.nextInt(20).toLong, 10L + r.nextInt(5), 0L))
           .map { case (s, d, _) => (s, d, s * 10 + d) }
-      val st = fresh(model.map(t => (t._1, t._2)): _*)
+      // odd trials run with the in-edge mirror so the random sequence also
+      // exercises dual-order COW + compaction consistency
+      val st = if (trial % 2 == 0) fresh(model.map(t => (t._1, t._2)): _*)
+               else freshMirrored(model.map(t => (t._1, t._2)): _*)
       var v = 1
       val history = scala.collection.mutable.ArrayBuffer((v, model))
       for (step <- 0 until 6) {
@@ -135,6 +227,8 @@ class DurableStoreSpec extends AnyFunSuite {
       history.foreach { case (ver, m) =>
         assert(rowSet(re.read(ver)) == m.toSet,
           s"trial $trial version $ver diverged from model")
+        assert(rowSet(re.readMirror(ver)) == m.toSet,
+          s"trial $trial version $ver: in-edge view diverged from model")
       }
     }
   }
