@@ -155,6 +155,43 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.SimHash60.of(docs.sparkSession, col("ts")).as("simhash"))
 
+  /** Token k-gram md5 hashes from a token-ARRAY column (empty below k
+    * tokens). Hashing at projection time keeps the exploded rows
+    * fixed-width 32-char strings instead of arbitrary-length text — the
+    * shuffle key a 100 TB contamination join wants. Takes the already
+    * tokenized array, NOT the raw text: higher-order-function lambdas
+    * re-evaluate their input expression per element, so inlining
+    * `tokens(text)` here would re-split the text once per gram
+    * (O(tokens²) per document). Callers project the token array first. */
+  def ngramHashes(ts: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    when(size(ts) >= k,
+      transform(sequence(lit(1), size(ts) - (k - 1)),
+        i => md5(concat_ws(" ", slice(ts, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** D6: benchmark-contamination check — for every corpus document NOT in
+    * the held-out benchmark slice (doc_id ≡ 0 mod `benchMod` stands in for
+    * the eval set), the number of distinct token `k`-grams that also occur
+    * anywhere in the benchmark slice. Only contaminated documents emit a
+    * row. This is the decontamination gate an LLM training pipeline runs
+    * before every corpus release (n-gram collision against eval sets).
+    *
+    * Scale shape: the benchmark side reduces to distinct gram hashes and
+    * is broadcast (eval sets are fixed and small; the corpus is the
+    * 100 TB side). The corpus grams hit the broadcast join RAW — the join
+    * is the filter, so the only corpus-sized work is the scan, and the
+    * count-distinct shuffle carries contaminated rows only (normally a
+    * vanishing fraction). Deduplicating corpus grams before the join
+    * would instead shuffle every gram of every document. */
+  def contamination(docs: DataFrame, k: Int = 5, benchMod: Int = 20): DataFrame = {
+    val grams = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode(ngramHashes(col("ts"), k)).as("h"))
+    val bench = grams.filter(col("doc_id") % benchMod === 0).select("h").distinct()
+    grams.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id").agg(countDistinct("h").as("n_contam"))
+  }
+
   /** The r2 explode-per-bit SimHash derivation — kept (test-pinned against
     * [[simhash]]) as the shape the oracle SQL mirrors. */
   private[graft] def simhashExploded(docs: DataFrame): DataFrame = {

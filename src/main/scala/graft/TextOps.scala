@@ -72,4 +72,57 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+
+  /** Deterministic hash-sample membership: true for ~hexLt/16 of rows.
+    * md5 of a salted key compared as a hex STRING — identical in any
+    * engine, stable under reruns and repartitioning (the property that
+    * makes hash sampling the only sampling a distributed pipeline should
+    * use: no RNG state, no per-partition seeds). */
+  def hashSampled(key: Column, salt: String, hexLt: String): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 1) < lit(hexLt)
+
+  /** Stratified deterministic sample over the `documents` table: per
+    * language stratum, the full count, the sampled count, and the id-sum
+    * of the sampled members (the order-independent integer witness that
+    * the SAME documents were chosen, not merely the same number).
+    * One partial-aggregated groupBy — at 100 TB the sample decision is a
+    * per-row projection, so the scan parallelizes and nothing shuffles
+    * but the 5-row stratum aggregate. */
+  def stratifiedSample(docs: DataFrame, salt: String = "t5|",
+                       hexLt: String = "4"): DataFrame = {
+    val in = hashSampled(col("doc_id"), salt, hexLt)
+    docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_total"),
+      count(when(in, 1)).as("n_sampled"),
+      sum(when(in, col("doc_id"))).cast("long").as("sampled_id_sum"))
+  }
+
+  /** X1: the composite training-data-prep pipeline — quality filter →
+    * exact dedup (keep min doc_id per normalized-text fingerprint) →
+    * per-language document/token budget. This is the end-to-end shape a
+    * corpus build runs nightly; each stage is one of the already-verified
+    * operators (t3 filter, t4 fingerprint, d1 keeper rule) composed as a
+    * single declarative plan, so Catalyst pipelines the scan → filter →
+    * fingerprint-groupBy → semi-join → stratum aggregate with no
+    * materialization between stages. */
+  def trainingDataPrep(docs: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    val scored = docs.select(
+        col("doc_id"), col("lang"), col("text"),
+        size(ts).as("n_tokens"),
+        expr("regexp_count(text, '[.,!?;:]')").as("n_punct"),
+        stopScore(ts, Stopwords.head._2).as("n_stop"))
+      .filter(col("n_tokens") >= 5 && col("n_tokens") <= 100000 &&
+        expr("(100 * n_stop) div greatest(n_tokens, 1)") >= 1 &&
+        col("n_punct") * 4 <= col("n_tokens"))
+    val keepers = scored
+      .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    scored.join(keepers, Seq("doc_id"), "left_semi")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("total_tokens"),
+        sum("doc_id").cast("long").as("id_sum"))
+  }
 }

@@ -113,6 +113,25 @@ object DedupQueries {
           |  FROM cand JOIN nrm a ON cand.x = a.vec_id JOIN nrm b ON cand.y = b.vec_id)
           |SELECT x, y, cos_scaled FROM p WHERE cos_scaled >= 400000""".stripMargin)),
 
+    // D6: benchmark decontamination — distinct token 5-gram collisions
+    // between each corpus doc and the held-out benchmark slice
+    // (doc_id % 20 = 0). Both sides are distinct (doc, gram-hash) rows;
+    // the benchmark side is broadcast (eval sets are small and fixed, the
+    // corpus is the 100 TB side), so the corpus is scanned once with no
+    // corpus-sized shuffle.
+    ("d6_contamination",
+      (s: SparkSession, d: String) => Dedup.contamination(Tables.documents(s, d)),
+      Some(Oracle.withSql(TextQueries.TOK,
+        """, ng AS (
+          |  SELECT DISTINCT doc_id,
+          |    md5(array_to_string(ts[CAST(u.i AS BIGINT):CAST(u.i AS BIGINT)+4], ' ')) AS h
+          |  FROM tok, UNNEST(range(1, len(ts) - 3)) AS u(i)),
+          |bench AS (SELECT DISTINCT h FROM ng WHERE doc_id % 20 = 0)
+          |SELECT n.doc_id, count(*) AS n_contam
+          |FROM ng n JOIN bench b USING (h)
+          |WHERE n.doc_id % 20 <> 0
+          |GROUP BY n.doc_id""".stripMargin))),
+
     // The EXACT near-duplicate contract: all-pairs cosine with precomputed
     // norms — O(n²·dim), the small-N / final-verify reference that d5's
     // LSH path approximates (ScaleProbe times the crossover; at 100 TB

@@ -176,6 +176,38 @@ object DurableQueries {
     //      IDENTICAL to c3's — if one streamed edge were lost, duplicated
     //      (idempotency), or mangled by compaction, the fixpoint hash
     //      would diverge ----
+    // ---- S7: snapshot isolation + retention, end-to-end on a fresh
+    //      store: create v1 → mutate to v2 → read v1 AFTER the v2 commit
+    //      (time travel: old versions are immutable) → vacuum v1 → read
+    //      v2. The v1 aggregates are collected BEFORE the vacuum and
+    //      emitted as literals; `vacuumed` asserts files were physically
+    //      dropped AND the v1 manifest is really gone. The reference has
+    //      no versioned reads at all — this is the durability surface a
+    //      Spark-native store gets from manifest versioning, oracle-checked ----
+    ("s7_time_travel_vacuum",
+      (s: SparkSession, d: String) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-s7").toString
+        val st = DurableStore.create(s, Tables.nationEdges(s, d), root)
+        val v1 = st.currentVersion
+        val k = Tables.nationEdges(s, d).agg(min("src")).head.getLong(0)
+        val v2 = st.updateEdges(v1, col("src") === k, "etype", lit(7), srcKey = Some(k))
+        val r1 = st.read(v1)
+          .agg(count(lit(1)).cast("long"), sum("etype").cast("long")).head
+        val dropped = st.vacuum(v2)
+        val goneOk = scala.util.Try(st.manifest(v1)).isFailure
+        reopen(s, st).read(v2)
+          .agg(count(lit(1)).as("n_v2"), sum("etype").cast("long").as("etype_sum_v2"))
+          .select(lit(r1.getLong(0)).as("n_v1"), lit(r1.getLong(1)).as("etype_sum_v1"),
+            col("n_v2"), col("etype_sum_v2"),
+            lit(dropped > 0 && goneOk).as("vacuumed"))
+      },
+      Some(withSql(Oracle.NEDGES,
+        """SELECT count(*) AS n_v1, CAST(sum(etype) AS BIGINT) AS etype_sum_v1,
+          |       count(*) AS n_v2,
+          |       CAST(sum(CASE WHEN src = (SELECT min(src) FROM nedges) THEN 7 ELSE etype END) AS BIGINT) AS etype_sum_v2,
+          |       TRUE AS vacuumed
+          |FROM nedges""".stripMargin))),
+
     ("s6_continuous_pagerank",
       (s: SparkSession, d: String) => {
         val root = ingestedStoreRoot(s, d)

@@ -121,5 +121,39 @@ object TextQueries {
           |  CAST(strlen(rt) // 640 AS BIGINT) AS fake_height,
           |  md5(rt) AS fp
           |FROM r""".stripMargin)),
+
+    // ---- t5: deterministic stratified sampling — md5-threshold membership
+    //      per language stratum; the id-sum witnesses the SAME documents
+    //      were chosen by both engines, not merely the same count ----
+    ("t5_stratified_sample",
+      (s: SparkSession, d: String) => TextOps.stratifiedSample(Tables.documents(s, d)),
+      Some(
+        """SELECT lang, count(*) AS n_total,
+          |  count(*) FILTER (substr(md5('t5|' || doc_id), 1, 1) < '4') AS n_sampled,
+          |  CAST(sum(doc_id) FILTER (substr(md5('t5|' || doc_id), 1, 1) < '4') AS BIGINT) AS sampled_id_sum
+          |FROM documents GROUP BY lang""".stripMargin)),
+
+    // ---- X1: the composite corpus-build pipeline — quality filter (t3's
+    //      rule) → exact dedup (d1's keeper rule on t4's fingerprint) →
+    //      per-language doc/token budget, as ONE declarative plan ----
+    ("x1_training_data_prep",
+      (s: SparkSession, d: String) => TextOps.trainingDataPrep(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK.replace("SELECT doc_id, text,", "SELECT doc_id, lang, text,"),
+        s""", q1 AS (SELECT doc_id, lang, text, len(ts) AS n_tokens,
+           |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+           |  len(list_filter(ts, t -> t IN $enList)) AS n_stop
+           |  FROM tok),
+           |quality AS (SELECT * FROM q1
+           |  WHERE n_tokens >= 5 AND n_tokens <= 100000
+           |    AND (100 * n_stop) // greatest(n_tokens, 1) >= 1
+           |    AND n_punct * 4 <= n_tokens),
+           |keepers AS (
+           |  SELECT min(doc_id) AS doc_id FROM quality
+           |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+           |kept AS (SELECT q.* FROM quality q JOIN keepers USING (doc_id))
+           |SELECT lang, count(*) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+           |FROM kept GROUP BY lang""".stripMargin))),
   )
 }

@@ -124,4 +124,54 @@ class PipelineSpec extends AnyFunSuite {
     val small = Multimodal.resizeStub(media, ratio = 4).collect().head
     assert(small.doc_id == 3L && small.payload.length == 10)
   }
+
+  test("contamination flags corpus docs sharing a 5-gram with the benchmark slice") {
+    // doc 20 is the benchmark slice (id % 20 == 0); doc 1 copies one of its
+    // 5-grams verbatim, doc 2 shares nothing, doc 40 is benchmark (excluded)
+    val c = docs(
+      20L -> "alpha beta gamma delta epsilon zeta eta theta",
+      40L -> "iota kappa lambda mu nu xi omicron",
+      1L  -> "alpha beta gamma delta epsilon unrelated trailing words",
+      2L  -> "entirely different tokens with no shared sequences anywhere here")
+    val out = Dedup.contamination(c).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == 1L) // exactly the copied "alpha beta gamma delta epsilon"
+    // short docs (< k tokens) produce no grams and never join
+    val short = docs(20L -> "a b c d e f", 3L -> "a b")
+    assert(Dedup.contamination(short).collect().isEmpty)
+  }
+
+  test("stratified sample is deterministic, per-stratum bounded, and hash-keyed") {
+    val s = spark; import s.implicits._
+    val d = (1L to 200L).map(i => (i, s"doc $i text", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val a = TextOps.stratifiedSample(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = TextOps.stratifiedSample(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b) // rerun-stable: no RNG state
+    assert(a.toSeq.map(_._2).sum == 200 && a.forall(t => t._3 <= t._2))
+    // membership depends only on (salt, doc_id): moving a doc across
+    // strata cannot change whether it is sampled
+    val moved = d.withColumn("lang", lit("xx"))
+    val total = TextOps.stratifiedSample(moved).collect().head
+    assert(total.getLong(2) == a.toSeq.map(_._3).sum)
+  }
+
+  test("trainingDataPrep filters low-quality docs and collapses exact dups per lang") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog today", "en"), // dup of 1
+      (3L, "the cat sat on a mat and the dog sat too", "en"),
+      (4L, "x", "en"),                       // too short -> filtered
+      (5L, "!!! ??? ... ;;; ::: ,,, the a", "en")) // punct-heavy -> filtered
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.trainingDataPrep(d).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 2L)      // docs 1 (keeper of {1,2}) and 3
+    assert(r.getLong(3) == 1L + 3L) // id_sum proves WHICH docs survived
+  }
 }
