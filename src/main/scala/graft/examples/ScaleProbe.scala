@@ -84,6 +84,18 @@ object ScaleProbe {
       Dedup.simhash(docsK).count(); Dedup.simhashExploded(docsK).count()
       timed(s"d4_simhash_singlepass x$k") { Dedup.simhash(docsK).count() }
       timed(s"d4_simhash_exploded x$k") { Dedup.simhashExploded(docsK).count() }
+      // d6 contamination: corpus grams hit the broadcast bench join raw —
+      // growth should track the SCAN (linear in docs), because the only
+      // shuffle carries contaminated rows (id-shifting replicas keeps the
+      // doc_id%20 benchmark fraction constant while K× the corpus)
+      Dedup.contamination(docs).count() // untimed codegen warmup (as d4)
+      timed(s"d6_contamination x1") { Dedup.contamination(docs).count() }
+      timed(s"d6_contamination x$k") { Dedup.contamination(docsK).count() }
+      // x1 corpus-build composite: filter+fingerprint-groupBy+semi-join —
+      // all keyed shuffles, linear growth expected
+      timed(s"x1_training_prep x$k") {
+        TextOps.trainingDataPrep(docsK.withColumn("lang", lit("en"))).count()
+      }
     }
 
     // d5 embedding near-dup: LSH-candidate path vs all-pairs growth.

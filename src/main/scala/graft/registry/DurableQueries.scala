@@ -21,6 +21,12 @@ object DurableQueries {
   private val stores =
     new java.util.concurrent.ConcurrentHashMap[String, DurableStore]()
 
+  /** Version carrying the retrofitted in-edge mirror on [[baseStore]] —
+    * built once per (session, fixture) so repeat runs (Bench warm+timed)
+    * don't stack redundant index-build commits. */
+  private val mirrored =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** Base store (version 1) for a fixture dir, created once per JVM. */
   def baseStore(s: SparkSession, d: String): DurableStore =
     stores.computeIfAbsent(s"${s.sparkContext.applicationId}|$d", _ => {
@@ -79,6 +85,24 @@ object DurableQueries {
       Some(withSql(Oracle.EDGES,
         """SELECT src, dst, etype, ets, weight, rating FROM edges
           |WHERE src = (SELECT min(src) FROM edges)""".stripMargin))),
+
+    // ---- N2 served from the durable store's IN-EDGE mirror: the store
+    //      retrofits a dst-bucketed mirror of the same multiset (the
+    //      reference's in-edge linked-list index, QueryShard.java:662-812,
+    //      as a second sort order), and readForDst routes by the mirror's
+    //      dst-tight file stats — same oracle as the plan-based n2 ----
+    ("n2_query_in_durable",
+      (s: SparkSession, d: String) => {
+        val st = baseStore(s, d)
+        val vm = mirrored.computeIfAbsent(s"${s.sparkContext.applicationId}|$d",
+          _ => st.buildInEdgeIndex(1))
+        val w = Tables.orderEdges(s, d).agg(min("dst")).head.getLong(0)
+        st.readForDst(vm, w).filter(col("dst") === w)
+          .select("src", "dst", "etype", "ets", "weight", "rating")
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT src, dst, etype, ets, weight, rating FROM edges
+          |WHERE dst = (SELECT min(dst) FROM edges)""".stripMargin))),
 
     // ---- P3 durable: updateEdge persisted by bucket rewrite ----
     ("p3_update_edge_store",
