@@ -35,6 +35,7 @@ object Bench {
     Tables.edgeStoreByDstPath(spark, sfDir)
     registry.DurableQueries.baseStore(spark, sfDir) // durable bulk load
     registry.DurableQueries.ingestedStoreRoot(spark, sfDir) // s6 streaming ingest fixture
+    registry.DurableQueries.mirrorVersion(spark, sfDir) // n2's in-edge mirror index
     registry.VectorQueries.ivfStorePath(spark, sfDir) // IVF cell partitions
     ALSRec.warmOracleDump(spark, sfDir) // q11's oracle-only factor dump
 
