@@ -143,6 +143,29 @@ object OnlineIngest {
       .withColumn("h", md5(col("text")))
       .dropDuplicatesWithinWatermark("h")
 
+  /** Streaming corpus-build ingest: the streaming shape of the x1
+    * composite — the STATELESS quality gate (t3's integer rule) runs
+    * before the watermark-bounded exact dedup on the normalized-text
+    * fingerprint (t4's key). Ordering matters on an always-on 100 TB
+    * ingest: rejected documents never touch the dedup state store, so
+    * state size tracks the accepted-rate × watermark horizon, not the
+    * raw feed. */
+  def corpusIngest(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
+    val toks = graft.TextOps.tokens(col("text"))
+    val enStop = graft.TextOps.Stopwords.head._2
+    docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_punct", expr("regexp_count(text, '[.,!?;:]')"))
+      .withColumn("n_stop", size(filter(toks, t => t.isInCollection(enStop))))
+      .filter(col("n_tokens") >= 5 && col("n_tokens") <= 100000 &&
+        expr("(100 * n_stop) div greatest(n_tokens, 1)") >= 1 &&
+        col("n_punct") * 4 <= col("n_tokens"))
+      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ets", watermarkDelay)
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** Event-time tumbling window aggregation with watermark (the streaming
     * shape of the s1_event_window batch query). `ts` arrives as raw
     * nanos (nanosAsLong) and is restored to a timestamp for event time. */

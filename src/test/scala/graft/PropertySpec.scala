@@ -113,4 +113,52 @@ class PropertySpec extends AnyFunSuite {
       got == expected
     })
   }
+
+  // random documents over a small vocabulary so 5-gram collisions occur
+  val genDocs: Gen[List[(Long, String)]] =
+    Gen.nonEmptyListOf(for {
+      id <- Gen.choose(0L, 60L)
+      n  <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield (id, ws.mkString(" "))).map(_.distinctBy(_._1))
+
+  test("contamination equals brute-force n-gram intersection counts") {
+    check(Prop.forAll(genDocs) { ds =>
+      val s = spark; import s.implicits._
+      val k = 5
+      val docs = ds.toDF("doc_id", "text")
+      val got = Dedup.contamination(docs, k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def grams(t: String): Set[String] = {
+        val w = t.split("\\s+").filter(_.nonEmpty)
+        if (w.length < k) Set.empty
+        else w.sliding(k).map(_.mkString(" ")).toSet
+      }
+      val bench = ds.filter(_._1 % 20 == 0).flatMap(d => grams(d._2)).toSet
+      val expected = ds.filter(_._1 % 20 != 0)
+        .map { case (id, t) => id -> grams(t).count(bench).toLong }
+        .filter(_._2 > 0).toMap
+      got == expected
+    })
+  }
+
+  test("stratified sample equals per-row JVM md5 membership") {
+    check(Prop.forAll(genDocs) { ds =>
+      val s = spark; import s.implicits._
+      val docs = ds.map { case (id, t) => (id, t, if (id % 3 == 0) "en" else "de") }
+      val got = TextOps.stratifiedSample(docs.toDF("doc_id", "text", "lang"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) 0L else r.getLong(3))).toSet
+      def sampled(id: Long): Boolean = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"t5|$id".getBytes("UTF-8"))
+        "%02x".format(d(0) & 0xff).charAt(0) < '4'
+      }
+      val expected = docs.groupBy(_._3).map { case (lang, rows) =>
+        val in = rows.filter(r => sampled(r._1))
+        (lang, rows.size.toLong, in.size.toLong, in.map(_._1).sum)
+      }.toSet
+      got == expected
+    })
+  }
 }

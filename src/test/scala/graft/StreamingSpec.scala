@@ -134,6 +134,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 3L)) // the duplicate doc was suppressed
   }
 
+  test("streaming corpus ingest: quality gate before dedup state, duplicates dropped") {
+    val dir = Files.createTempDirectory("graft-corpus").toString
+    val s = spark; import s.implicits._
+    val m = 60L * 1000 * 1000 * 1000
+    val base = 6000L * m
+    val good = "the quick brown fox jumps over the lazy dog today"
+    val good2 = "the cat sat on a mat and the dog sat too"
+    // batch 0: one quality doc + one too-short (never reaches dedup state);
+    // batch 1: an exact duplicate of the quality doc (normalized-fp match,
+    // dropped) + a new quality doc (kept)
+    Seq((base, 1L, good), (base + m, 2L, "x"))
+      .toDF("ts", "doc_id", "text").write.parquet(s"$dir/b0.parquet")
+    Seq((base + 2 * m, 3L, "  " + good.toUpperCase + "  "), (base + 3 * m, 4L, good2))
+      .toDF("ts", "doc_id", "text").write.parquet(s"$dir/b1.parquet")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("ts", LongType),
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = graft.streaming.OnlineIngest.corpusIngest(stream)
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("corpus").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("corpus").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L)) // 2 failed quality; 3 was a normalized dup of 1
+  }
+
   test("windowed event counts with watermark match the batch equivalent") {
     val dir = Files.createTempDirectory("graft-events").toString
     val s = spark; import s.implicits._
