@@ -40,7 +40,13 @@ object ExtensionsDemo {
         "CAST(conv(substring(md5('hello'), 1, 15), 16, 10) AS BIGINT) AS ok")
       .first().getBoolean(0)
     println(s"[ext] graft_simhash60 via SQL matches md5 derivation: $sh")
-    require(pushed && dot == 11.0 && sh, "extensions not active")
+    // the injected ShingleArray must produce the word 3-grams of a
+    // 4-token string (two shingles, overlapping)
+    val shingles = spark.sql("SELECT graft_shingles('a b c d') AS s")
+      .first().getSeq[String](0)
+    println(s"[ext] graft_shingles via SQL: $shingles (expect [a b c, b c d])")
+    require(pushed && dot == 11.0 && sh && shingles == Seq("a b c", "b c d"),
+      "extensions not active")
     println("[ext] OK")
     spark.stop()
   }

@@ -8,7 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * session BUILD time —
   *
   *   - [[OffsetComparisonRewrite]] as an optimizer rule, and
-  *   - `graft_dot` ([[graft.functions.FloatDotProduct]]) as a SQL function
+  *   - the three codegen expressions as SQL functions: `graft_dot`
+  *     ([[graft.functions.FloatDotProduct]]), `graft_simhash60`
+  *     ([[graft.functions.SimHash60]]), `graft_shingles`
+  *     ([[graft.functions.ShingleArray]])
   *
   * via `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` on a cluster.
@@ -45,5 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SimHash60.FnName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.SimHash60(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.ShingleArray.FnName),
+      new ExpressionInfo(classOf[graft.functions.ShingleArray].getName,
+        graft.functions.ShingleArray.FnName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ShingleArray(exprs.head)))
   }
 }
