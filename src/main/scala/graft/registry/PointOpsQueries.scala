@@ -388,11 +388,19 @@ object PointOpsQueries {
     // ---- N7: random vertex (reference GraphChiDatabase.scala:1839-1852;
     //      unseeded there — determinized as an md5 keyed shuffle, which is
     //      just as arbitrary but reproducible in ANY engine, so the pick
-    //      is fully oracle-checked) ----
+    //      is fully oracle-checked). Computed as an argmin over a struct
+    //      — min(struct(h, id)) compares fields left-to-right, exactly
+    //      ORDER BY h, id LIMIT 1 — so the plan is ONE partial-combined
+    //      aggregation over the raw endpoint rows: no distinct shuffle
+    //      (duplicate ids cannot change a min) and no sort ----
     ("n7_random_vertex",
       (s: SparkSession, d: String) => {
         val db = GraphDB.orderGraph(s, d)
-        db.endpoints.orderBy(md5(concat(lit("n7|"), col("id"))), col("id")).limit(1)
+        db.edges.select(col("src").as("id"))
+          .unionAll(db.edges.select(col("dst").as("id")))
+          .agg(min(struct(md5(concat(lit("n7|"), col("id"))).as("h"),
+            col("id").as("id"))).as("m"))
+          .select(col("m.id").as("id"))
       },
       Some(withSql(Oracle.EDGES,
         """, ep AS (SELECT DISTINCT id FROM

@@ -30,6 +30,25 @@ class DurableStoreSpec extends AnyFunSuite {
 
   val base = Seq((1L, 10L), (1L, 11L), (5L, 10L), (9L, 12L), (13L, 10L), (17L, 11L))
 
+  test("a crash-orphan manifest above the pointer is superseded, not wedging") {
+    val st = fresh(base: _*)
+    val v2 = st.updateEdges(1, col("src") === 1L, "w", lit(99L), srcKey = Some(1L))
+    // simulate a crash BETWEEN manifest-write and pointer-flip: a manifest
+    // file exists at v3 but VERSION still points at v2 (ADVICE r3 — the
+    // next version must derive from the max manifest FILE, not pointer+1,
+    // or every later commit dies on the existing path)
+    val mdir = java.nio.file.Paths.get(st.root, "manifest")
+    java.nio.file.Files.copy(mdir.resolve(s"v$v2.tsv"), mdir.resolve(s"v${v2 + 1}.tsv"))
+    assert(st.currentVersion == v2)
+    val v4 = st.append(v2, edges((21L, 10L)))
+    assert(v4 == v2 + 2, "commit must skip past the orphan version")
+    assert(rowSet(st.read(v4)) ==
+      rowSet(edges(base: _*)).map { case (s, d, w) => (s, d, if (s == 1L) 99L else w) } +
+        ((21L, 10L, 220L)))
+    // reopen from disk: pointer and manifest chain are consistent
+    assert(new DurableStore(spark, st.root).currentVersion == v4)
+  }
+
   test("create + read round-trips the edge multiset; reopen sees the same") {
     val st = fresh(base: _*)
     assert(rowSet(st.read(1)) == rowSet(edges(base: _*)))
