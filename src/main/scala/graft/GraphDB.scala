@@ -54,16 +54,17 @@ class GraphDB(val spark: SparkSession, val edges: DataFrame, val vertices: DataF
     result.join(vertices.select((Seq("id") ++ cols).map(col): _*).withColumnRenamed("id", on), on)
 
   /** in/out/total degree per vertex (N6); replaces the packed hi/lo degree
-    * column (reference GraphChiDatabase.scala:1759-1833, Util.scala:25-29). */
-  def degrees: DataFrame = {
-    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val in  = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
-    out.join(in, Seq("id"), "full_outer")
-      .select(col("id"),
-        coalesce(col("indeg"), lit(0L)).as("indeg"),
-        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    * column (reference GraphChiDatabase.scala:1759-1833, Util.scala:25-29).
+    * Endpoint rows are tagged with their side and aggregated ONCE — one
+    * shuffle with map-side combine, instead of the per-side groupBy pair
+    * plus full-outer join (two full-edge shuffles) it replaces; hot
+    * vertices cost a combiner cell, not a straggler. */
+  def degrees: DataFrame =
+    edges.select(col("src").as("id"), lit(0L).as("i"), lit(1L).as("o"))
+      .unionAll(edges.select(col("dst").as("id"), lit(1L).as("i"), lit(0L).as("o")))
+      .groupBy("id")
+      .agg(sum("i").as("indeg"), sum("o").as("outdeg"))
       .withColumn("degree", col("indeg") + col("outdeg"))
-  }
 
   // ---- point ops (P1-P5, reference GraphChiDatabase.scala:1188-1339) ----
   /** Edge existence (P1, reference QueryShard.java:207-253). */
