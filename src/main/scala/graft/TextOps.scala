@@ -73,6 +73,24 @@ object TextOps {
     docs.select(col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
 
+  /** GPT-2-style pretokenizer regex (contraction suffixes, space-prefixed
+    * letter runs, digit runs, punctuation runs, whitespace) — the
+    * "BPE-ish" token counting surface. The alternation uses no
+    * constructs that differ between Java regex (Spark) and RE2 (DuckDB),
+    * so both engines produce identical boundaries; t6's per-document
+    * fingerprint of the joined token list pins that, not just the count. */
+  val BpePattern: String =
+    "'[sdmt]|'ll|'ve|'re| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** T6: BPE-ish pretokenization stats — token count plus an md5 over the
+    * U+0001-joined token list (boundary-exact cross-engine witness). */
+  def bpeTokenStats(docs: DataFrame): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    docs.select(col("doc_id"),
+      size(toks).as("n_bpe"),
+      md5(concat_ws("\u0001", toks)).as("tok_fp"))
+  }
+
   /** Deterministic hash-sample membership: true for ~hexLt/16 of rows.
     * md5 of a salted key compared as a hex STRING — identical in any
     * engine, stable under reruns and repartitioning (the property that

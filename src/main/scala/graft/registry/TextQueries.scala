@@ -122,6 +122,18 @@ object TextQueries {
           |  md5(rt) AS fp
           |FROM r""".stripMargin)),
 
+    // ---- t6: BPE-ish pretokenization (GPT-2-style regex) — the count AND
+    //      a boundary-exact fingerprint of the token list; the SQL reuses
+    //      the SAME pattern constant so the engines cannot drift ----
+    ("t6_bpe_pretokenize",
+      (s: SparkSession, d: String) => TextOps.bpeTokenStats(Tables.documents(s, d)),
+      Some {
+        val p = TextOps.BpePattern.replace("'", "''")
+        s"""SELECT doc_id, len(regexp_extract_all(text, '$p')) AS n_bpe,
+           |  md5(array_to_string(regexp_extract_all(text, '$p'), chr(1))) AS tok_fp
+           |FROM documents""".stripMargin
+      }),
+
     // ---- t5: deterministic stratified sampling — md5-threshold membership
     //      per language stratum; the id-sum witnesses the SAME documents
     //      were chosen by both engines, not merely the same count ----

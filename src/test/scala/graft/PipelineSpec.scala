@@ -125,6 +125,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(small.doc_id == 3L && small.payload.length == 10)
   }
 
+  test("BPE pretokenizer matches a direct java.util.regex scan on tricky text") {
+    val text = "I don't think 42 cats, 7 dogs! it's 3.14-ish\ttabbed"
+    val m = java.util.regex.Pattern.compile(TextOps.BpePattern).matcher(text)
+    val expected = scala.collection.mutable.Buffer[String]()
+    while (m.find()) expected += m.group()
+    assert(expected.mkString == text, "pretokenizer must partition the text exactly")
+    assert(expected.contains("'t") && expected.contains(" 42") && expected.contains("!"))
+    val row = TextOps.bpeTokenStats(docs(1L -> text)).collect().head
+    assert(row.getInt(1) == expected.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.mkString("\u0001").getBytes("UTF-8"))
+    assert(row.getString(2) == md.map("%02x".format(_)).mkString)
+  }
+
   test("contamination flags corpus docs sharing a 5-gram with the benchmark slice") {
     // doc 20 is the benchmark slice (id % 20 == 0); doc 1 copies one of its
     // 5-grams verbatim, doc 2 shares nothing, doc 40 is benchmark (excluded)
