@@ -91,6 +91,41 @@ object TextOps {
       md5(concat_ws("\u0001", toks)).as("tok_fp"))
   }
 
+  /** T7: winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm; the reference's rolling-hash
+    * fingerprint slot done properly): hash every char `k`-gram, then
+    * keep the MINIMUM hash of each sliding window of `w` consecutive
+    * k-gram hashes. Guarantees: any shared substring of length ≥ k+w-1
+    * yields a shared fingerprint (shift-resistant, unlike fixed-stride
+    * sampling), and ~1/w of positions are selected. Emits the distinct
+    * fingerprint count plus an order-canonical digest of the selected
+    * set — the boundary-exact cross-engine witness.
+    *
+    * Plan shape: one narrow projection per document (two nested
+    * higher-order transforms + distinct/sort inside the row), NO shuffle
+    * and no row amplification — the same scale story as SimHash. Texts
+    * shorter than k contribute one whole-text window on both engines
+    * (the sequence/range bounds are floored to one element identically). */
+  private def winnowSets(docs: DataFrame, k: Int, w: Int): DataFrame =
+    docs.select(col("doc_id"),
+        expr(s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), " +
+          s"i -> md5(substring(text, i, $k)))").as("hs"))
+      .select(col("doc_id"),
+        expr(s"array_sort(array_distinct(transform(" +
+          s"sequence(1, greatest(size(hs) - ${w - 1}, 1)), " +
+          s"j -> array_min(slice(hs, j, $w)))))").as("fps"))
+
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    winnowSets(docs, k, w)
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        md5(concat_ws("\u0001", col("fps"))).as("fp_digest"))
+
+  /** Exploded (doc_id, fp) winnowing rows — the equi-join shape for
+    * MOSS-style overlap detection (same pattern as [[graft.Dedup
+    * .contamination]]: fingerprints are the shuffle/broadcast key). */
+  def winnowPrints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    winnowSets(docs, k, w).select(col("doc_id"), explode(col("fps")).as("fp"))
+
   /** Deterministic hash-sample membership: true for ~hexLt/16 of rows.
     * md5 of a salted key compared as a hex STRING — identical in any
     * engine, stable under reruns and repartitioning (the property that

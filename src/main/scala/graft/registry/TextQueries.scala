@@ -134,6 +134,27 @@ object TextQueries {
            |FROM documents""".stripMargin
       }),
 
+    // ---- t7: winnowing fingerprints (MOSS, SIGMOD'03) — min k-gram-hash
+    //      per sliding window; digest is order-canonical so any
+    //      selected-set difference fails the hash. range() is
+    //      end-EXCLUSIVE in DuckDB vs sequence() inclusive in Spark:
+    //      both floor to exactly one window on short texts ----
+    ("t7_winnow_fingerprints",
+      (s: SparkSession, d: String) => TextOps.winnowFingerprints(Tables.documents(s, d)),
+      Some(
+        """WITH kh AS (
+          |  SELECT doc_id,
+          |    list_transform(range(1, greatest(strlen(text) - 6, 2)),
+          |      i -> md5(substr(text, CAST(i AS BIGINT), 8))) AS hs
+          |  FROM documents),
+          |win AS (
+          |  SELECT doc_id,
+          |    list_sort(list_distinct(list_transform(range(1, greatest(len(hs) - 2, 2)),
+          |      j -> list_aggregate(hs[CAST(j AS BIGINT):CAST(j AS BIGINT)+3], 'min')))) AS fps
+          |  FROM kh)
+          |SELECT doc_id, len(fps) AS n_fp, md5(array_to_string(fps, chr(1))) AS fp_digest
+          |FROM win""".stripMargin)),
+
     // ---- t5: deterministic stratified sampling — md5-threshold membership
     //      per language stratum; the id-sum witnesses the SAME documents
     //      were chosen by both engines, not merely the same count ----

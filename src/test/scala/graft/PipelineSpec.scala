@@ -139,6 +139,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getString(2) == md.map("%02x".format(_)).mkString)
   }
 
+  test("winnowing: a shared substring fingerprints identically under shift") {
+    // common run of 16 chars > k+w-1 = 11, embedded at different offsets
+    val common = "abcdefghijklmnop"
+    val d = docs(1L -> ("XXX " + common + " YYY"), 2L -> ("Z" + common + "QQQQQ"),
+      3L -> "totally unrelated content with nothing in common at all")
+    val prints = TextOps.winnowPrints(d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert((prints(1L) & prints(2L)).nonEmpty,
+      "shift-resistance: shared >= k+w-1 substring must share a fingerprint")
+    assert((prints(1L) & prints(3L)).isEmpty)
+    // digest is the canonical set: identical docs digest identically
+    val dig = TextOps.winnowFingerprints(docs(7L -> "same text body here", 8L -> "same text body here"))
+      .collect().map(_.getString(2))
+    assert(dig(0) == dig(1))
+  }
+
   test("contamination flags corpus docs sharing a 5-gram with the benchmark slice") {
     // doc 20 is the benchmark slice (id % 20 == 0); doc 1 copies one of its
     // 5-grams verbatim, doc 2 shares nothing, doc 40 is benchmark (excluded)
