@@ -14,7 +14,10 @@ object ExplainAudit {
         "n3_query_out_multiple", "w1_lineitem_agg", "e1_ann_bruteforce_topk",
         // r3: cell-partition pruning (PartitionFilters: [cid IN …]),
         // manifest-pruned durable point read, codegen simhash projection
-        "e3b_ann_ivf_store_topk", "n1_query_out_durable", "d4_dedup_simhash")
+        "e3b_ann_ivf_store_topk", "n1_query_out_durable", "d4_dedup_simhash",
+        // late r4: broadcast-bench contamination, one-shuffle degrees,
+        // sortless argmin n7, winnowing narrow projection
+        "d6_contamination", "n6_degrees", "n7_random_vertex", "t7_winnow_fingerprints")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
