@@ -192,6 +192,31 @@ object Dedup {
       .groupBy("doc_id").agg(countDistinct("h").as("n_contam"))
   }
 
+  /** D7: MOSS-style overlap candidates from winnowing fingerprints
+    * ([[graft.TextOps.winnowPrints]]): pairs of documents sharing at
+    * least `minShared` selected fingerprints, after dropping fingerprints
+    * that occur in more than `maxDf` documents (the standard winnowing
+    * high-document-frequency cut — boilerplate substrings would otherwise
+    * pair everything with everything).
+    *
+    * Scale shape: the df cut bounds every fingerprint group at `maxDf`
+    * docs, so the self-join fan-out is ≤ maxDf² per group BY
+    * CONSTRUCTION — the same quadratic-only-inside-a-bucket guarantee as
+    * the d2 LSH band join, with the df filter as the bucket bound. */
+  def winnowOverlap(docs: DataFrame, maxDf: Int = 8, minShared: Int = 5): DataFrame = {
+    // winnowPrints materializes the fingerprint sets (see its scaladoc);
+    // the df cut and both pair-join sides re-explode from that cache
+    val pr = TextOps.winnowPrints(docs)
+    val rare = pr.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val prr = pr.join(rare, "fp")
+    prr.select(col("fp"), col("doc_id").as("x"))
+      .join(prr.select(col("fp").as("fp2"), col("doc_id").as("y")),
+        col("fp") === col("fp2") && col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** The r2 explode-per-bit SimHash derivation — kept (test-pinned against
     * [[simhash]]) as the shape the oracle SQL mirrors. */
   private[graft] def simhashExploded(docs: DataFrame): DataFrame = {

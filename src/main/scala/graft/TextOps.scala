@@ -122,9 +122,17 @@ object TextOps {
 
   /** Exploded (doc_id, fp) winnowing rows — the equi-join shape for
     * MOSS-style overlap detection (same pattern as [[graft.Dedup
-    * .contamination]]: fingerprints are the shuffle/broadcast key). */
+    * .contamination]]: fingerprints are the shuffle/broadcast key).
+    * The fingerprint SETS are materialized (eager localCheckpoint)
+    * before the explode: left inline, the optimizer collapses the
+    * fps-building projection into the Generate, and the k-gram-hash
+    * array expression — len(text) md5s — is then re-evaluated inside
+    * the per-window lambda, turning the winnow into O(len²) md5 calls
+    * per document (measured 30× slower at sf0.01). Same HOF-inlining
+    * trap as [[graft.Dedup.ngramHashes]], one level deeper. */
   def winnowPrints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
-    winnowSets(docs, k, w).select(col("doc_id"), explode(col("fps")).as("fp"))
+    winnowSets(docs, k, w).localCheckpoint(true)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
 
   /** Deterministic hash-sample membership: true for ~hexLt/16 of rows.
     * md5 of a salted key compared as a hex STRING — identical in any

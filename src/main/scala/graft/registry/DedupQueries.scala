@@ -132,6 +132,31 @@ object DedupQueries {
           |WHERE n.doc_id % 20 <> 0
           |GROUP BY n.doc_id""".stripMargin))),
 
+    // D7: MOSS overlap candidates — winnowing fingerprints, high-df cut,
+    // pair on shared fingerprints. The df bound makes the self-join
+    // quadratic only inside a ≤maxDf-doc group (the d2 bucket guarantee).
+    ("d7_winnow_overlap",
+      (s: SparkSession, d: String) => Dedup.winnowOverlap(Tables.documents(s, d)),
+      Some(
+        """WITH kh AS (
+          |  SELECT doc_id,
+          |    list_transform(range(1, greatest(strlen(text) - 6, 2)),
+          |      i -> md5(substr(text, CAST(i AS BIGINT), 8))) AS hs
+          |  FROM documents),
+          |win AS (
+          |  SELECT doc_id,
+          |    list_sort(list_distinct(list_transform(range(1, greatest(len(hs) - 2, 2)),
+          |      j -> list_aggregate(hs[CAST(j AS BIGINT):CAST(j AS BIGINT)+3], 'min')))) AS fps
+          |  FROM kh),
+          |pr AS (SELECT doc_id, unnest(fps) AS fp FROM win),
+          |rare AS (SELECT fp FROM pr GROUP BY fp HAVING count(*) <= 8),
+          |prr AS (SELECT pr.doc_id, pr.fp FROM pr JOIN rare USING (fp)),
+          |pairs AS (
+          |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS shared
+          |  FROM prr a JOIN prr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT x, y, shared FROM pairs WHERE shared >= 5""".stripMargin)),
+
     // The EXACT near-duplicate contract: all-pairs cosine with precomputed
     // norms — O(n²·dim), the small-N / final-verify reference that d5's
     // LSH path approximates (ScaleProbe times the crossover; at 100 TB
