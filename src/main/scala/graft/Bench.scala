@@ -78,9 +78,12 @@ object Bench {
     // ---- query latencies over the full registry ----
     // a failed query reports -1.0, not its time-to-exception — a broken
     // query must not masquerade as a fast one
+    // noop sink, not count(): count() lets Catalyst prune every computed
+    // column, so projection-only entries (text stats, fingerprints,
+    // simhash) would time a bare parquet row count instead of their work
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (ok, sec) = timed {
-        try { fn(spark, sfDir).count(); true }
+        try { fn(spark, sfDir).write.mode(SaveMode.Overwrite).format("noop").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
