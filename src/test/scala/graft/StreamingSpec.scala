@@ -89,6 +89,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(m.files.size <= 3)
   }
 
+  test("durable ingest restart: checkpoint resumes batch ids, no re-appends") {
+    val dir = Files.createTempDirectory("graft-drestart").toString
+    val sch = StructType(Seq(StructField("src", LongType), StructField("dst", LongType),
+      StructField("etype", IntegerType), StructField("w", LongType)))
+    val s = spark; import s.implicits._
+    def batch(rows: (Long, Long)*) =
+      rows.toDF("src", "dst").select(col("src"), col("dst"),
+        lit(0).as("etype"), (col("src") * 10 + col("dst")).as("w"))
+    val store = DurableStore.create(spark, batch((1L, 7L)),
+      Files.createTempDirectory("graft-drs").toString, numBuckets = 2)
+
+    // run 1: two files drain as batches 0, 1
+    batch((20L, 7L)).write.parquet(s"$dir/b0.parquet")
+    batch((21L, 7L)).write.parquet(s"$dir/b1.parquet")
+    graft.streaming.OnlineIngest.ingestDurable(spark, sch, s"$dir/*", store)
+      .awaitTermination()
+    val v1 = new DurableStore(spark, store.root)
+    assert(v1.manifest(v1.currentVersion).lastBatch == 1L)
+
+    // run 2 (restart, same checkpoint): only the NEW files are processed —
+    // the checkpoint advances the source, the manifest watermark guards
+    // any foreachBatch retry; old edges must appear exactly once
+    batch((22L, 7L)).write.parquet(s"$dir/b2.parquet")
+    graft.streaming.OnlineIngest.ingestDurable(spark, sch, s"$dir/*", store)
+      .awaitTermination()
+    // run 3 (restart with nothing new): a no-op
+    graft.streaming.OnlineIngest.ingestDurable(spark, sch, s"$dir/*", store)
+      .awaitTermination()
+
+    val re = new DurableStore(spark, store.root)
+    assert(re.manifest(re.currentVersion).lastBatch == 2L)
+    val got = re.readLatest().groupBy("src").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 20L -> 1L, 21L -> 1L, 22L -> 1L),
+      s"every batch exactly once, got $got")
+  }
+
   test("stateful sessionization closes sessions on gap (flatMapGroupsWithState)") {
     val dir = Files.createTempDirectory("graft-sess").toString
     val s = spark; import s.implicits._
