@@ -108,6 +108,17 @@ object Dedup {
     shingleCache.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir",
       _ => shingles(Tables.documents(spark, dir)).localCheckpoint(true))
 
+  /** One representative document per distinct text (d1's keeper rule,
+    * kept as full rows): the stage a production dedup pipeline runs
+    * BEFORE any pairwise verification. Pairwise cost is quadratic in
+    * duplicate-cluster size, so collapsing exact copies first turns a
+    * corpus with fat dup clusters back into a near-linear verify — at
+    * sf1 (10 id-shifted copies of every doc) this is the difference
+    * between d3's 100×-pairs blowup and d3b's flat profile. */
+  def representatives(docs: DataFrame): DataFrame =
+    docs.join(exact(docs).select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+
   /** D3: exact shingle-Jaccard verification of the LSH candidates —
     * (a, b, jacc_pct) with jacc_pct = (100·|∩|) div |∪|. */
   def jaccardVerify(docs: DataFrame): DataFrame =

@@ -113,6 +113,32 @@ object DedupQueries {
           |  FROM cand JOIN nrm a ON cand.x = a.vec_id JOIN nrm b ON cand.y = b.vec_id)
           |SELECT x, y, cos_scaled FROM p WHERE cos_scaled >= 400000""".stripMargin)),
 
+    // D3b: the production composition — exact-dedup collapse FIRST, then
+    // LSH + Jaccard verify over one representative per distinct text.
+    // Pairwise verify is quadratic in dup-cluster size, so this ordering
+    // is what keeps a real corpus (where popularity makes clusters fat)
+    // near-linear: at sf1 the replicated fixture grows d3's pairs ~100×
+    // while d3b stays at the sf0.1 profile. Same fragments as d3, over
+    // the deduped document set.
+    ("d3b_dedup_verify_after_exact",
+      (s: SparkSession, d: String) =>
+        Dedup.jaccardVerify(Dedup.representatives(Tables.documents(s, d))),
+      Some(Oracle.withSql(
+        """reps AS (
+          |  SELECT d.* FROM documents d
+          |  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+          |    USING (doc_id)),
+          |""".stripMargin + LSH.replace("FROM documents", "FROM reps"),
+        """, sz AS (SELECT doc_id, count(*) AS n FROM shu GROUP BY doc_id),
+          |inter AS (
+          |  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
+          |  FROM shu sa JOIN shu sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT c.a, c.b,
+          |       (100 * COALESCE(i.i, 0)) // (sa.n + sb.n - COALESCE(i.i, 0)) AS jacc_pct
+          |FROM cand c LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+          |JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id""".stripMargin))),
+
     // D6: benchmark decontamination — distinct token 5-gram collisions
     // between each corpus doc and the held-out benchmark slice
     // (doc_id % 20 = 0). Both sides are distinct (doc, gram-hash) rows;
