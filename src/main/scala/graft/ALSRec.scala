@@ -112,7 +112,7 @@ object ALSRec {
   def recommendTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     ensureDumped(spark, dir)
     val model = fit(spark, dir)
-    val minUser = ratings(spark, dir).agg(min("user")).head.getInt(0)
+    val minUser = ratings(spark, dir).agg(min("user")).head().getInt(0)
     val uf = model.userFactors.filter(col("id") === minUser)
     model.itemFactors.crossJoin(broadcast(uf.select(col("features").as("ufeat"))))
       .select(col("id").cast("long").as("item"),

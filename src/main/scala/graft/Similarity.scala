@@ -261,7 +261,7 @@ object Similarity {
     val q = vecs.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .localCheckpoint(true)
-    val qv = q.head.getSeq[Float](1).toArray
+    val qv = q.head().getSeq[Float](1).toArray
     def fold(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
@@ -272,7 +272,7 @@ object Similarity {
       .map { case (cid, cv) => (fold(qv, cv) / math.sqrt(fold(cv, cv)), cid) }
       .sortBy { case (d, cid) => (-d, cid) }
       .take(nprobe).map(_._2)
-    vecs.filter(col("cid").isin(probed: _*)) // directory-level pruning
+    vecs.filter(col("cid").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*)) // directory-level pruning
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("vec_id"),

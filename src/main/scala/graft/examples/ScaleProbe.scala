@@ -141,7 +141,7 @@ object ScaleProbe {
         st = graft.DurableStore.create(spark, e, root, numBuckets = 16)
         st.read(1).count()
       }
-      val v = e.agg(min("src")).head.getLong(0)
+      val v = e.agg(min("src")).head().getLong(0)
       timed(s"durable_point_update x$k") {
         val nv = st.updateEdges(1, col("src") === v, "rating", lit(9), srcKey = Some(v))
         st.manifest(nv).files.count(f => !st.manifest(1).files.exists(_.path == f.path)).toLong

@@ -46,7 +46,7 @@ object DurableQueries {
     new DurableStore(s, st.root)
 
   private def minSrcVal(s: SparkSession, d: String): Long =
-    Tables.orderEdges(s, d).agg(min("src")).head.getLong(0)
+    Tables.orderEdges(s, d).agg(min("src")).head().getLong(0)
 
   /** C2 substrate (reference runs continuous computation while inserting,
     * GraphChiDatabase.scala:2258-2283): 1/4 of the order graph bulk-loads
@@ -102,7 +102,7 @@ object DurableQueries {
       (s: SparkSession, d: String) => {
         val st = baseStore(s, d)
         val vm = mirrorVersion(s, d)
-        val w = Tables.orderEdges(s, d).agg(min("dst")).head.getLong(0)
+        val w = Tables.orderEdges(s, d).agg(min("dst")).head().getLong(0)
         st.readForDst(vm, w).filter(col("dst") === w)
           .select("src", "dst", "etype", "ets", "weight", "rating")
       },
@@ -130,7 +130,7 @@ object DurableQueries {
       (s: SparkSession, d: String) => {
         val st = baseStore(s, d)
         val v = minSrcVal(s, d)
-        val w = st.read(1).filter(col("src") === v).agg(min("dst")).head.getLong(0)
+        val w = st.read(1).filter(col("src") === v).agg(min("dst")).head().getLong(0)
         val nv = st.deleteEdges(1, col("src") === v && col("dst") === w,
           srcKey = Some(v), dstKey = Some(w))
         reopen(s, st).read(nv)
@@ -219,10 +219,10 @@ object DurableQueries {
         val root = java.nio.file.Files.createTempDirectory("graft-s7").toString
         val st = DurableStore.create(s, Tables.nationEdges(s, d), root)
         val v1 = st.currentVersion
-        val k = Tables.nationEdges(s, d).agg(min("src")).head.getLong(0)
+        val k = Tables.nationEdges(s, d).agg(min("src")).head().getLong(0)
         val v2 = st.updateEdges(v1, col("src") === k, "etype", lit(7), srcKey = Some(k))
         val r1 = st.read(v1)
-          .agg(count(lit(1)).cast("long"), sum("etype").cast("long")).head
+          .agg(count(lit(1)).cast("long"), sum("etype").cast("long")).head()
         val dropped = st.vacuum(v2)
         val goneOk = scala.util.Try(st.manifest(v1)).isFailure
         reopen(s, st).read(v2)
