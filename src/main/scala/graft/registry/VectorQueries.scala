@@ -104,6 +104,38 @@ object VectorQueries {
         Similarity.bruteForceTopK(Tables.embeddings(s, d), k = 10),
       Some(s"WITH $Q, $BRUTE\nSELECT vec_id, cos_scaled FROM brute")),
 
+    // E6: metadata-filtered ANN — the retrieval composition a corpus
+    // pipeline actually runs: the t3 quality gate restricts the vector
+    // set BEFORE any distance work (semi-join on doc id = partition/scan
+    // pruning at 100 TB, where most vectors never get scored), then the
+    // e1 exact top-k runs over the survivors; the query vector is the
+    // lowest-id QUALITY doc, so the filter provably reaches the query
+    // pick too.
+    ("e6_ann_quality_filtered",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val quality = TextOps.qualityScore(Tables.documents(s, d))
+          .filter(col("is_quality") === 1).select(col("doc_id").as("vec_id"))
+        Similarity.bruteForceTopK(
+          Tables.embeddings(s, d).join(quality, Seq("vec_id"), "left_semi"), k = 10)
+      },
+      Some(Oracle.withSql(TextQueries.TOK,
+        s""", q1 AS (SELECT doc_id, len(ts) AS n_tokens,
+           |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+           |  len(list_filter(ts, t -> t IN ('the','a','of','and','to','is','in'))) AS n_stop
+           |  FROM tok),
+           |quality AS (SELECT doc_id FROM q1
+           |  WHERE n_tokens >= 5 AND n_tokens <= 100000
+           |    AND (100 * n_stop) // greatest(n_tokens, 1) >= 1
+           |    AND n_punct * 4 <= n_tokens),
+           |qemb AS (SELECT e.* FROM embeddings e JOIN quality q ON e.vec_id = q.doc_id),
+           |qv AS (SELECT vec_id AS qid, embedding AS qvec FROM qemb ORDER BY vec_id LIMIT 1),
+           |qbrute AS (
+           |  SELECT e.vec_id, ${cosSql("e.embedding", "qv.qvec")} AS cos_scaled
+           |  FROM qemb e, qv WHERE e.vec_id <> qv.qid
+           |  ORDER BY cos_scaled DESC, e.vec_id LIMIT 10)
+           |SELECT vec_id, cos_scaled FROM qbrute""".stripMargin))),
+
     ("e2_ann_lsh_topk",
       (s: SparkSession, d: String) =>
         Similarity.lshTopK(Tables.embeddings(s, d), bits = 6, k = 10, probeRadius = 2),
