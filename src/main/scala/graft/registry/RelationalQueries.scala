@@ -206,6 +206,66 @@ object RelationalQueries {
           |       true AS approx_ok
           |FROM edges""".stripMargin))),
 
+    // ---- CUBE over region × market segment (SURVEY §2.8 names cube
+    //      alongside rollup; r3 covers rollup, this covers the full
+    //      lattice — 4 grouping sets in ONE pass via Expand) ----
+    ("r10_cube",
+      (s: SparkSession, d: String) => {
+        Tables.customer(s, d).createOrReplaceTempView("g_customer")
+        Tables.nation(s, d).createOrReplaceTempView("g_nation")
+        Tables.region(s, d).createOrReplaceTempView("g_region")
+        s.sql(
+          """SELECT r_name, c_mktsegment, count(*) AS n_cust,
+            |       CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS bal_cents
+            |FROM g_customer
+            |JOIN g_nation ON c_nationkey = n_nationkey
+            |JOIN g_region ON n_regionkey = r_regionkey
+            |GROUP BY CUBE (r_name, c_mktsegment)""".stripMargin)
+      },
+      Some(
+        """SELECT r_name, c_mktsegment, count(*) AS n_cust,
+          |       CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS bal_cents
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY CUBE (r_name, c_mktsegment)""".stripMargin)),
+
+    // ---- R11: BATCH gap sessionization — the one-pass window form of
+    //      the streaming flatMapGroupsWithState sessionizer (OnlineIngest
+    //      .sessionize): lag marks session starts, a running sum numbers
+    //      them, one aggregate closes them. ONE shuffle on user_id. Times
+    //      are MICROSECONDS: DuckDB truncates the parquet ns timestamp to
+    //      its native us on read, so ns-resolution outputs can never
+    //      hash-match — both engines compare and emit us ----
+    ("r11_sessionize_batch",
+      (s: SparkSession, d: String) => {
+        Tables.events(s, d).createOrReplaceTempView("g_events")
+        s.sql(
+          """WITH ev AS (SELECT user_id, event_id, ts div 1000 AS ts_us, value FROM g_events),
+            |s1 AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+            |                        OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+            |       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            |s2 AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            |       FROM s1)
+            |SELECT user_id, sid, count(*) AS n_events,
+            |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+            |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS val_cents
+            |FROM s2 GROUP BY user_id, sid""".stripMargin)
+      },
+      Some(
+        """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+          |s1 AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+          |                        OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+          |       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+          |s2 AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |       FROM s1)
+          |SELECT user_id, sid, count(*) AS n_events,
+          |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+          |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS val_cents
+          |FROM s2 GROUP BY user_id, sid""".stripMargin)),
+
     // ---- range join: lineitems shipped within 30 days of order date ----
     ("r5_range_join",
       (s: SparkSession, d: String) => {
