@@ -49,6 +49,17 @@ object TextOps {
         .otherwise("fr"))
   }
 
+  /** The t3 quality rule as ONE reusable predicate — the single place the
+    * thresholds live. qualityScore (t3), trainingDataPrep (x1), and the
+    * streaming corpusIngest gate all apply this condition; a threshold
+    * change here moves all three together. The stop-ratio clause uses the
+    * division-free equivalent: (100·nStop) div max(nTokens,1) >= 1 ⟺
+    * 100·nStop >= max(nTokens,1) for non-negative integers. */
+  def qualityCond(nTokens: Column, nPunct: Column, nStop: Column): Column =
+    nTokens >= 5 && nTokens <= 100000 &&
+      nStop * 100 >= greatest(nTokens, lit(1)) &&
+      nPunct * 4 <= nTokens
+
   /** Quality scoring: length/punctuation/digit/stopword-ratio heuristics;
     * the composite flag uses only integer comparisons. */
   def qualityScore(docs: DataFrame): DataFrame = {
@@ -63,8 +74,7 @@ object TextOps {
         stopScore(ts, enStop).as("n_stop"))
       .withColumn("stop_pct", expr("(100 * n_stop) div greatest(n_tokens, 1)"))
       .withColumn("is_quality",
-        (col("n_tokens") >= 5 && col("n_tokens") <= 100000 &&
-          col("stop_pct") >= 1 && col("n_punct") * 4 <= col("n_tokens")).cast("int"))
+        qualityCond(col("n_tokens"), col("n_punct"), col("n_stop")).cast("int"))
   }
 
   /** Document fingerprint: md5 over the whitespace-normalized lower-cased
@@ -78,9 +88,12 @@ object TextOps {
     * "BPE-ish" token counting surface. The alternation uses no
     * constructs that differ between Java regex (Spark) and RE2 (DuckDB),
     * so both engines produce identical boundaries; t6's per-document
-    * fingerprint of the joined token list pins that, not just the count. */
+    * fingerprint of the joined token list pins that, not just the count.
+    * Whitespace is the EXPLICIT class [\t\n\x0B\f\r ] rather than \s:
+    * Java's \s includes U+000B vertical tab but RE2's does not, so a
+    * bare \s would tokenize a vertical tab differently per engine. */
   val BpePattern: String =
-    "'[sdmt]|'ll|'ve|'re| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'[sdmt]|'ll|'ve|'re| ?\\p{L}+| ?\\p{N}+| ?[^\\t\\n\\x0B\\f\\r \\p{L}\\p{N}]+|[\\t\\n\\x0B\\f\\r ]+"
 
   /** T6: BPE-ish pretokenization stats — token count plus an md5 over the
     * U+0001-joined token list (boundary-exact cross-engine witness). */
@@ -173,9 +186,7 @@ object TextOps {
         size(ts).as("n_tokens"),
         expr("regexp_count(text, '[.,!?;:]')").as("n_punct"),
         stopScore(ts, Stopwords.head._2).as("n_stop"))
-      .filter(col("n_tokens") >= 5 && col("n_tokens") <= 100000 &&
-        expr("(100 * n_stop) div greatest(n_tokens, 1)") >= 1 &&
-        col("n_punct") * 4 <= col("n_tokens"))
+      .filter(qualityCond(col("n_tokens"), col("n_punct"), col("n_stop")))
     val keepers = scored
       .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
       .agg(min("doc_id").as("doc_id"))

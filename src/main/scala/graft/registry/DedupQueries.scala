@@ -166,7 +166,7 @@ object DedupQueries {
       Some(
         """WITH kh AS (
           |  SELECT doc_id,
-          |    list_transform(range(1, greatest(strlen(text) - 6, 2)),
+          |    list_transform(range(1, greatest(length(text) - 6, 2)),
           |      i -> md5(substr(text, CAST(i AS BIGINT), 8))) AS hs
           |  FROM documents),
           |win AS (

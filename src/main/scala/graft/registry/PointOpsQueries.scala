@@ -400,6 +400,9 @@ object PointOpsQueries {
           .unionAll(db.edges.select(col("dst").as("id")))
           .agg(min(struct(md5(concat(lit("n7|"), col("id"))).as("h"),
             col("id").as("id"))).as("m"))
+          // a global agg over zero rows yields one NULL row, but the
+          // oracle's ORDER BY ... LIMIT 1 yields zero — match it
+          .where(col("m").isNotNull)
           .select(col("m.id").as("id"))
       },
       Some(withSql(Oracle.EDGES,

@@ -157,9 +157,7 @@ object OnlineIngest {
       .withColumn("n_tokens", size(toks))
       .withColumn("n_punct", expr("regexp_count(text, '[.,!?;:]')"))
       .withColumn("n_stop", size(filter(toks, t => t.isInCollection(enStop))))
-      .filter(col("n_tokens") >= 5 && col("n_tokens") <= 100000 &&
-        expr("(100 * n_stop) div greatest(n_tokens, 1)") >= 1 &&
-        col("n_punct") * 4 <= col("n_tokens"))
+      .filter(graft.TextOps.qualityCond(col("n_tokens"), col("n_punct"), col("n_stop")))
       .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ets", watermarkDelay)
       .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
