@@ -161,4 +161,56 @@ class PropertySpec extends AnyFunSuite {
       got == expected
     })
   }
+
+  test("winnowing guarantee: docs sharing a substring >= k+w-1 share a fingerprint") {
+    val genShared: Gen[(String, String, String)] = for {
+      core <- Gen.listOfN(12, Gen.alphaLowerChar).map(_.mkString) // 12 >= k+w-1 = 11
+      pre  <- Gen.listOfN(5, Gen.numChar).map(_.mkString)
+      suf  <- Gen.listOfN(7, Gen.numChar).map(_.mkString)
+    } yield (core, pre, suf)
+    check(Prop.forAll(genShared) { case (core, pre, suf) =>
+      val s = spark; import s.implicits._
+      val d = Seq((1L, pre + core), (2L, core + suf)).toDF("doc_id", "text")
+      val prints = TextOps.winnowPrints(d).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+      (prints(1L) & prints(2L)).nonEmpty
+    })
+  }
+
+  test("batch sessionization equals brute-force session assignment") {
+    val genEvents: Gen[List[(Long, Long, Long)]] = // (event_id, user, ts_us)
+      Gen.nonEmptyListOf(for {
+        u <- Gen.choose(0L, 3L)
+        t <- Gen.choose(0L, 10L) // coarse ticks; gap below is 3 ticks
+      } yield (u, t)).map(_.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) })
+    val gapUs = 3L
+    check(Prop.forAll(genEvents) { evs =>
+      val s = spark; import s.implicits._
+      s.createDataFrame(evs.map { case (id, u, t) => (u, id, t, 1.0) })
+        .toDF("user_id", "event_id", "ts_us", "value")
+        .createOrReplaceTempView("pe")
+      // query body mirrors r11; compare per-user session partitions
+      val sessions = s.sql(
+        s"""WITH s1 AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+           |                        OR ts_us - lag(ts_us) OVER w > $gapUs THEN 1 ELSE 0 END AS ns
+           |       FROM pe WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+           |s2 AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |       FROM s1)
+           |SELECT user_id, sid, count(*) AS n, min(ts_us) AS a, max(ts_us) AS b
+           |FROM s2 GROUP BY user_id, sid""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      // brute force: per user, sort by (ts, id), cut where gap exceeds gapUs
+      val expected = evs.groupBy(_._2).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3, e._1))
+        val cuts = sorted.zip(Option.empty[Long] +: sorted.map(e => Some(e._3)))
+          .map { case (e, prev) => prev.forall(p => e._3 - p > gapUs) }
+        val sids = cuts.scanLeft(0L)((acc, c) => if (c) acc + 1 else acc).tail
+        sorted.zip(sids).groupBy(_._2).map { case (sid, g) =>
+          (u, sid, g.size.toLong, g.map(_._1._3).min, g.map(_._1._3).max)
+        }
+      }.toSet
+      sessions == expected
+    })
+  }
 }
