@@ -119,7 +119,16 @@ object TextOps {
     * and no row amplification — the same scale story as SimHash. Texts
     * shorter than k contribute one whole-text window on both engines
     * (the sequence/range bounds are floored to one element identically). */
-  private def winnowSets(docs: DataFrame, k: Int, w: Int): DataFrame =
+  private[graft] def winnowSets(docs: DataFrame, k: Int, w: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.WinnowArray.of(docs.sparkSession, col("text"), k, w).as("fps"))
+
+  /** The composed-from-built-ins winnow derivation (mirrors the oracle
+    * SQL shape) — spec-pinned value-identical to the codegen
+    * [[graft.functions.WinnowArray]] path above, which replaces it
+    * because the two nested higher-order transforms here are interpreted
+    * per element. */
+  private[graft] def winnowSetsComposed(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
     docs.select(col("doc_id"),
         expr(s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), " +
           s"i -> md5(substring(text, i, $k)))").as("hs"))
@@ -137,12 +146,13 @@ object TextOps {
     * MOSS-style overlap detection (same pattern as [[graft.Dedup
     * .contamination]]: fingerprints are the shuffle/broadcast key).
     * The fingerprint SETS are materialized (eager localCheckpoint)
-    * before the explode: left inline, the optimizer collapses the
-    * fps-building projection into the Generate, and the k-gram-hash
-    * array expression — len(text) md5s — is then re-evaluated inside
-    * the per-window lambda, turning the winnow into O(len²) md5 calls
-    * per document (measured 30× slower at sf0.01). Same HOF-inlining
-    * trap as [[graft.Dedup.ngramHashes]], one level deeper. */
+    * because the overlap pipeline consumes them from several plan
+    * branches (df cut + both pair-join sides). The codegen
+    * [[graft.functions.WinnowArray]] also closed the earlier
+    * HOF-inlining trap here: with the composed form, collapsing the
+    * fps projection into the Generate re-evaluated the k-gram-hash
+    * array per window element — O(len²) md5 calls per document,
+    * measured 30× slower at sf0.01. */
   def winnowPrints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
     winnowSets(docs, k, w).localCheckpoint(true)
       .select(col("doc_id"), explode(col("fps")).as("fp"))

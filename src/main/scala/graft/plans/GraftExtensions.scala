@@ -8,10 +8,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * session BUILD time —
   *
   *   - [[OffsetComparisonRewrite]] as an optimizer rule, and
-  *   - the three codegen expressions as SQL functions: `graft_dot`
+  *   - the four codegen expressions as SQL functions: `graft_dot`
   *     ([[graft.functions.FloatDotProduct]]), `graft_simhash60`
   *     ([[graft.functions.SimHash60]]), `graft_shingles`
-  *     ([[graft.functions.ShingleArray]])
+  *     ([[graft.functions.ShingleArray]]), `graft_winnow`
+  *     ([[graft.functions.WinnowArray]], k=8/w=4)
   *
   * via `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` on a cluster.
@@ -54,5 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.ShingleArray.FnName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.ShingleArray(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.WinnowArray.FnName),
+      new ExpressionInfo(classOf[graft.functions.WinnowArray].getName,
+        graft.functions.WinnowArray.FnName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.WinnowArray(exprs.head, 8, 4)))
   }
 }

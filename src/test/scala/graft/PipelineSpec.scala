@@ -139,6 +139,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getString(2) == md.map("%02x".format(_)).mkString)
   }
 
+  test("codegen WinnowArray equals the composed built-ins winnow form") {
+    val s2 = spark; import s2.implicits._
+    val vt = "\u000B"
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""),                           // empty: one md5("") gram both forms
+      (3L, "short"),                      // below k: one whole-text gram
+      (4L, "le caf\u00e9 est tr\u00e8s bon \u5317\u4eac" + vt + "tab"), // non-ASCII + vertical tab
+      (5L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaa")) // degenerate: all grams equal
+      .toDF("doc_id", "text")
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val fast = sets(TextOps.winnowSets(d, 8, 4))
+    val slow = sets(TextOps.winnowSetsComposed(d))
+    assert(fast == slow && fast.values.forall(_.nonEmpty))
+    assert(fast(5L).size == 1) // all-equal grams collapse to one fingerprint
+  }
+
   test("winnowing: a shared substring fingerprints identically under shift") {
     // common run of 16 chars > k+w-1 = 11, embedded at different offsets
     val common = "abcdefghijklmnop"
