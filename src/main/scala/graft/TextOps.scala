@@ -77,11 +77,19 @@ object TextOps {
         qualityCond(col("n_tokens"), col("n_punct"), col("n_stop")).cast("int"))
   }
 
+  /** Whitespace run as an EXPLICIT class, not \s: Java's \s includes
+    * U+000B (vertical tab) while DuckDB/RE2's does not, so a bare \s in
+    * a normalization that feeds a cross-engine hash (t4/x1/corpusIngest)
+    * is a latent parity break on texts containing \x0B — the same trap
+    * [[BpePattern]] documents for tokenization. Both the Spark
+    * expressions and the DuckDB oracles must use this exact class. */
+  val WsRun: String = "[\\t\\n\\x0B\\f\\r ]+"
+
   /** Document fingerprint: md5 over the whitespace-normalized lower-cased
     * text (the deterministic stand-in for a rolling hash). */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      md5(trim(regexp_replace(lower(col("text")), WsRun, " "))).as("fp"))
 
   /** GPT-2-style pretokenizer regex (contraction suffixes, space-prefixed
     * letter runs, digit runs, punctuation runs, whitespace) — the
@@ -198,7 +206,7 @@ object TextOps {
         stopScore(ts, Stopwords.head._2).as("n_stop"))
       .filter(qualityCond(col("n_tokens"), col("n_punct"), col("n_stop")))
     val keepers = scored
-      .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .groupBy(md5(trim(regexp_replace(lower(col("text")), WsRun, " "))).as("fp"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     scored.join(keepers, Seq("doc_id"), "left_semi")

@@ -45,7 +45,15 @@ object ExtensionsDemo {
     val shingles = spark.sql("SELECT graft_shingles('a b c d') AS s")
       .first().getSeq[String](0)
     println(s"[ext] graft_shingles via SQL: $shingles (expect [a b c, b c d])")
-    require(pushed && dot == 11.0 && sh && shingles == Seq("a b c", "b c d"),
+    // wrong arity must fail analysis loudly — graft_winnow(text, 16, 8)
+    // must NOT silently run with the hardcoded k=8/w=4
+    val arityRejected =
+      try { spark.sql("SELECT graft_winnow('abc', 16, 8)").collect(); false }
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        e.getMessage.contains("graft_winnow") }
+    println(s"[ext] graft_winnow wrong-arity rejected: $arityRejected")
+    require(pushed && dot == 11.0 && sh && shingles == Seq("a b c", "b c d")
+        && arityRejected,
       "extensions not active")
     println("[ext] OK")
     spark.stop()

@@ -35,31 +35,49 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * session via `OffsetComparisonRewrite.install(spark.newSession())` —
   * the pattern the w2b registry entry and RuleSpec use. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.AnalysisException
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Enforce arity BEFORE building: a call like `graft_winnow(text, 16, 8)`
+    * must fail analysis loudly, not silently drop the extra arguments and
+    * run with the hardcoded k=8/w=4. */
+  private[graft] def checked(name: String, expected: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != expected)
+        throw new AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> s"`$name`", "expectedNum" -> expected.toString,
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(exprs)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => OffsetComparisonRewrite)
     ext.injectFunction((
       FunctionIdentifier(graft.functions.FloatDotProduct.FnName),
       new ExpressionInfo(classOf[graft.functions.FloatDotProduct].getName,
         graft.functions.FloatDotProduct.FnName),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.FloatDotProduct(exprs(0), exprs(1))))
+      checked(graft.functions.FloatDotProduct.FnName, 2)(exprs =>
+        graft.functions.FloatDotProduct(exprs(0), exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier(graft.functions.SimHash60.FnName),
       new ExpressionInfo(classOf[graft.functions.SimHash60].getName,
         graft.functions.SimHash60.FnName),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.SimHash60(exprs.head)))
+      checked(graft.functions.SimHash60.FnName, 1)(exprs =>
+        graft.functions.SimHash60(exprs.head))))
     ext.injectFunction((
       FunctionIdentifier(graft.functions.ShingleArray.FnName),
       new ExpressionInfo(classOf[graft.functions.ShingleArray].getName,
         graft.functions.ShingleArray.FnName),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.ShingleArray(exprs.head)))
+      checked(graft.functions.ShingleArray.FnName, 1)(exprs =>
+        graft.functions.ShingleArray(exprs.head))))
     ext.injectFunction((
       FunctionIdentifier(graft.functions.WinnowArray.FnName),
       new ExpressionInfo(classOf[graft.functions.WinnowArray].getName,
         graft.functions.WinnowArray.FnName),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.WinnowArray(exprs.head, 8, 4)))
+      checked(graft.functions.WinnowArray.FnName, 1)(exprs =>
+        graft.functions.WinnowArray(exprs.head, 8, 4))))
   }
 }

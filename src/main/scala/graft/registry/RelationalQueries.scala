@@ -186,11 +186,13 @@ object RelationalQueries {
         // (each a partial-combined two-level plan over ONE narrow column)
         // cross-joined as 1-row frames, instead of one agg with three
         // distinct-class aggregates — which plans as Expand ×3 of every
-        // edge row before the shuffle (measured 42 s → 17 s at sf1; the
-        // remainder is the two orderEdges derivation scans, the price of
-        // keeping entries stateless — the store-served entries show the
-        // materialized alternative)
+        // edge row before the shuffle (measured 42 s → 17 s at sf1).
+        // The edge derivation (lineitem⋈orders) is stateless and feeds
+        // BOTH aggregates, so materialize it once (localCheckpoint, same
+        // pattern as Dedup.shinglesCached) instead of scanning+joining
+        // the biggest table twice to produce two 1-row frames
         val e = Tables.orderEdges(s, d)
+          .select(col("src"), col("dst")).localCheckpoint(true)
         val srcAgg = e.agg(
           countDistinct(col("src")).as("exact_src"),
           approx_count_distinct(col("src"), 0.01).as("approx_src"))
@@ -258,8 +260,8 @@ object RelationalQueries {
           |s1 AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
           |                        OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
           |       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-          |s2 AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-          |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |s2 AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
           |       FROM s1)
           |SELECT user_id, sid, count(*) AS n_events,
           |       min(ts_us) AS start_us, max(ts_us) AS end_us,

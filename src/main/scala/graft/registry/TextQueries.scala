@@ -58,7 +58,7 @@ object TextQueries {
     ("t4_fingerprint",
       (s: SparkSession, d: String) => TextOps.fingerprint(Tables.documents(s, d)),
       Some(
-        """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g'))) AS fp
           |FROM documents""".stripMargin)),
 
     // ---- multimodal metadata pipeline (typed mapPartitions + stub codec) ----
@@ -182,7 +182,7 @@ object TextQueries {
            |    AND n_punct * 4 <= n_tokens),
            |keepers AS (
            |  SELECT min(doc_id) AS doc_id FROM quality
-           |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+           |  GROUP BY md5(trim(regexp_replace(lower(text), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')))),
            |kept AS (SELECT q.* FROM quality q JOIN keepers USING (doc_id))
            |SELECT lang, count(*) AS n_docs,
            |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,

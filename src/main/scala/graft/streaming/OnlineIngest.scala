@@ -160,7 +160,7 @@ object OnlineIngest {
       .filter(graft.TextOps.qualityCond(col("n_tokens"), col("n_punct"), col("n_stop")))
       .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ets", watermarkDelay)
-      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), graft.TextOps.WsRun, " "))))
       .dropDuplicatesWithinWatermark("fp")
   }
 

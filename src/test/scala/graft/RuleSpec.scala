@@ -51,4 +51,19 @@ class RuleSpec extends AnyFunSuite {
     assert(!extra.contains(graft.plans.OffsetComparisonRewrite),
       s"OffsetComparisonRewrite leaked into the shared session: $extra")
   }
+
+  test("injected SQL function builders reject wrong arity loudly") {
+    // graft_winnow(text, 16, 8) must throw, not silently ignore the extra
+    // args and run with hardcoded k=8/w=4 (same for the other three)
+    val ext = new graft.plans.GraftExtensions
+    val lit1 = org.apache.spark.sql.catalyst.expressions.Literal("x")
+    val build = ext.checked("graft_winnow", 1)(es =>
+      graft.functions.WinnowArray(es.head, 8, 4))
+    assert(build(Seq(lit1)).isInstanceOf[graft.functions.WinnowArray])
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      build(Seq(lit1, lit1, lit1))
+    }
+    assert(e.getMessage.contains("graft_winnow"), e.getMessage)
+    assert(e.getMessage.contains("3"), e.getMessage)
+  }
 }

@@ -57,6 +57,15 @@ def main(sf_dir, out_dir):
         if name not in oracle:
             print(f"SKIP {name}: no oracle ({len(s_rows)} rows)"); continue
         try:
+            # DuckDB widens sum(INTEGER)/sum(BIGINT) to HUGEINT (int128) —
+            # including window sums — and the driver's hasher coerces wide
+            # ints to float ('3.0' != '3'), same trap as decimals above.
+            # Any HUGEINT oracle column must be CAST(... AS BIGINT).
+            rel = con.sql(oracle[name])
+            for cname, ctype in zip(rel.columns, (str(t) for t in rel.types)):
+                if "HUGEINT" in ctype.upper() or "INT128" in ctype.upper():
+                    print(f"WARN {name}: oracle column '{cname}' is {ctype} "
+                          f"— driver hash risk; CAST(... AS BIGINT) in the SQL")
             res = con.execute(oracle[name])
             d_cols = [c[0] for c in res.description]
             d_rows = res.fetchall()
