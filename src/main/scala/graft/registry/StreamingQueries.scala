@@ -1,0 +1,160 @@
+package graft.registry
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming operators oracle-checked END-TO-END (VERDICT r4 missing #1):
+  * each entry replays a driver fixture through a REAL Structured Streaming
+  * query (file micro-batches + AvailableNow, the same machinery as the s6
+  * ingest), sinks the append-mode output, and hands the result to the same
+  * DuckDB oracle the batch form uses — pinning streaming == batch == oracle
+  * on identical data. The reference's defining property is that online
+  * results are consistent with batch over the same edges (reference
+  * README.md:226-229, GraphChiDatabase.scala:913-938); these entries are
+  * that property for the stateful streaming surface.
+  *
+  * Determinism notes baked into the fixtures:
+  *   - the event replay is split at the (min+max)/2 timestamp midpoint so
+  *     sessions SPAN the micro-batch boundary — cross-batch GroupState is
+  *     exercised, not just single-batch sorting;
+  *   - no event in a later batch precedes watermark(earlier batch): the
+  *     split is by event time, so late-row drops cannot occur;
+  *   - a final sentinel batch (one event per user, 30 days past max ts)
+  *     closes every still-open real session IN-BATCH; sentinel sessions
+  *     themselves are never emitted (the stream ends with them in state),
+  *     so the emitted multiset is exactly the batch sessionization.
+  */
+object StreamingQueries {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def key(s: SparkSession, d: String, tag: String) =
+    s"${s.sparkContext.applicationId}|$d|$tag"
+
+  /** 30-minute inactivity gap in µs — identical to the r11 batch form. */
+  private val GapUs = 1800000000L
+
+  private def writeBatch(df: DataFrame, path: String): Unit = {
+    df.coalesce(1).write.parquet(path)
+    // file-source batch order is (modification time, path); distinct
+    // mtimes make the replay order deterministic
+    Thread.sleep(50)
+  }
+
+  /** Replay the events fixture through [[graft.streaming.OnlineIngest
+    * .sessionize]] and return the closed sessions as a batch DataFrame. */
+  private def sessionizedPath(s: SparkSession, d: String): String =
+    cache.computeIfAbsent(key(s, d, "s8"), _ => {
+      val watch = java.nio.file.Files.createTempDirectory("graft-s8-in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-s8-out").toString
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("value")).localCheckpoint(true)
+      val Array(lo, hi) = ev.agg(min("ts"), max("ts")).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      val mid = lo + (hi - lo) / 2
+      writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
+      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
+      // sentinels: one per user, far past every real event — close every
+      // open session in-batch; their own sessions stay in state unemitted
+      writeBatch(ev.select("user_id").distinct()
+        .select(col("user_id"), lit(hi + 30L * 24 * 3600 * 1000000000L).as("ts"),
+          lit(0.0).as("value")),
+        s"$watch/b2.parquet")
+      val sch = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", LongType), StructField("value", DoubleType)))
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
+      graft.streaming.OnlineIngest.sessionize(stream, gapUs = GapUs)
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            graft.streaming.OnlineIngest.SessionOut], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start().awaitTermination()
+      out
+    })
+
+  /** Replay the documents fixture (with synthetic arrival times) through
+    * [[graft.streaming.OnlineIngest.streamingDedup]]; batch 1 RE-SENDS a
+    * tenth of batch 0 as true cross-batch duplicates. Arrival spacing is
+    * 10 ms/doc so the whole replay sits far inside the 1 h watermark
+    * horizon at every tested SF — no state eviction mid-replay. */
+  private def dedupedPath(s: SparkSession, d: String): String =
+    cache.computeIfAbsent(key(s, d, "s9"), _ => {
+      val watch = java.nio.file.Files.createTempDirectory("graft-s9-in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-s9-out").toString
+      val base = 1700000000L * 1000000000L // fixed epoch ns, far from 0
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          (lit(base) + col("doc_id") * 10000000L).as("ts")).localCheckpoint(true)
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val half = maxId / 2
+      writeBatch(docs.filter(col("doc_id") <= half), s"$watch/b0.parquet")
+      // second batch: the rest, plus every 10th first-half doc re-sent
+      // with a LATER arrival time (same text — must be suppressed by the
+      // cross-batch dedup state)
+      writeBatch(docs.filter(col("doc_id") > half)
+        .unionByName(docs.filter(col("doc_id") <= half && col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"),
+            (lit(base) + (lit(maxId + 1) + col("doc_id")) * 10000000L).as("ts"))),
+        s"$watch/b1.parquet")
+      val sch = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("ts", LongType)))
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
+      graft.streaming.OnlineIngest.streamingDedup(stream)
+        // WHICH doc survives a same-batch duplicate group is partition-
+        // order-dependent; the surviving KEY set is not — emit the key
+        .select(col("h"))
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start().awaitTermination()
+      out
+    })
+
+  val entries: Seq[QueryEntry] = Seq(
+
+    // ---- S8: the STREAMING sessionizer against the r11 batch oracle —
+    //      same events, same 30-min gap, same µs/cents conventions; the
+    //      only difference from r11's SQL is that the streaming surface
+    //      has no session ordinal, so the oracle groups by (user_id, sid)
+    //      without emitting sid. Sessions are unique per (user_id,
+    //      start_us), so dropping sid loses nothing ----
+    ("s8_streaming_sessionize",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(sessionizedPath(s, d))
+          .select("user_id", "start_us", "end_us", "n_events", "val_cents"),
+      Some(
+        """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+          |s1 AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+          |                        OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+          |       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+          |s2 AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+          |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+          |       FROM s1)
+          |SELECT user_id, count(*) AS n_events,
+          |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+          |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS val_cents
+          |FROM s2 GROUP BY user_id, sid""".stripMargin)),
+
+    // ---- S9: streaming exact dedup against d1's core invariant — the
+    //      surviving key set is exactly the distinct content-hash set,
+    //      with true cross-batch duplicates (re-sent rows) suppressed by
+    //      the watermark-bounded state ----
+    ("s9_streaming_dedup",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(dedupedPath(s, d)).select("h"),
+      Some("SELECT DISTINCT md5(text) AS h FROM documents")),
+  )
+}

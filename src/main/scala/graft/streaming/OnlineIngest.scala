@@ -73,10 +73,10 @@ object OnlineIngest {
       }
       .start()
 
-  case class Ev(user_id: Long, ts_ms: Long, value: Double)
-  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
-  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
-                        n_events: Long, value_sum: Double)
+  case class Ev(user_id: Long, ts_us: Long, cents: Long)
+  case class SessionState(start: Long, last: Long, n: Long, cents: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                        n_events: Long, val_cents: Long)
 
   /** Custom streaming state via `flatMapGroupsWithState`: per-user
     * sessionization with an inactivity gap. A session closes either when
@@ -84,37 +84,45 @@ object OnlineIngest {
     * time moves past last+gap (timeout emission). This is the
     * KeyValueGroupedDataset stateful surface of the builder brief; the
     * reference has no equivalent (its "online" is only
-    * insert-visibility, SURVEY §2.8). */
-  def sessionize(events: DataFrame, gapMs: Long): Dataset[SessionOut] = {
+    * insert-visibility, SURVEY §2.8).
+    *
+    * Works in MICROSECONDS and integer CENTS — the repo's cross-engine
+    * parity conventions (DuckDB truncates parquet ns timestamps to its
+    * native µs on read; float sums are accumulation-order-dependent) —
+    * so the emitted sessions are bit-comparable with the r11 batch
+    * window form and its DuckDB oracle (the s8 registry entry pins
+    * streaming == batch == oracle on the same events). */
+  def sessionize(events: DataFrame, gapUs: Long): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     def fn(uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionOut] = {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator(SessionOut(uid, s.start, s.last, s.n, s.sum))
+        Iterator(SessionOut(uid, s.start, s.last, s.n, s.cents))
       } else {
         var out = List.empty[SessionOut]
         var cur = state.getOption
-        evs.toSeq.sortBy(_.ts_ms).foreach { e =>
+        evs.toSeq.sortBy(_.ts_us).foreach { e =>
           cur match {
-            case Some(s) if e.ts_ms - s.last > gapMs =>
-              out ::= SessionOut(uid, s.start, s.last, s.n, s.sum)
-              cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+            case Some(s) if e.ts_us - s.last > gapUs =>
+              out ::= SessionOut(uid, s.start, s.last, s.n, s.cents)
+              cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.cents))
             case Some(s) =>
               // a late in-gap event must not move the session end backwards
-              cur = Some(SessionState(s.start, math.max(s.last, e.ts_ms), s.n + 1, s.sum + e.value))
+              cur = Some(SessionState(s.start, math.max(s.last, e.ts_us), s.n + 1, s.cents + e.cents))
             case None =>
-              cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+              cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.cents))
           }
         }
         cur.foreach { s =>
           state.update(s)
           // a late-but-within-watermark event can put last+gap below the
           // current watermark; an earlier-than-watermark timeout throws
-          // and kills the query — clamp it forward
+          // and kills the query — clamp it forward. Timeouts are wall-time
+          // milliseconds in the GroupState API; the gap stays µs here.
           state.setTimeoutTimestamp(
-            math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            math.max((s.last + gapUs) / 1000, state.getCurrentWatermarkMs() + 1))
         }
         out.reverse.iterator
       }
@@ -124,7 +132,8 @@ object OnlineIngest {
       .withWatermark("ets", "1 hour")
       // keep the watermark column in the row — dropping it would detach
       // the watermark from the stateful operator's input
-      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("value"), col("ets"))
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        graft.cents(col("value")).as("cents"), col("ets"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)

@@ -138,13 +138,15 @@ class StreamingSpec extends AnyFunSuite {
       .schema(StructType(Seq(StructField("ts", LongType),
         StructField("user_id", LongType), StructField("value", DoubleType))))
       .parquet(s"$dir/*")
-    val q = graft.streaming.OnlineIngest.sessionize(stream, gapMs = 30L * 60 * 1000)
+    val q = graft.streaming.OnlineIngest.sessionize(stream, gapUs = 30L * 60 * 1000000)
       .writeStream.outputMode("append").format("memory").queryName("sessout").start()
     q.processAllAvailable(); q.stop()
     val got = spark.table("sessout").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
-    val baseMs = 6000L * 60 * 1000
-    assert(got.toSeq == Seq((7L, baseMs, baseMs + 5L * 60 * 1000, 2L, 3.0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val baseUs = 6000L * 60 * 1000000
+    // 1.0 + 2.0 dollars = 300 integer cents (float sums are order-dependent;
+    // the sessionizer accumulates cents, the repo's parity convention)
+    assert(got.toSeq == Seq((7L, baseUs, baseUs + 5L * 60 * 1000000, 2L, 300L)))
   }
 
   test("streaming dedup drops in-watermark duplicates with bounded state") {
