@@ -261,7 +261,12 @@ class DurableStoreSpec extends AnyFunSuite {
     var v = st.append(1, edges(big: _*))
     v = st.compact(v, maxBucketRows = 50)
     val m = st.manifest(v)
-    assert(m.bounds.size > b0.size, "no bucket was split")
+    // the overfull bucket (the one holding srcs 2..5) must have gained a
+    // bound strictly inside its old range — asserted directly rather than
+    // via bounds.size, because the same compaction may also MERGE away
+    // underfull neighbor buckets (the downward re-shard)
+    assert(m.bounds.exists(b => !b0.contains(b) && b >= 2L && b < 9L),
+      s"no split bound inside the overfull bucket: ${b0} -> ${m.bounds}")
     assert(m.files.forall(_.sorted))
     // every file's rows stay inside its bucket's bound range
     m.files.foreach { f =>
@@ -273,6 +278,71 @@ class DurableStoreSpec extends AnyFunSuite {
     // point reads through the re-indexed manifest still prune and match
     assert(rowSet(st.readForSrc(v, 17L).filter(col("src") === 17L)) ==
       rowSet(edges(base: _*)).filter(_._1 == 17L).map(identity))
+  }
+
+  test("compaction MERGES underfull adjacent buckets after heavy deletes (downward re-shard)") {
+    // 40 distinct srcs across 4 buckets, then delete all but 4 rows: the
+    // survivors are spread thin over every bucket, so compaction must
+    // coalesce the underfull run back into fewer buckets and physically
+    // consolidate the tiny files — not accumulate them forever
+    val many = (1 to 40).map(i => (i.toLong, 100L + i))
+    val st = fresh(many: _*)
+    val nb0 = st.manifest(1).bounds.size
+    assert(nb0 >= 3, s"fixture should span several buckets, got $nb0")
+    val v2 = st.deleteEdges(1, col("src") % 10 =!= 0L) // keep srcs 10,20,30,40
+    val survivors = many.filter(_._1 % 10 == 0)
+    assert(rowSet(st.read(v2)) == rowSet(edges(survivors: _*)))
+    // no deltas exist — compact must still fire for the merge alone
+    val vC = st.compact(v2, maxBucketRows = 40) // limit = 10 > 4 survivors
+    assert(vC != v2, "delete-heavy compaction must commit a merge")
+    val mC = st.manifest(vC)
+    assert(mC.bounds.size < nb0, s"buckets must merge: $nb0 -> ${mC.bounds.size}")
+    assert(mC.files.size < st.manifest(v2).files.size,
+      "tiny files must physically consolidate")
+    assert(rowSet(st.read(vC)) == rowSet(edges(survivors: _*)))
+    // reads through the merged layout stay exact
+    assert(rowSet(st.readForSrc(vC, 30L).filter(col("src") === 30L)) ==
+      rowSet(edges(survivors: _*)).filter(_._1 == 30L).map(identity))
+    // an already-merged store is a no-op again
+    assert(st.compact(vC, maxBucketRows = 40) == vC)
+  }
+
+  test("commit protocol: a lost pointer CAS raises CommitConflict and commits nothing") {
+    // a protocol standing in for a shared object store where ANOTHER
+    // driver swings the pointer between our manifest write and our CAS —
+    // the exact race conditional-put exists to catch
+    class StolenRace extends DurableStore.CommitProtocol {
+      var steals = 0
+      def casPointer(root: String, expect: Int, v: Int): Unit = {
+        if (expect > 0) { // let create() through, fail every later commit
+          steals += 1
+          throw new DurableStore.CommitConflictException(
+            s"simulated concurrent writer won v$v")
+        }
+        DurableStore.LocalFsCommit.casPointer(root, expect, v)
+      }
+    }
+    val proto = new StolenRace
+    val st = DurableStore.create(spark, edges(base: _*),
+      Files.createTempDirectory("graft-cas").toString, numBuckets = 4,
+      commit = proto)
+    intercept[DurableStore.CommitConflictException] {
+      st.append(1, edges(Seq((21L, 10L)): _*))
+    }
+    assert(proto.steals == 1)
+    // the failed commit left only a harmless orphan: pointer unmoved,
+    // reads unchanged, and a default-protocol handle commits right past it
+    assert(st.currentVersion == 1)
+    assert(rowSet(st.readLatest()) == rowSet(edges(base: _*)))
+    val recovered = new DurableStore(spark, st.root)
+    val v = recovered.append(1, edges(Seq((21L, 10L)): _*))
+    assert(recovered.currentVersion == v)
+    assert(rowSet(recovered.read(v)) == rowSet(edges(base :+ (21L, 10L): _*)))
+
+    // and the local-fs CAS itself enforces the precondition
+    intercept[DurableStore.CommitConflictException] {
+      DurableStore.LocalFsCommit.casPointer(st.root, expect = 1, v = 99)
+    }
   }
 
   test("degenerate creates: empty table rejected; all-equal srcs collapse to one bucket") {
