@@ -93,7 +93,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + ingestSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f}"""
+    println(json)
+    // ALSO persist the structured artifact: the driver captures only a
+    // truncated log tail, which once hid 33 of 107 entries' timings
+    // (VERDICT r4 missing #3) — a file at HEAD can't be truncated.
+    // Overwritten per run; sf-suffixed so sf0.1 and sf1 runs coexist.
+    val sfTag = sfDir.split('/').last
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        s"BENCH_LOCAL_$sfTag.json")),
+      json.getBytes)
     spark.stop()
   }
 }

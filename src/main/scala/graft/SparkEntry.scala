@@ -288,7 +288,8 @@ object SparkEntry {
       registry.TextQueries.entries ++ registry.DedupQueries.entries ++
       registry.VectorQueries.entries ++ registry.ComputeQueries.entries ++
       registry.RelationalQueries.entries ++ registry.DurableQueries.entries ++
-      registry.TypedQueries.entries ++ registry.StreamingQueries.entries
+      registry.TypedQueries.entries ++ registry.StreamingQueries.entries ++
+      registry.ZipfQueries.entries
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
