@@ -53,6 +53,26 @@ class PipelineSpec extends AnyFunSuite {
     j.get((1L, 3L)).foreach(p => assert(p > 50L && p < 100L))
   }
 
+  test("jaccard verify warns on quadratic dup-cluster candidate sets, routes to d3b") {
+    // the decision rule itself
+    assert(!Dedup.pairBlowup(nPairs = 0, nDocs = 0))
+    assert(!Dedup.pairBlowup(nPairs = 50, nDocs = 10))   // 5 pairs/doc: at the line
+    assert(Dedup.pairBlowup(nPairs = 51, nDocs = 10))    // past it
+    // a fat duplicate cluster (21 copies → 210 pairs over 21 docs) must
+    // trip the guard on the real path; the collapse-first composition on
+    // the same corpus must NOT (one representative → no candidate pairs)
+    val fat = docs((1L to 21L).map(i =>
+      i -> "the quick brown fox jumps over the lazy dog near the river bank"): _*)
+    val err = new java.io.ByteArrayOutputStream()
+    val verified = Console.withErr(err) { Dedup.jaccardVerify(fat).collect() }
+    assert(verified.length == 210) // every within-cluster pair scored
+    // note: the warning goes through System.err (Spark executors print
+    // there too); assert on the decision rule, and that collapse-first
+    // yields no pairwise work at all
+    assert(Dedup.pairBlowup(210, 21))
+    assert(Dedup.jaccardVerify(Dedup.representatives(fat)).collect().isEmpty)
+  }
+
   test("simhash is equal for identical docs, near for near-dups") {
     val sh = TestSpark.toMap2(Dedup.simhash(corpus))
     assert(sh(1L) == sh(2L))
