@@ -81,7 +81,13 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune every computed
     // column, so projection-only entries (text stats, fingerprints,
     // simhash) would time a bare parquet row count instead of their work
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=r9_sketch_distinct,c3_... times a
+    // subset (the full registry remains the default and the driver path)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val (ok, sec) = timed {
         try { fn(spark, sfDir).write.mode(SaveMode.Overwrite).format("noop").save(); true }
         catch { case e: Throwable =>

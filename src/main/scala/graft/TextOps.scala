@@ -197,6 +197,50 @@ object TextOps {
     * single declarative plan, so Catalyst pipelines the scan → filter →
     * fingerprint-groupBy → semi-join → stratum aggregate with no
     * materialization between stages. */
+  /** T8: sequence packing — assign documents (in doc_id order, within a
+    * language stream) to fixed-token-budget training sequences: a doc
+    * starts sequence `floor(prev_cum_tokens / budget)`, the contiguous
+    * fill-then-overflow packing a training-data builder uses to batch
+    * documents into ~budget-token samples. Pure integer window
+    * arithmetic — deterministic and engine-exact.
+    *
+    * Scale contract: the running sum is windowed PER LANGUAGE, so
+    * parallelism = #streams; a 100 TB corpus packs within bounded
+    * sub-shards (e.g. (lang, input-split)) exactly like this, because
+    * packing order across shards carries no meaning — the per-shard
+    * window is the honest unit of sequential work, not a global sort. */
+  def sequencePack(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("prev_cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"prev_cum div $budget"))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("tok_sum"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
+  /** T9: corpus-relative rarity score — per document, how many of its
+    * token OCCURRENCES are corpus-rare (global frequency ≤ maxFreq).
+    * A high rare-occurrence share flags OCR noise, boilerplate IDs and
+    * junk vocabularies; integer counts only, so engine-exact (a log-prob
+    * perplexity would be accumulation-order float). Two keyed shuffles
+    * (corpus frequency, per-doc re-aggregation) + one vocab-sized join —
+    * every stage partial-aggregates. Token-less documents emit no row
+    * (same as the oracle's join semantics). */
+  def rarityScore(docs: DataFrame, maxFreq: Long = 2L): DataFrame = {
+    val tokd = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .localCheckpoint(true) // feeds BOTH the frequency table and the re-join
+    val freq = tokd.groupBy("t").agg(count(lit(1)).as("c"))
+    tokd.join(freq, "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("c") <= maxFreq, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_pct", expr("(100 * n_rare) div n_tokens"))
+  }
+
   def trainingDataPrep(docs: DataFrame): DataFrame = {
     val ts = tokens(col("text"))
     val scored = docs.select(

@@ -123,6 +123,45 @@ object StreamingQueries {
       out
     })
 
+  /** Replay the events fixture through [[graft.streaming.OnlineIngest
+    * .windowedEventCounts]] (watermarked tumbling windows, append mode —
+    * only FINALIZED windows emit). A sentinel batch 30 days past max ts
+    * pushes the watermark beyond every real window so all of them
+    * finalize; the sentinel's own window never emits (nothing later moves
+    * the watermark past it). */
+  private def windowedPath(s: SparkSession, d: String): String =
+    cache.computeIfAbsent(key(s, d, "s10"), _ => {
+      val watch = java.nio.file.Files.createTempDirectory("graft-s10-in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-s10-out").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props")).localCheckpoint(true)
+      val Array(lo, hi) = ev.agg(min("ts"), max("ts")).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      val mid = lo + (hi - lo) / 2
+      writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
+      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
+      writeBatch(ev.limit(1).select(col("event_id"),
+          lit(hi + 30L * 24 * 3600 * 1000000000L).as("ts"), col("user_id"),
+          lit("__sentinel").as("event_type"), col("value"), col("props")),
+        s"$watch/b2.parquet")
+      val stream = s.readStream.schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        ).option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
+      graft.streaming.OnlineIngest.windowedEventCounts(stream)
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start().awaitTermination()
+      out
+    })
+
   val entries: Seq[QueryEntry] = Seq(
 
     // ---- S8: the STREAMING sessionizer against the r11 batch oracle —
@@ -156,5 +195,18 @@ object StreamingQueries {
       (s: SparkSession, d: String) =>
         s.read.parquet(dedupedPath(s, d)).select("h"),
       Some("SELECT DISTINCT md5(text) AS h FROM documents")),
+
+    // ---- S10: the streaming watermarked tumbling-window aggregation
+    //      against s1_event_window's batch oracle — append mode emits
+    //      each window EXACTLY ONCE when the watermark finalizes it, so
+    //      the emitted multiset must equal the batch groupBy ----
+    ("s10_streaming_event_window",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(windowedPath(s, d))
+          .select("hour_ms", "event_type", "n", "vmin", "vmax"),
+      Some(
+        """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS hour_ms,
+          |       event_type, count(*) AS n, min(value) AS vmin, max(value) AS vmax
+          |FROM events GROUP BY 1, 2""".stripMargin)),
   )
 }

@@ -169,6 +169,40 @@ object TextQueries {
     // ---- X1: the composite corpus-build pipeline — quality filter (t3's
     //      rule) → exact dedup (d1's keeper rule on t4's fingerprint) →
     //      per-language doc/token budget, as ONE declarative plan ----
+    // ---- T8: sequence packing — contiguous fill-then-overflow
+    //      assignment of docs to fixed-token-budget training sequences,
+    //      windowed per language stream (the honest unit of sequential
+    //      work; cross-shard order carries no meaning). Note the oracle's
+    //      window sum is HUGEINT in DuckDB — every derived output column
+    //      is CAST (the r11 lesson, now guarded by check.py) ----
+    ("t8_sequence_pack",
+      (s: SparkSession, d: String) => TextOps.sequencePack(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK.replace("SELECT doc_id, text,", "SELECT doc_id, lang, text,"),
+        """, s1 AS (SELECT doc_id, lang, len(ts) AS n_tokens FROM tok),
+          |s2 AS (SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+          |       FROM s1),
+          |s3 AS (SELECT *, CAST(prev_cum // 512 AS BIGINT) AS seq_id FROM s2)
+          |SELECT lang, seq_id, count(*) AS n_docs,
+          |       CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          |FROM s3 GROUP BY lang, seq_id""".stripMargin))),
+
+    // ---- T9: corpus-relative rarity — the share of a document's token
+    //      occurrences whose GLOBAL frequency is ≤ 2 (OCR noise / junk
+    //      vocabulary signal). Integer counts only: a log-prob perplexity
+    //      would be accumulation-order float ----
+    ("t9_rarity_score",
+      (s: SparkSession, d: String) => TextOps.rarityScore(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        """, tokd AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+          |freq AS (SELECT t, count(*) AS c FROM tokd GROUP BY t)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |       CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+          |       (100 * CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS rare_pct
+          |FROM tokd JOIN freq USING (t)
+          |GROUP BY doc_id""".stripMargin))),
+
     ("x1_training_data_prep",
       (s: SparkSession, d: String) => TextOps.trainingDataPrep(Tables.documents(s, d)),
       Some(Oracle.withSql(TOK.replace("SELECT doc_id, text,", "SELECT doc_id, lang, text,"),

@@ -90,6 +90,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(TestSpark.toMap2(Dedup.simhashExploded(edge)).keySet == Set(2L))
   }
 
+  test("sequence packing fills then overflows per language stream") {
+    val s = spark; import s.implicits._
+    // 3-token docs against a budget of 4: doc1 -> seq0 (cum 0), doc2 ->
+    // seq0 (cum 3 < 4... 3 div 4 = 0), doc3 -> seq1 (cum 6 div 4 = 1)
+    val d = Seq(
+      (1L, "en", "one two three"), (2L, "en", "four five six"),
+      (3L, "en", "seven eight nine"), (10L, "fr", "un deux trois"))
+      .toDF("doc_id", "lang", "text")
+    val packed = TextOps.sequencePack(d, budget = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(packed(("en", 0L)) == (2L, 6L, 1L, 2L)) // docs 1+2, 6 tokens
+    assert(packed(("en", 1L)) == (1L, 3L, 3L, 3L)) // doc 3 overflows
+    assert(packed(("fr", 0L)) == (1L, 3L, 10L, 10L)) // independent stream
+  }
+
+  test("rarity score counts corpus-rare token occurrences") {
+    val s = spark; import s.implicits._
+    // 'common' appears 3x (not rare at maxFreq=2); 'odd'/'weird' once each
+    val d = Seq((1L, "common common odd"), (2L, "common weird"))
+      .toDF("doc_id", "text")
+    val r = TestSpark.toMap2(TextOps.rarityScore(d).select("doc_id", "n_rare"))
+    assert(r == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("language id votes stopwords") {
     val m = TextOps.langId(corpus).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
