@@ -17,7 +17,11 @@ object ExplainAudit {
         "e3b_ann_ivf_store_topk", "n1_query_out_durable", "d4_dedup_simhash",
         // late r4: broadcast-bench contamination, one-shuffle degrees,
         // sortless argmin n7, winnowing narrow projection
-        "d6_contamination", "n6_degrees", "n7_random_vertex", "t7_winnow_fingerprints")
+        "d6_contamination", "n6_degrees", "n7_random_vertex", "t7_winnow_fingerprints",
+        // r5: one-shuffle sequence packing (lang partitioning satisfies the
+        // downstream (lang, seq_id) clustering — no second exchange),
+        // vocab-broadcast rarity join, skew-fixture degrees/FoF
+        "t8_sequence_pack", "t9_rarity_score", "z1_zipf_degrees", "z2_zipf_fof_top20")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

@@ -307,6 +307,26 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(st.compact(vC, maxBucketRows = 40) == vC)
   }
 
+  test("merge compaction keeps the in-edge mirror a consistent multiset") {
+    // delete-heavy MIRRORED store: both sides must merge their underfull
+    // buckets independently and still serve the same multiset
+    val many = (1 to 40).map(i => (i.toLong, 100L + (i % 7).toLong))
+    val st = freshMirrored(many: _*)
+    val v2 = st.deleteEdges(1, col("src") % 10 =!= 0L)
+    val vC = st.compact(v2, maxBucketRows = 40)
+    assert(vC != v2)
+    val mC = st.manifest(vC)
+    assert(mC.mbounds.nonEmpty, "mirror must survive the merge")
+    assert(rowSet(st.readMirror(vC)) == rowSet(st.read(vC)),
+      "mirror != primary after merge compaction")
+    val survivors = many.filter(_._1 % 10 == 0)
+    assert(rowSet(st.read(vC)) == rowSet(edges(survivors: _*)))
+    // dst-side point read through the merged mirror stays exact
+    val dst = 100L + (10 % 7)
+    assert(rowSet(st.readForDst(vC, dst).filter(col("dst") === dst)) ==
+      rowSet(edges(survivors: _*)).filter(_._2 == dst).map(identity))
+  }
+
   test("commit protocol: a lost pointer CAS raises CommitConflict and commits nothing") {
     // a protocol standing in for a shared object store where ANOTHER
     // driver swings the pointer between our manifest write and our CAS —
