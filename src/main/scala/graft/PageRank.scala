@@ -53,15 +53,17 @@ object PageRank {
       .orderBy(col("rank_scaled").desc, col("id")).limit(20)
   }
 
-  /** DuckDB oracle: the same fixed iterations unrolled as chained CTEs over
-    * the [[Oracle.EDGES]] graph. */
-  def oracleSql(iters: Int): String = {
+  /** DuckDB oracle: the same fixed iterations unrolled as chained CTEs.
+    * Defaults to the [[Oracle.EDGES]] graph; callers may supply any other
+    * edge-table CTE fragment + its name (e.g. the zipf skew fixture). */
+  def oracleSql(iters: Int, fragment: String = Oracle.EDGES,
+                table: String = "edges"): String = {
     val sb = new StringBuilder
-    sb.append(Oracle.EDGES).append(",\n")
-    sb.append("deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),\n")
+    sb.append(fragment).append(",\n")
+    sb.append(s"deg AS (SELECT src AS id, count(*) AS outdeg FROM $table GROUP BY src),\n")
     // NOTE: no top-level UNION inside a CTE here — under WITH RECURSIVE,
     // DuckDB 1.0 does not deduplicate a multiply-referenced UNION CTE.
-    sb.append("verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),\n")
+    sb.append(s"verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM $table UNION ALL SELECT dst AS id FROM $table)),\n")
     sb.append("nn AS (SELECT count(*) AS n FROM verts),\n")
     sb.append("r0 AS (SELECT id, CAST(0 AS BIGINT) AS r FROM verts)")
     for (i <- 1 to iters) {
@@ -69,7 +71,7 @@ object PageRank {
         |acc$i AS (
         |  SELECT e.dst AS id,
         |         CAST(sum((CASE WHEN r.r > 150000000 THEN r.r ELSE 150000000 END) // d.outdeg) AS BIGINT) AS acc
-        |  FROM edges e JOIN r${i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.id
+        |  FROM $table e JOIN r${i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.id
         |  GROUP BY e.dst),
         |r$i AS (
         |  SELECT v.id, 150000000 // nn.n + (17 * COALESCE(a.acc, 0)) // 20 AS r

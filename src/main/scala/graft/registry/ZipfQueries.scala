@@ -85,6 +85,14 @@ object ZipfQueries {
           |GROUP BY z.dst
           |ORDER BY paths DESC, id LIMIT 20""".stripMargin))),
 
+    // ---- C3 on the hub graph: the canonical skewed iterative compute —
+    //      the rank-1 vertex accumulates ~half of every superstep's
+    //      contributions; the scaled-int fixpoint must stay bit-exact
+    //      with the partial-aggregating hot-key sum ----
+    ("z4_zipf_pagerank",
+      (s: SparkSession, d: String) => PageRank.top20(zipfEdges(s, d), iters = 3),
+      Some(PageRank.oracleSql(3, fragment = ZEDGES, table = "zedges"))),
+
     // ---- Q13/C4 on the 4 disconnected islands: label propagation must
     //      find exactly the island structure despite the intra-island
     //      hubs (a skew-broken min-combine would merge or split them) ----
