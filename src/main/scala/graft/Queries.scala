@@ -83,6 +83,66 @@ object Queries {
     wedges.crossJoin(triangles)
   }
 
+  /** Full-graph triangle enumeration by DEGREE-ORDERED orientation (the
+    * scalable companion to [[subgraphCensus]]'s census, which the reference
+    * samples because exact global counting is expensive in its model,
+    * SubgraphFrequencies.scala:107-148). Every undirected edge is oriented
+    * from its lower-(degree, id) endpoint to the higher; wedges are
+    * generated only at each triangle's LOWEST vertex and closed with one
+    * join. Oriented out-degrees are bounded by O(sqrt m), so a power-law
+    * hub (which would contribute C(deg,2) wedges naively) contributes
+    * none — the property that makes this the 100 TB-safe plan: three
+    * shuffles (degree agg, wedge self-join, closing join), wedge volume
+    * bounded by arboricity, never by the hottest key.
+    *
+    * Input must be a canonical undirected edge set (src < dst, distinct);
+    * returns one row (a, b, c) per triangle, each counted exactly once. */
+  def triangleList(canon: DataFrame): DataFrame = {
+    val deg = canon.select(col("src").as("id"))
+      .unionByName(canon.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select(col("id").as("src"), col("d").as("sd")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("dd")), "dst")
+    // canon has src < dst, so equal degrees keep the src→dst direction
+    val srcLower = col("sd") < col("dd") ||
+      (col("sd") === col("dd") && col("src") < col("dst"))
+    val oriented = withDeg.select(
+      when(srcLower, col("src")).otherwise(col("dst")).as("a"),
+      when(srcLower, col("dst")).otherwise(col("src")).as("b"),
+      when(srcLower, col("dd")).otherwise(col("sd")).as("bd"))
+    val e1 = oriented.select(col("a"), col("b").as("v"), col("bd").as("vd"))
+    val e2 = oriented.select(col("a"), col("b").as("w"), col("bd").as("wd"))
+    // each unordered out-pair once: (v, w) ordered by the same (deg, id) key
+    val wedges = e1.join(e2, "a").filter(
+      col("vd") < col("wd") || (col("vd") === col("wd") && col("v") < col("w")))
+    // the closing edge v—w, if present, is oriented v→w because k(v) < k(w)
+    wedges.join(oriented.select(col("a").as("v"), col("b").as("w")),
+        Seq("v", "w"), "left_semi")
+      .select(col("a"), col("v").as("b"), col("w").as("c"))
+  }
+
+  /** Per-vertex triangle participation + local clustering coefficient over
+    * a canonical undirected edge set, top-k by coefficient. The coefficient
+    * is emitted in exact parts-per-million integer arithmetic
+    * (2·tri·10^6 div d(d−1)) so the oracle hash cannot drift on float
+    * rounding; ties break by (triangles desc, id). */
+  def clusteringTopK(canon: DataFrame, k: Int): DataFrame = {
+    val tri = triangleList(canon)
+    val perV = tri.select(col("a").as("id"))
+      .unionByName(tri.select(col("b").as("id")))
+      .unionByName(tri.select(col("c").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    val deg = canon.select(col("src").as("id"))
+      .unionByName(canon.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    deg.filter(col("d") >= 2)
+      .join(perV, Seq("id"), "left").na.fill(0L, Seq("tri"))
+      .select(col("id"), col("d"), col("tri"),
+        expr("(2 * tri * 1000000) div (d * (d - 1))").as("lcc_ppm"))
+      .orderBy(col("lcc_ppm").desc, col("tri").desc, col("id")).limit(k)
+  }
+
   /** Q12 name index (reference WikipediaGraph.scala:134-157,
     * StringToIdMap.java): the string→id index is a pushed-down predicate
     * on the vertex table — Parquet dictionary + min/max pruning replace the

@@ -289,7 +289,7 @@ object SparkEntry {
       registry.VectorQueries.entries ++ registry.ComputeQueries.entries ++
       registry.RelationalQueries.entries ++ registry.DurableQueries.entries ++
       registry.TypedQueries.entries ++ registry.StreamingQueries.entries ++
-      registry.ZipfQueries.entries
+      registry.ZipfQueries.entries ++ registry.GraphQueries.entries
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -39,7 +39,7 @@ object ZipfQueries {
       ((col("event_id") % 4) * 10000 + expr(zdst)).as("dst"))
 
   /** Shared oracle fragment: the identical fixture in DuckDB. */
-  private val ZEDGES =
+  private[registry] val ZEDGES =
     """zedges AS (
       |  SELECT (event_id % 4) * 10000 + event_id % 997 AS src,
       |         (event_id % 4) * 10000 +

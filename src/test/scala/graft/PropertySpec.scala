@@ -213,4 +213,30 @@ class PropertySpec extends AnyFunSuite {
       sessions == expected
     })
   }
+
+  test("degree-oriented triangle list equals brute-force triple enumeration") {
+    check(Prop.forAll(genEdges) { es =>
+      val canonPairs = es.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      Prop.classify(canonPairs.nonEmpty, "nonempty") {
+        if (canonPairs.isEmpty) true
+        else {
+          val canon = TestSpark.edgesDF(canonPairs.map { case (a, b) => (a, b, 0) })
+            .select("src", "dst")
+          val got = Queries.triangleList(canon)
+            .collect().map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+          val eset = canonPairs.toSet
+          def adj(u: Long, v: Long) = eset.contains((math.min(u, v), math.max(u, v)))
+          val verts = canonPairs.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+          val expected = (for {
+            i <- verts.indices; j <- (i + 1) until verts.size; k <- (j + 1) until verts.size
+            if adj(verts(i), verts(j)) && adj(verts(j), verts(k)) && adj(verts(i), verts(k))
+          } yield Set(verts(i), verts(j), verts(k))).toSet
+          // exactly-once: the row count must equal the distinct-set count
+          val n = Queries.triangleList(canon).count()
+          got == expected && n == expected.size
+        }
+      }
+    })
+  }
 }
