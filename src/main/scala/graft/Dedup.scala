@@ -262,6 +262,52 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** D8: span-level exact dedup — the C4 / "Deduplicating Training Data
+    * Makes Language Models Better" (Lee et al. '21) operator that removes
+    * duplicated SPANS while keeping the rest of each document, rather
+    * than dropping whole documents. The span unit here is a fixed
+    * `blockWords`-word block (the fixture's synthetic text has no
+    * newline paragraphs; with real corpora pass paragraphs by splitting
+    * on '\n\n' instead — the pipeline below is unit-agnostic).
+    *
+    * Semantics: a block's globally FIRST occurrence — min (doc_id, idx)
+    * over every occurrence of the identical block text, across documents
+    * and within one document — survives; all later occurrences are
+    * removed. Each document is then reassembled from its surviving
+    * blocks in order. Emits per document: total blocks, surviving
+    * blocks, and an md5 fingerprint of the reassembled text.
+    *
+    * Scale shape (the 100 TB story): blocking is a narrow per-row
+    * projection (the token array is projected FIRST so the transform
+    * lambda does not re-split the text per block — the [[ngramHashes]]
+    * trap); winner election is ONE shuffle keyed by md5(block) (fixed
+    * 32-char shuffle key, partial min combine absorbs hot boilerplate
+    * blocks map-side); reassembly is ONE shuffle keyed by doc_id. The
+    * winner rows ARE the survivors — no second pass over the corpus. */
+  def spanDedup(docs: DataFrame, blockWords: Int = 10): DataFrame = {
+    val toked = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val blocks = toked.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(ts) + ${blockWords - 1}) div $blockWords - 1), " +
+            s"i -> array_join(slice(ts, i * $blockWords + 1, $blockWords), ' '))")))
+      .toDF("doc_id", "idx", "block")
+      .localCheckpoint(true) // feeds winner election AND the per-doc totals
+    val winners = blocks
+      .groupBy(md5(col("block")).as("h"))
+      .agg(min(struct(col("doc_id"), col("idx"), col("block"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"),
+        col("w.block").as("block"))
+    val rebuilt = winners.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(expr("transform(array_sort(collect_list(struct(idx, block))), x -> x.block)"),
+        " ")).as("kept_fp"))
+    blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
+  }
+
   /** The r2 explode-per-bit SimHash derivation — kept (test-pinned against
     * [[simhash]]) as the shape the oracle SQL mirrors. */
   private[graft] def simhashExploded(docs: DataFrame): DataFrame = {

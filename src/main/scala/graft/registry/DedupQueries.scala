@@ -183,6 +183,29 @@ object DedupQueries {
           |  GROUP BY 1, 2)
           |SELECT x, y, shared FROM pairs WHERE shared >= 5""".stripMargin)),
 
+    // ---- D8: span-level exact dedup (C4 / Lee et al. '21 — remove
+    //      duplicated spans, keep the rest of the document). 10-word
+    //      blocks; first global occurrence by (doc_id, idx) wins; each
+    //      document reassembled from its survivors and fingerprinted ----
+    ("d8_dedup_spans",
+      (s: SparkSession, d: String) => Dedup.spanDedup(Tables.documents(s, d)),
+      Some(
+        """WITH s1 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          |s2 AS (SELECT doc_id, unnest(range(0, (len(ts) + 9) // 10)) AS idx, ts FROM s1),
+          |blk AS (SELECT doc_id, idx,
+          |          array_to_string(ts[(idx*10+1):(idx*10+10)], ' ') AS block FROM s2),
+          |kept AS (SELECT doc_id, idx, block FROM (
+          |  SELECT doc_id, idx, block,
+          |         row_number() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
+          |  FROM blk) WHERE rn = 1),
+          |reb AS (SELECT doc_id, count(*) AS n_kept,
+          |          md5(string_agg(block, ' ' ORDER BY idx)) AS kept_fp
+          |        FROM kept GROUP BY doc_id),
+          |tot AS (SELECT doc_id, count(*) AS n_blocks FROM blk GROUP BY doc_id)
+          |SELECT t.doc_id, t.n_blocks, COALESCE(r.n_kept, 0) AS n_kept,
+          |       COALESCE(r.kept_fp, md5('')) AS kept_fp
+          |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id""".stripMargin)),
+
     // The EXACT near-duplicate contract: all-pairs cosine with precomputed
     // norms — O(n²·dim), the small-N / final-verify reference that d5's
     // LSH path approximates (ScaleProbe times the crossover; at 100 TB

@@ -73,6 +73,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.jaccardVerify(Dedup.representatives(fat)).collect().isEmpty)
   }
 
+  test("span dedup removes later occurrences of a duplicated block, keeps the rest") {
+    // 4-word blocks: doc 1 = [A B], doc 2 = [A C], doc 3 = [B B'] where
+    // B' repeats doc 1's block B; doc 4 duplicates doc 1 entirely
+    val c = docs(
+      1L -> "a b c d e f g h",             // blocks: "a b c d", "e f g h"
+      2L -> "a b c d x y z w",             // first block duplicates doc 1's
+      3L -> "p q r s e f g h",             // second block duplicates doc 1's
+      4L -> "a b c d e f g h")             // exact dup of doc 1 — loses everything
+    val got = Dedup.spanDedup(c, blockWords = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L)._1 == 2 && got(1L)._2 == 2)         // doc 1 keeps both blocks
+    assert(got(2L) == ((2L, 1L, TestSpark.md5Hex("x y z w"))))
+    assert(got(3L) == ((2L, 1L, TestSpark.md5Hex("p q r s"))))
+    assert(got(4L) == ((2L, 0L, TestSpark.md5Hex(""))))  // fully deduplicated away
+    // an in-document repeat is also removed: block 0 == block 1
+    val rep = docs(9L -> "a b c d a b c d")
+    val r9 = Dedup.spanDedup(rep, blockWords = 4).collect().head
+    assert(r9.getLong(1) == 2 && r9.getLong(2) == 1)
+  }
+
   test("simhash is equal for identical docs, near for near-dups") {
     val sh = TestSpark.toMap2(Dedup.simhash(corpus))
     assert(sh(1L) == sh(2L))

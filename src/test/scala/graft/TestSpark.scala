@@ -24,6 +24,11 @@ object TestSpark {
     rows.toDF("src", "dst", "etype")
   }
 
+  /** Hex md5 of a UTF-8 string — for asserting fingerprint columns. */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Collect a two-column (id-ish, value-ish) frame into a sorted map. */
   def toMap2(df: DataFrame): Map[Long, Long] =
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
