@@ -241,6 +241,38 @@ object TextOps {
       .withColumn("rare_pct", expr("(100 * n_rare) div n_tokens"))
   }
 
+  /** T10: Gopher-style repetition filters (Rae et al. '21 §A1.1): per
+    * document, the "top n-gram character fraction" (share of characters
+    * covered by the most frequent word bigram) and the "duplicate n-gram
+    * fraction" (share of word 5-gram occurrences that are repeats of an
+    * earlier 5-gram in the same document) — the two signals that catch
+    * looping boilerplate and template spam. Both as exact ppm integers;
+    * `is_repetitive` applies Gopher's published 0.20 / 0.15 thresholds.
+    *
+    * Scale shape: ONE narrow projection per row — the bigram mode is the
+    * codegen [[graft.functions.TopBigramRun]] (a groupBy-per-gram +
+    * window would shuffle every bigram of the corpus twice), and the
+    * 5-gram dup share is `size − size(array_distinct)` over the already
+    * verified [[Dedup.ngramHashes]] array. No shuffle, no explode — the
+    * d4 SimHash / t7 winnow story. */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    val toked = docs.select(col("doc_id"),
+      length(col("text")).as("len"), tokens(col("text")).as("ts"))
+    toked.select(col("doc_id"),
+        col("len"), size(col("ts")).as("n_tokens"),
+        graft.functions.TopBigramRun.of(docs.sparkSession, col("ts")).as("tb"),
+        Dedup.ngramHashes(col("ts"), 5).as("g5"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("tb.cnt").as("top_bigram_n"),
+        col("tb.gram").as("top_bigram"),
+        expr("(tb.cnt * length(tb.gram) * 1000000) div greatest(len, 1)")
+          .as("top_bigram_char_ppm"),
+        expr("((size(g5) - size(array_distinct(g5))) * 1000000L) div greatest(size(g5), 1)")
+          .as("dup_5gram_ppm"))
+      .withColumn("is_repetitive",
+        (col("top_bigram_char_ppm") > 200000 || col("dup_5gram_ppm") > 150000).cast("int"))
+  }
+
   def trainingDataPrep(docs: DataFrame): DataFrame = {
     val ts = tokens(col("text"))
     val scored = docs.select(

@@ -203,6 +203,39 @@ object TextQueries {
           |FROM tokd JOIN freq USING (t)
           |GROUP BY doc_id""".stripMargin))),
 
+    // ---- T10: Gopher repetition filters — top-bigram char share and
+    //      duplicate-5-gram occurrence share, exact ppm integers; the
+    //      bigram mode is the codegen TopBigramRun (per-row, no shuffle;
+    //      the oracle computes the same mode relationally) ----
+    ("t10_repetition",
+      (s: SparkSession, d: String) => TextOps.repetitionScore(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        """, bg AS (SELECT doc_id,
+          |    unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS g
+          |  FROM tok WHERE len(ts) >= 2),
+          |btop AS (SELECT doc_id, g, c FROM (
+          |  SELECT doc_id, g, count(*) AS c,
+          |         row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rn
+          |  FROM bg GROUP BY doc_id, g) WHERE rn = 1),
+          |g5 AS (SELECT doc_id,
+          |    CASE WHEN len(ts) >= 5
+          |         THEN list_transform(range(1, len(ts) - 3),
+          |                i -> md5(array_to_string(ts[i:i+4], ' ')))
+          |         ELSE [] END AS gs
+          |  FROM tok),
+          |ppm AS (SELECT t.doc_id, len(t.ts) AS n_tokens,
+          |    COALESCE(b.c, 0) AS top_bigram_n,
+          |    COALESCE(b.g, '') AS top_bigram,
+          |    CAST((COALESCE(b.c, 0) * length(COALESCE(b.g, '')) * 1000000)
+          |         // greatest(length(t.text), 1) AS BIGINT) AS top_bigram_char_ppm,
+          |    CAST(((len(g.gs) - len(list_distinct(g.gs))) * 1000000)
+          |         // greatest(len(g.gs), 1) AS BIGINT) AS dup_5gram_ppm
+          |  FROM tok t JOIN g5 g ON t.doc_id = g.doc_id
+          |  LEFT JOIN btop b ON t.doc_id = b.doc_id)
+          |SELECT *, CASE WHEN top_bigram_char_ppm > 200000 OR dup_5gram_ppm > 150000
+          |               THEN 1 ELSE 0 END AS is_repetitive
+          |FROM ppm""".stripMargin))),
+
     ("x1_training_data_prep",
       (s: SparkSession, d: String) => TextOps.trainingDataPrep(Tables.documents(s, d)),
       Some(Oracle.withSql(TOK.replace("SELECT doc_id, text,", "SELECT doc_id, lang, text,"),

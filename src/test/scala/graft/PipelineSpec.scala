@@ -93,6 +93,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(r9.getLong(1) == 2 && r9.getLong(2) == 1)
   }
 
+  test("repetition score: top-bigram mode, dup-5-gram share, Gopher flag") {
+    val c = docs(
+      // "buy now" ×4 among 10 tokens; 6 5-grams, several repeated
+      1L -> "buy now buy now buy now buy now great deal",
+      // no repeated bigram at all: every bigram unique
+      2L -> "a b c d e f g h",
+      // tie between "x y" and "y x" (both ×2) — smallest gram wins
+      3L -> "x y x y z")
+    val m = TextOps.repetitionScore(c).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = m(1L)
+    assert(r1.getAs[Long]("top_bigram_n") == 4 && r1.getAs[String]("top_bigram") == "buy now")
+    // 4 occurrences × 7 chars over 42 chars of text = 666666 ppm > 200000
+    assert(r1.getAs[Long]("top_bigram_char_ppm") == 4L * 7 * 1000000 / 42)
+    // 5-grams of 10 tokens = 6; "buy now buy now buy|now ..." repeats:
+    // positions 1/3 and 2/4 coincide → 2 duplicate occurrences of 6
+    assert(r1.getAs[Long]("dup_5gram_ppm") == 2L * 1000000 / 6)
+    assert(r1.getAs[Int]("is_repetitive") == 1)
+    assert(m(2L).getAs[Long]("top_bigram_n") == 1 && m(2L).getAs[Int]("is_repetitive") == 0)
+    // tie: "x y" ×2 and "y x" ×2 → binary-smallest "x y" reported
+    assert(m(3L).getAs[String]("top_bigram") == "x y" && m(3L).getAs[Long]("top_bigram_n") == 2)
+  }
+
   test("simhash is equal for identical docs, near for near-dups") {
     val sh = TestSpark.toMap2(Dedup.simhash(corpus))
     assert(sh(1L) == sh(2L))
