@@ -53,6 +53,78 @@ object PageRank {
       .orderBy(col("rank_scaled").desc, col("id")).limit(20)
   }
 
+  /** C9: PERSONALIZED PageRank (random walk with restart): the teleport
+    * mass returns to the single seed vertex instead of spreading
+    * uniformly, so ranks measure proximity TO THE SEED — the
+    * recommendation / similarity primitive (Haveliwala '02 topic-sensitive
+    * PageRank; the personalized counterpart of the reference's global
+    * Pagerank.scala rule). Seed = min(src), the suite's deterministic
+    * query vertex ([[Queries.minSrc]]).
+    *
+    *   r0(v)    = 1.0 if v = seed else 0
+    *   contrib  = r(src) div outdeg(src)
+    *   r'(v)    = (0.15 if v = seed else 0) + 0.85 · acc(v)
+    *
+    * Same scaled-integer arithmetic and loop shape as [[top20]]: the
+    * edge list, degrees, vertices and the one-row seed are materialized
+    * loop-invariants; each superstep is one keyed shuffle with partial
+    * sum combine (a hub key costs a combiner cell, not a straggler),
+    * and the seed joins broadcast. */
+  def personalizedTop20(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select("src", "dst").localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val seed = e.agg(min("src").as("seed")).localCheckpoint(true)
+    var ranks = verts.crossJoin(broadcast(seed))
+      .select(col("id"),
+        when(col("id") === col("seed"), lit(Scale)).otherwise(lit(0L)).as("r"))
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+      val acc = contrib.groupBy(col("dst").as("id")).agg(sum("c").as("acc"))
+      ranks = verts
+        .join(acc, Seq("id"), "left_outer")
+        .crossJoin(broadcast(seed))
+        .select(col("id"),
+          (when(col("id") === col("seed"), lit(Base)).otherwise(lit(0L)) +
+            expr("(17 * coalesce(acc, 0L)) div 20")).as("r"))
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("id"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("id")).limit(20)
+  }
+
+  /** DuckDB oracle for [[personalizedTop20]] — fixed iterations unrolled,
+    * the seed as a one-row CTE cross-joined everywhere the Spark side
+    * broadcasts it. */
+  def personalizedOracleSql(iters: Int, fragment: String = Oracle.EDGES,
+                            table: String = "edges"): String = {
+    val sb = new StringBuilder
+    sb.append(fragment).append(",\n")
+    sb.append(s"deg AS (SELECT src AS id, count(*) AS outdeg FROM $table GROUP BY src),\n")
+    sb.append(s"verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM $table UNION ALL SELECT dst AS id FROM $table)),\n")
+    sb.append(s"sd AS (SELECT min(src) AS seed FROM $table),\n")
+    sb.append("r0 AS (SELECT v.id, CAST(CASE WHEN v.id = sd.seed THEN 1000000000 ELSE 0 END AS BIGINT) AS r FROM verts v CROSS JOIN sd)")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |acc$i AS (
+        |  SELECT e.dst AS id, CAST(sum(r.r // d.outdeg) AS BIGINT) AS acc
+        |  FROM $table e JOIN r${i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.id
+        |  GROUP BY e.dst),
+        |r$i AS (
+        |  SELECT v.id,
+        |         CASE WHEN v.id = sd.seed THEN 150000000 ELSE 0 END
+        |           + (17 * COALESCE(a.acc, 0)) // 20 AS r
+        |  FROM verts v CROSS JOIN sd LEFT JOIN acc$i a ON v.id = a.id)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r$iters ORDER BY rank_scaled DESC, id LIMIT 20")
+    Oracle.withSql(sb.toString, "")
+  }
+
   /** DuckDB oracle: the same fixed iterations unrolled as chained CTEs.
     * Defaults to the [[Oracle.EDGES]] graph; callers may supply any other
     * edge-table CTE fragment + its name (e.g. the zipf skew fixture). */

@@ -78,6 +78,14 @@ object ComputeQueries {
           |       CAST(sum((source % 1009) * dist) AS BIGINT) AS xsum
           |FROM dd""".stripMargin))),
 
+    // ---- C9: personalized PageRank (random walk with restart) from the
+    //      suite's deterministic query vertex — proximity-to-seed ranks,
+    //      scaled-int bit-exact like c3 ----
+    ("c9_personalized_pagerank",
+      (s: SparkSession, d: String) =>
+        PageRank.personalizedTop20(Tables.orderEdges(s, d), iters = 3),
+      Some(PageRank.personalizedOracleSql(3))),
+
     // ---- C6: ALS training RMSE (seeded; float — rows-only) ----
     ("c6_als_rmse",
       (s: SparkSession, d: String) => ALSRec.rmseChecked(s, d),
