@@ -33,6 +33,7 @@ object Bench {
     Tables.documents(spark, sfDir).count()
     Tables.edgeStorePath(spark, sfDir)
     Tables.edgeStoreByDstPath(spark, sfDir)
+    Tables.edgeStoreZPath(spark, sfDir)
     registry.DurableQueries.baseStore(spark, sfDir) // durable bulk load
     registry.DurableQueries.ingestedStoreRoot(spark, sfDir) // s6 streaming ingest fixture
     registry.DurableQueries.mirrorVersion(spark, sfDir) // n2's in-edge mirror index

@@ -284,6 +284,29 @@ object PointOpsQueries {
         """SELECT dst, count(*) AS n, CAST(sum(rating) AS BIGINT) AS rating_sum
           |FROM edges WHERE dst BETWEEN 1000000 AND 1000004 GROUP BY dst""".stripMargin))),
 
+    // ---- W5: two-dimensional (src AND dst) range sweep served from the
+    //      Z-ORDERED third materialization (Tables.edgeStoreZPath): the
+    //      Morton-interleaved sort gives every file/row group tight
+    //      min/max on BOTH columns, so each range reaches the scan and
+    //      prunes — one layout serving both sweep directions (spec
+    //      asserts the two-sided clustering; Delta/Iceberg ZORDER as a
+    //      plain write-time sort key) ----
+    ("w5_zorder_range",
+      (s: SparkSession, d: String) =>
+        Tables.orderEdgesStoredZ(s, d)
+          .filter(col("src").between(1, 400) &&
+            col("dst").between(Tables.SupplierBase + 1, Tables.SupplierBase + 40))
+          .agg(count(lit(1)).as("n"),
+            sum("src").cast("long").as("src_sum"),
+            sum("dst").cast("long").as("dst_sum"),
+            sum(cents(col("weight"))).as("weight_cents")),
+      Some(withSql(Oracle.EDGES,
+        """SELECT count(*) AS n, CAST(sum(src) AS BIGINT) AS src_sum,
+          |       CAST(sum(dst) AS BIGINT) AS dst_sum,
+          |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS weight_cents
+          |FROM edges
+          |WHERE src BETWEEN 1 AND 400 AND dst BETWEEN 1000001 AND 1000040""".stripMargin))),
+
     // ---- W3: sweep with vertex-column join (reference
     //      GraphChiDatabase.scala:1875-1957) — the PageRank access pattern ----
     ("w3_sweep_in_join",

@@ -66,4 +66,36 @@ class RuleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_winnow"), e.getMessage)
     assert(e.getMessage.contains("3"), e.getMessage)
   }
+
+  test("z-order layout clusters BOTH range dimensions; single-sort only one") {
+    val s = spark; import s.implicits._
+    // full 256×256 grid → 16 files of 4096 rows each; under z-order every
+    // file is one 64×64 tile, under src-sort every file is 16 src rows
+    val grid = (0 until 256).flatMap(a => (0 until 256).map(b => (a.toLong, b.toLong)))
+      .toDF("src", "dst")
+    def filesTouched(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val zdir = java.nio.file.Files.createTempDirectory("zspec").toString + "/z"
+    grid.withColumn("zkey", graft.functions.ZInterleave.of(s, col("src"), col("dst")))
+      .repartitionByRange(16, col("zkey")).sortWithinPartitions("zkey").drop("zkey")
+      .write.parquet(zdir)
+    val sdir = java.nio.file.Files.createTempDirectory("zspec").toString + "/s"
+    grid.repartitionByRange(16, col("src")).sortWithinPartitions("src", "dst")
+      .write.parquet(sdir)
+    val z = s.read.parquet(zdir); val bySrc = s.read.parquet(sdir)
+    assert(filesTouched(z) == 16 && filesTouched(bySrc) == 16)
+    // a 16-wide slice in EITHER dimension intersects one ~4-tile strip
+    // (+straddle: repartitionByRange samples its boundaries, so a tile
+    // can split across two files)
+    assert(filesTouched(z.filter(col("src") < 16)) <= 6)
+    assert(filesTouched(z.filter(col("dst") < 16)) <= 6)
+    // the src-sorted layout serves src perfectly and dst not at all
+    assert(filesTouched(bySrc.filter(col("src") < 16)) <= 2)
+    assert(filesTouched(bySrc.filter(col("dst") < 16)) == 16)
+    // morton bit math: a → even positions, b → odd
+    assert(graft.functions.ZInterleave.morton(1, 0) == 1L)
+    assert(graft.functions.ZInterleave.morton(0, 1) == 2L)
+    assert(graft.functions.ZInterleave.morton(3, 3) == 15L)
+    assert(graft.functions.ZInterleave.morton(0x7FFFFFFFL, 0) == 0x1555555555555555L)
+  }
 }
