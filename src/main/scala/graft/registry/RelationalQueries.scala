@@ -182,22 +182,27 @@ object RelationalQueries {
     //      stable while still catching any real sketch regression ----
     ("r9_sketch_distinct",
       (s: SparkSession, d: String) => {
-        // one agg per distinct column: two single-distinct aggregates
-        // (each a partial-combined two-level plan over ONE narrow column)
-        // cross-joined as 1-row frames, instead of one agg with three
-        // distinct-class aggregates — which plans as Expand ×3 of every
-        // edge row before the shuffle (measured 42 s → 17 s at sf1).
-        // The edge derivation (lineitem⋈orders) is stateless and feeds
-        // BOTH aggregates, so materialize it once (localCheckpoint, same
-        // pattern as Dedup.shinglesCached) instead of scanning+joining
-        // the biggest table twice to produce two 1-row frames
+        // TAGGED-UNION single-shuffle distinct (the n6 degrees trick):
+        // both endpoint columns become (side, v) rows deduplicated by ONE
+        // partial-combining groupBy, and the per-side exact counts + the
+        // HLL estimate (over the already-distinct src values — an equally
+        // valid 1%-rsd HLL test) fall out of a tiny second-level
+        // aggregate. History at sf1: one agg with three distinct-class
+        // aggregates planned as Expand ×3 of every edge row (42 s);
+        // two single-distinct aggregates cross-joined, sharing one
+        // localCheckpointed edge derivation (18 s — countDistinct+approx
+        // riding one agg still rewrites through Expand); this form: ONE
+        // exchange keyed (side, v), 3.6 s. The edge derivation is still
+        // materialized once (it feeds both union branches).
         val e = Tables.orderEdges(s, d)
           .select(col("src"), col("dst")).localCheckpoint(true)
-        val srcAgg = e.agg(
-          countDistinct(col("src")).as("exact_src"),
-          approx_count_distinct(col("src"), 0.01).as("approx_src"))
-        val dstAgg = e.agg(countDistinct(col("dst")).as("exact_dst"))
-        srcAgg.crossJoin(dstAgg)
+        val sides = e.select(lit("s").as("side"), col("src").as("v"))
+          .unionByName(e.select(lit("d").as("side"), col("dst").as("v")))
+        sides.groupBy("side", "v").agg(count(lit(1)).as("c"))
+          .agg(
+            count(when(col("side") === "s", 1)).as("exact_src"),
+            count(when(col("side") === "d", 1)).as("exact_dst"),
+            approx_count_distinct(when(col("side") === "s", col("v")), 0.01).as("approx_src"))
           .select(col("exact_src"), col("exact_dst"),
             (abs(col("approx_src") - col("exact_src"))
               <= col("exact_src") * 0.05).as("approx_ok"))
@@ -207,6 +212,30 @@ object RelationalQueries {
           |       count(DISTINCT dst) AS exact_dst,
           |       true AS approx_ok
           |FROM edges""".stripMargin))),
+
+    // ---- R12: PIVOT — long-to-wide reshaping (§2.8 relational surface;
+    //      the reporting form of the r10 cube). Pivot values are given
+    //      EXPLICITLY: discovering them would cost a scan job and make
+    //      the output schema data-dependent — the 100 TB contract is a
+    //      fixed schema and one partial-aggregated pass ----
+    ("r12_pivot",
+      (s: SparkSession, d: String) => {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        Tables.customer(s, d)
+          .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name").pivot("c_mktsegment", segs)
+          .agg(sum(cents(col("c_acctbal"))))
+      },
+      Some {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val cols = segs.map(g =>
+          s"""CAST(sum(CASE WHEN c_mktsegment = '$g' THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS "$g"""")
+          .mkString(",\n  ")
+        s"""SELECT n_name,
+           |  $cols
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_name""".stripMargin
+      }),
 
     // ---- CUBE over region × market segment (SURVEY §2.8 names cube
     //      alongside rollup; r3 covers rollup, this covers the full
