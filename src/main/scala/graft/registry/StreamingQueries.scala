@@ -162,6 +162,44 @@ object StreamingQueries {
       out
     })
 
+  /** Replay the documents fixture through [[graft.streaming.OnlineIngest
+    * .corpusIngest]] — the full streaming corpus gate: quality filter
+    * BEFORE the watermark-bounded dedup state (rejected docs never touch
+    * state), with the same cross-batch re-sends as the s9 replay. */
+  private def corpusGatePath(s: SparkSession, d: String): String =
+    cache.computeIfAbsent(key(s, d, "s11"), _ => {
+      val watch = java.nio.file.Files.createTempDirectory("graft-s11-in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-s11-out").toString
+      val base = 1700000000L * 1000000000L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          (lit(base) + col("doc_id") * 10000000L).as("ts")).localCheckpoint(true)
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val half = maxId / 2
+      writeBatch(docs.filter(col("doc_id") <= half), s"$watch/b0.parquet")
+      writeBatch(docs.filter(col("doc_id") > half)
+        .unionByName(docs.filter(col("doc_id") <= half && col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"),
+            (lit(base) + (lit(maxId + 1) + col("doc_id")) * 10000000L).as("ts"))),
+        s"$watch/b1.parquet")
+      val sch = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("ts", LongType)))
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
+      graft.streaming.OnlineIngest.corpusIngest(stream)
+        // which duplicate ROW survives is partition-order-dependent; the
+        // surviving fingerprint SET is not (s9's determinism rule)
+        .select(col("fp"))
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start().awaitTermination()
+      out
+    })
+
   val entries: Seq[QueryEntry] = Seq(
 
     // ---- S8: the STREAMING sessionizer against the r11 batch oracle —
@@ -195,6 +233,30 @@ object StreamingQueries {
       (s: SparkSession, d: String) =>
         s.read.parquet(dedupedPath(s, d)).select("h"),
       Some("SELECT DISTINCT md5(text) AS h FROM documents")),
+
+    // ---- S11: the streaming corpus gate (quality filter → dedup state)
+    //      against the batch form's oracle: surviving fingerprints ==
+    //      distinct normalized-text fingerprints of the QUALITY docs —
+    //      rejected docs must not survive even when re-sent, accepted
+    //      cross-batch duplicates must be suppressed by state ----
+    ("s11_streaming_corpus_gate",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(corpusGatePath(s, d)).select("fp"),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, text,
+          |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+          |  FROM documents),
+          |q1 AS (SELECT doc_id, text, len(ts) AS n_tokens,
+          |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+          |  len(list_filter(ts, t -> t IN ('the','a','of','and','to','is','in'))) AS n_stop
+          |  FROM tok)
+          |SELECT DISTINCT
+          |  md5(trim(regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g'))) AS fp
+          |FROM q1
+          |WHERE n_tokens >= 5 AND n_tokens <= 100000
+          |  AND (100 * n_stop) // greatest(n_tokens, 1) >= 1
+          |  AND n_punct * 4 <= n_tokens""".stripMargin)),
 
     // ---- S10: the streaming watermarked tumbling-window aggregation
     //      against s1_event_window's batch oracle — append mode emits
