@@ -256,4 +256,38 @@ object Traversals {
     connectedComponents(edges)
       .groupBy("label").agg(count(lit(1)).as("csize"))
       .orderBy(col("csize").desc, col("label")).limit(20)
+
+  /** G3: k-core — the maximal induced subgraph in which every vertex has
+    * degree ≥ k, by iterative peeling: drop vertices whose induced degree
+    * falls below k until a fixpoint. The k-core is UNIQUE (peel order
+    * cannot change it), so the fixpoint is engine-exact and oracle-able
+    * by an unrolled peel. Input must be a canonical undirected simple
+    * edge set (src < dst, distinct); returns (id, d) — the surviving
+    * vertices with their induced-subgraph degrees.
+    *
+    * Scale shape: each peel round is two semi-joins (edge restriction)
+    * + one partial-combining degree aggregate — the same per-superstep
+    * cost as [[connectedComponents]]; rounds = peel depth, typically
+    * O(10) on real graphs. Vertex state localCheckpoints per round
+    * (O(1) lineage), and the hub absorbs into a combiner cell. */
+  def kCore(canon: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    val e = canon.select("src", "dst").localCheckpoint(true)
+    var cur = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    var n = cur.count()
+    var iter = 0
+    var result: DataFrame = null
+    while (result == null && iter < maxIter) {
+      iter += 1
+      val ie = e
+        .join(cur.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(cur.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      val deg = ie.select(col("src").as("id")).union(ie.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val next = deg.filter(col("d") >= k).localCheckpoint(true)
+      val m = next.count()
+      if (m == n) result = next else { cur = next.select("id"); n = m }
+    }
+    result.select("id", "d")
+  }
 }

@@ -72,5 +72,32 @@ object GraphQueries {
           |FROM deg g LEFT JOIN pv ON g.id = pv.id
           |WHERE g.d >= 2
           |ORDER BY lcc_ppm DESC, tri DESC, g.id LIMIT 20""".stripMargin))),
+
+    // ---- G3: 3-core of the zipf graph by iterative peeling. The k-core
+    //      is unique, so the Spark fixpoint loop and the oracle's
+    //      UNROLLED peel (8 rounds ≫ the ≤4 the fixture needs; extra
+    //      rounds are no-ops at the fixpoint) must agree exactly ----
+    ("g3_kcore",
+      (s: SparkSession, d: String) =>
+        Traversals.kCore(zipfCanon(s, d), k = 3),
+      Some {
+        // each round references the previous vertex set TWICE (both join
+        // sides) — without AS MATERIALIZED DuckDB inlines the whole chain
+        // exponentially (2^rounds re-expansions of the base scan)
+        val sb = new StringBuilder
+        sb.append(ZCANON).append(""",
+          |v0 AS MATERIALIZED (SELECT DISTINCT id FROM
+          |  (SELECT src AS id FROM zc UNION ALL SELECT dst FROM zc))""".stripMargin)
+        for (i <- 1 to 8) {
+          sb.append(s""",
+            |ie$i AS MATERIALIZED (SELECT e.src, e.dst FROM zc e
+            |  JOIN v${i - 1} a ON e.src = a.id JOIN v${i - 1} b ON e.dst = b.id),
+            |deg$i AS MATERIALIZED (SELECT id, count(*) AS d FROM
+            |  (SELECT src AS id FROM ie$i UNION ALL SELECT dst FROM ie$i) GROUP BY id),
+            |v$i AS MATERIALIZED (SELECT id FROM deg$i WHERE d >= 3)""".stripMargin)
+        }
+        sb.append("\nSELECT id, d FROM deg8 WHERE d >= 3")
+        Oracle.withSql(sb.toString, "")
+      }),
   )
 }

@@ -214,6 +214,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("k-core fixpoint equals brute-force iterative peeling") {
+    check(Prop.forAll(genEdges) { es =>
+      val canonPairs = es.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      if (canonPairs.isEmpty) true
+      else {
+        val canon = TestSpark.edgesDF(canonPairs.map { case (a, b) => (a, b, 0) })
+          .select("src", "dst")
+        val got = Traversals.kCore(canon, k = 2).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // brute force: peel until stable
+        var verts = canonPairs.flatMap(e => Seq(e._1, e._2)).distinct.toSet
+        var stable = false
+        var deg = Map.empty[Long, Long]
+        while (!stable) {
+          val ie = canonPairs.filter(e => verts(e._1) && verts(e._2))
+          deg = ie.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+            .view.mapValues(_.size.toLong).toMap
+          val next = verts.filter(v => deg.getOrElse(v, 0L) >= 2)
+          if (next == verts) stable = true else verts = next
+        }
+        got == verts.map(v => v -> deg(v)).toMap
+      }
+    })
+  }
+
   test("degree-oriented triangle list equals brute-force triple enumeration") {
     check(Prop.forAll(genEdges) { es =>
       val canonPairs = es.collect { case (a, b) if a != b =>
