@@ -87,6 +87,33 @@ object Dedup {
       expr(s"stack($nBands, $pairs)").as(Seq("b", "sig")))
   }
 
+  /** Wide per-document signature with ZERO shuffle: the whole
+    * shingle→hash→min pipeline as the codegen
+    * [[graft.functions.MinHashSig]] projection (spec-pinned value-equal
+    * to [[signatureFrom]]'s exploded-shingle aggregation — duplicates
+    * cannot change a minimum). The exploded form shuffles every
+    * (doc, shingle) row; this shuffles nothing. */
+  def signatureDirect(docs: DataFrame): DataFrame = {
+    val ms = graft.functions.MinHashSig.of(docs.sparkSession, col("text"))
+    docs.select(col("doc_id"), ms.as("ms"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(k => col("ms")(k).as(s"m$k")): _*)
+  }
+
+  /** D2 off the projection signature: band hashes + the bucket equi-join
+    * are the only shuffle (fixed-width 32-char keys). */
+  def minhashCandidatesDirect(docs: DataFrame): DataFrame = {
+    val nBands = NumHashes / RowsPerBand
+    val pairs = (0 until nBands)
+      .map(b => s"$b, md5(concat(m${2 * b}, m${2 * b + 1}))").mkString(", ")
+    val bd = signatureDirect(docs).select(col("doc_id"),
+      expr(s"stack($nBands, $pairs)").as(Seq("b", "sig")))
+    val x = bd.select(col("b"), col("sig"), col("doc_id").as("a"))
+    val y = bd.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bb"))
+    x.join(y, col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bb"))
+      .select(col("a"), col("bb").as("b")).distinct()
+  }
+
   /** D2: MinHash-LSH candidate pairs — docs sharing ≥1 band bucket. */
   def minhashCandidates(docs: DataFrame): DataFrame =
     minhashCandidatesFrom(shingles(docs))

@@ -26,17 +26,19 @@ object PageRank {
     * (id, rank_scaled) for the top-20 by (rank desc, id). */
   def top20(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select("src", "dst").localCheckpoint(true)
-    // degree and |V| are loop-invariant: materialize once, not per iteration
+    // degree and |V| are loop-invariant: materialize once, not per
+    // iteration — and the edge⋈outdeg join is TOO, so it is baked into
+    // the materialized edge list instead of re-joining every superstep
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg.withColumnRenamed("id", "src"), "src")
       .localCheckpoint(true)
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
     val n = verts.agg(count(lit(1)).as("n")).localCheckpoint(true)
     var ranks = verts.withColumn("r", lit(0L))
     for (i <- 1 to iters) {
-      val contrib = e
+      val contrib = ed
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(deg.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr("greatest(r, 150000000L) div outdeg").as("c"))
       val acc = contrib.groupBy(col("dst").as("id")).agg(sum("c").as("acc"))
       ranks = verts
@@ -73,6 +75,7 @@ object PageRank {
   def personalizedTop20(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select("src", "dst").localCheckpoint(true)
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg.withColumnRenamed("id", "src"), "src")
       .localCheckpoint(true)
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
@@ -81,9 +84,8 @@ object PageRank {
       .select(col("id"),
         when(col("id") === col("seed"), lit(Scale)).otherwise(lit(0L)).as("r"))
     for (i <- 1 to iters) {
-      val contrib = e
+      val contrib = ed
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(deg.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
       val acc = contrib.groupBy(col("dst").as("id")).agg(sum("c").as("acc"))
       ranks = verts

@@ -40,7 +40,10 @@ object DedupQueries {
           |FROM documents GROUP BY md5(text)""".stripMargin)),
 
     ("d2_dedup_minhash_lsh",
-      (s: SparkSession, d: String) => Dedup.minhashCandidatesFrom(Dedup.shinglesCached(s, d)),
+      // the codegen projection signature — zero shuffle before the band
+      // join (the exploded-shingle form it is spec-pinned against kept
+      // feeding d3, which needs the shingle rows anyway)
+      (s: SparkSession, d: String) => Dedup.minhashCandidatesDirect(Tables.documents(s, d)),
       Some(Oracle.withSql(LSH, "SELECT a, b FROM cand"))),
 
     ("d3_dedup_jaccard_verify",

@@ -38,6 +38,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(m(3L) == 1L && m(4L) == 1L)
   }
 
+  test("codegen MinHashSig equals the exploded-shingle signature aggregation") {
+    val edge = corpus.union(docs(6L -> "", 7L -> "one two", 8L -> ",,a b c!!"))
+    val a = Dedup.signatureDirect(edge).collect()
+      .map(r => r.getLong(0) -> (1 to Dedup.NumHashes).map(r.getString).toList).toMap
+    val b = Dedup.signatureFrom(Dedup.shingles(edge)).collect()
+      .map(r => r.getLong(0) -> (1 to Dedup.NumHashes).map(r.getString).toList).toMap
+    assert(a == b && a.size == 8)
+    val c1 = Dedup.minhashCandidatesDirect(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c2 = Dedup.minhashCandidatesFrom(Dedup.shingles(corpus)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c1 == c2)
+  }
+
   test("minhash LSH surfaces exact and near duplicates as candidates") {
     val cand = Dedup.minhashCandidates(corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
