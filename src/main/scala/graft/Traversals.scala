@@ -257,6 +257,41 @@ object Traversals {
       .groupBy("label").agg(count(lit(1)).as("csize"))
       .orderBy(col("csize").desc, col("label")).limit(20)
 
+  /** G4: WEIGHTED single-source shortest paths — distributed Bellman-Ford
+    * relaxation (the weighted upgrade of [[ssspTree]]'s hop-count BFS):
+    * per round, every edge offers dist(src)+w to its dst and each vertex
+    * keeps its minimum; fixpoint when nothing improves. Integer weights
+    * keep the fixpoint engine-exact. Convergence is detected from the
+    * (count, sum) signature of the distance table — min-relaxation is
+    * monotone (per-vertex distances only decrease, the reached set only
+    * grows), so an unchanged signature IS the fixpoint, no row-diff join
+    * needed.
+    *
+    * Scale shape: each round = one join edges⋈dist + one partial-min
+    * aggregate (hot dst keys combine map-side); dist localCheckpoints
+    * per round (O(1) lineage); rounds ≤ weighted diameter. */
+  def weightedSSSP(edges: DataFrame, weightCol: String = "rating",
+                   maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      col(weightCol).cast("long").as("w")).localCheckpoint(true)
+    var dist = e.agg(min("src").as("id")).select(col("id"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var sig = (0L, 0L)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      iter += 1
+      val relax = dist.join(e, dist("id") === e("src"))
+        .select(e("dst").as("id"), (dist("d") + e("w")).as("d"))
+      val next = dist.unionByName(relax)
+        .groupBy("id").agg(min("d").as("d")).localCheckpoint(true)
+      val row = next.agg(count(lit(1)), sum("d")).head()
+      val nsig = (row.getLong(0), row.getLong(1))
+      if (nsig == sig) done = true else { sig = nsig; dist = next }
+    }
+    dist.select(col("id"), col("d").as("dist"))
+  }
+
   /** G3: k-core — the maximal induced subgraph in which every vertex has
     * degree ≥ k, by iterative peeling: drop vertices whose induced degree
     * falls below k until a fixpoint. The k-core is UNIQUE (peel order

@@ -99,5 +99,30 @@ object GraphQueries {
         sb.append("\nSELECT id, d FROM deg8 WHERE d >= 3")
         Oracle.withSql(sb.toString, "")
       }),
+
+    // ---- G4: weighted SSSP (Bellman-Ford) over the symmetrized rated
+    //      order graph from the deterministic query vertex; the oracle
+    //      unrolls 8 materialized relaxation rounds (fixture converges
+    //      in 5; extra rounds are fixpoint no-ops) ----
+    ("g4_weighted_sssp",
+      (s: SparkSession, d: String) =>
+        Traversals.weightedSSSP(Tables.socialEdges(s, d)),
+      Some {
+        val sb = new StringBuilder
+        sb.append(Oracle.UEDGES).append(""",
+          |ue AS MATERIALIZED (SELECT src, dst, rating FROM uedges),
+          |sd AS (SELECT min(src) AS s FROM ue),
+          |d0 AS MATERIALIZED (SELECT s AS id, CAST(0 AS BIGINT) AS d FROM sd)""".stripMargin)
+        for (i <- 1 to 8) {
+          sb.append(s""",
+            |d$i AS MATERIALIZED (SELECT id, min(d) AS d FROM (
+            |  SELECT id, d FROM d${i - 1}
+            |  UNION ALL
+            |  SELECT e.dst AS id, t.d + e.rating AS d
+            |  FROM d${i - 1} t JOIN ue e ON t.id = e.src) GROUP BY id)""".stripMargin)
+        }
+        sb.append("\nSELECT id, CAST(d AS BIGINT) AS dist FROM d8")
+        Oracle.withSql(sb.toString, "")
+      }),
   )
 }

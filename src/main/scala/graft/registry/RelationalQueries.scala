@@ -237,6 +237,33 @@ object RelationalQueries {
            |GROUP BY n_name""".stripMargin
       }),
 
+    // ---- R13: latest-per-key (the SCD-type-1 / upsert-compaction view —
+    //      "current state" of an append-only event stream). The winner is
+    //      ONE partial-combining struct-max aggregation (the n7 sortless
+    //      argmin trick: max(struct) compares fields left-to-right, and
+    //      (ts, event_id) is already unique) — not a window sort, which
+    //      would shuffle AND sort every row at 100 TB ----
+    ("r13_latest_per_key",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          // µs on BOTH sides of the compare AND the output: Spark reads
+          // the parquet ts as raw ns (nanosAsLong) but DuckDB truncates
+          // to TIMESTAMP µs — an ns-precision argmax could pick a
+          // different winner than the oracle within a tied µs
+          .groupBy("user_id")
+          .agg(max(struct(expr("ts div 1000").as("tsu"), col("event_id"),
+            col("event_type"), cents(col("value")).as("vc"))).as("m"))
+          .select(col("user_id"), col("m.tsu").as("last_us"),
+            col("m.event_id").as("event_id"),
+            col("m.event_type").as("event_type"), col("m.vc").as("val_cents")),
+      Some(
+        """SELECT user_id, epoch_us(ts) AS last_us, event_id, event_type,
+          |       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS val_cents
+          |FROM (SELECT *, row_number() OVER
+          |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |      FROM events)
+          |WHERE rn = 1""".stripMargin)),
+
     // ---- CUBE over region × market segment (SURVEY §2.8 names cube
     //      alongside rollup; r3 covers rollup, this covers the full
     //      lattice — 4 grouping sets in ONE pass via Expand) ----

@@ -214,6 +214,38 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("weighted SSSP equals brute-force Dijkstra") {
+    val genWeighted: Gen[List[(Long, Long, Int)]] =
+      Gen.nonEmptyListOf(for {
+        s <- Gen.choose(0L, 9L)
+        d <- Gen.choose(0L, 9L).suchThat(_ != s)
+        w <- Gen.choose(1, 5)
+      } yield (s, d, w))
+    check(Prop.forAll(genWeighted) { es =>
+      val sess = spark; import sess.implicits._
+      val edges = es.toDF("src", "dst", "rating")
+      val got = Traversals.weightedSSSP(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val src = es.map(_._1).min
+      // brute-force Dijkstra over the multigraph (min parallel edge wins)
+      var dist = Map(src -> 0L)
+      var frontier = Set(src)
+      while (frontier.nonEmpty) {
+        val improved = scala.collection.mutable.Map.empty[Long, Long]
+        for ((a, b, w) <- es if dist.contains(a)) {
+          val nd = dist(a) + w
+          if (nd < dist.getOrElse(b, Long.MaxValue) &&
+              nd < improved.getOrElse(b, Long.MaxValue)) improved(b) = nd
+        }
+        frontier = improved.collect {
+          case (v, nd) if nd < dist.getOrElse(v, Long.MaxValue) => v }.toSet
+        dist = dist ++ improved.filter { case (v, nd) =>
+          nd < dist.getOrElse(v, Long.MaxValue) }
+      }
+      got == dist
+    })
+  }
+
   test("k-core fixpoint equals brute-force iterative peeling") {
     check(Prop.forAll(genEdges) { es =>
       val canonPairs = es.collect { case (a, b) if a != b =>
