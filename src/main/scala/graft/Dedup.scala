@@ -289,6 +289,25 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** X2: near-duplicate CLUSTERS — the production keeper rule. Pairwise
+    * candidates (d2) are only evidence; what a corpus build acts on is
+    * the transitive closure: connected components over the candidate
+    * pair graph, keep ONE document per component. Emits (keep_id,
+    * cluster_n) per multi-document cluster — the near-dup counterpart of
+    * [[exact]]'s per-hash groups, composing the LSH pipeline with the
+    * graph engine's label propagation ([[Traversals
+    * .connectedComponents]]): candidate pairs are an edge list like any
+    * other. Cluster count is bounded by true near-dup structure, so the
+    * CC fixpoint runs on a graph ~|dup pairs|, not ~|corpus|. */
+  def nearDupClusters(docs: DataFrame): DataFrame = {
+    val pairs = minhashCandidatesDirect(docs)
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    Traversals.connectedComponents(sym)
+      .groupBy("label").agg(min("id").as("keep_id"), count(lit(1)).as("cluster_n"))
+      .select("keep_id", "cluster_n")
+  }
+
   /** D8: span-level exact dedup — the C4 / "Deduplicating Training Data
     * Makes Language Models Better" (Lee et al. '21) operator that removes
     * duplicated SPANS while keeping the rest of each document, rather

@@ -209,6 +209,23 @@ object DedupQueries {
           |       COALESCE(r.kept_fp, md5('')) AS kept_fp
           |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id""".stripMargin)),
 
+    // ---- X2: near-dup CLUSTERS — transitive closure over the d2
+    //      candidate pairs (CC label propagation on the pair graph),
+    //      one keeper per cluster: the rule a corpus build acts on ----
+    ("x2_neardup_clusters",
+      (s: SparkSession, d: String) => Dedup.nearDupClusters(Tables.documents(s, d)),
+      Some(Oracle.withSql(LSH,
+        """, csym AS (SELECT a AS src, b AS dst FROM cand
+          |           UNION ALL SELECT b AS src, a AS dst FROM cand),
+          |cverts AS (SELECT DISTINCT src AS id FROM csym),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM cverts
+          |  UNION
+          |  SELECT w.id, n.dst FROM reach w JOIN csym n ON w.r = n.src),
+          |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+          |SELECT label AS keep_id, count(*) AS cluster_n
+          |FROM labels GROUP BY label""".stripMargin))),
+
     // The EXACT near-duplicate contract: all-pairs cosine with precomputed
     // norms — O(n²·dim), the small-N / final-verify reference that d5's
     // LSH path approximates (ScaleProbe times the crossover; at 100 TB
