@@ -21,7 +21,13 @@ object ExplainAudit {
         // r5: one-shuffle sequence packing (lang partitioning satisfies the
         // downstream (lang, seq_id) clustering — no second exchange),
         // vocab-broadcast rarity join, skew-fixture degrees/FoF
-        "t8_sequence_pack", "t9_rarity_score", "z1_zipf_degrees", "z2_zipf_fof_top20")
+        "t8_sequence_pack", "t9_rarity_score", "z1_zipf_degrees", "z2_zipf_fof_top20",
+        // late r5: zero-shuffle minhash signatures (one codegen call/row
+        // before the band join), z-ordered 2-D range sweep (both ranges
+        // in PushedFilters), degree-oriented triangles, repetition
+        // filters as a pure projection, argmax latest-per-key
+        "d2_dedup_minhash_lsh", "w5_zorder_range", "g1_triangle_count",
+        "t10_repetition", "r13_latest_per_key")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
