@@ -200,7 +200,57 @@ object StreamingQueries {
       out
     })
 
+  /** Replay the events fixture through [[graft.streaming.OnlineIngest
+    * .clickAttribution]] — two readStreams over the SAME file batches
+    * (split at the ts midpoint so click→purchase pairs SPAN the batch
+    * boundary and exercise cross-batch join state). */
+  private def attributionPath(s: SparkSession, d: String): String =
+    cache.computeIfAbsent(key(s, d, "s12"), _ => {
+      val watch = java.nio.file.Files.createTempDirectory("graft-s12-in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-s12-out").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .filter(col("event_type").isin("click", "purchase")).localCheckpoint(true)
+      val Array(lo, hi) = ev.agg(min("ts"), max("ts")).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      val mid = lo + (hi - lo) / 2
+      writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
+      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      def side(t: String): DataFrame = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
+        .filter(col("event_type") === t)
+      graft.streaming.OnlineIngest.clickAttribution(side("click"), side("purchase"))
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start().awaitTermination()
+      out
+    })
+
   val entries: Seq[QueryEntry] = Seq(
+
+    // ---- S12: stream-stream interval join (click→purchase attribution
+    //      within 30 min) against the batch range-join oracle — matches
+    //      spanning the micro-batch boundary must surface from join
+    //      state; µs comparison on both engines ----
+    ("s12_streaming_interval_join",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(attributionPath(s, d))
+          .select("p_id", "c_id", "user_id", "p_us", "c_us"),
+      Some(
+        """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+          |       epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+          |FROM events p JOIN events c ON p.user_id = c.user_id
+          |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+          |  AND epoch_us(c.ts) > epoch_us(p.ts) - 1800000000""".stripMargin)),
 
     // ---- S8: the STREAMING sessionizer against the r11 batch oracle —
     //      same events, same 30-min gap, same µs/cents conventions; the

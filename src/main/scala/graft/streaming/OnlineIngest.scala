@@ -173,6 +173,32 @@ object OnlineIngest {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** STREAM-STREAM interval join: purchases matched to the same user's
+    * clicks within the preceding `lookback` — the attribution join every
+    * event pipeline runs, and the Structured Streaming surface piece the
+    * other operators don't cover (two watermarked streams, event-time
+    * range condition, cross-batch join state). The time-range bound on
+    * BOTH event-time columns is what lets Spark expire join state at the
+    * watermark instead of buffering either stream forever. Timestamps
+    * compare at µs on both sides (the parquet-ns vs DuckDB-µs trap —
+    * see r13). Inner join: matches emit as soon as both sides arrive,
+    * no finalization sentinel needed. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       lookback: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("event_id").as("c_id"), col("user_id"),
+        expr("ts div 1000").as("c_us"))
+      .withColumn("c_ets", expr("timestamp_micros(c_us)"))
+      .withWatermark("c_ets", "1 hour")
+    val p = purchases.select(col("event_id").as("p_id"),
+        col("user_id").as("p_user"), expr("ts div 1000").as("p_us"))
+      .withColumn("p_ets", expr("timestamp_micros(p_us)"))
+      .withWatermark("p_ets", "1 hour")
+    c.join(p, col("user_id") === col("p_user") &&
+        col("c_ets") <= col("p_ets") &&
+        col("c_ets") > col("p_ets") - expr(s"INTERVAL $lookback"))
+      .select(col("p_id"), col("c_id"), col("user_id"), col("p_us"), col("c_us"))
+  }
+
   /** Event-time tumbling window aggregation with watermark (the streaming
     * shape of the s1_event_window batch query). `ts` arrives as raw
     * nanos (nanosAsLong) and is restored to a timestamp for event time. */
