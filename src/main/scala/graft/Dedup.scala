@@ -281,7 +281,9 @@ object Dedup {
     val pr = TextOps.winnowPrints(docs)
     val rare = pr.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
-    val prr = pr.join(rare, "fp")
+    // both self-join branches consume prr — materialize it once, or the
+    // prints⋈rare join (and the df aggregate feeding `rare`) run twice
+    val prr = pr.join(rare, "fp").localCheckpoint(true)
     prr.select(col("fp"), col("doc_id").as("x"))
       .join(prr.select(col("fp").as("fp2"), col("doc_id").as("y")),
         col("fp") === col("fp2") && col("x") < col("y"))

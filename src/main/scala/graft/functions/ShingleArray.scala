@@ -43,7 +43,10 @@ object ShingleArray {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => ShingleArray(exprs.head), "built-in")
+      FnName, exprs => {
+        require(exprs.length == 1, s"$FnName expects exactly 1 argument")
+        ShingleArray(exprs.head)
+      }, "built-in")
 
   def shingles(spark: SparkSession, text: Column): Column = {
     register(spark)

@@ -100,7 +100,10 @@ object SimHash60 {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => SimHash60(exprs.head), "built-in")
+      FnName, exprs => {
+        require(exprs.length == 1, s"$FnName expects exactly 1 argument")
+        SimHash60(exprs.head)
+      }, "built-in")
 
   def of(spark: SparkSession, tokens: Column): Column = {
     register(spark)

@@ -80,7 +80,10 @@ object WinnowArray {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => WinnowArray(exprs.head, 8, 4), "built-in")
+      FnName, exprs => {
+        require(exprs.length == 1, s"$FnName expects exactly 1 argument")
+        WinnowArray(exprs.head, 8, 4)
+      }, "built-in")
 
   def of(spark: SparkSession, text: Column, k: Int = 8, w: Int = 4): Column = {
     // the registry path carries the default (k, w); non-default callers
@@ -91,7 +94,10 @@ object WinnowArray {
     } else {
       val fn = s"${FnName}_${k}_$w"
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        fn, exprs => WinnowArray(exprs.head, k, w), "built-in")
+        fn, exprs => {
+          require(exprs.length == 1, s"$fn expects exactly 1 argument")
+          WinnowArray(exprs.head, k, w)
+        }, "built-in")
       org.apache.spark.sql.functions.call_function(fn, text)
     }
   }
