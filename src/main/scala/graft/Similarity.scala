@@ -256,8 +256,21 @@ object Similarity {
     * left-fold double dot, then scan only the probed cell partitions.
     * Same result set as [[ivfTopK]] — same oracle. */
   def ivfStoreTopK(spark: org.apache.spark.sql.SparkSession, path: String,
-                   k: Int, nprobe: Int): DataFrame = {
-    val vecs = spark.read.parquet(s"$path/vectors")
+                   k: Int, nprobe: Int): DataFrame =
+    ivfStoreFilteredTopK(spark, path, keep = None, k, nprobe)
+
+  /** E7: FILTERED probe — the filter-then-rank composition every
+    * metadata-aware vector search runs (e6's quality gate composed with
+    * e3b's partition-pruned store). The cell directories prune FIRST
+    * (storage-level, nprobe/nCells of the data), then the metadata
+    * semi-join cuts the candidate set before any distance work; only
+    * survivors are ranked. The filter side is an id list — AQE picks a
+    * broadcast when it is small, which a quality gate's id set is not
+    * guaranteed to be at 100 TB, so no hint is forced. */
+  def ivfStoreFilteredTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                           keep: Option[DataFrame], k: Int, nprobe: Int): DataFrame = {
+    val vecs0 = spark.read.parquet(s"$path/vectors")
+    val vecs = keep.fold(vecs0)(ids => vecs0.join(ids, Seq("vec_id"), "left_semi"))
     val q = vecs.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .localCheckpoint(true)

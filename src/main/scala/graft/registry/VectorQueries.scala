@@ -154,6 +154,40 @@ object VectorQueries {
         Similarity.ivfStoreTopK(s, ivfStorePath(s, d), k = 10, nprobe = 4),
       Some(s"WITH $Q, $IVF, $IVFTOP\nSELECT vec_id, cos_scaled FROM ivftop")),
 
+    // ---- E7: metadata-filtered probe at the cell-partitioned store —
+    //      e6's quality gate composed with e3b's directory pruning:
+    //      cells prune first (storage), the id semi-join cuts candidates
+    //      before any distance work, survivors rank. The oracle SHADOWS
+    //      the shared q CTE with the filtered query pick (lowest-id
+    //      QUALITY vector), which the IVF fragment then probes with ----
+    ("e7_ann_ivf_filtered",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val quality = TextOps.qualityScore(Tables.documents(s, d))
+          .filter(col("is_quality") === 1).select(col("doc_id").as("vec_id"))
+        Similarity.ivfStoreFilteredTopK(s, ivfStorePath(s, d),
+          keep = Some(quality), k = 10, nprobe = 4)
+      },
+      Some(
+        s"""WITH ${TextQueries.TOK},
+           |q1 AS (SELECT doc_id, len(ts) AS n_tokens,
+           |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+           |  len(list_filter(ts, t -> t IN ('the','a','of','and','to','is','in'))) AS n_stop
+           |  FROM tok),
+           |quality AS (SELECT doc_id FROM q1
+           |  WHERE n_tokens >= 5 AND n_tokens <= 100000
+           |    AND (100 * n_stop) // greatest(n_tokens, 1) >= 1
+           |    AND n_punct * 4 <= n_tokens),
+           |qemb AS (SELECT e.* FROM embeddings e JOIN quality ql ON e.vec_id = ql.doc_id),
+           |q AS (SELECT vec_id AS qid, embedding AS qv FROM qemb ORDER BY vec_id LIMIT 1),
+           |$IVF,
+           |ftop AS (
+           |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos_scaled
+           |  FROM qemb e JOIN candv c ON e.vec_id = c.vec_id, q
+           |  WHERE e.vec_id <> q.qid
+           |  ORDER BY cos_scaled DESC, e.vec_id LIMIT 10)
+           |SELECT vec_id, cos_scaled FROM ftop""".stripMargin)),
+
     // ---- recall@10 gates: |ANN top-10 ∩ brute top-10| as oracle-checked
     //      counts — a recall regression (sign flip, probe bug) goes red ----
     ("e4_ann_lsh_recall",
