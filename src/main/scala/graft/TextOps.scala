@@ -291,4 +291,102 @@ object TextOps {
         sum("n_tokens").cast("long").as("total_tokens"),
         sum("doc_id").cast("long").as("id_sum"))
   }
+
+  // --------------------------------------------------------------------
+  // T11: PII detection + redaction (the scrubbing pass every released
+  // training corpus runs before anything else). Patterns use ONLY the
+  // Java-regex ∩ RE2 common subset — explicit [0-9]/[a-zA-Z] classes,
+  // no \d/\w/\b — so Spark and the DuckDB oracle match identical spans.
+  // --------------------------------------------------------------------
+
+  /** Email address (conservative: ASCII local part @ dotted domain). */
+  val EmailPat: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  /** Dotted-quad IPv4 (syntactic — no octet range check, like most
+    * corpus scrubbers; redaction cares about recall, not validity). */
+  val Ipv4Pat: String = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  /** NANP-style phone number NNN-NNN-NNNN. */
+  val PhonePat: String = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Deterministic PII fixture augmentation: the synthetic `documents`
+    * text contains no PII, so the entry would otherwise verify only the
+    * zero case. Both engines append the SAME doc_id-derived email, IP and
+    * phone, giving every row at least one true positive of each class. */
+  private[graft] def piiAugment(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail"), (col("doc_id") % 10).cast("string"), lit(".org ip 10."),
+      (col("doc_id") % 256).cast("string"), lit(".0."),
+      (col("doc_id") % 100).cast("string"), lit(" tel 415-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("aug"))
+
+  /** T11: count each PII class, then redact in a FIXED order (email →
+    * IPv4 → phone; the placeholders contain no digits or '@', so later
+    * patterns cannot match inside earlier replacements). Counts are taken
+    * BEFORE redaction. One narrow projection per row — no shuffle, no
+    * row amplification; at 100 TB this is a map-only pass. */
+  /** The redaction chain itself, exposed for composition and spec
+    * pinning: fixed order email → IPv4 → phone (placeholders contain no
+    * digits or '@', so later patterns cannot match inside earlier
+    * replacements). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailPat), lit("<EMAIL>")),
+        lit(Ipv4Pat), lit("<IP>")),
+      lit(PhonePat), lit("<PHONE>"))
+
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val a = piiAugment(docs)
+    val red = redactPii(col("aug"))
+    a.select(col("doc_id"),
+      regexp_count(col("aug"), lit(EmailPat)).as("n_email"),
+      regexp_count(col("aug"), lit(Ipv4Pat)).as("n_ip"),
+      regexp_count(col("aug"), lit(PhonePat)).as("n_phone"),
+      length(red).as("red_len"),
+      md5(red).as("red_fp"))
+  }
+
+  // --------------------------------------------------------------------
+  // T12: DSIR-style importance weighting (Xie et al. 2023, "Data
+  // Selection for Language Models via Importance Resampling"): score each
+  // document by how much its n-gram distribution looks like a TARGET
+  // (high-quality) subset vs the raw corpus. The published method uses
+  // log-probability ratios of hashed n-grams; floats are accumulation-
+  // order-dependent, so this keeps the same signal as exact integers: a
+  // bigram occurrence is "target-like" iff its relative frequency in the
+  // target subset exceeds its relative frequency overall, tested by
+  // cross-multiplication  tc·Na > ac·Nt  (no division, no float).
+  // --------------------------------------------------------------------
+
+  /** T12: per-document target-like bigram share. Target = the t3 quality
+    * rule (one shared predicate, [[qualityCond]]). Plan: one explode of
+    * bigram occurrences, ONE shuffle on the gram key to build the
+    * frequency table (partial-aggregated; corpus-wide totals ride the
+    * same pass and broadcast back), then a gram-keyed join and a doc-
+    * keyed partial agg — linear in corpus size, no quadratic stage. */
+  def dsirWeighting(docs: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    val flagged = docs.select(
+      col("doc_id"), ts.as("ts"),
+      qualityCond(size(ts),
+        expr("regexp_count(text, '[.,!?;:]')"),
+        stopScore(ts, Stopwords.head._2)).cast("long").as("is_t"))
+    // docs with <2 tokens have no bigrams: the size guard (not a
+    // when/otherwise) keeps sequence() ascending-only — Spark's
+    // sequence(1, 0) would generate a DESCENDING ramp, not an empty array
+    val gramd = flagged.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("is_t"),
+        explode(expr("transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))")).as("g"))
+      .localCheckpoint(true) // shared by the freq build and the join back
+    val freq = gramd.groupBy("g")
+      .agg(count(lit(1)).as("ac"), sum("is_t").as("tc"))
+    val totals = broadcast(
+      gramd.agg(count(lit(1)).as("na"), sum("is_t").as("nt")))
+    gramd.join(freq, "g").crossJoin(totals)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("tc") * col("na") > col("ac") * col("nt")).cast("long"))
+          .as("n_target_like"))
+      .withColumn("dsir_pct", expr("(100 * n_target_like) div greatest(n_grams, 1)"))
+  }
 }

@@ -325,4 +325,47 @@ object Traversals {
     }
     result.select("id", "d")
   }
+
+  /** G5: HITS hubs & authorities (Kleinberg, JACM '99) over a directed
+    * edge list — the other classic iterative ranking next to [[PageRank]],
+    * and like it SCALED-INTEGER bit-exact: float power iteration is
+    * accumulation-order-dependent, so each half-step renormalizes by the
+    * round's MAXIMUM via exact integer division instead of an L2 norm:
+    *
+    *   a_i(v) = Σ_{(u,v)∈E} h_{i-1}(u);   a'_i = (a_i · 1e5) div max a_i
+    *   h_i(u) = Σ_{(u,v)∈E} a'_i(v);      h'_i = (h_i · 1e5) div max h_i
+    *
+    * Scale 1e5 bounds the pre-division accumulator by |E|·1e10 — safe in
+    * a BIGINT to ~9×10⁸ edges; beyond that, renormalize every half-step
+    * in two stages. Parallel edges count with multiplicity (the fixture
+    * is a multigraph, like the reference's edge log). The max() scalars
+    * are 1-row broadcasts, NOT driver collects — each superstep is two
+    * keyed partial-combining shuffles, the same shape that scales
+    * PageRank. Returns top-20 by (authority desc, id).
+    */
+  def hitsTop20(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val Scale = 100000L
+    val e = edges.select("src", "dst").localCheckpoint(true)
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    var hub = verts.withColumn("h", lit(Scale))
+    var auth = verts.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val ar = e.join(hub.select(col("id").as("src"), col("h").as("hs")), "src")
+        .groupBy(col("dst").as("id")).agg(sum("hs").as("s"))
+      val amax = ar.agg(max("s").as("m"))
+      auth = verts.join(ar, Seq("id"), "left_outer").crossJoin(broadcast(amax))
+        .select(col("id"), expr(s"(coalesce(s, 0L) * ${Scale}L) div m").as("a"))
+        .localCheckpoint(true)
+      val hr = e.join(auth.select(col("id").as("dst"), col("a").as("av")), "dst")
+        .groupBy(col("src").as("id")).agg(sum("av").as("s"))
+      val hmax = hr.agg(max("s").as("m"))
+      hub = verts.join(hr, Seq("id"), "left_outer").crossJoin(broadcast(hmax))
+        .select(col("id"), expr(s"(coalesce(s, 0L) * ${Scale}L) div m").as("h"))
+        .localCheckpoint(true)
+    }
+    auth.join(hub, "id")
+      .select(col("id"), col("a").as("auth_scaled"), col("h").as("hub_scaled"))
+      .orderBy(col("auth_scaled").desc, col("id")).limit(20)
+  }
 }

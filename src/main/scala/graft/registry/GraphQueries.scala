@@ -124,5 +124,40 @@ object GraphQueries {
         sb.append("\nSELECT id, CAST(d AS BIGINT) AS dist FROM d8")
         Oracle.withSql(sb.toString, "")
       }),
+
+    // ---- G5: HITS hubs/authorities on the zipf hub graph — the rank-1
+    //      in-degree hub concentrates ~half of every authority half-step
+    //      into one combiner cell (the same skew stress as z4). The
+    //      oracle unrolls the identical scaled-int iteration; every sum
+    //      is CAST to BIGINT (DuckDB widens to HUGEINT — the r11 lesson)
+    //      and each round is MATERIALIZED (multiply-referenced CTEs) ----
+    ("g5_hits",
+      (s: SparkSession, d: String) =>
+        Traversals.hitsTop20(ZipfQueries.zipfEdges(s, d), iters = 3),
+      Some {
+        val sb = new StringBuilder
+        sb.append(ZipfQueries.ZEDGES).append(""",
+          |verts AS MATERIALIZED (SELECT DISTINCT id FROM
+          |  (SELECT src AS id FROM zedges UNION ALL SELECT dst FROM zedges)),
+          |h0 AS (SELECT id, CAST(100000 AS BIGINT) AS h FROM verts)""".stripMargin)
+        for (i <- 1 to 3) {
+          sb.append(s""",
+            |ar$i AS MATERIALIZED (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS s
+            |  FROM zedges e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
+            |am$i AS (SELECT max(s) AS m FROM ar$i),
+            |a$i AS MATERIALIZED (SELECT v.id, (COALESCE(r.s, 0) * 100000) // am$i.m AS a
+            |  FROM verts v CROSS JOIN am$i LEFT JOIN ar$i r ON v.id = r.id),
+            |hr$i AS MATERIALIZED (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS s
+            |  FROM zedges e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
+            |hm$i AS (SELECT max(s) AS m FROM hr$i),
+            |h$i AS MATERIALIZED (SELECT v.id, (COALESCE(r.s, 0) * 100000) // hm$i.m AS h
+            |  FROM verts v CROSS JOIN hm$i LEFT JOIN hr$i r ON v.id = r.id)""".stripMargin)
+        }
+        sb.append("""
+          |SELECT a.id, CAST(a.a AS BIGINT) AS auth_scaled, CAST(h.h AS BIGINT) AS hub_scaled
+          |FROM a3 a JOIN h3 h ON a.id = h.id
+          |ORDER BY auth_scaled DESC, a.id LIMIT 20""".stripMargin)
+        Oracle.withSql(sb.toString, "")
+      }),
   )
 }

@@ -236,6 +236,64 @@ object TextQueries {
           |               THEN 1 ELSE 0 END AS is_repetitive
           |FROM ppm""".stripMargin))),
 
+    // ---- T11: PII detection + redaction — counts per class BEFORE
+    //      redaction, then fixed-order replace (email → IPv4 → phone);
+    //      patterns are shared constants from TextOps so the engines
+    //      cannot drift, and use only the Java∩RE2 regex subset. The
+    //      fixture text has no PII, so both engines append the SAME
+    //      doc_id-derived email/IP/phone (every row has true positives,
+    //      not just the zero case). Map-only: no shuffle ----
+    ("t11_pii_redact",
+      (s: SparkSession, d: String) => TextOps.piiRedact(Tables.documents(s, d)),
+      Some {
+        s"""WITH a AS (
+           |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           |    '@mail' || CAST(doc_id % 10 AS VARCHAR) || '.org ip 10.' ||
+           |    CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
+           |    ' tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+           |  FROM documents),
+           |r AS (SELECT doc_id, aug,
+           |  regexp_replace(regexp_replace(regexp_replace(aug,
+           |    '${TextOps.EmailPat}', '<EMAIL>', 'g'),
+           |    '${TextOps.Ipv4Pat}', '<IP>', 'g'),
+           |    '${TextOps.PhonePat}', '<PHONE>', 'g') AS red
+           |  FROM a)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(aug, '${TextOps.EmailPat}')) AS n_email,
+           |  len(regexp_extract_all(aug, '${TextOps.Ipv4Pat}')) AS n_ip,
+           |  len(regexp_extract_all(aug, '${TextOps.PhonePat}')) AS n_phone,
+           |  length(red) AS red_len, md5(red) AS red_fp
+           |FROM r""".stripMargin
+      }),
+
+    // ---- T12: DSIR-style importance weighting (Xie et al. '23) — the
+    //      target-vs-raw n-gram likelihood ratio recast as exact integer
+    //      cross-multiplication (tc·Na > ac·Nt per bigram occurrence):
+    //      the same "looks like the quality subset" ranking signal with
+    //      none of the float accumulation-order hazard. Every DuckDB sum
+    //      is CAST to BIGINT (the r11 HUGEINT lesson) ----
+    ("t12_dsir_weighting",
+      (s: SparkSession, d: String) => TextOps.dsirWeighting(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        s""", q AS (SELECT doc_id, ts,
+           |    CASE WHEN len(ts) >= 5 AND len(ts) <= 100000
+           |          AND 100 * len(list_filter(ts, t -> t IN $enList)) >= greatest(len(ts), 1)
+           |          AND len(regexp_extract_all(text, '[.,!?;:]')) * 4 <= len(ts)
+           |         THEN 1 ELSE 0 END AS is_t
+           |  FROM tok),
+           |gd AS (SELECT doc_id, is_t,
+           |    unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS gm
+           |  FROM q WHERE len(ts) >= 2),
+           |freq AS (SELECT gm, count(*) AS ac, CAST(sum(is_t) AS BIGINT) AS tc
+           |  FROM gd GROUP BY gm),
+           |tot AS (SELECT count(*) AS na, CAST(sum(is_t) AS BIGINT) AS nt FROM gd)
+           |SELECT gd.doc_id, count(*) AS n_grams,
+           |  CAST(sum(CASE WHEN f.tc * t.na > f.ac * t.nt THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like,
+           |  (100 * CAST(sum(CASE WHEN f.tc * t.na > f.ac * t.nt THEN 1 ELSE 0 END) AS BIGINT))
+           |    // greatest(count(*), 1) AS dsir_pct
+           |FROM gd JOIN freq f USING (gm) CROSS JOIN tot t
+           |GROUP BY gd.doc_id""".stripMargin))),
+
     ("x1_training_data_prep",
       (s: SparkSession, d: String) => TextOps.trainingDataPrep(Tables.documents(s, d)),
       Some(Oracle.withSql(TOK.replace("SELECT doc_id, text,", "SELECT doc_id, lang, text,"),

@@ -172,6 +172,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("PII redaction: exact spans replaced in fixed order, counts taken pre-redaction") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, "write to bob.smith+x@corp.example.org or 192.168.1.200, call 415-555-0142 ok"))
+      .toDF("doc_id", "text")
+    val red = d.select(TextOps.redactPii(col("text")).as("r")).first().getString(0)
+    assert(red == "write to <EMAIL> or <IP>, call <PHONE> ok")
+    // piiRedact augments every doc with one synthetic email/IP/phone, so
+    // this doc counts 2 of each; a clean doc counts exactly 1 of each
+    val counts = TextOps.piiRedact(d.union(Seq((2L, "no pii here")).toDF("doc_id", "text")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(counts(1L) == ((2, 2, 2)) && counts(2L) == ((1, 1, 1)))
+  }
+
+  test("DSIR weighting scores quality-subset-like bigrams higher") {
+    val s = spark; import s.implicits._
+    // docs 1-2 pass the quality rule (en stopwords, low punct) and share
+    // bigrams; doc 3 fails it (no stopwords) and has disjoint bigrams
+    val d = Seq(
+      (1L, "the cat sat on the mat and the dog is here"),
+      (2L, "the cat sat on the mat and all is well"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val m = TestSpark.toMap2(TextOps.dsirWeighting(d).select("doc_id", "dsir_pct"))
+    assert(m(1L) == 100L && m(2L) == 100L) // all their grams live in the target subset
+    assert(m(3L) == 0L)                    // no gram of doc 3 is target-distinctive
+  }
+
   test("language id votes stopwords") {
     val m = TextOps.langId(corpus).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap

@@ -107,6 +107,21 @@ class TraversalsSpec extends AnyFunSuite {
     assert(hist == Map(0L -> 5L, 10L -> 4L))
   }
 
+  test("HITS: co-cited authority dominates, scaled-int iteration is exact") {
+    val s = spark; import s.implicits._
+    // 1→3, 2→3, 3→4: vertex 3 is the authority (two hubs point at it),
+    // 1 and 2 are the equal top hubs. Hand-iterated 3 rounds at scale 1e5:
+    // auth(3)=100000, auth(4)=12500, hub(1)=hub(2)=100000, hub(3)=12500.
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Traversals.hitsTop20(e, iters = 3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(3L) == ((100000L, 12500L)))
+    assert(r(4L) == ((12500L, 0L)))
+    assert(r(1L) == ((0L, 100000L)) && r(2L) == ((0L, 100000L)))
+    // top-20 ordering: authority vertex first
+    assert(Traversals.hitsTop20(e, iters = 3).first().getLong(0) == 3L)
+  }
+
   test("ssspTree parents reconstruct the chain path") {
     val s = spark; import s.implicits._
     val tree = Traversals.ssspTree(chain, Seq(0L).toDF("id"), maxDepth = 10)
