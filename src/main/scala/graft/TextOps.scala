@@ -319,11 +319,6 @@ object TextOps {
       (col("doc_id") % 100).cast("string"), lit(" tel 415-555-"),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("aug"))
 
-  /** T11: count each PII class, then redact in a FIXED order (email →
-    * IPv4 → phone; the placeholders contain no digits or '@', so later
-    * patterns cannot match inside earlier replacements). Counts are taken
-    * BEFORE redaction. One narrow projection per row — no shuffle, no
-    * row amplification; at 100 TB this is a map-only pass. */
   /** The redaction chain itself, exposed for composition and spec
     * pinning: fixed order email → IPv4 → phone (placeholders contain no
     * digits or '@', so later patterns cannot match inside earlier
@@ -335,6 +330,9 @@ object TextOps {
         lit(Ipv4Pat), lit("<IP>")),
       lit(PhonePat), lit("<PHONE>"))
 
+  /** T11: count each PII class, then redact. Counts are taken BEFORE
+    * redaction. One narrow projection per row — no shuffle, no row
+    * amplification; at 100 TB this is a map-only pass. */
   def piiRedact(docs: DataFrame): DataFrame = {
     val a = piiAugment(docs)
     val red = redactPii(col("aug"))
