@@ -288,6 +288,39 @@ object RelationalQueries {
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY CUBE (r_name, c_mktsegment)""".stripMargin)),
 
+    // ---- R14: explicit GROUPING SETS — the aggregation shapes rollup
+    //      and cube CANNOT express: two independent one-dimension
+    //      groupings plus the grand total, computed in ONE pass (one
+    //      Expand ×3 over the join, one shuffle) instead of three
+    //      scans+union. GROUPING() disambiguates a real NULL key from a
+    //      set-absent key, identically in both engines ----
+    ("r14_grouping_sets",
+      (s: SparkSession, d: String) => {
+        Tables.customer(s, d).createOrReplaceTempView("g_customer")
+        Tables.nation(s, d).createOrReplaceTempView("g_nation")
+        Tables.region(s, d).createOrReplaceTempView("g_region")
+        s.sql(
+          """SELECT r_name, c_mktsegment,
+            |       CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+            |       CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_m,
+            |       count(*) AS n_cust,
+            |       CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS bal_cents
+            |FROM g_customer
+            |JOIN g_nation ON c_nationkey = n_nationkey
+            |JOIN g_region ON n_regionkey = r_regionkey
+            |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())""".stripMargin)
+      },
+      Some(
+        """SELECT r_name, c_mktsegment,
+          |       CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+          |       CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_m,
+          |       count(*) AS n_cust,
+          |       CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS bal_cents
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())""".stripMargin)),
+
     // ---- R11: BATCH gap sessionization — the one-pass window form of
     //      the streaming flatMapGroupsWithState sessionizer (OnlineIngest
     //      .sessionize): lag marks session starts, a running sum numbers
