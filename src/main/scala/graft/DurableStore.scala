@@ -66,7 +66,8 @@ import scala.jdk.CollectionConverters._
   * multiset(mirror) == multiset(sorted primary files), spec-pinned.
   */
 class DurableStore(val spark: SparkSession, val root: String,
-                   val commit: DurableStore.CommitProtocol = DurableStore.LocalFsCommit) {
+                   val commit: DurableStore.CommitProtocol = DurableStore.LocalFsCommit,
+                   val linearHistory: Boolean = false) {
   import DurableStore._
 
   def currentVersion: Int =
@@ -369,16 +370,36 @@ class DurableStore(val spark: SparkSession, val root: String,
     * against writers this lock can't see (a second driver on a shared
     * object store). A conflict surfaces as [[CommitConflictException]]
     * and leaves only a harmless orphan manifest behind. */
+  /** Commit semantics (ADVICE r5 vs the branch tests, reconciled):
+    *
+    * By DEFAULT (`linearHistory = false`) a commit may build from ANY
+    * committed version — the branch-from-v1 behavior the spec pins
+    * ("branches from v1 are independent"): the live pointer is
+    * last-writer-wins and every superseded version stays readable. In
+    * that mode the CAS expectation is the pointer value observed at
+    * commit entry, so the conditional swap only defends the build span
+    * itself (a writer THIS protocol can see moving the pointer mid-build
+    * surfaces as [[CommitConflictException]]).
+    *
+    * With `linearHistory = true` (multi-driver deployments that must not
+    * lose updates) the commit additionally REQUIRES fromV to be the live
+    * version and CASes from fromV — any commit built on a stale snapshot
+    * surfaces as a conflict instead of silently dropping a concurrent
+    * writer's rows from the live view (ADVICE r5). Branch-from-old
+    * then demands an explicit non-linear store handle. */
   private def commitOpt(fromV: Int)(build: (Manifest, Int) => Option[Manifest]): Int =
     DurableStore.synchronized {
       val cur = currentVersion
+      if (linearHistory && cur != fromV)
+        throw new DurableStore.CommitConflictException(
+          s"$root: linearHistory commit built from v$fromV but pointer already at v$cur")
       val m = manifest(fromV)
       val nv = nextVersion(root)
       build(m, nv) match {
         case None => fromV
         case Some(built) =>
           writeManifest(root, built.copy(version = nv))
-          commit.casPointer(root, cur, nv)
+          commit.casPointer(root, if (linearHistory) fromV else cur, nv)
           nv
       }
     }

@@ -100,6 +100,19 @@ class GraphDB(val spark: SparkSession, val edges: DataFrame, val vertices: DataF
 
   def withEdges(e: DataFrame): GraphDB = new GraphDB(spark, e, vertices)
 
+  // ---- id-translate API-compat shims (SURVEY §1.1; reference
+  // GraphChiDatabase.scala:1402-1403, VertexIdTranslate.java:59-72).
+  // The reference bijects original ids into shard-interval-local internal
+  // ids because each shard owns a contiguous vertex interval; Spark's
+  // hash-partitioned columnar layout has no such interval ownership, so
+  // both maps are the IDENTITY. They exist so reference callers port
+  // verbatim — every query above accepts original ids directly. ----
+  def originalToInternalId(id: Long): Long = id
+  def internalToOriginalId(id: Long): Long = id
+  /** Column forms, for translating whole id columns in a plan. */
+  def originalToInternalId(id: Column): Column = id
+  def internalToOriginalId(id: Column): Column = id
+
   /** Typed edge view (`Dataset[EdgeRow]`) where compile-time field checks
     * help (SURVEY §1.2: Dataset[T] with case-class Encoders). */
   def typedEdges: org.apache.spark.sql.Dataset[GraphDB.EdgeRow] =

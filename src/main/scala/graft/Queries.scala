@@ -83,6 +83,97 @@ object Queries {
     wedges.crossJoin(triangles)
   }
 
+  /** Q9b (seeded sampled variant — the reference's ACTUAL access pattern,
+    * SubgraphFrequencies.scala:107-148): estimate per-ego 3-vertex
+    * subgraph profiles by sampling, instead of [[subgraphCensus]]'s exact
+    * global census. Ego choice is the reference's `DB.randomVertex()`
+    * made deterministic: vertices ordered by md5. Per ego, the induced
+    * neighborhood graph is built exactly like the reference's
+    * `inducedNeighborhoodGraph` (edges among the ego's neighbors; the
+    * subgraph's VERTEX set is the endpoints of those edges, so isolated
+    * neighbors drop out), trivial egos (<4 such vertices) are skipped,
+    * and `samplesPerEgo` seeded triples are drawn per ego — each triple's
+    * induced edge count (0..3) is tallied. Returns (ego, e0, e1, e2, e3),
+    * e0+e1+e2+e3 = samplesPerEgo: integer counts, not the reference's
+    * float fractions, so the oracle hash cannot drift.
+    *
+    * Scale shape: per-ego cost is bounded by samplesPerEgo — NOT by
+    * |neighborhood|³, which is the reason the reference samples instead
+    * of enumerating (its marquee graphs have hub egos whose induced
+    * neighborhoods are near-cliques). All egos estimate in parallel; the
+    * ego list and index maps are broadcast-small; the only data-sized
+    * scans are the two neighbor joins against the edge set. Candidates
+    * are over-sampled 3× in md5 order so eligibility (≥4 subgraph
+    * vertices) is decided after inducing only O(nEgos) neighborhoods,
+    * never all of them. */
+  def sampledSubgraphFrequencies(canon: DataFrame, nEgos: Int = 12,
+                                 samplesPerEgo: Int = 400): DataFrame = {
+    val e = canon.select("src", "dst").localCheckpoint(true)
+    val deg = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    // deg >= 4 is necessary (never sufficient) for >= 4 subgraph vertices
+    val cand = deg.filter(col("d") >= 4)
+      .orderBy(md5(concat(lit("q9b|"), col("id"))), col("id"))
+      .limit(3 * nEgos)
+      .select(col("id").as("ego")).localCheckpoint(true)
+    val nb = e.join(broadcast(cand), col("src") === col("ego"))
+      .select(col("ego"), col("dst").as("v"))
+      .unionByName(e.join(broadcast(cand), col("dst") === col("ego"))
+        .select(col("ego"), col("src").as("v")))
+      .distinct().localCheckpoint(true)
+    // induced edges among each candidate ego's neighbors (canon has
+    // src < dst, so ie is canonical per ego too)
+    val ie = e
+      .join(nb.select(col("ego"), col("v").as("src")), Seq("src"))
+      .join(nb.select(col("ego"), col("v").as("dst")), Seq("ego", "dst"))
+      .select("ego", "src", "dst").localCheckpoint(true)
+    val vset = ie.select(col("ego"), col("src").as("v"))
+      .unionByName(ie.select(col("ego"), col("dst").as("v"))).distinct()
+      .localCheckpoint(true)
+    val egos = vset.groupBy("ego").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 4)
+      .orderBy(md5(concat(lit("q9b|"), col("ego"))), col("ego"))
+      .limit(nEgos).localCheckpoint(true)
+    val vlist = vset.join(broadcast(egos.select("ego")), Seq("ego"))
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ego").orderBy("v")) - 1)
+    // three 32-bit md5 draws per (ego, sample) pick 3 DISTINCT indices
+    // via the standard shift trick: i2 skips i1, i3 skips both in order
+    def h(k: Int) = expr("cast(conv(substring(md5(concat('q9b|', " +
+      s"cast(ego as string), '_', cast(j as string), '_$k')), 1, 8), 16, 10) as bigint)")
+    val samples = egos
+      .select(col("ego"), col("sz"),
+        explode(sequence(lit(0), lit(samplesPerEgo - 1))).as("j"))
+      .withColumn("i1", h(1) % col("sz"))
+      .withColumn("t2", h(2) % (col("sz") - 1))
+      .withColumn("i2", col("t2") + when(col("t2") >= col("i1"), 1L).otherwise(0L))
+      .withColumn("t3", h(3) % (col("sz") - 2))
+      .withColumn("i3a", col("t3") +
+        when(col("t3") >= least(col("i1"), col("i2")), 1L).otherwise(0L))
+      .withColumn("i3", col("i3a") +
+        when(col("i3a") >= greatest(col("i1"), col("i2")), 1L).otherwise(0L))
+    def pick(iCol: String, out: String) =
+      vlist.select(col("ego"), col("idx").cast("long").as(iCol), col("v").as(out))
+    val tri = samples
+      .join(pick("i1", "v1"), Seq("ego", "i1"))
+      .join(pick("i2", "v2"), Seq("ego", "i2"))
+      .join(pick("i3", "v3"), Seq("ego", "i3"))
+    val pairs = tri.select(col("ego"), col("j"), explode(array(
+        struct(least(col("v1"), col("v2")).as("src"), greatest(col("v1"), col("v2")).as("dst")),
+        struct(least(col("v1"), col("v3")).as("src"), greatest(col("v1"), col("v3")).as("dst")),
+        struct(least(col("v2"), col("v3")).as("src"), greatest(col("v2"), col("v3")).as("dst"))))
+        .as("p"))
+      .select(col("ego"), col("j"), col("p.src").as("src"), col("p.dst").as("dst"))
+    val cnt = pairs
+      .join(ie.withColumn("ex", lit(1L)), Seq("ego", "src", "dst"), "left_outer")
+      .groupBy("ego", "j").agg(sum(coalesce(col("ex"), lit(0L))).as("c"))
+    cnt.groupBy("ego").agg(
+      sum(when(col("c") === 0, 1L).otherwise(0L)).as("e0"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("e1"),
+      sum(when(col("c") === 2, 1L).otherwise(0L)).as("e2"),
+      sum(when(col("c") === 3, 1L).otherwise(0L)).as("e3"))
+  }
+
   /** Full-graph triangle enumeration by DEGREE-ORDERED orientation (the
     * scalable companion to [[subgraphCensus]]'s census, which the reference
     * samples because exact global counting is expensive in its model,

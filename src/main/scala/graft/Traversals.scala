@@ -323,6 +323,11 @@ object Traversals {
       val m = next.count()
       if (m == n) result = next else { cur = next.select("id"); n = m }
     }
+    // deep peel chains (a path graph peels one layer per round) can
+    // legitimately exceed maxIter — fail loudly, never NPE (ADVICE r5)
+    if (result == null)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not reach a fixpoint within maxIter=$maxIter peel rounds")
     result.select("id", "d")
   }
 
@@ -354,14 +359,17 @@ object Traversals {
       val ar = e.join(hub.select(col("id").as("src"), col("h").as("hs")), "src")
         .groupBy(col("dst").as("id")).agg(sum("hs").as("s"))
       val amax = ar.agg(max("s").as("m"))
+      // greatest(m, 1): on a degenerate edge set (empty after upstream
+      // filtering) max(s) is null — ranks must become defined zeros, not
+      // silently null (ADVICE r5); greatest skips nulls in Spark
       auth = verts.join(ar, Seq("id"), "left_outer").crossJoin(broadcast(amax))
-        .select(col("id"), expr(s"(coalesce(s, 0L) * ${Scale}L) div m").as("a"))
+        .select(col("id"), expr(s"(coalesce(s, 0L) * ${Scale}L) div greatest(m, 1L)").as("a"))
         .localCheckpoint(true)
       val hr = e.join(auth.select(col("id").as("dst"), col("a").as("av")), "dst")
         .groupBy(col("src").as("id")).agg(sum("av").as("s"))
       val hmax = hr.agg(max("s").as("m"))
       hub = verts.join(hr, Seq("id"), "left_outer").crossJoin(broadcast(hmax))
-        .select(col("id"), expr(s"(coalesce(s, 0L) * ${Scale}L) div m").as("h"))
+        .select(col("id"), expr(s"(coalesce(s, 0L) * ${Scale}L) div greatest(m, 1L)").as("h"))
         .localCheckpoint(true)
     }
     auth.join(hub, "id")

@@ -122,10 +122,12 @@ object DedupQueries {
     // is what keeps a real corpus (where popularity makes clusters fat)
     // near-linear: at sf1 the replicated fixture grows d3's pairs ~100×
     // while d3b stays at the sf0.1 profile. Same fragments as d3, over
-    // the deduped document set.
+    // the deduped document set. Since r6 this composition IS
+    // jaccardVerify's default path (collapse unless allPairs=true), so
+    // the entry exercises the default API verbatim.
     ("d3b_dedup_verify_after_exact",
       (s: SparkSession, d: String) =>
-        Dedup.jaccardVerify(Dedup.representatives(Tables.documents(s, d))),
+        Dedup.jaccardVerify(Tables.documents(s, d)),
       Some(Oracle.withSql(
         """reps AS (
           |  SELECT d.* FROM documents d

@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * ZERO oriented ones. */
 object GraphQueries {
 
+  /** Unroll depth for the g3/g4 fixpoint oracles. The fixture's measured
+    * depth is ≤5 (g3 peels in ≤4 rounds, g4 relaxes in 5); 8 leaves slack
+    * and each oracle's final SELECT asserts the last two rounds are equal
+    * (DuckDB error() otherwise), so a fixture change that deepens past
+    * this constant fails loudly instead of silently comparing a
+    * non-converged oracle (ADVICE r5). */
+  private val UnrollRounds = 8
+
   /** Canonical undirected simple graph from the zipf multigraph:
     * self-loops dropped, endpoints ordered, parallel edges collapsed. */
   private def zipfCanon(s: SparkSession, d: String): DataFrame =
@@ -75,8 +83,11 @@ object GraphQueries {
 
     // ---- G3: 3-core of the zipf graph by iterative peeling. The k-core
     //      is unique, so the Spark fixpoint loop and the oracle's
-    //      UNROLLED peel (8 rounds ≫ the ≤4 the fixture needs; extra
-    //      rounds are no-ops at the fixpoint) must agree exactly ----
+    //      UNROLLED peel (UnrollRounds rounds ≫ the ≤4 the fixture needs;
+    //      extra rounds are no-ops at the fixpoint) must agree exactly.
+    //      The final SELECT asserts convergence (last two rounds equal) so
+    //      a deepened fixture errors with a message instead of silently
+    //      comparing a non-converged oracle (ADVICE r5) ----
     ("g3_kcore",
       (s: SparkSession, d: String) =>
         Traversals.kCore(zipfCanon(s, d), k = 3),
@@ -84,11 +95,12 @@ object GraphQueries {
         // each round references the previous vertex set TWICE (both join
         // sides) — without AS MATERIALIZED DuckDB inlines the whole chain
         // exponentially (2^rounds re-expansions of the base scan)
+        val R = UnrollRounds
         val sb = new StringBuilder
         sb.append(ZCANON).append(""",
           |v0 AS MATERIALIZED (SELECT DISTINCT id FROM
           |  (SELECT src AS id FROM zc UNION ALL SELECT dst FROM zc))""".stripMargin)
-        for (i <- 1 to 8) {
+        for (i <- 1 to R) {
           sb.append(s""",
             |ie$i AS MATERIALIZED (SELECT e.src, e.dst FROM zc e
             |  JOIN v${i - 1} a ON e.src = a.id JOIN v${i - 1} b ON e.dst = b.id),
@@ -96,24 +108,31 @@ object GraphQueries {
             |  (SELECT src AS id FROM ie$i UNION ALL SELECT dst FROM ie$i) GROUP BY id),
             |v$i AS MATERIALIZED (SELECT id FROM deg$i WHERE d >= 3)""".stripMargin)
         }
-        sb.append("\nSELECT id, d FROM deg8 WHERE d >= 3")
+        sb.append(s"""
+          |SELECT id, d FROM deg$R WHERE d >= 3 AND CASE
+          |  WHEN (SELECT count(*) FROM v${R - 1}) = (SELECT count(*) FROM v$R)
+          |  THEN true ELSE error('g3 oracle: peel not converged in $R rounds — raise UnrollRounds') END""".stripMargin)
         Oracle.withSql(sb.toString, "")
       }),
 
     // ---- G4: weighted SSSP (Bellman-Ford) over the symmetrized rated
     //      order graph from the deterministic query vertex; the oracle
-    //      unrolls 8 materialized relaxation rounds (fixture converges
-    //      in 5; extra rounds are fixpoint no-ops) ----
+    //      unrolls UnrollRounds materialized relaxation rounds (fixture
+    //      converges in 5; extra rounds are fixpoint no-ops). The final
+    //      SELECT asserts convergence (last two rounds identical in count
+    //      and total distance) so a deepened fixture errors loudly
+    //      instead of silently comparing a non-converged oracle ----
     ("g4_weighted_sssp",
       (s: SparkSession, d: String) =>
         Traversals.weightedSSSP(Tables.socialEdges(s, d)),
       Some {
+        val R = UnrollRounds
         val sb = new StringBuilder
         sb.append(Oracle.UEDGES).append(""",
           |ue AS MATERIALIZED (SELECT src, dst, rating FROM uedges),
           |sd AS (SELECT min(src) AS s FROM ue),
           |d0 AS MATERIALIZED (SELECT s AS id, CAST(0 AS BIGINT) AS d FROM sd)""".stripMargin)
-        for (i <- 1 to 8) {
+        for (i <- 1 to R) {
           sb.append(s""",
             |d$i AS MATERIALIZED (SELECT id, min(d) AS d FROM (
             |  SELECT id, d FROM d${i - 1}
@@ -121,7 +140,11 @@ object GraphQueries {
             |  SELECT e.dst AS id, t.d + e.rating AS d
             |  FROM d${i - 1} t JOIN ue e ON t.id = e.src) GROUP BY id)""".stripMargin)
         }
-        sb.append("\nSELECT id, CAST(d AS BIGINT) AS dist FROM d8")
+        sb.append(s"""
+          |SELECT id, CAST(d AS BIGINT) AS dist FROM d$R WHERE CASE
+          |  WHEN (SELECT count(*) || '|' || sum(d) FROM d${R - 1})
+          |     = (SELECT count(*) || '|' || sum(d) FROM d$R)
+          |  THEN true ELSE error('g4 oracle: relaxation not converged in $R rounds — raise UnrollRounds') END""".stripMargin)
         Oracle.withSql(sb.toString, "")
       }),
 

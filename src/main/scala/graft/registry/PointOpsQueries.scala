@@ -215,6 +215,69 @@ object PointOpsQueries {
           |        JOIN cp ac ON ac.src = ab.src AND ac.dst = bc.dst)
           |SELECT wedges, triangles FROM wed CROSS JOIN tri""".stripMargin))),
 
+    // ---- Q9b: SEEDED SAMPLED census — the reference's actual access
+    //      pattern (SubgraphFrequencies.scala:107-148: random egos →
+    //      induced neighborhood → sampled 3-vertex profiles), with every
+    //      random draw replaced by md5 so the oracle replays the same
+    //      egos and the same triples. Counts, not fractions (hash-exact).
+    //      VERDICT r5 missing #3. ----
+    ("q9b_census_sampled",
+      (s: SparkSession, d: String) =>
+        Queries.sampledSubgraphFrequencies(Tables.coPurchaseEdges(s, d),
+          nEgos = 12, samplesPerEgo = 400),
+      Some(withSql(Oracle.CP_EDGES,
+        """, deg9 AS (SELECT id, count(*) AS d FROM
+          |  (SELECT src AS id FROM cp UNION ALL SELECT dst FROM cp) GROUP BY id),
+          |cand9 AS (SELECT id AS ego FROM deg9 WHERE d >= 4
+          |          ORDER BY md5('q9b|' || id), id LIMIT 36),
+          |nb9 AS (SELECT DISTINCT ego, v FROM (
+          |  SELECT c.ego, e.dst AS v FROM cp e JOIN cand9 c ON e.src = c.ego
+          |  UNION ALL
+          |  SELECT c.ego, e.src AS v FROM cp e JOIN cand9 c ON e.dst = c.ego)),
+          |ie9 AS (SELECT a.ego, e.src, e.dst FROM cp e
+          |  JOIN nb9 a ON a.v = e.src
+          |  JOIN nb9 b ON b.ego = a.ego AND b.v = e.dst),
+          |vset9 AS (SELECT DISTINCT ego, v FROM (
+          |  SELECT ego, src AS v FROM ie9 UNION ALL SELECT ego, dst AS v FROM ie9)),
+          |egos9 AS (SELECT ego, sz FROM
+          |  (SELECT ego, count(*) AS sz FROM vset9 GROUP BY ego)
+          |  WHERE sz >= 4 ORDER BY md5('q9b|' || ego), ego LIMIT 12),
+          |vlist9 AS (SELECT ego, v,
+          |    row_number() OVER (PARTITION BY ego ORDER BY v) - 1 AS idx
+          |  FROM vset9 WHERE ego IN (SELECT ego FROM egos9)),
+          |hs9 AS (
+          |  SELECT ego, sz, j,
+          |    CAST(('0x' || substr(md5('q9b|' || ego || '_' || j || '_1'), 1, 8)) AS BIGINT) % sz AS i1,
+          |    CAST(('0x' || substr(md5('q9b|' || ego || '_' || j || '_2'), 1, 8)) AS BIGINT) % (sz - 1) AS t2,
+          |    CAST(('0x' || substr(md5('q9b|' || ego || '_' || j || '_3'), 1, 8)) AS BIGINT) % (sz - 2) AS t3
+          |  FROM egos9, (SELECT unnest(range(0, 400)) AS j) js),
+          |i29 AS (SELECT ego, j, i1,
+          |    t2 + (CASE WHEN t2 >= i1 THEN 1 ELSE 0 END) AS i2, t3 FROM hs9),
+          |i39 AS (SELECT ego, j, i1, i2,
+          |    t3 + (CASE WHEN t3 >= least(i1, i2) THEN 1 ELSE 0 END)
+          |       + (CASE WHEN t3 + (CASE WHEN t3 >= least(i1, i2) THEN 1 ELSE 0 END)
+          |               >= greatest(i1, i2) THEN 1 ELSE 0 END) AS i3
+          |  FROM i29),
+          |tri9 AS (SELECT x.ego, x.j, a.v AS v1, b.v AS v2, c.v AS v3
+          |  FROM i39 x
+          |  JOIN vlist9 a ON a.ego = x.ego AND a.idx = x.i1
+          |  JOIN vlist9 b ON b.ego = x.ego AND b.idx = x.i2
+          |  JOIN vlist9 c ON c.ego = x.ego AND c.idx = x.i3),
+          |prs9 AS (
+          |  SELECT ego, j, least(v1, v2) AS src, greatest(v1, v2) AS dst FROM tri9
+          |  UNION ALL SELECT ego, j, least(v1, v3), greatest(v1, v3) FROM tri9
+          |  UNION ALL SELECT ego, j, least(v2, v3), greatest(v2, v3) FROM tri9),
+          |cnts9 AS (SELECT p.ego, p.j, count(i.src) AS c
+          |  FROM prs9 p LEFT JOIN ie9 i
+          |    ON i.ego = p.ego AND i.src = p.src AND i.dst = p.dst
+          |  GROUP BY p.ego, p.j)
+          |SELECT ego,
+          |  CAST(count(*) FILTER (c = 0) AS BIGINT) AS e0,
+          |  CAST(count(*) FILTER (c = 1) AS BIGINT) AS e1,
+          |  CAST(count(*) FILTER (c = 2) AS BIGINT) AS e2,
+          |  CAST(count(*) FILTER (c = 3) AS BIGINT) AS e3
+          |FROM cnts9 GROUP BY ego""".stripMargin))),
+
     // ---- Q10: out-neighbors with timestamps (reference
     //      SocialNetworkExample.scala:166-168) ----
     ("q10_out_with_timestamps",

@@ -49,6 +49,23 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(new DurableStore(spark, st.root).currentVersion == v4)
   }
 
+  test("linearHistory store rejects commits built on a stale base; default branches") {
+    // ADVICE r5: in the multi-driver scenario the CommitProtocol seam
+    // exists for, a commit built from a superseded snapshot must surface
+    // as a conflict, not silently drop the concurrent writer's rows from
+    // the live view. Branch-from-old stays the DEFAULT (the tests below
+    // pin it); linearHistory is the opt-in strict mode.
+    val st = fresh(base: _*)
+    val v2 = st.append(1, edges((21L, 10L)))
+    val strict = new DurableStore(spark, st.root, linearHistory = true)
+    intercept[DurableStore.CommitConflictException] {
+      strict.append(1, edges((25L, 10L))) // built from v1, live is v2
+    }
+    val v3 = strict.append(v2, edges((25L, 10L))) // built from live: fine
+    assert(rowSet(st.read(v3)) ==
+      rowSet(edges(base: _*)) + ((21L, 10L, 220L)) + ((25L, 10L, 260L)))
+  }
+
   test("create + read round-trips the edge multiset; reopen sees the same") {
     val st = fresh(base: _*)
     assert(rowSet(st.read(1)) == rowSet(edges(base: _*)))

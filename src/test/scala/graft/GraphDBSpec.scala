@@ -26,6 +26,19 @@ class GraphDBSpec extends AnyFunSuite {
     assert(g.numVertices.first().getLong(0) == 5L)
   }
 
+  test("id-translate shims are the identity and roundtrip (scalar + column)") {
+    // API parity with the reference's internal-id bijection
+    // (GraphChiDatabase.scala:1402-1403, VertexIdTranslate.java:59-72);
+    // Spark's layout owns no vertex intervals, so both maps are identity
+    val g = db(chain: _*)
+    for (id <- Seq(0L, 1L, Long.MaxValue))
+      assert(g.internalToOriginalId(g.originalToInternalId(id)) == id)
+    val viaCols = g.queryOut(g.originalToInternalId(lit(1L)))
+      .select(g.internalToOriginalId(col("dst")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaCols == Seq(2L))
+  }
+
   test("tiny_diamond: FoF path counts = {3 -> 2} from vertex 0") {
     // 0→{1,2}, {1,2}→3, 3→4 — two 2-hop paths reach 3
     val e = edgesDF(Seq((0L, 1L, 0), (0L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0), (3L, 4L, 0)))
