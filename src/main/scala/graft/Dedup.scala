@@ -270,6 +270,37 @@ object Dedup {
       .groupBy("doc_id").agg(countDistinct("h").as("n_contam"))
   }
 
+  /** D6b: the contamination gate with a BLOOM-FILTER prefilter — the
+    * 100 TB evolution of [[contamination]] for when the eval-set gram
+    * dictionary outgrows exact broadcast. The benchmark grams build a
+    * compact Bloom sketch (a distributed aggregate; ~1.2 MB per million
+    * grams at 1% FPP vs ~40 B/gram for the exact hash set), every corpus
+    * gram probes the broadcast sketch MAP-SIDE, and only survivors (true
+    * hits plus ~fpp false positives) enter the exact verify join — which
+    * is then a shuffle join over a vanishing fraction of the corpus
+    * instead of a broadcast of the whole dictionary. Bloom filters have
+    * no false negatives and the verify join removes the false positives,
+    * so the output is IDENTICAL to [[contamination]] (same oracle row for
+    * row); only the plan shape changes. The probe is a driver-broadcast
+    * sketch + scalar predicate, not a shuffle — the d6 pattern survives
+    * eval sets of any size. */
+  def contaminationBloom(docs: DataFrame, k: Int = 5, benchMod: Int = 20,
+                         fpp: Double = 0.01): DataFrame = {
+    val grams = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode(ngramHashes(col("ts"), k)).as("h"))
+    // the bench side feeds BOTH the sketch build and the verify join —
+    // materialize once (eval sets are small relative to the corpus)
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select("h").distinct().localCheckpoint(true)
+    val bf = bench.stat.bloomFilter("h", math.max(bench.count(), 64L), fpp)
+    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => bfB.value.mightContainString(h))
+    grams.filter(col("doc_id") % benchMod =!= 0)
+      .filter(mightContain(col("h")))
+      .join(bench, "h")
+      .groupBy("doc_id").agg(countDistinct("h").as("n_contam"))
+  }
+
   /** D7: MOSS-style overlap candidates from winnowing fingerprints
     * ([[graft.TextOps.winnowPrints]]): pairs of documents sharing at
     * least `minShared` selected fingerprints, after dropping fingerprints

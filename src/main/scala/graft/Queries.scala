@@ -234,6 +234,46 @@ object Queries {
       .orderBy(col("lcc_ppm").desc, col("tri").desc, col("id")).limit(k)
   }
 
+  /** G6: link prediction by the resource-allocation index (Zhou, Lü,
+    * Zhang 2009 — Adamic-Adar's 1/log(deg) weight replaced by 1/deg, which
+    * keeps the score exact integer ppm so summation order cannot wobble
+    * the oracle hash): for every non-adjacent pair (a, b) sharing at
+    * least one common neighbor z with deg(z) ≤ `maxDeg`, score
+    * Σ_z (10^6 div deg(z)); top-`k` by (score, common-neighbor count,
+    * pair). This is the recommend-missing-links workload the reference's
+    * FoF query (Queries.scala:49-54) approximates with raw path counts —
+    * the RA weight additionally discounts promiscuous intermediates.
+    *
+    * The `maxDeg` cut on the INTERMEDIATE vertex is the scale contract:
+    * pair generation through z costs C(deg z, 2), so dropping hubs bounds
+    * the wedge self-join at maxDeg²/2 rows per vertex — the same
+    * quadratic-only-inside-a-bounded-bucket guarantee as the LSH band
+    * join and the winnowing df cut. The cut is also semantically
+    * standard: a hub adjacent to everyone contributes ~0 evidence anyway
+    * (weight 1/deg → 0), so truncation removes the most work for the
+    * least score.
+    *
+    * Input: canonical undirected edge set (src < dst, distinct). */
+  def linkPredictRA(canon: DataFrame, k: Int = 20, maxDeg: Int = 64): DataFrame = {
+    val sym = canon.select(col("src"), col("dst"))
+      .unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("z")).agg(count(lit(1)).as("d"))
+    // adjacency annotated with the center's degree, hubs cut
+    val zd = sym.select(col("src").as("z"), col("dst").as("n"))
+      .join(deg.filter(col("d") <= maxDeg), "z")
+    val pairs = zd.select(col("z"), col("n").as("a"), col("d"))
+      .join(zd.select(col("z"), col("n").as("b")), "z")
+      .filter(col("a") < col("b"))
+    val scored = pairs.groupBy("a", "b").agg(
+      count(lit(1)).as("n_common"),
+      sum(expr("1000000 div d")).cast("long").as("ra_ppm"))
+    // keep only pairs that are NOT already edges (canon is a<b canonical)
+    scored.join(canon.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_ppm").desc, col("n_common").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Q12 name index (reference WikipediaGraph.scala:134-157,
     * StringToIdMap.java): the string→id index is a pushed-down predicate
     * on the vertex table — Parquet dictionary + min/max pruning replace the

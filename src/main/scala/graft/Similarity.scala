@@ -49,6 +49,54 @@ object Similarity {
       .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
   }
 
+  /** E8: scalar-quantized (int8) candidate generation with exact rerank —
+    * the memory/IO-scale ANN path: 4-byte floats become 1-byte codes (a
+    * deployment stores the code column and touches full precision only at
+    * rerank, 4× less scan IO than float32 at 100 TB). Quantization grid:
+    * per-dimension [min, max] over the corpus, 256 levels; candidate
+    * scoring is ASYMMETRIC (dequantized code · full-precision query — the
+    * standard ADC trick, quantization error on one side only) for the top
+    * `cand`, then exact cosine reranks the final `k`.
+    *
+    * Every arithmetic step (widen, subtract, divide, floor, dequantize,
+    * left-fold sum, ×10⁶ floor) is the same double expression tree in
+    * both engines, so candidate sets and scores are engine-exact like
+    * e1–e7; constant dimensions (max = min) dequantize to the constant.
+    *
+    * Scale shape: the per-dim stats aggregate partial-combines (shuffle =
+    * #partitions × dims rows, data-size-independent); quantize + ADC are
+    * map-side projections against broadcast stats + query; only the
+    * top-`cand` heap and the `cand`-row rerank leave the scan. */
+  def sqTopK(emb: DataFrame, k: Int = 10, cand: Int = 50): DataFrame = {
+    val stats = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("i"), col("mn")))).as("ms"),
+        array_sort(collect_list(struct(col("i"), col("mx")))).as("xs"))
+      .select(transform(col("ms"), s => s("mn")).as("mns"),
+        transform(col("xs"), s => s("mx")).as("mxs"))
+    val q = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val adc = expr(
+      """CAST(floor(aggregate(sequence(0, size(embedding) - 1), 0.0D,
+        |  (s, i) -> s +
+        |    (CASE WHEN mxs[i] = mns[i] THEN mns[i] ELSE
+        |      mns[i] + (floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+        |                      / (mxs[i] - mns[i]) * 255.0D) + 0.5D)
+        |              * (mxs[i] - mns[i]) / 256.0D END)
+        |    * CAST(qv[i] AS DOUBLE)) * 1000000.0D) AS BIGINT)""".stripMargin)
+    val candidates = emb.crossJoin(broadcast(stats)).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"), col("embedding"), col("qv"), adc.as("adc_scaled"))
+      .orderBy(col("adc_scaled").desc, col("vec_id")).limit(cand)
+    val cos = ndot(emb, col("embedding"), col("qv")) /
+      (sqrt(ndot(emb, col("embedding"), col("embedding"))) *
+        sqrt(ndot(emb, col("qv"), col("qv"))))
+    candidates.select(col("vec_id"), col("adc_scaled"),
+        floor(cos * 1000000L).cast("long").as("cos_scaled"))
+      .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
+  }
+
   /** D5: all-pairs near-duplicate detection by cosine threshold (scaled).
     * Norms are computed once per vector BEFORE the pair join — the naive
     * per-pair cosine recomputes each norm N times (at N vectors that is

@@ -189,6 +189,42 @@ object TextOps {
       sum(when(in, col("doc_id"))).cast("long").as("sampled_id_sum"))
   }
 
+  /** T13: temperature-scaled domain-mixture sampling — the corpus-blend
+    * step of a training-data build. Sampling sources proportionally to
+    * count^α (α = 1/2 here, the common "temperature" flattening) upweights
+    * rare domains relative to their natural share. Per source this emits:
+    * the document count, the integer-exact weight floor(sqrt(n)) (IEEE-754
+    * sqrt is correctly rounded, so the floor is engine-exact), the
+    * integer-division target count (budget·w) div Σw, and the id-sum of
+    * the selected documents — selection is the target_n smallest
+    * md5(salt‖doc_id) within each source: a deterministic rank, no RNG,
+    * stable under reruns and repartitioning.
+    *
+    * Scale shape: stats and targets are a one-row-per-source aggregate
+    * (broadcast back); the rank is a per-source window, so parallelism =
+    * #sources — the honest bound for exact-count-per-stratum selection
+    * (a web corpus has 10⁴–10⁶ domains, ample). For the few-giant-strata
+    * regime use the threshold sampler [[stratifiedSample]] instead: a
+    * per-row projection with no window, at the cost of binomial rather
+    * than exact per-stratum counts. */
+  def mixtureSample(docs: DataFrame, budget: Int = 100,
+                    salt: String = "t13|"): DataFrame = {
+    val stats = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+    val tgt = stats.crossJoin(broadcast(stats.agg(sum("w").as("tw"))))
+      .withColumn("target_n", expr(s"($budget * w) div tw"))
+      .select("source", "n_docs", "w", "target_n")
+    val ranked = docs.select(col("source"), col("doc_id"),
+        md5(concat(lit(salt), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy("h", "doc_id")))
+    val sel = ranked.join(broadcast(tgt.select("source", "target_n")), "source")
+      .filter(col("rk") <= col("target_n"))
+      .groupBy("source").agg(sum("doc_id").cast("long").as("sel_id_sum"))
+    tgt.join(sel, Seq("source"), "left").na.fill(0L, Seq("sel_id_sum"))
+  }
+
   /** X1: the composite training-data-prep pipeline — quality filter →
     * exact dedup (keep min doc_id per normalized-text fingerprint) →
     * per-language document/token budget. This is the end-to-end shape a

@@ -250,6 +250,77 @@ object Traversals {
     labels
   }
 
+  /** C10: connected components by alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the skew-robust CC
+    * for web-scale graphs. Label propagation ([[connectedComponents]])
+    * needs O(diameter) rounds; big-star contracts in O(log n) rounds and,
+    * critically for power-law graphs, each round's per-key work is a
+    * partial-combining MIN aggregate — a 50%-hub key costs one combiner
+    * cell, never a hot reducer.
+    *
+    *   large-star: every node links its LARGER neighbors to the minimum
+    *               of its closed neighborhood;
+    *   small-star: every pair is oriented large→small, then every node
+    *               links its smaller neighbors (and itself) to that
+    *               minimum.
+    *
+    * The linkage edge set only contracts toward the star fixpoint
+    * {(v, componentMin)}, so an unchanged (count, xxhash64-XOR) signature
+    * is the fixpoint — the same monotone-convergence witness as
+    * [[weightedSSSP]] (XOR, not sum: order-independent like sum but
+    * cannot overflow under ANSI arithmetic). Emits (id, label=component
+    * minimum), identical to [[connectedComponents]]'s fixpoint
+    * (spec-pinned).
+    *
+    * PRECONDITION: undirected input — pass a symmetrized or canonical
+    * edge list; linkage is direction-blind (both orientations are folded
+    * in round 1). */
+  def ccBigStar(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val verts = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var cur = edges.select(col("src").as("a"), col("dst").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(col("a"), col("b")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = signature(cur)
+    var done = false
+    var iter = 0
+    while (!done && iter < maxIter) {
+      iter += 1
+      val bidir = cur.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(cur.select(col("b").as("u"), col("a").as("v")))
+      val m1 = bidir.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = bidir.join(m1, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(m1.filter(col("m") < col("u"))
+          .select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+      val oriented = large.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val m2 = oriented.groupBy("u").agg(min("v").as("m"))
+      val small = oriented.join(m2, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(m2.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      val nfp = signature(small)
+      done = nfp == fp
+      fp = nfp
+      cur = small
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"ccBigStar did not reach the star fixpoint in $maxIter rounds")
+    verts.join(cur.select(col("a").as("id"), col("b").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
   /** Q13 component histogram (reference
     * ConnectedComponentsLabelProp.scala:66-84): top-20 components by size. */
   def componentHistogramTop20(edges: DataFrame): DataFrame =

@@ -21,7 +21,12 @@ import org.apache.spark.sql.SparkSession
   * (r9), iterative compute (c3), LSH dedup (d2, codegen), text codegen
   * (t7, t9), sweep-join (w3), triangle census (g1), sampled census
   * (q9b), ANN (e2), store-backed point read (n1b), durable COW (s5),
-  * and the dump-ingest round trip (s2c).
+  * the dump-ingest round trip (s2c), the driver-broadcast Bloom sketch
+  * probe (d6b — a Broadcast[BloomFilter] must round-trip to executor
+  * JVMs), windowed mixture sampling (t13), wedge link prediction (g6),
+  * star-contraction CC (c10), the typed ALS Cholesky Aggregator (c6),
+  * multimodal typed mapPartitions (m1), and the label-prop-over-
+  * candidate-pairs composite (x2).
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
   *          sbt -batch "runMain graft.examples.ClusterProbe"
@@ -34,7 +39,9 @@ object ClusterProbe {
     "d2_dedup_minhash_lsh", "t7_winnow_fingerprints", "t10_repetition",
     "w3_sweep_in_join", "g1_triangle_count", "q9b_census_sampled",
     "e2_ann_lsh_topk", "n1_query_out_store", "s5_durable_append_compact",
-    "s2c_wiki_dump_ingest")
+    "s2c_wiki_dump_ingest", "d6b_contamination_bloom", "t13_mixture_sample",
+    "g6_link_predict", "c10_cc_bigstar", "c6_als_rmse",
+    "m1_multimodal_meta", "x2_neardup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -163,6 +163,23 @@ object DedupQueries {
           |WHERE n.doc_id % 20 <> 0
           |GROUP BY n.doc_id""".stripMargin))),
 
+    // D6b: identical gate through the Bloom-prefilter path — the sketch
+    // probe prunes the corpus grams map-side and the exact verify join
+    // only sees survivors; same rows as d6 by construction (no false
+    // negatives + exact verify), so the oracle is shared.
+    ("d6b_contamination_bloom",
+      (s: SparkSession, d: String) => Dedup.contaminationBloom(Tables.documents(s, d)),
+      Some(Oracle.withSql(TextQueries.TOK,
+        """, ng AS (
+          |  SELECT DISTINCT doc_id,
+          |    md5(array_to_string(ts[CAST(u.i AS BIGINT):CAST(u.i AS BIGINT)+4], ' ')) AS h
+          |  FROM tok, UNNEST(range(1, len(ts) - 3)) AS u(i)),
+          |bench AS (SELECT DISTINCT h FROM ng WHERE doc_id % 20 = 0)
+          |SELECT n.doc_id, count(*) AS n_contam
+          |FROM ng n JOIN bench b USING (h)
+          |WHERE n.doc_id % 20 <> 0
+          |GROUP BY n.doc_id""".stripMargin))),
+
     // D7: MOSS overlap candidates — winnowing fingerprints, high-df cut,
     // pair on shared fingerprints. The df bound makes the self-join
     // quadratic only inside a ≤maxDf-doc group (the d2 bucket guarantee).

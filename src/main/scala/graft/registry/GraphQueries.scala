@@ -81,6 +81,27 @@ object GraphQueries {
           |WHERE g.d >= 2
           |ORDER BY lcc_ppm DESC, tri DESC, g.id LIMIT 20""".stripMargin))),
 
+    // ---- G6: resource-allocation link prediction (integer-exact ppm
+    //      weights; maxDeg=64 cut on the intermediate bounds the wedge
+    //      self-join — the rank-1 hub generates ZERO pairs) ----
+    ("g6_link_predict",
+      (s: SparkSession, d: String) =>
+        Queries.linkPredictRA(zipfCanon(s, d), k = 20, maxDeg = 64),
+      Some(Oracle.withSql(ZCANON,
+        """, sym AS (SELECT src, dst FROM zc UNION ALL SELECT dst AS src, src AS dst FROM zc),
+          |dg AS (SELECT src AS z, count(*) AS d FROM sym GROUP BY src),
+          |zd AS (SELECT s.src AS z, s.dst AS n, g.d
+          |       FROM sym s JOIN dg g ON s.src = g.z WHERE g.d <= 64),
+          |pairs AS (SELECT x.n AS a, y.n AS b, x.d
+          |          FROM zd x JOIN zd y ON x.z = y.z WHERE x.n < y.n),
+          |sc AS (SELECT a, b, count(*) AS n_common,
+          |         CAST(sum(1000000 // d) AS BIGINT) AS ra_ppm
+          |       FROM pairs GROUP BY a, b)
+          |SELECT sc.a, sc.b, sc.n_common, sc.ra_ppm
+          |FROM sc LEFT JOIN zc ON sc.a = zc.src AND sc.b = zc.dst
+          |WHERE zc.src IS NULL
+          |ORDER BY ra_ppm DESC, n_common DESC, a, b LIMIT 20""".stripMargin))),
+
     // ---- G3: 3-core of the zipf graph by iterative peeling. The k-core
     //      is unique, so the Spark fixpoint loop and the oracle's
     //      UNROLLED peel (UnrollRounds rounds ≫ the ≤4 the fixture needs;

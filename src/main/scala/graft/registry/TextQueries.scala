@@ -166,6 +166,29 @@ object TextQueries {
           |  CAST(sum(doc_id) FILTER (substr(md5('t5|' || doc_id), 1, 1) < '4') AS BIGINT) AS sampled_id_sum
           |FROM documents GROUP BY lang""".stripMargin)),
 
+    // ---- t13: temperature-scaled domain mixture — count^(1/2) source
+    //      weights, integer-division targets, md5-rank selection; the
+    //      id-sum witnesses the SAME documents were chosen. floor(sqrt)
+    //      is engine-exact (IEEE sqrt is correctly rounded), every other
+    //      derived column is pure integer arithmetic ----
+    ("t13_mixture_sample",
+      (s: SparkSession, d: String) => TextOps.mixtureSample(Tables.documents(s, d)),
+      Some(
+        """WITH st AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+          |w AS (SELECT source, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS w FROM st),
+          |t AS (SELECT source, n_docs, w,
+          |        CAST((100 * w) // (SELECT sum(w) FROM w) AS BIGINT) AS target_n FROM w),
+          |r AS (SELECT source, doc_id,
+          |        row_number() OVER (PARTITION BY source
+          |          ORDER BY md5('t13|' || doc_id), doc_id) AS rk
+          |      FROM documents),
+          |sel AS (SELECT t.source, CAST(sum(r.doc_id) AS BIGINT) AS sel_id_sum
+          |        FROM t JOIN r ON t.source = r.source AND r.rk <= t.target_n
+          |        GROUP BY t.source)
+          |SELECT t.source, t.n_docs, t.w, t.target_n,
+          |       COALESCE(sel.sel_id_sum, 0) AS sel_id_sum
+          |FROM t LEFT JOIN sel ON t.source = sel.source""".stripMargin)),
+
     // ---- X1: the composite corpus-build pipeline — quality filter (t3's
     //      rule) → exact dedup (d1's keeper rule on t4's fingerprint) →
     //      per-language doc/token budget, as ONE declarative plan ----

@@ -104,6 +104,37 @@ object VectorQueries {
         Similarity.bruteForceTopK(Tables.embeddings(s, d), k = 10),
       Some(s"WITH $Q, $BRUTE\nSELECT vec_id, cos_scaled FROM brute")),
 
+    // E8: scalar-quantized (int8) candidates + exact rerank — per-dim
+    // [min,max] grid, asymmetric dequantized-code · full-precision-query
+    // scoring for the top-50, exact cosine on the survivors. Identical
+    // double expression tree in both engines (fold init 0.0 + x ≡ x, so
+    // Spark's aggregate and DuckDB's init-less list_reduce agree).
+    ("e8_ann_sq_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.sqTopK(Tables.embeddings(s, d), k = 10, cand = 50),
+      Some(s"""WITH $Q,
+        |dimstats AS (
+        |  SELECT u.i AS i, min(CAST(e.embedding[CAST(u.i AS BIGINT) + 1] AS DOUBLE)) AS mn,
+        |         max(CAST(e.embedding[CAST(u.i AS BIGINT) + 1] AS DOUBLE)) AS mx
+        |  FROM embeddings e, UNNEST(range(0, len(e.embedding))) AS u(i)
+        |  GROUP BY u.i),
+        |st AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |       FROM dimstats),
+        |adc AS (
+        |  SELECT e.vec_id,
+        |    CAST(floor(list_reduce(list_transform(range(0, len(e.embedding)),
+        |      i -> (CASE WHEN st.mxs[i + 1] = st.mns[i + 1] THEN st.mns[i + 1] ELSE
+        |             st.mns[i + 1] + (floor((CAST(e.embedding[i + 1] AS DOUBLE) - st.mns[i + 1])
+        |                             / (st.mxs[i + 1] - st.mns[i + 1]) * 255.0) + 0.5)
+        |                         * (st.mxs[i + 1] - st.mns[i + 1]) / 256.0 END)
+        |           * CAST(q.qv[i + 1] AS DOUBLE)),
+        |      (s, v) -> s + v) * 1000000.0) AS BIGINT) AS adc_scaled
+        |  FROM embeddings e, q, st WHERE e.vec_id <> q.qid),
+        |candt AS (SELECT * FROM adc ORDER BY adc_scaled DESC, vec_id LIMIT 50)
+        |SELECT c.vec_id, c.adc_scaled, ${cosSql("e.embedding", "q.qv")} AS cos_scaled
+        |FROM candt c JOIN embeddings e ON c.vec_id = e.vec_id, q
+        |ORDER BY cos_scaled DESC, c.vec_id LIMIT 10""".stripMargin)),
+
     // E6: metadata-filtered ANN — the retrieval composition a corpus
     // pipeline actually runs: the t3 quality gate restricts the vector
     // set BEFORE any distance work (semi-join on doc id = partition/scan

@@ -113,5 +113,25 @@ object ZipfQueries {
           |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
           |SELECT label, count(*) AS csize FROM labels GROUP BY label
           |ORDER BY csize DESC, label LIMIT 20""".stripMargin))),
+
+    // ---- C10: large-star/small-star CC (Kiveris et al. SoCC'14) on the
+    //      same hub graph — the O(log n)-round, skew-robust alternative
+    //      to z3's O(diameter) label propagation; identical min-label
+    //      fixpoint, so the oracle is the same recursive reachability ----
+    ("c10_cc_bigstar",
+      (s: SparkSession, d: String) => {
+        val zd = zipfEdges(s, d).distinct()
+        val zsym = zd.unionByName(
+          zd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        Traversals.ccBigStar(zsym)
+      },
+      Some(Oracle.withSql(ZSYM,
+        """, verts AS (SELECT DISTINCT id FROM
+          |  (SELECT src AS id FROM zsym UNION ALL SELECT dst FROM zsym)),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM verts
+          |  UNION
+          |  SELECT w.id, n.dst FROM reach w JOIN zsym n ON w.r = n.src)
+          |SELECT id, min(r) AS label FROM reach GROUP BY id""".stripMargin))),
   )
 }

@@ -340,6 +340,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.contamination(short).collect().isEmpty)
   }
 
+  test("bloom-prefiltered contamination gate equals the exact gate") {
+    val c = docs(
+      20L -> "alpha beta gamma delta epsilon zeta eta theta",
+      40L -> "iota kappa lambda mu nu xi omicron",
+      1L  -> "alpha beta gamma delta epsilon unrelated trailing words",
+      2L  -> "entirely different tokens with no shared sequences anywhere here",
+      3L  -> "iota kappa lambda mu nu more words here today")
+    val exact = Dedup.contamination(c).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = Dedup.contaminationBloom(c).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == bloom && bloom.nonEmpty)
+  }
+
+  test("mixture sample: sqrt-temperature targets, deterministic md5-rank selection") {
+    val s = spark; import s.implicits._
+    val d = ((1L to 100L).map(i => (i, s"t $i", "big")) ++
+             (101L to 125L).map(i => (i, s"t $i", "mid")) ++
+             (126L to 129L).map(i => (i, s"t $i", "tiny")))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.mixtureSample(d, budget = 100).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // w = floor(sqrt(n)) = 10, 5, 2; tw = 17 -> targets 58, 29, 11
+    assert(out("big")._1 == 100L && out("big")._2 == 10L && out("big")._3 == 58L)
+    assert(out("mid")._3 == 29L && out("tiny")._3 == 11L)
+    // tiny stratum: target 11 exceeds its 4 docs -> all selected
+    assert(out("tiny")._4 == (126L to 129L).sum)
+    val rerun = TextOps.mixtureSample(d, budget = 100).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rerun == out.map { case (k, v) => k -> v._4 }) // no RNG state
+  }
+
   test("stratified sample is deterministic, per-stratum bounded, and hash-keyed") {
     val s = spark; import s.implicits._
     val d = (1L to 200L).map(i => (i, s"doc $i text", if (i % 2 == 0) "en" else "de"))

@@ -272,6 +272,22 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("big-star CC labels equal label-prop CC labels on random graphs") {
+    check(Prop.forAll(genEdges) { es =>
+      val pairs = es.collect { case (a, b) if a != b => (a, b) }.distinct
+      if (pairs.isEmpty) true
+      else {
+        val sym = TestSpark.edgesDF(pairs.map { case (a, b) => (a, b, 0) } ++
+          pairs.map { case (a, b) => (b, a, 0) })
+        val star = Traversals.ccBigStar(sym).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val prop = Traversals.connectedComponents(sym).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        star == prop
+      }
+    })
+  }
+
   test("degree-oriented triangle list equals brute-force triple enumeration") {
     check(Prop.forAll(genEdges) { es =>
       val canonPairs = es.collect { case (a, b) if a != b =>

@@ -40,6 +40,21 @@ class SimilarityLshSpec extends AnyFunSuite {
     assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == want)
   }
 
+  test("scalar-quantized ADC + rerank: exact scores, full recall when cand covers the corpus") {
+    val brute = Similarity.bruteForceTopK(emb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // cand >= corpus: rerank sees everything, so top-k must equal e1 exactly
+    val full = Similarity.sqTopK(emb, k = 10, cand = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(full == brute)
+    // production cand: recall floor + scores still the exact cosine
+    val sq = Similarity.sqTopK(emb, k = 10, cand = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(sq.forall(brute.contains), "reranked scores must be exact-cosine rows")
+    assert((sq.map(_._1).toSet & brute.map(_._1).toSet).size >= 8,
+      s"sq recall ${(sq.map(_._1).toSet & brute.map(_._1).toSet).size}/10")
+  }
+
   test("trained k-means IVF: seeded, top-k from probed cells only, recall floor") {
     val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
     val km = Similarity.kmeansIvfTopK(emb, k = 10, nCells = 16, nprobe = 4)

@@ -140,10 +140,37 @@ class TraversalsSpec extends AnyFunSuite {
     assert(rows == packed)
   }
 
+  test("link prediction: RA scores via common neighbors, hub cut bounds fan-out") {
+    import org.apache.spark.sql.functions.col
+    // square 1-2-3-4-1: the two diagonals score 2 common neighbors, each
+    // of degree 2 -> ra = 2 * (1e6 div 2) = 1000000
+    val square = edgesDF(Seq((1L, 2L, 0), (2L, 3L, 0), (3L, 4L, 0), (1L, 4L, 0)))
+      .select(col("src"), col("dst"))
+    val out = Queries.linkPredictRA(square, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+    // star: all C(5,2) leaf pairs via the center; the maxDeg cut removes
+    // the center entirely -> zero pairs (bounded wedge fan-out)
+    val star = edgesDF((1L to 5L).map(i => (0L, i, 0))).select(col("src"), col("dst"))
+    assert(Queries.linkPredictRA(star, k = 100).count() == 10)
+    assert(Queries.linkPredictRA(star, k = 100, maxDeg = 4).collect().isEmpty)
+  }
+
   test("Pregel CC matches DataFrame CC") {
     val df = TestSpark.toMap2(Traversals.connectedComponents(sym(twoComps)))
     val px = TestSpark.toMap2(VertexCentric.pregelCC(spark, sym(twoComps)))
     assert(df == px)
+  }
+
+  test("big-star CC matches label-prop CC, including on a deep chain") {
+    val a = TestSpark.toMap2(Traversals.ccBigStar(sym(twoComps)))
+    val b = TestSpark.toMap2(Traversals.connectedComponents(sym(twoComps)))
+    assert(a == b)
+    // a 17-vertex path needs 16 label-prop rounds but only O(log) star
+    // rounds — the case the algorithm exists for
+    val path = sym(edgesDF((0L until 16L).map(i => (i, i + 1, 0))))
+    val got = TestSpark.toMap2(Traversals.ccBigStar(path))
+    assert(got == (0L to 16L).map(_ -> 0L).toMap)
   }
 
   test("Pregel PageRank matches DataFrame PageRank (scaled-int, bit-exact)") {
