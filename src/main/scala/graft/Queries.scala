@@ -274,6 +274,72 @@ object Queries {
       .limit(k)
   }
 
+  /** G7: deterministic random walks — the DeepWalk/node2vec corpus
+    * generation step (walk sequences become training sentences for graph
+    * embeddings). Every "random" choice is an md5 draw keyed by
+    * (walk_id, step), so walks are reproducible, engine-exact, and
+    * rerun/repartition-stable — the same no-RNG discipline as the
+    * samplers ([[graft.TextOps.stratifiedSample]]). Starts are the
+    * `nStarts` vertices with the smallest md5(salt0‖id); each spawns
+    * `walksPerStart` walks of `steps` hops; step i moves to the
+    * (h mod deg)-th out-neighbor in dst order.
+    *
+    * Scale shape: the ranked adjacency (row_number + count per src) is
+    * built ONCE and reused by every step — one partition-by-src window
+    * over the distinct edge set, the same shuffle an adjacency index
+    * costs anywhere; each step is then a frontier⋈adjacency join exactly
+    * like a BFS superstep, with frontier size = #walks (tiny, broadcast).
+    * Output: (walk_id, v, step) rows, steps 0..`steps`. */
+  def randomWalks(edges: DataFrame, nStarts: Int = 10, walksPerStart: Int = 2,
+                  steps: Int = 4, salt: String = "rw"): DataFrame = {
+    val adj = edges.select(col("src"), col("dst")).distinct()
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val rk = adj.select(col("src"), col("dst"),
+        row_number().over(bySrc.orderBy("dst")).as("rk"),
+        count(lit(1)).over(bySrc).as("deg"))
+      .localCheckpoint(true)
+    val starts = adj.select(col("src").as("v")).distinct()
+      .orderBy(md5(concat(lit(s"${salt}0|"), col("v").cast("string"))), col("v"))
+      .limit(nStarts)
+    val w0 = starts.select(col("v"),
+        explode(sequence(lit(0), lit(walksPerStart - 1))).as("k"))
+      .select(concat(col("v").cast("string"), lit("_"), col("k").cast("string"))
+        .as("walk_id"), col("v"), lit(0).as("step"))
+    var cur = w0
+    val acc = scala.collection.mutable.ArrayBuffer[DataFrame](w0)
+    for (s <- 1 to steps) {
+      val h = expr(
+        s"CAST(conv(substring(md5(concat('$salt|', walk_id, '|$s')), 1, 15), 16, 10) AS BIGINT)")
+      cur = cur.join(rk, cur("v") === rk("src"))
+        .filter(col("rk") === h % col("deg") + 1)
+        .select(col("walk_id"), col("dst").as("v"), lit(s).as("step"))
+      acc += cur
+    }
+    acc.reduce(_ unionByName _)
+  }
+
+  /** G8: skip-gram (center, context) training pairs from [[randomWalks]] —
+    * the step that turns walk sequences into word2vec-style training rows
+    * (DeepWalk trains skip-gram over a ±window slice of each walk). Output
+    * is (center, context, n_pairs) — the aggregated co-occurrence counts a
+    * trainer consumes.
+    *
+    * Scale shape: the walk set is bounded by nStarts·walksPerStart·steps
+    * (frontier-sized, NOT graph-sized), so the within-walk self-join
+    * broadcasts and the pair count partial-combines; the only graph-sized
+    * work is the adjacency ranking inside [[randomWalks]], built once. */
+  def skipGramPairs(edges: DataFrame, window: Int = 2, nStarts: Int = 10,
+                    walksPerStart: Int = 2, steps: Int = 4,
+                    salt: String = "rw"): DataFrame = {
+    val w = randomWalks(edges, nStarts, walksPerStart, steps, salt)
+    val a = w.select(col("walk_id"), col("v").as("center"), col("step").as("sa"))
+    val b = w.select(col("walk_id").as("wb"), col("v").as("context"),
+      col("step").as("sb"))
+    a.join(b, col("walk_id") === col("wb") && col("sa") =!= col("sb") &&
+        abs(col("sa") - col("sb")) <= window)
+      .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Q12 name index (reference WikipediaGraph.scala:134-157,
     * StringToIdMap.java): the string→id index is a pushed-down predicate
     * on the vertex table — Parquet dictionary + min/max pruning replace the

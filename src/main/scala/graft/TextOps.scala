@@ -423,4 +423,33 @@ object TextOps {
           .as("n_target_like"))
       .withColumn("dsir_pct", expr("(100 * n_target_like) div greatest(n_grams, 1)"))
   }
+
+  /** T14: unigram-LM negative-log-likelihood scoring — the CCNet-style
+    * perplexity quality filter (Wenzek et al. '19 filter CommonCrawl by LM
+    * perplexity; here the LM is the corpus's own unigram model, so the
+    * score is self-contained): P(tok) = cnt(tok)/N over the whole corpus,
+    * score = per-doc mean of −ln P(tok) in floor-scaled milli-nats
+    * (integer columns only, so the cross-engine hash is exact; ln is
+    * evaluated on identical doubles in both engines and floor(·×1000)
+    * collides with a representable boundary with negligible probability).
+    *
+    * Scale shape: one token-count shuffle builds the vocab (vocabulary
+    * sized, partial-combining), the vocab broadcasts back onto the token
+    * stream (no second corpus shuffle), and the per-doc aggregation
+    * partial-combines — the same gram-shuffle + broadcast-totals shape as
+    * [[dsirWeighting]]. */
+  def perplexityScore(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .localCheckpoint(true) // shared by the vocab build and the join back
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = broadcast(toks.agg(count(lit(1)).as("n")))
+    toks.join(broadcast(vocab), "tok").crossJoin(total)
+      .select(col("doc_id"),
+        floor(log(col("n").cast("double") / col("cnt").cast("double")) * lit(1000))
+          .cast("long").as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("nll").as("sum_nll_milli"))
+      .withColumn("avg_nll_milli", expr("sum_nll_milli div n_tokens"))
+  }
 }

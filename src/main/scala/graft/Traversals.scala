@@ -419,6 +419,71 @@ object Traversals {
     * keyed partial-combining shuffles, the same shape that scales
     * PageRank. Returns top-20 by (authority desc, id).
     */
+  /** G9: synchronous label-propagation community detection (Raghavan et
+    * al. '07), deterministic variant: labels start as own id; each round
+    * every vertex adopts the most frequent label among its in-neighbors,
+    * ties broken by the SMALLEST label — no RNG, no visit-order
+    * dependence, so the fixed-round result is engine-exact and the oracle
+    * unrolls the same `rounds`. (The reference's compute engine runs
+    * exactly this class of per-vertex vote under runGraphChiComputation;
+    * CC label-prop [[connectedComponents]] is the min-combine special
+    * case, this is the argmax-combine general one.)
+    *
+    * Scale shape per round: one edges⋈labels join partitioned on src, one
+    * (dst, lbl) count that partial-combines, one per-vertex argmax via a
+    * window over the (dst, lbl) counts — all keyed shuffles, no
+    * driver-side data. Returns the full (v, lbl) assignment. */
+  def lpaCommunities(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select("src", "dst").distinct().localCheckpoint(true)
+    var lab = adj.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cnt = adj.join(lab.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("vv"), col("lbl")).agg(count(lit(1)).as("c"))
+      lab = cnt.withColumn("mx", max("c").over(Window.partitionBy("vv")))
+        .filter(col("c") === col("mx"))
+        .groupBy(col("vv")).agg(min("lbl").as("lbl"))
+        .select(col("vv").as("v"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
+
+  /** G10: time-respecting reachability (temporal min-arrival BFS): a
+    * message leaving a seeded source at time 0 may cross edge (u, v, ets)
+    * only if ets ≥ arrival(u); arrival(v) is the earliest such crossing
+    * over ≤ `hops`-hop time-respecting paths. The combine is monotone min,
+    * so the unrolled oracle and the Spark loop agree exactly — the
+    * temporal variant of [[ssspTree]] the reference's timestamped edge
+    * log (Q10, `ets` on every edge) makes meaningful.
+    *
+    * Sources are the `nSources` vertices with the smallest
+    * md5(salt‖id) — the same no-RNG seeding discipline as
+    * [[graft.Queries.randomWalks]]. Each hop is one frontier⋈edges join
+    * (frontier broadcasts while small) + a min-combine groupBy. */
+  def temporalReach(edges: DataFrame, nSources: Int = 3, hops: Int = 4,
+                    salt: String = "tr0"): DataFrame = {
+    val sources = edges.select(col("src").as("v")).distinct()
+      .orderBy(md5(concat(lit(salt + "|"), col("v").cast("string"))), col("v"))
+      .limit(nSources)
+    temporalReachFrom(edges, sources, hops)
+  }
+
+  /** [[temporalReach]] from an explicit source set (one `v` column). */
+  def temporalReachFrom(edges: DataFrame, sources: DataFrame,
+                        hops: Int): DataFrame = {
+    val e = edges.select("src", "dst", "ets").distinct().localCheckpoint(true)
+    var arr = sources.select(col("v")).withColumn("arr", lit(0L))
+    for (_ <- 1 to hops) {
+      val nxt = arr.join(e, arr("v") === e("src") && e("ets") >= arr("arr"))
+        .select(e("dst").as("v"), e("ets").as("arr"))
+      arr = arr.unionByName(nxt).groupBy("v").agg(min("arr").as("arr"))
+        .localCheckpoint(true)
+    }
+    arr
+  }
+
   def hitsTop20(edges: DataFrame, iters: Int = 3): DataFrame = {
     val Scale = 100000L
     val e = edges.select("src", "dst").localCheckpoint(true)

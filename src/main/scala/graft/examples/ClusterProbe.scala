@@ -30,8 +30,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
   *          sbt -batch "runMain graft.examples.ClusterProbe"
-  * Requires SPARK_HOME (/opt/spark) so the worker can fork executors;
-  * graft classes reach the executors via spark.executor.extraClassPath.
+  * Requires SPARK_HOME (/opt/spark) so the worker can fork executors —
+  * and SPARK_SCALA_VERSION=2.13 when SPARK_HOME is a jars-only layout
+  * (the executor command builder otherwise dies with "Cannot find any
+  * build directories"); graft classes reach the executors via
+  * spark.executor.extraClassPath.
   */
 object ClusterProbe {
   private val Slice = Seq(

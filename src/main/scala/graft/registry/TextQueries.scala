@@ -171,6 +171,24 @@ object TextQueries {
     //      id-sum witnesses the SAME documents were chosen. floor(sqrt)
     //      is engine-exact (IEEE sqrt is correctly rounded), every other
     //      derived column is pure integer arithmetic ----
+    // ---- T14: unigram-LM negative-log-likelihood quality score (the
+    //      CCNet-style perplexity filter; self-contained corpus LM).
+    //      Milli-nat integers only: floor(ln(N/cnt)·1000) per token —
+    //      both engines evaluate ln on identical doubles ----
+    ("t14_perplexity_score",
+      (s: SparkSession, d: String) => TextOps.perplexityScore(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        """, tokd AS (SELECT doc_id, unnest(ts) AS tok FROM tok),
+          |vocab AS (SELECT tok, count(*) AS cnt FROM tokd GROUP BY tok),
+          |tot AS (SELECT count(*) AS n FROM tokd),
+          |nlls AS (SELECT doc_id,
+          |    CAST(floor(ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000) AS BIGINT) AS nll
+          |  FROM tokd JOIN vocab USING (tok) CROSS JOIN tot)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |       CAST(sum(nll) AS BIGINT) AS sum_nll_milli,
+          |       CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_milli
+          |FROM nlls GROUP BY doc_id""".stripMargin))),
+
     ("t13_mixture_sample",
       (s: SparkSession, d: String) => TextOps.mixtureSample(Tables.documents(s, d)),
       Some(

@@ -221,6 +221,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(m(3L) == 0L)                    // no gram of doc 3 is target-distinctive
   }
 
+  test("perplexity score: exact milli-nat unigram NLL") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // N=5; cnt a=2 b=2 c=1; nll(a)=nll(b)=floor(ln(2.5)*1000)=916,
+    // nll(c)=floor(ln(5)*1000)=1609
+    val m = TextOps.perplexityScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_nll_milli"),
+         r.getAs[Long]("avg_nll_milli"))).toMap
+    assert(m(1L) == ((3L, 2748L, 916L)))
+    assert(m(2L) == ((2L, 2525L, 1262L)))
+  }
+
   test("language id votes stopwords") {
     val m = TextOps.langId(corpus).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap

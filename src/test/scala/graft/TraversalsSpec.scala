@@ -156,6 +156,59 @@ class TraversalsSpec extends AnyFunSuite {
     assert(Queries.linkPredictRA(star, k = 100, maxDeg = 4).collect().isEmpty)
   }
 
+  test("random walks: md5-deterministic, edge-respecting sequences") {
+    val g = sym(twoComps)
+    val out = Queries.randomWalks(g, nStarts = 4, walksPerStart = 2, steps = 3)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val eset = g.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byWalk = rows.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(byWalk.size == 8) // 4 starts x 2 walks
+    byWalk.values.foreach { seq =>
+      assert(seq.length == 4) // symmetric graph: no sinks, full length
+      seq.sliding(2).foreach { w => assert(eset((w(0), w(1)))) }
+    }
+    val again = Queries.randomWalks(g, nStarts = 4, walksPerStart = 2, steps = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSet == again.toSet) // no RNG state
+  }
+
+  test("LPA communities: min-tie-break vote converges per component") {
+    // two disjoint triangles with a pendant on the first; after 3
+    // synchronous most-frequent/min-tie rounds each component settles on
+    // its minimum id (hand-traced: R1 votes, R2 floods 0/10, R3 fixes)
+    val g = sym(edgesDF(Seq(
+      (0L, 1L, 0), (1L, 2L, 0), (0L, 2L, 0), (2L, 3L, 0),
+      (10L, 11L, 0), (11L, 12L, 0), (10L, 12L, 0))))
+    val lab = Traversals.lpaCommunities(g, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("temporal reach: edges are crossable only at ets >= arrival") {
+    val s = spark; import s.implicits._
+    // 0 -(t5)-> 1 -(t3)-> 2 : the t3 edge departs before arrival(1)=5, so
+    // 2 is NOT time-reachable from 0; 1 -(t7)-> 3 is.
+    val e = Seq((0L, 1L, 5L), (1L, 2L, 3L), (1L, 3L, 7L))
+      .toDF("src", "dst", "ets")
+    val src = Seq(0L).toDF("v")
+    val arr = Traversals.temporalReachFrom(e, src, hops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(arr == Map(0L -> 0L, 1L -> 5L, 3L -> 7L))
+  }
+
+  test("skip-gram pairs: symmetric counts, full-window totals") {
+    val g = sym(twoComps)
+    val p = Queries.skipGramPairs(g, window = 2, nStarts = 4,
+        walksPerStart = 2, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 8 full-length walks (sym graph: no sinks) x ordered |i-j|<=2 pairs
+    // over steps 0..4 = 14 each
+    assert(p.values.sum == 8 * 14)
+    p.foreach { case ((c, x), n) => assert(p((x, c)) == n) } // window symmetry
+  }
+
   test("Pregel CC matches DataFrame CC") {
     val df = TestSpark.toMap2(Traversals.connectedComponents(sym(twoComps)))
     val px = TestSpark.toMap2(VertexCentric.pregelCC(spark, sym(twoComps)))
