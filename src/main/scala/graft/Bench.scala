@@ -110,8 +110,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // failed entries (-1 sentinels) are EXCLUDED from total and listed
+    // loudly by name — a run with failures must not read as a fast run
+    // (ADVICE r6: a contended artifact with 8 sentinels once shipped as
+    // the baseline because the failure list lived only in stderr)
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum + ingestSec
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f}"""
     println(json)
     // ALSO persist the structured artifact: the driver captures only a
     // truncated log tail, which once hid 33 of 107 entries' timings

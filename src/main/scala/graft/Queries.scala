@@ -274,6 +274,15 @@ object Queries {
       .limit(k)
   }
 
+  /** [[randomWalks]]/[[skipGramPairs]] defaults, NAMED so the g7/g8
+    * DuckDB oracles (registry GraphQueries.WALKS) are built from the same
+    * constants as the Scala defaults — changing a default here re-derives
+    * the oracle SQL instead of silently desynchronizing it (ADVICE r6). */
+  val WalkNStarts = 10
+  val WalkWalksPerStart = 2
+  val WalkSteps = 4
+  val WalkSalt = "rw"
+
   /** G7: deterministic random walks — the DeepWalk/node2vec corpus
     * generation step (walk sequences become training sentences for graph
     * embeddings). Every "random" choice is an md5 draw keyed by
@@ -290,8 +299,9 @@ object Queries {
     * costs anywhere; each step is then a frontier⋈adjacency join exactly
     * like a BFS superstep, with frontier size = #walks (tiny, broadcast).
     * Output: (walk_id, v, step) rows, steps 0..`steps`. */
-  def randomWalks(edges: DataFrame, nStarts: Int = 10, walksPerStart: Int = 2,
-                  steps: Int = 4, salt: String = "rw"): DataFrame = {
+  def randomWalks(edges: DataFrame, nStarts: Int = WalkNStarts,
+                  walksPerStart: Int = WalkWalksPerStart,
+                  steps: Int = WalkSteps, salt: String = WalkSalt): DataFrame = {
     val adj = edges.select(col("src"), col("dst")).distinct()
     val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
     val rk = adj.select(col("src"), col("dst"),
@@ -328,9 +338,10 @@ object Queries {
     * (frontier-sized, NOT graph-sized), so the within-walk self-join
     * broadcasts and the pair count partial-combines; the only graph-sized
     * work is the adjacency ranking inside [[randomWalks]], built once. */
-  def skipGramPairs(edges: DataFrame, window: Int = 2, nStarts: Int = 10,
-                    walksPerStart: Int = 2, steps: Int = 4,
-                    salt: String = "rw"): DataFrame = {
+  def skipGramPairs(edges: DataFrame, window: Int = 2,
+                    nStarts: Int = WalkNStarts,
+                    walksPerStart: Int = WalkWalksPerStart,
+                    steps: Int = WalkSteps, salt: String = WalkSalt): DataFrame = {
     val w = randomWalks(edges, nStarts, walksPerStart, steps, salt)
     val a = w.select(col("walk_id"), col("v").as("center"), col("step").as("sa"))
     val b = w.select(col("walk_id").as("wb"), col("v").as("context"),

@@ -32,7 +32,23 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  /** Events table with `ts` normalized to epoch NANOSECONDS as a LongType
+    * column regardless of the physical parquet type. The driver fixtures
+    * have shipped both timestamp[ns] (which the legacy nanosAsLong flag
+    * surfaces as raw longs) and timestamp[us] (which arrives as a real
+    * timestamp); every downstream consumer — tumbling windows, the
+    * sessionizers, as-of joins, the streaming replay fixtures — does
+    * integer time arithmetic on ns longs, so the normalization lives
+    * here, once. Session time zone is UTC in every entry point, making
+    * the NTZ→timestamp cast an identity on the underlying micros. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

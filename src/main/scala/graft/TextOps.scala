@@ -258,6 +258,31 @@ object TextOps {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** T15: deterministic training-shard assignment — the "write the
+    * corpus as N shards" step of a training-data build: every document
+    * routes to shard md5(salt‖doc_id) mod nShards (content-independent,
+    * rerun/repartition-stable, uniform in expectation), and the output
+    * reports each shard's document count, token mass and id-sum (the
+    * order-independent witness that both engines routed the SAME
+    * documents, not merely the same counts). The hash is the same
+    * 60-bit md5-prefix integer as every other sampler in the repo.
+    *
+    * Scale shape: the shard decision is a per-row codegen projection; the
+    * only exchange is the nShards-row aggregate, which partial-combines.
+    * The real shard WRITE at 100 TB is `repartition(nShards, shard)` +
+    * partitioned parquet — the same one keyed exchange. */
+  def shardAssign(docs: DataFrame, nShards: Int = 8,
+                  salt: String = "t15"): DataFrame = {
+    val h = expr(s"CAST(conv(substring(md5(concat('$salt|', " +
+      "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    docs.select(col("doc_id"), (h % nShards).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("tok_sum"),
+        sum("doc_id").cast("long").as("id_sum"))
+  }
+
   /** T9: corpus-relative rarity score — per document, how many of its
     * token OCCURRENCES are corpus-rare (global frequency ≤ maxFreq).
     * A high rare-occurrence share flags OCR noise, boilerplate IDs and

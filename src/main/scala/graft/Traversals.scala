@@ -432,22 +432,56 @@ object Traversals {
     * Scale shape per round: one edges⋈labels join partitioned on src, one
     * (dst, lbl) count that partial-combines, one per-vertex argmax via a
     * window over the (dst, lbl) counts — all keyed shuffles, no
-    * driver-side data. Returns the full (v, lbl) assignment. */
+    * driver-side data. Returns the full (v, lbl) assignment over src ∪ dst.
+    *
+    * Directed input is handled the standard LPA way: a vertex with no
+    * in-neighbors this round KEEPS its current label (vote results are
+    * left-joined onto the previous assignment and coalesced), so src-only
+    * vertices never drop out of the assignment. On symmetric graphs —
+    * where every vertex receives votes every round — this is exactly the
+    * previous all-vote behavior. */
   def lpaCommunities(edges: DataFrame, rounds: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val adj = edges.select("src", "dst").distinct().localCheckpoint(true)
-    var lab = adj.select(col("src").as("v")).distinct()
+    var lab = adj.select(col("src").as("v"))
+      .unionByName(adj.select(col("dst").as("v"))).distinct()
       .withColumn("lbl", col("v")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val cnt = adj.join(lab.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("vv"), col("lbl")).agg(count(lit(1)).as("c"))
-      lab = cnt.withColumn("mx", max("c").over(Window.partitionBy("vv")))
+      val votes = cnt.withColumn("mx", max("c").over(Window.partitionBy("vv")))
         .filter(col("c") === col("mx"))
-        .groupBy(col("vv")).agg(min("lbl").as("lbl"))
-        .select(col("vv").as("v"), col("lbl"))
+        .groupBy(col("vv")).agg(min("lbl").as("vlbl"))
+      lab = lab.join(votes, lab("v") === votes("vv"), "left")
+        .select(lab("v"), coalesce(col("vlbl"), lab("lbl")).as("lbl"))
         .localCheckpoint(true)
     }
     lab
+  }
+
+  /** G11: sampled harmonic centrality — the pivot-sampling estimator for
+    * closeness-family centrality (Eppstein–Wang '04 shape): run
+    * simultaneous BFS from `nSources` md5-chosen pivots ([[bfsDistances]],
+    * the c5 MultiBFS machinery) and score every reached vertex
+    * Σ_pivots floor(1e6 / d(pivot, v)) in exact ppm integers — no float,
+    * so the estimate is engine-exact for a fixed pivot set. The sampled
+    * shape IS the 100× path: exact harmonic centrality is all-pairs BFS,
+    * while this costs nSources frontier sweeps regardless of graph size.
+    * Returns top-`k` by (h_ppm desc, id). */
+  def harmonicCentrality(edges: DataFrame, nSources: Int = 5,
+                         maxDepth: Int = 4, salt: String = "hc",
+                         k: Int = 20): DataFrame = {
+    val sources = edges.select(col("src").as("id")).distinct()
+      .orderBy(md5(concat(lit(salt + "0|"), col("id").cast("string"))), col("id"))
+      .limit(nSources)
+      .select(col("id").as("source"), col("id"))
+    bfsDistances(edges.select("src", "dst"), sources, maxDepth)
+      .filter(col("dist") > 0)
+      .groupBy("id")
+      .agg(sum(expr("1000000 div dist")).cast("long").as("h_ppm"),
+        count(lit(1)).as("n_sources"))
+      .orderBy(col("h_ppm").desc, col("id"))
+      .limit(k)
   }
 
   /** G10: time-respecting reachability (temporal min-arrival BFS): a

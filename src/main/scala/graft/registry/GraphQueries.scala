@@ -51,33 +51,34 @@ object GraphQueries {
     |tlist AS (SELECT w.a, w.b, w.c FROM wedge w JOIN o ON w.b = o.a AND w.c = o.b)""".stripMargin
 
   /** Shared CTE chain for the g7/g8 oracles: ranked adjacency over the
-    * social graph, the 4-step unrolled md5 walks, and their union — the
-    * exact mirror of [[graft.Queries.randomWalks]] with its defaults
-    * (10 starts × 2 walks × 4 steps, salt "rw"). */
+    * social graph, the unrolled md5 walks, and their union — the exact
+    * mirror of [[graft.Queries.randomWalks]], DERIVED from the same named
+    * constants as its Scala defaults ([[graft.Queries.WalkNStarts]] etc.,
+    * ADVICE r6) so a default change re-derives this SQL rather than
+    * silently desynchronizing the oracle. */
   private val WALKS: String = {
+    val n = Queries.WalkNStarts
+    val w = Queries.WalkWalksPerStart
+    val steps = Queries.WalkSteps
+    val salt = Queries.WalkSalt
     val stepSql = (i: Int) =>
       s"""w$i AS (SELECT w.walk_id, r.dst AS v, $i AS step
          |  FROM w${i - 1} w JOIN rk r ON w.v = r.src
-         |  AND r.rk = CAST(('0x' || substr(md5('rw|' || w.walk_id || '|$i'), 1, 15)) AS BIGINT)
+         |  AND r.rk = CAST(('0x' || substr(md5('$salt|' || w.walk_id || '|$i'), 1, 15)) AS BIGINT)
          |             % r.deg + 1)""".stripMargin
+    val unnest = (0 until w).mkString("[", ", ", "]")
     s""", adj AS (SELECT DISTINCT src, dst FROM uedges),
        |rk AS (SELECT src, dst,
        |         row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
        |         count(*) OVER (PARTITION BY src) AS deg FROM adj),
        |st AS (SELECT src AS v FROM (SELECT DISTINCT src FROM adj)
-       |       ORDER BY md5('rw0|' || src), src LIMIT 10),
+       |       ORDER BY md5('${salt}0|' || src), src LIMIT $n),
        |w0 AS (SELECT CAST(st.v AS VARCHAR) || '_' || u.k AS walk_id, st.v AS v, 0 AS step
-       |       FROM st, UNNEST([0, 1]) AS u(k)),
-       |${stepSql(1)},
-       |${stepSql(2)},
-       |${stepSql(3)},
-       |${stepSql(4)},
+       |       FROM st, UNNEST($unnest) AS u(k)),
+       |${(1 to steps).map(stepSql).mkString(",\n")},
        |walks AS (
-       |  SELECT walk_id, v, step FROM w0
-       |  UNION ALL SELECT walk_id, v, step FROM w1
-       |  UNION ALL SELECT walk_id, v, step FROM w2
-       |  UNION ALL SELECT walk_id, v, step FROM w3
-       |  UNION ALL SELECT walk_id, v, step FROM w4)""".stripMargin
+       |${(0 to steps).map(i => s"  SELECT walk_id, v, step FROM w$i")
+           .mkString("\n  UNION ALL ")})""".stripMargin
   }
 
   val entries: Seq[QueryEntry] = Seq(
@@ -201,6 +202,28 @@ object GraphQueries {
            |${hop(4)}
            |SELECT v, arr FROM a4""".stripMargin
       }))),
+
+    // ---- G11: sampled harmonic centrality — 5 md5-chosen pivots, 4-hop
+    //      multi-BFS, Σ floor(1e6/d) ppm scores; the pivot-sample shape
+    //      is the scale path (exact harmonic = all-pairs BFS). Oracle:
+    //      recursive walk from the same pivots, min-dist, same integer
+    //      scoring ----
+    ("g11_harmonic_centrality",
+      (s: SparkSession, d: String) =>
+        Traversals.harmonicCentrality(Tables.nationEdgesSym(s, d)),
+      Some(Oracle.withSql(Oracle.NEDGES_SYM,
+        """, srcs AS (SELECT s FROM (SELECT DISTINCT src AS s FROM nsym)
+          |           ORDER BY md5('hc0|' || s), s LIMIT 5),
+          |walk(source, id, dist) AS (
+          |  SELECT s, s, 0 FROM srcs
+          |  UNION
+          |  SELECT w.source, n.dst, w.dist + 1 FROM walk w JOIN nsym n ON w.id = n.src
+          |  WHERE w.dist < 4),
+          |md AS (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id)
+          |SELECT id, CAST(sum(1000000 // dist) AS BIGINT) AS h_ppm,
+          |       count(*) AS n_sources
+          |FROM md WHERE dist > 0 GROUP BY id
+          |ORDER BY h_ppm DESC, id LIMIT 20""".stripMargin))),
 
     // ---- G3: 3-core of the zipf graph by iterative peeling. The k-core
     //      is unique, so the Spark fixpoint loop and the oracle's

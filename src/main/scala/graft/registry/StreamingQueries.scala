@@ -224,6 +224,48 @@ object StreamingQueries {
     })
 
   /** Replay the events fixture through [[graft.streaming.OnlineIngest
+    * .latestPerKey]]: the same midpoint batch split as s8 (so most users'
+    * winning event must be carried across the batch boundary in state),
+    * then one sentinel row per user (event_id = -1, 30 days past max ts)
+    * that advances the watermark and triggers the final emission without
+    * entering the max-fold. */
+  private def latestPath(s: SparkSession, d: String): String =
+    cache.computeIfAbsent(key(s, d, "s13"), _ => {
+      val watch = java.nio.file.Files.createTempDirectory("graft-s13-in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-s13-out").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).localCheckpoint(true)
+      val Array(lo, hi) = ev.agg(min("ts"), max("ts")).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      val mid = lo + (hi - lo) / 2
+      writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
+      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
+      writeBatch(ev.select("user_id").distinct()
+        .select(lit(-1L).as("event_id"),
+          lit(hi + 30L * 24 * 3600 * 1000000000L).as("ts"), col("user_id"),
+          lit("__sentinel").as("event_type"), lit(0.0).as("value")),
+        s"$watch/b2.parquet")
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
+      graft.streaming.OnlineIngest.latestPerKey(stream)
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            graft.streaming.OnlineIngest.UpOut], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start().awaitTermination()
+      unloadStreamingState()
+      out
+    })
+
+  /** Replay the events fixture through [[graft.streaming.OnlineIngest
     * .clickAttribution]] — two readStreams over the SAME file batches
     * (split at the ts midpoint so click→purchase pairs SPAN the batch
     * boundary and exercise cross-batch join state). */
@@ -331,6 +373,22 @@ object StreamingQueries {
           |WHERE n_tokens >= 5 AND n_tokens <= 100000
           |  AND (100 * n_stop) // greatest(n_tokens, 1) >= 1
           |  AND n_punct * 4 <= n_tokens""".stripMargin)),
+
+    // ---- S13: the STREAMING latest-per-key upsert view against r13's
+    //      batch oracle — the winning event for most users spans the
+    //      micro-batch boundary, so it must be carried in GroupState;
+    //      same µs/cents conventions and (ts, event_id) tie-break ----
+    ("s13_streaming_latest_per_key",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(latestPath(s, d))
+          .select("user_id", "last_us", "event_id", "event_type", "val_cents"),
+      Some(
+        """SELECT user_id, epoch_us(ts) AS last_us, event_id, event_type,
+          |       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS val_cents
+          |FROM (SELECT *, row_number() OVER
+          |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |      FROM events)
+          |WHERE rn = 1""".stripMargin)),
 
     // ---- S10: the streaming watermarked tumbling-window aggregation
     //      against s1_event_window's batch oracle — append mode emits

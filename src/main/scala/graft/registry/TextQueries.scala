@@ -207,6 +207,22 @@ object TextQueries {
           |       COALESCE(sel.sel_id_sum, 0) AS sel_id_sum
           |FROM t LEFT JOIN sel ON t.source = sel.source""".stripMargin)),
 
+    // ---- T15: deterministic shard assignment — md5-mod routing of every
+    //      document to one of 8 training shards; id-sum witnesses the
+    //      SAME routing in both engines. One partial-combined 8-row
+    //      aggregate; the write path at scale is the same single
+    //      repartition(shard) exchange ----
+    ("t15_shard_assign",
+      (s: SparkSession, d: String) => TextOps.shardAssign(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        """, sh AS (SELECT doc_id, len(ts) AS n_tokens,
+          |    CAST(('0x' || substr(md5('t15|' || doc_id), 1, 15)) AS BIGINT) % 8 AS shard
+          |  FROM tok)
+          |SELECT shard, count(*) AS n_docs,
+          |       CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM sh GROUP BY shard""".stripMargin))),
+
     // ---- X1: the composite corpus-build pipeline — quality filter (t3's
     //      rule) → exact dedup (d1's keeper rule on t4's fingerprint) →
     //      per-language doc/token budget, as ONE declarative plan ----

@@ -173,6 +173,61 @@ object OnlineIngest {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  case class UpEv(user_id: Long, ts_us: Long, event_id: Long,
+                  event_type: String, cents: Long)
+  case class UpOut(user_id: Long, last_us: Long, event_id: Long,
+                   event_type: String, val_cents: Long)
+
+  /** Streaming latest-per-key: the r13 upsert/SCD-type-1 "current state"
+    * view maintained as cross-batch GroupState instead of a batch
+    * argmax — each user's state is the (ts_us, event_id)-max event seen
+    * so far, exactly the struct-max ordering of the batch form (the
+    * (ts_us, event_id) pair is unique, so trailing fields never decide).
+    * Emission protocol mirrors [[sessionize]]'s fixtures: per-user
+    * sentinel rows (event_id < 0) advance the watermark and trigger the
+    * final in-batch emission WITHOUT entering the max-fold, so the
+    * emitted multiset is exactly the batch latest-per-key of the real
+    * rows. State is one small record per live key — the minimum any
+    * upsert view can hold, watermark-evicted on timeout at scale. */
+  def latestPerKey(events: DataFrame): Dataset[UpOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def fn(uid: Long, evs: Iterator[UpEv],
+           state: GroupState[UpOut]): Iterator[UpOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get; state.remove(); Iterator(s)
+      } else {
+        val es = evs.toSeq
+        var cur = state.getOption
+          .getOrElse(UpOut(uid, Long.MinValue, Long.MinValue, "", 0L))
+        es.filter(_.event_id >= 0).foreach { e =>
+          if (e.ts_us > cur.last_us ||
+              (e.ts_us == cur.last_us && e.event_id > cur.event_id))
+            cur = UpOut(uid, e.ts_us, e.event_id, e.event_type, e.cents)
+        }
+        if (es.exists(_.event_id < 0)) { // sentinel: final in-batch emission
+          state.remove()
+          if (cur.last_us != Long.MinValue) Iterator(cur) else Iterator.empty
+        } else {
+          state.update(cur)
+          // effectively-never timeout: the replay ends via sentinels; an
+          // always-on deployment would size this to its key-liveness SLA
+          state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + 365L * 24 * 3600 * 1000)
+          Iterator.empty
+        }
+      }
+    }
+    events
+      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ets", "1 hour")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"),
+        col("event_type"), graft.cents(col("value")).as("cents"), col("ets"))
+      .as[UpEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** STREAM-STREAM interval join: purchases matched to the same user's
     * clicks within the preceding `lookback` — the attribution join every
     * event pipeline runs, and the Structured Streaming surface piece the

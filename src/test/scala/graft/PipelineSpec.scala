@@ -234,6 +234,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(m(2L) == ((2L, 2525L, 1262L)))
   }
 
+  test("perplexity milli-nat floors sit clear of cross-engine ulp boundaries") {
+    // ADVICE r6: floor(ln(N/cnt)*1000) is hash-compared cross-engine, and
+    // Math.log (Spark) vs libm log (DuckDB) only agree to 1 ulp — a value
+    // within an ulp of an integer milli-nat boundary could floor
+    // differently. The fixtures' actual (cnt, N) pairs must therefore sit
+    // FAR from every boundary; this guard turns a latent driver-side
+    // oracle flake into a loud local failure if a future corpus drifts
+    // within 1e-6 milli-nats of one.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val n = toks.count().toDouble
+    val worst = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt")).distinct().collect().map(_.getLong(0))
+      .map { c =>
+        val y = math.log(n / c) * 1000.0
+        math.min(y - math.floor(y), math.ceil(y) - y)
+      }.min
+    assert(worst > 1e-6,
+      s"a milli-nat value sits $worst from a floor boundary — cross-engine flake risk")
+  }
+
   test("language id votes stopwords") {
     val m = TextOps.langId(corpus).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap

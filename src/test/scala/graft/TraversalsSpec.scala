@@ -186,6 +186,31 @@ class TraversalsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("LPA on a directed graph keeps voteless vertices (ADVICE r6)") {
+    // 5 -> 0 -> 1: vertex 5 never receives a vote (no in-edges) and must
+    // keep its own label instead of dropping out; sink 1 appears in the
+    // assignment even though it is dst-only. Votes flow one hop per
+    // round: after round 1, 0 adopts 5 and 1 adopts 0; after round 2,
+    // 1 adopts 0's round-1 label (5).
+    val g = edgesDF(Seq((5L, 0L, 0), (0L, 1L, 0)))
+    val lab = Traversals.lpaCommunities(g, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(5L -> 5L, 0L -> 5L, 1L -> 5L))
+  }
+
+  test("sampled harmonic centrality scores by exact ppm inverse distance") {
+    val s = spark; import s.implicits._
+    // star 0—{1,2,3} plus pendant 3—4, symmetric; pivots = all of
+    // 0,1,2,3,4 (nSources=5 covers the graph), so scores are exact:
+    // h(0) = 3·1e6/1 + 1e6/2 = 3500000
+    val g = sym(edgesDF(Seq((0L, 1L, 0), (0L, 2L, 0), (0L, 3L, 0), (3L, 4L, 0))))
+    val top = Traversals.harmonicCentrality(g, nSources = 5, maxDepth = 4, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top(0L) == 3500000L)
+    // h(4): d from pivots 3,0,1,2 = 1,2,3,3 → 1e6 + 5e5 + 2·333333
+    assert(top(4L) == 2166666L)
+  }
+
   test("temporal reach: edges are crossable only at ets >= arrival") {
     val s = spark; import s.implicits._
     // 0 -(t5)-> 1 -(t3)-> 2 : the t3 edge departs before arrival(1)=5, so
