@@ -347,6 +347,25 @@ object Dedup {
       .select("keep_id", "cluster_n")
   }
 
+  /** D9: SemDeDup-style SEMANTIC dedup (Abbas et al. '23: deduplicate by
+    * embedding-space similarity, which catches paraphrases and
+    * translations that lexical MinHash misses): the embedding near-dup
+    * pairs ([[Similarity.cosinePairsLsh]] — hyperplane-LSH buckets, exact
+    * cosine verify inside buckets only) closed transitively into
+    * clusters by the same CC label propagation as [[nearDupClusters]],
+    * one keeper (min vec_id) per cluster. The embedding-space twin of
+    * x2's lexical clusters: candidate generation is bucketed, the CC
+    * fixpoint runs on the pair graph (~|near-dup structure|), and
+    * nothing is corpus-quadratic. */
+  def semanticClusters(emb: DataFrame, minCosScaled: Long = 400000L): DataFrame = {
+    val pairs = Similarity.cosinePairsLsh(emb, minCosScaled)
+    val sym = pairs.select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(pairs.select(col("y").as("src"), col("x").as("dst")))
+    Traversals.connectedComponents(sym)
+      .groupBy("label").agg(min("id").as("keep_id"), count(lit(1)).as("cluster_n"))
+      .select("keep_id", "cluster_n")
+  }
+
   /** D8: span-level exact dedup — the C4 / "Deduplicating Training Data
     * Makes Language Models Better" (Lee et al. '21) operator that removes
     * duplicated SPANS while keeping the rest of each document, rather

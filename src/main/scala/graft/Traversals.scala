@@ -36,6 +36,70 @@ object Traversals {
     visited
   }
 
+  /** [[bfsDistances]] extended with shortest-path COUNTING (the forward
+    * half of Brandes' betweenness algorithm): σ(s,v) at depth d is the sum
+    * of σ over depth-(d−1) predecessors with an edge into v — one
+    * partial-combining groupBy per superstep on top of the same
+    * frontier⋈edges join. Counts are exact on the simple graph (the edge
+    * set is de-duplicated first; path multiplicity through parallel edges
+    * is not meaningful). Returns (source, id, dist, sigma). */
+  def bfsSigma(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var visited = sources.select(col("source"), col("id"),
+      lit(0L).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .groupBy(frontier("source"), e("dst").as("id"))
+        .agg(sum("sigma").as("sigma"))
+        .join(visited.select(col("source").as("vsource"), col("id").as("vid")),
+          col("id") === col("vid") && col("source") === col("vsource"), "left_anti")
+        .select(col("source"), col("id"), lit(depth.toLong).as("dist"), col("sigma"))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited
+  }
+
+  /** G12: pivot-sampled stress centrality — Shimbel's integer cousin of
+    * betweenness: stress(v) = Σ over pivot pairs (s, t) of the number of
+    * s–t shortest paths passing through v, which is σ(s,v)·σ(t,v)
+    * whenever d(s,v) + d(t,v) = d(s,t) (and v ∉ {s,t}). All-integer — no
+    * σ(s,v)/σ(s,t) fractions like true betweenness — so the sampled
+    * estimate is engine-exact for a fixed pivot set. Pivots are the
+    * `nPivots` smallest-md5 vertices (the repo's no-RNG seeding); the
+    * pivot-pair restriction is the 100× path: exact stress is all-pairs
+    * BFS, this is `nPivots` sigma-BFS sweeps + a (pivot-pair × vertex)
+    * join bounded by nPivots²·|V|. Returns top-`k` by (n_paths desc, id)
+    * with the contributing-pair count as a second witness. */
+  def stressCentrality(edges: DataFrame, nPivots: Int = 5, maxDepth: Int = 4,
+                       salt: String = "sc", k: Int = 20): DataFrame = {
+    val simple = edges.select("src", "dst").distinct()
+    val pivots = simple.select(col("src").as("id")).distinct()
+      .orderBy(md5(concat(lit(salt + "0|"), col("id").cast("string"))), col("id"))
+      .limit(nPivots)
+      .select(col("id").as("source"), col("id"))
+    val bs = bfsSigma(simple, pivots, maxDepth).localCheckpoint(true)
+    val pd = bs.join(pivots.select(col("source").as("t")), bs("id") === col("t"))
+      .select(bs("source").as("ps"), col("t").as("pt"), bs("dist").as("pdist"))
+    val a = bs.select(col("source").as("sa"), col("id"),
+      col("dist").as("da"), col("sigma").as("ga"))
+    val b = bs.select(col("source").as("sb"), col("id").as("idb"),
+      col("dist").as("db"), col("sigma").as("gb"))
+    a.join(b, col("id") === col("idb") && col("sa") < col("sb"))
+      .join(pd, col("sa") === col("ps") && col("sb") === col("pt"))
+      .filter(col("da") + col("db") === col("pdist") &&
+        col("id") =!= col("sa") && col("id") =!= col("sb"))
+      .groupBy("id")
+      .agg(sum(col("ga") * col("gb")).cast("long").as("n_paths"),
+        count(lit(1)).cast("long").as("n_pairs"))
+      .orderBy(col("n_paths").desc, col("id"))
+      .limit(k)
+  }
+
   /** Result of a generic until-expansion: the frontier at exit, everything
     * reached, the depth walked, and whether the predicate fired. */
   case class Expansion(frontier: DataFrame, visited: DataFrame, depth: Int, hit: Boolean)

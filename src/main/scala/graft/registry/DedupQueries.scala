@@ -17,6 +17,41 @@ object DedupQueries {
       |                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS s
       |  FROM tok)""".stripMargin
 
+  /** The d5 hyperplane-LSH candidate + exact-cosine verify chain, shared
+    * by d5 (pair output) and d9 (transitive clusters over the same
+    * pairs). Ends at CTE `p(x, y, cos_scaled)`. The oracle derives r with
+    * the same INTEGER ceil-log2 as Similarity.bitsFor (bits in n-1) —
+    * float log2 desyncs at n ≳ 2^47. */
+  val EMB_LSH: String =
+    """WITH nn AS (
+      |  SELECT greatest(6, length(format('{:b}', greatest(1, count(*) - 1))) - 3) AS r
+      |  FROM embeddings),
+      |sg AS (
+      |  SELECT vec_id, b,
+      |    list_reduce(list_transform(range(0, nn.r), j ->
+      |      CASE WHEN list_reduce(list_transform(range(1, len(embedding) + 1),
+      |        i -> CAST(embedding[i] AS DOUBLE) *
+      |             (CAST(('0x' || substr(md5(b || '_' || j || '_' || (i - 1)), 1, 8)) AS BIGINT) % 1000 - 500)),
+      |        (s, v) -> s + v) > 0
+      |      THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END),
+      |      (s, v) -> s + v) AS sig
+      |  FROM embeddings, (SELECT unnest(range(0, 32)) AS b) bs, nn),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS x, c.vec_id AS y
+      |  FROM sg a JOIN sg c ON a.b = c.b AND a.sig = c.sig AND a.vec_id < c.vec_id),
+      |nrm AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), (s, v) -> s + v)) AS nrm
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT cand.x, cand.y,
+      |    CAST(floor(
+      |      list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+      |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
+      |      / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cos_scaled
+      |  FROM cand JOIN nrm a ON cand.x = a.vec_id JOIN nrm b ON cand.y = b.vec_id)""".stripMargin
+
   val LSH: String =
     SHINGLES + """,
       |mh AS (
@@ -85,37 +120,30 @@ object DedupQueries {
     ("d5_dedup_embedding_cosine",
       (s: SparkSession, d: String) =>
         Similarity.cosinePairsLsh(Tables.embeddings(s, d), minCosScaled = 400000L),
-      Some(
-        """WITH nn AS (
-          |  SELECT greatest(6, length(format('{:b}', greatest(1, count(*) - 1))) - 3) AS r
-          |  FROM embeddings),
-          |sg AS (
-          |  SELECT vec_id, b,
-          |    list_reduce(list_transform(range(0, nn.r), j ->
-          |      CASE WHEN list_reduce(list_transform(range(1, len(embedding) + 1),
-          |        i -> CAST(embedding[i] AS DOUBLE) *
-          |             (CAST(('0x' || substr(md5(b || '_' || j || '_' || (i - 1)), 1, 8)) AS BIGINT) % 1000 - 500)),
-          |        (s, v) -> s + v) > 0
-          |      THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END),
-          |      (s, v) -> s + v) AS sig
-          |  FROM embeddings, (SELECT unnest(range(0, 32)) AS b) bs, nn),
-          |cand AS (
-          |  SELECT DISTINCT a.vec_id AS x, c.vec_id AS y
-          |  FROM sg a JOIN sg c ON a.b = c.b AND a.sig = c.sig AND a.vec_id < c.vec_id),
-          |nrm AS (
-          |  SELECT vec_id, embedding,
-          |    sqrt(list_reduce(list_transform(embedding,
-          |      t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), (s, v) -> s + v)) AS nrm
-          |  FROM embeddings),
-          |p AS (
-          |  SELECT cand.x, cand.y,
-          |    CAST(floor(
-          |      list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-          |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
-          |      / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cos_scaled
-          |  FROM cand JOIN nrm a ON cand.x = a.vec_id JOIN nrm b ON cand.y = b.vec_id)
-          |SELECT x, y, cos_scaled FROM p WHERE cos_scaled >= 400000""".stripMargin)),
+      Some(EMB_LSH +
+        "\nSELECT x, y, cos_scaled FROM p WHERE cos_scaled >= 400000")),
 
+    // ---- D9: SemDeDup-style SEMANTIC dedup (Abbas et al. '23 dedup
+    //      SemDeDup clusters by embedding cosine): the d5 LSH candidate
+    //      pairs closed transitively (x2's CC label-prop on the pair
+    //      graph) into semantic clusters, one keeper per cluster — the
+    //      embedding-space twin of x2's lexical clusters. Cost ∝ the
+    //      near-dup structure (pair graph), never corpus² ----
+    ("d9_semantic_clusters",
+      (s: SparkSession, d: String) =>
+        Dedup.semanticClusters(Tables.embeddings(s, d)),
+      Some(EMB_LSH.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |cand2 AS (SELECT x, y FROM p WHERE cos_scaled >= 400000),
+        |csym AS (SELECT x AS src, y AS dst FROM cand2
+        |         UNION ALL SELECT y AS src, x AS dst FROM cand2),
+        |cverts AS (SELECT DISTINCT src AS id FROM csym),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM cverts
+        |  UNION
+        |  SELECT w.id, n.dst FROM reach w JOIN csym n ON w.r = n.src),
+        |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |SELECT label AS keep_id, count(*) AS cluster_n
+        |FROM labels GROUP BY label""".stripMargin)),
     // D3b: the production composition — exact-dedup collapse FIRST, then
     // LSH + Jaccard verify over one representative per distinct text.
     // Pairwise verify is quadratic in dup-cluster size, so this ordering

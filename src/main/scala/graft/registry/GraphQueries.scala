@@ -225,6 +225,52 @@ object GraphQueries {
           |FROM md WHERE dist > 0 GROUP BY id
           |ORDER BY h_ppm DESC, id LIMIT 20""".stripMargin))),
 
+    // ---- G12: pivot-sampled stress centrality — Brandes' forward pass
+    //      (σ shortest-path counting) from 5 md5 pivots, then for each
+    //      pivot pair the integer path count σ(s,v)·σ(t,v) through every
+    //      on-geodesic vertex. Oracle: 4 unrolled materialized σ levels
+    //      (level-synchronous counting, same anti-visited discipline),
+    //      same pair join, same integer arithmetic ----
+    ("g12_stress_centrality",
+      (s: SparkSession, d: String) =>
+        Traversals.stressCentrality(Tables.nationEdgesSym(s, d)),
+      Some {
+        val sb = new StringBuilder
+        sb.append(Oracle.NEDGES_SYM).append(""",
+          |ne AS MATERIALIZED (SELECT DISTINCT src, dst FROM nsym),
+          |srcs AS (SELECT s FROM (SELECT DISTINCT src AS s FROM ne)
+          |         ORDER BY md5('sc0|' || s), s LIMIT 5),
+          |l0 AS MATERIALIZED (SELECT s AS source, s AS id, CAST(1 AS BIGINT) AS sigma FROM srcs),
+          |v0 AS MATERIALIZED (SELECT source, id FROM l0)""".stripMargin)
+        for (i <- 1 to 4) {
+          sb.append(s""",
+            |l$i AS MATERIALIZED (
+            |  SELECT p.source, n.dst AS id, CAST(sum(p.sigma) AS BIGINT) AS sigma
+            |  FROM l${i - 1} p JOIN ne n ON p.id = n.src
+            |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+            |                    WHERE v.source = p.source AND v.id = n.dst)
+            |  GROUP BY p.source, n.dst),
+            |v$i AS MATERIALIZED (SELECT source, id FROM v${i - 1}
+            |  UNION ALL SELECT source, id FROM l$i)""".stripMargin)
+        }
+        sb.append(s""",
+          |bs AS (${(0 to 4).map(i =>
+              s"SELECT source, id, $i AS dist, sigma FROM l$i")
+              .mkString("\n  UNION ALL ")}),
+          |pd AS (SELECT b.source AS ps, b.id AS pt, b.dist AS pdist
+          |       FROM bs b JOIN srcs p ON b.id = p.s)
+          |SELECT a.id, CAST(sum(a.sigma * b.sigma) AS BIGINT) AS n_paths,
+          |       count(*) AS n_pairs
+          |FROM bs a
+          |JOIN bs b ON a.id = b.id AND a.source < b.source
+          |JOIN pd ON a.source = pd.ps AND b.source = pd.pt
+          |WHERE a.dist + b.dist = pd.pdist
+          |  AND a.id <> a.source AND a.id <> b.source
+          |GROUP BY a.id
+          |ORDER BY n_paths DESC, a.id LIMIT 20""".stripMargin)
+        Oracle.withSql(sb.toString, "")
+      }),
+
     // ---- G3: 3-core of the zipf graph by iterative peeling. The k-core
     //      is unique, so the Spark fixpoint loop and the oracle's
     //      UNROLLED peel (UnrollRounds rounds ≫ the ≤4 the fixture needs;

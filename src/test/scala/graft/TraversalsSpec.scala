@@ -211,6 +211,25 @@ class TraversalsSpec extends AnyFunSuite {
     assert(top(4L) == 2166666L)
   }
 
+  test("bfsSigma counts shortest paths level-synchronously") {
+    val s = spark; import s.implicits._
+    // diamond 1-{2,4}-3: two equal-length 1→3 paths, σ(1,3) = 2
+    val g = sym(edgesDF(Seq((1L, 2L, 0), (1L, 4L, 0), (2L, 3L, 0), (4L, 3L, 0))))
+    val src = Seq((1L, 1L)).toDF("source", "id")
+    val m = Traversals.bfsSigma(g, src, maxDepth = 4)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(m(3L) == ((2L, 2L)) && m(2L) == ((1L, 1L)) && m(4L) == ((1L, 1L)))
+  }
+
+  test("stress centrality counts geodesics through each vertex") {
+    // chain 1-2-3-4-5, all 5 vertices as pivots: the middle vertex lies
+    // on 4 pivot-pair geodesics ((1,4),(1,5),(2,4),(2,5)), vertex 2 on 3
+    val g = sym(edgesDF(Seq((1L, 2L, 0), (2L, 3L, 0), (3L, 4L, 0), (4L, 5L, 0))))
+    val m = Traversals.stressCentrality(g, nPivots = 5, maxDepth = 4, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(3L) == 4L && m(2L) == 3L && m(4L) == 3L)
+  }
+
   test("temporal reach: edges are crossable only at ets >= arrival") {
     val s = spark; import s.implicits._
     // 0 -(t5)-> 1 -(t3)-> 2 : the t3 edge departs before arrival(1)=5, so
