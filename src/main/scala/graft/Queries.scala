@@ -213,6 +213,43 @@ object Queries {
       .select(col("a"), col("v").as("b"), col("w").as("c"))
   }
 
+  /** G13: k-truss — the maximal subgraph where every edge closes at least
+    * k−2 triangles (Cohen '08), the standard cohesive-community refinement
+    * of the k-core: iterative edge peeling with triangle support recomputed
+    * each round until fixpoint. Each round is one [[triangleList]] (wedge
+    * generation bounded by oriented out-degree — the hub contributes
+    * nothing) + one partial-combining support count + one edge semi-join;
+    * the truss is unique, so the fixed-point edge set is engine-exact.
+    * Throws if `maxIter` rounds don't converge (the oracle unrolls the
+    * same bound and errors loudly, the g3/g4 discipline). */
+  def kTruss(canon: DataFrame, k: Int, maxIter: Int = 8): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var e = canon.select("src", "dst").localCheckpoint(true)
+    var n = e.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      it += 1
+      val tri = triangleList(e)
+      val sup = tri.select(least(col("a"), col("b")).as("src"),
+          greatest(col("a"), col("b")).as("dst"))
+        .unionByName(tri.select(least(col("a"), col("c")).as("src"),
+          greatest(col("a"), col("c")).as("dst")))
+        .unionByName(tri.select(least(col("b"), col("c")).as("src"),
+          greatest(col("b"), col("c")).as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("sup"))
+      e = e.join(sup, Seq("src", "dst"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+        .select("src", "dst").localCheckpoint(true)
+      val n2 = e.count()
+      converged = n2 == n
+      n = n2
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kTruss(k=$k) did not reach a fixpoint within maxIter=$maxIter peel rounds")
+    e
+  }
+
   /** Per-vertex triangle participation + local clustering coefficient over
     * a canonical undirected edge set, top-k by coefficient. The coefficient
     * is emitted in exact parts-per-million integer arithmetic

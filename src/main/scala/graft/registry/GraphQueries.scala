@@ -271,6 +271,43 @@ object GraphQueries {
         Oracle.withSql(sb.toString, "")
       }),
 
+    // ---- G13: 4-truss of the zipf graph — iterative edge peeling on
+    //      triangle support until fixpoint (the cohesive refinement of
+    //      g3's k-core: every surviving edge closes ≥2 triangles among
+    //      surviving edges). Oracle: UnrollRounds materialized rounds of
+    //      the same peel, triangles re-enumerated per round from the
+    //      canonical a<b<c join; errors loudly if not converged ----
+    ("g13_ktruss",
+      (s: SparkSession, d: String) =>
+        Queries.kTruss(zipfCanon(s, d), k = 4, maxIter = UnrollRounds),
+      Some {
+        val R = UnrollRounds
+        val sb = new StringBuilder
+        sb.append(ZCANON).append(""",
+          |e0 AS MATERIALIZED (SELECT src, dst FROM zc)""".stripMargin)
+        for (i <- 1 to R) {
+          sb.append(s""",
+            |tri$i AS MATERIALIZED (
+            |  SELECT x.src AS a, x.dst AS b, y.dst AS c
+            |  FROM e${i - 1} x JOIN e${i - 1} y ON x.dst = y.src
+            |  JOIN e${i - 1} z ON z.src = x.src AND z.dst = y.dst),
+            |sup$i AS MATERIALIZED (
+            |  SELECT src, dst, count(*) AS sup FROM (
+            |    SELECT a AS src, b AS dst FROM tri$i
+            |    UNION ALL SELECT a AS src, c AS dst FROM tri$i
+            |    UNION ALL SELECT b AS src, c AS dst FROM tri$i) GROUP BY src, dst),
+            |e$i AS MATERIALIZED (
+            |  SELECT e.src, e.dst FROM e${i - 1} e
+            |  JOIN sup$i s ON e.src = s.src AND e.dst = s.dst
+            |  WHERE s.sup >= 2)""".stripMargin)
+        }
+        sb.append(s"""
+          |SELECT src, dst FROM e$R WHERE CASE
+          |  WHEN (SELECT count(*) FROM e${R - 1}) = (SELECT count(*) FROM e$R)
+          |  THEN true ELSE error('g13 oracle: peel not converged in $R rounds — raise UnrollRounds') END""".stripMargin)
+        Oracle.withSql(sb.toString, "")
+      }),
+
     // ---- G3: 3-core of the zipf graph by iterative peeling. The k-core
     //      is unique, so the Spark fixpoint loop and the oracle's
     //      UNROLLED peel (UnrollRounds rounds ≫ the ≤4 the fixture needs;

@@ -264,6 +264,36 @@ object RelationalQueries {
           |      FROM events)
           |WHERE rn = 1""".stripMargin)),
 
+    // ---- R15: SCD-type-2 history view — the companion of r13's type-1
+    //      "current state": every event becomes a validity interval
+    //      [valid_from, valid_to) closed by the user's NEXT event (lead
+    //      window), open-ended on the latest. One shuffle on user_id;
+    //      µs integers and a 0/1 current flag keep it engine-exact ----
+    ("r15_scd2_history",
+      (s: SparkSession, d: String) => {
+        Tables.events(s, d).createOrReplaceTempView("g_events")
+        s.sql(
+          """WITH ev AS (SELECT user_id, event_id, event_type,
+            |              ts div 1000 AS vf FROM g_events),
+            |w AS (SELECT user_id, event_id, event_type, vf,
+            |        lead(vf) OVER (PARTITION BY user_id ORDER BY vf, event_id) AS vt
+            |      FROM ev)
+            |SELECT user_id, event_id, event_type, vf AS valid_from_us,
+            |       vt AS valid_to_us,
+            |       CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+            |FROM w""".stripMargin)
+      },
+      Some(
+        """WITH ev AS (SELECT user_id, event_id, event_type,
+          |              epoch_us(ts) AS vf FROM events),
+          |w AS (SELECT user_id, event_id, event_type, vf,
+          |        lead(vf) OVER (PARTITION BY user_id ORDER BY vf, event_id) AS vt
+          |      FROM ev)
+          |SELECT user_id, event_id, event_type, vf AS valid_from_us,
+          |       vt AS valid_to_us,
+          |       CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+          |FROM w""".stripMargin)),
+
     // ---- CUBE over region × market segment (SURVEY §2.8 names cube
     //      alongside rollup; r3 covers rollup, this covers the full
     //      lattice — 4 grouping sets in ONE pass via Expand) ----

@@ -230,6 +230,17 @@ class TraversalsSpec extends AnyFunSuite {
     assert(m(3L) == 4L && m(2L) == 3L && m(4L) == 3L)
   }
 
+  test("4-truss keeps K4, peels a lone triangle") {
+    val s = spark; import s.implicits._
+    // K4 on {1,2,3,4}: every edge closes 2 triangles — survives k=4.
+    // Lone triangle {10,11,12}: every edge closes 1 — peeled in round 1.
+    val canon = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("src", "dst")
+    val kept = Queries.kTruss(canon, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
   test("temporal reach: edges are crossable only at ets >= arrival") {
     val s = spark; import s.implicits._
     // 0 -(t5)-> 1 -(t3)-> 2 : the t3 edge departs before arrival(1)=5, so
