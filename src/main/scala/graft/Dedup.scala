@@ -347,6 +347,70 @@ object Dedup {
       .select("keep_id", "cluster_n")
   }
 
+  /** E9: all near-dup pairs within Hamming radius `radius` of each other
+    * in 60-bit [[simhash]] space, via bit-sampling LSH (Indyk–Motwani '98
+    * specialized to the Hamming cube): split the fingerprint into
+    * `nBands` disjoint contiguous bit bands and equi-join on (band,
+    * band-key). EXACT by pigeonhole, not approximate: a pair at Hamming
+    * distance ≤ radius differs in at most `radius` bands, so with
+    * nBands ≥ radius+1 at least one band matches and the pair is
+    * guaranteed a candidate. Default 4 bands × 15 bits covers radius 3.
+    *
+    * Scale shape: the band join is the only corpus-sized exchange, keyed
+    * on 15-bit buckets (32768 per band) — candidate volume is collision-
+    * bounded, never all-pairs; the exact bit_count rerank runs on
+    * candidates only and is one codegen'd integer instruction per pair. */
+  def hammingNearDupPairs(docs: DataFrame, radius: Int = 3,
+                          nBands: Int = 4): DataFrame = {
+    require(nBands >= radius + 1, "pigeonhole guarantee needs nBands > radius")
+    val bits = 60 / nBands
+    val mask = (1L << bits) - 1
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBands).map(b =>
+        expr(s"(simhash >> ${b * bits}) & $mask")): _*)).as(Seq("band", "key")))
+    val x = banded.select(col("band"), col("key"),
+      col("doc_id").as("a"), col("simhash").as("ha"))
+    val y = banded.select(col("band").as("band2"), col("key").as("key2"),
+      col("doc_id").as("b"), col("simhash").as("hb"))
+    x.join(y, col("band") === col("band2") && col("key") === col("key2")
+        && col("a") < col("b"))
+      .select("a", "b", "ha", "hb").distinct()
+      .select(col("a"), col("b"),
+        expr("cast(bit_count(ha ^ hb) as bigint)").as("ham"))
+      .filter(col("ham") <= radius)
+  }
+
+  /** X3: near-dup-cluster-safe train/eval split — the leakage guard a
+    * training-data build runs when carving held-out data: assign the
+    * WHOLE near-duplicate cluster (x2's transitive closure over MinHash
+    * candidates) to one side, so a paraphrase of an eval document can
+    * never sit in train. Split is md5-deterministic on the cluster
+    * representative (min doc_id; singletons represent themselves), so
+    * re-runs and engines agree exactly: bucket = md5(salt‖rep) mod 100,
+    * < (100−evalPct) → train.
+    *
+    * Scale shape: candidate generation is the d2 banded join, the CC
+    * fixpoint runs on the pair graph (~|near-dup structure|, not
+    * |corpus|), and the final assignment is one broadcast-ably small
+    * label join + a per-row hash — no corpus-sized shuffle after the
+    * first. */
+  def clusterSafeSplit(docs: DataFrame, evalPct: Int = 10,
+                       salt: String = "split"): DataFrame = {
+    val pairs = minhashCandidatesDirect(docs)
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val labels = Traversals.connectedComponents(sym)
+      .withColumnRenamed("id", "doc_id")
+    docs.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("rep"))
+      .withColumn("bucket", expr(
+        s"cast(conv(substring(md5(concat('$salt|', cast(rep as string))), 1, 15), 16, 10) as bigint) % 100"))
+      .withColumn("split",
+        when(col("bucket") < lit(100L - evalPct), lit("train")).otherwise(lit("eval")))
+      .select("doc_id", "rep", "split")
+  }
+
   /** D9: SemDeDup-style SEMANTIC dedup (Abbas et al. '23: deduplicate by
     * embedding-space similarity, which catches paraphrases and
     * translations that lexical MinHash misses): the embedding near-dup

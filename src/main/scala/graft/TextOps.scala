@@ -455,8 +455,15 @@ object TextOps {
     * score is self-contained): P(tok) = cnt(tok)/N over the whole corpus,
     * score = per-doc mean of −ln P(tok) in floor-scaled milli-nats
     * (integer columns only, so the cross-engine hash is exact; ln is
-    * evaluated on identical doubles in both engines and floor(·×1000)
-    * collides with a representable boundary with negligible probability).
+    * evaluated on identical doubles in both engines). An exact landing of
+    * ln(N/cnt)·1000 on an integer boundary is impossible for N≠cnt
+    * (e^(k/1000) is transcendental, Lindemann–Weierstrass), so the only
+    * cross-engine risk is the true value falling within ~1 ulp of a
+    * boundary where Math.log and libm log may round differently —
+    * probability ~1e-9 per distinct (cnt, N) pair; tools/check.py's
+    * perplexity_boundary_guard flags any corpus where a pair comes that
+    * close, so a risky fixture fails loudly in the local check (ADVICE
+    * r6) rather than flaking in the driver's hash compare.
     *
     * Scale shape: one token-count shuffle builds the vocab (vocabulary
     * sized, partial-combining), the vocab broadcasts back onto the token
@@ -476,5 +483,79 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("nll").as("sum_nll_milli"))
       .withColumn("avg_nll_milli", expr("sum_nll_milli div n_tokens"))
+  }
+
+  /** T16: TF-IDF top-`k` terms per document — the classic keyword /
+    * salient-term extractor (Salton & Buckley '88), the projection step
+    * behind sparse retrieval indexes and topic labeling in a corpus
+    * pipeline. idf is corpus-level: idf_milli = floor(ln(N_docs / df)·1000)
+    * in the same milli-nat integer discipline as [[perplexityScore]]
+    * (exact boundary landing impossible for df≠N, Lindemann–Weierstrass);
+    * score = tf · idf_milli, pure integer. Ties break on token asc, so
+    * the top-k is total-order deterministic.
+    *
+    * Scale shape: one (doc, tok) count shuffle (partial-combining), the
+    * vocabulary-sized df table broadcasts back onto it (no second corpus
+    * shuffle), and the per-doc top-k is a window over rows already
+    * grouped by doc_id — at 100 TB the only corpus-sized exchange is the
+    * first tf aggregation. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // shared by the df build and the score join
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("nd")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_milli").desc, col("tok"))
+    tf.join(broadcast(dfreq), "tok").crossJoin(nDocs)
+      .withColumn("idf_milli",
+        floor(log(col("nd").cast("double") / col("dfreq").cast("double")) * lit(1000))
+          .cast("long"))
+      .withColumn("tfidf_milli", col("tf") * col("idf_milli"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "tok", "tf", "dfreq", "tfidf_milli", "rnk")
+  }
+
+  /** T17: bigram-LM negative-log-likelihood score with add-one smoothing —
+    * the KenLM-shaped step up from [[perplexityScore]]'s unigram model:
+    * P(w | h) = (c(h,w) + 1) / (c(h) + V) over the whole corpus, score =
+    * per-doc mean of −ln P in floor-scaled milli-nats (integer columns
+    * only; same transcendence argument as t14 — the ratio is rational, so
+    * a boundary landing is impossible).
+    *
+    * Scale shape: bigram extraction is a PROJECTION (array zip on the
+    * already-tokenized row — no self-join, no positional shuffle); the
+    * corpus then pays one bigram-count shuffle and one history-count
+    * shuffle (both partial-combining, both vocabulary-sized outputs), and
+    * the scoring join is keyed on (h, w) — the standard distributed
+    * n-gram-LM build shape. Docs with <2 tokens score no bigrams and are
+    * absent, mirroring the oracle. */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val toked = docs
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val bigrams = toked
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(2, size(ts)), i -> struct(ts[i-2] as h, ts[i-1] as w))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.h").as("h"), col("bg.w").as("w"))
+      .localCheckpoint(true) // shared by both count builds and the score join
+    val bigCnt = bigrams.groupBy("h", "w").agg(count(lit(1)).as("chw"))
+    val histCnt = bigrams.groupBy("h").agg(count(lit(1)).as("ch"))
+    val vocab = broadcast(
+      docs.select(explode(tokens(col("text"))).as("t"))
+        .agg(countDistinct("t").as("v")))
+    bigrams
+      .join(bigCnt, Seq("h", "w")).join(histCnt, Seq("h")).crossJoin(vocab)
+      .select(col("doc_id"),
+        floor(log((col("ch") + col("v")).cast("double") /
+          (col("chw") + lit(1)).cast("double")) * lit(1000))
+          .cast("long").as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("sum_nll_milli"))
+      .withColumn("avg_nll_milli", expr("sum_nll_milli div n_bigrams"))
   }
 }

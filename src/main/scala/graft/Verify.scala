@@ -29,6 +29,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Dump a 1-row error marker so the entry shows up RED in the
+        // driver's compare instead of silently vanishing from the report
+        // (r6: 8 entries threw on stale fixtures and just dropped out of
+        // CORRECTNESS_r06.json — an absent row reads as "not claimed",
+        // hiding the regression).
+        try {
+          import spark.implicits._
+          Seq(s"QUERY FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            .toDF("graft_query_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

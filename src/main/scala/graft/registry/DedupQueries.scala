@@ -66,7 +66,69 @@ object DedupQueries {
       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       |  FROM band x JOIN band y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
 
+  /** The d4 simhash chain, shared by d4 (fingerprint output) and e9
+    * (Hamming near-dup pairs over the same fingerprints). Ends at CTE
+    * `sh(doc_id, simhash)`. */
+  val SIMHASH: String =
+    TextQueries.TOK + """,
+      |tokd AS (SELECT DISTINCT doc_id, unnest(ts) AS t FROM tok),
+      |th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tokd),
+      |bv AS (
+      |  SELECT doc_id, bit, sum(2 * ((h >> bit) & 1) - 1) AS v
+      |  FROM th, (SELECT unnest(range(0, 60)) AS bit) bits
+      |  GROUP BY doc_id, bit),
+      |sh AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bv GROUP BY doc_id)""".stripMargin
+
+  /** The x2 transitive-closure chain over the LSH candidate pairs, shared
+    * by x2 (cluster summary) and x3 (cluster-safe split). Ends at CTE
+    * `labels(id, label)` — min reachable id, the same fixpoint as
+    * Traversals.connectedComponents. */
+  val CLUSTERS: String =
+    LSH + """,
+      |csym AS (SELECT a AS src, b AS dst FROM cand
+      |         UNION ALL SELECT b AS src, a AS dst FROM cand),
+      |cverts AS (SELECT DISTINCT src AS id FROM csym),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM cverts
+      |  UNION
+      |  SELECT w.id, n.dst FROM reach w JOIN csym n ON w.r = n.src),
+      |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)""".stripMargin
+
   val entries: Seq[QueryEntry] = Seq(
+
+    // ---- E9: Hamming-radius near-dup pairs over 60-bit simhash via
+    //      bit-sampling LSH — EXACT by pigeonhole (4 bands × 15 bits
+    //      cover radius 3: a pair within radius differs in ≤3 bands, so
+    //      ≥1 band matches). The band equi-join is the only corpus-sized
+    //      exchange; bit_count rerank runs on candidates only ----
+    ("e9_hamming_neardup",
+      (s: SparkSession, d: String) =>
+        Dedup.hammingNearDupPairs(Tables.documents(s, d)),
+      Some(Oracle.withSql(SIMHASH,
+        """, hbd AS (SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS key
+          |          FROM sh, (SELECT unnest(range(0, 4)) AS band) bands),
+          |hcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+          |                 x.simhash AS ha, y.simhash AS hb
+          |          FROM hbd x JOIN hbd y
+          |          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+          |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS ham
+          |FROM hcand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin))),
+
+    // ---- X3: near-dup-cluster-safe train/eval split — whole cluster on
+    //      one side (leakage guard), md5-deterministic on the cluster
+    //      representative; singletons represent themselves ----
+    ("x3_cluster_safe_split",
+      (s: SparkSession, d: String) =>
+        Dedup.clusterSafeSplit(Tables.documents(s, d)),
+      Some(Oracle.withSql(CLUSTERS,
+        """, asg AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS rep
+          |          FROM documents d LEFT JOIN labels l ON d.doc_id = l.id)
+          |SELECT doc_id, rep,
+          |  CASE WHEN CAST(('0x' || substr(md5('split|' || rep), 1, 15)) AS BIGINT) % 100 < 90
+          |       THEN 'train' ELSE 'eval' END AS split
+          |FROM asg""".stripMargin))),
 
     ("d1_dedup_exact",
       (s: SparkSession, d: String) => Dedup.exact(Tables.documents(s, d)),
@@ -96,16 +158,8 @@ object DedupQueries {
 
     ("d4_dedup_simhash",
       (s: SparkSession, d: String) => Dedup.simhash(Tables.documents(s, d)),
-      Some(Oracle.withSql(TextQueries.TOK,
-        """, tokd AS (SELECT DISTINCT doc_id, unnest(ts) AS t FROM tok),
-          |th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tokd),
-          |bv AS (
-          |  SELECT doc_id, bit, sum(2 * ((h >> bit) & 1) - 1) AS v
-          |  FROM th, (SELECT unnest(range(0, 60)) AS bit) bits
-          |  GROUP BY doc_id, bit)
-          |SELECT doc_id,
-          |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-          |FROM bv GROUP BY doc_id""".stripMargin))),
+      Some(Oracle.withSql(SIMHASH,
+        "SELECT doc_id, simhash FROM sh"))),
 
     // Scale path: exact cosine only over hyperplane-LSH candidate pairs
     // (mirrors d3's candidate restriction). APPROXIMATE BY CONTRACT
@@ -261,16 +315,8 @@ object DedupQueries {
     //      one keeper per cluster: the rule a corpus build acts on ----
     ("x2_neardup_clusters",
       (s: SparkSession, d: String) => Dedup.nearDupClusters(Tables.documents(s, d)),
-      Some(Oracle.withSql(LSH,
-        """, csym AS (SELECT a AS src, b AS dst FROM cand
-          |           UNION ALL SELECT b AS src, a AS dst FROM cand),
-          |cverts AS (SELECT DISTINCT src AS id FROM csym),
-          |reach(id, r) AS (
-          |  SELECT id, id FROM cverts
-          |  UNION
-          |  SELECT w.id, n.dst FROM reach w JOIN csym n ON w.r = n.src),
-          |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
-          |SELECT label AS keep_id, count(*) AS cluster_n
+      Some(Oracle.withSql(CLUSTERS,
+        """SELECT label AS keep_id, count(*) AS cluster_n
           |FROM labels GROUP BY label""".stripMargin))),
 
     // The EXACT near-duplicate contract: all-pairs cosine with precomputed

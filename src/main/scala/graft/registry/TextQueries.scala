@@ -189,6 +189,48 @@ object TextQueries {
           |       CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_milli
           |FROM nlls GROUP BY doc_id""".stripMargin))),
 
+    // ---- T16: TF-IDF top-3 salient terms per document (Salton &
+    //      Buckley '88) — idf in the t14 milli-nat integer discipline,
+    //      score tf·idf pure integer, ties broken on token asc so the
+    //      window top-k is total-order deterministic ----
+    ("t16_tfidf_topterms",
+      (s: SparkSession, d: String) => TextOps.tfidfTopTerms(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        """, tokd AS (SELECT doc_id, unnest(ts) AS tok FROM tok),
+          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tokd GROUP BY doc_id, tok),
+          |dfq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok),
+          |nd AS (SELECT count(*) AS nd FROM documents),
+          |sc AS (SELECT t.doc_id, t.tok, t.tf, d.dfreq,
+          |    CAST(t.tf * CAST(floor(ln(CAST(nd.nd AS DOUBLE) / CAST(d.dfreq AS DOUBLE)) * 1000) AS BIGINT) AS BIGINT) AS tfidf_milli
+          |  FROM tf t JOIN dfq d USING (tok) CROSS JOIN nd),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |         ORDER BY tfidf_milli DESC, tok) AS rnk FROM sc)
+          |SELECT doc_id, tok, tf, dfreq, tfidf_milli, rnk
+          |FROM rk WHERE rnk <= 3""".stripMargin))),
+
+    // ---- T17: bigram-LM NLL score with add-one smoothing (the KenLM-
+    //      shaped step up from t14's unigram model): bigram extraction is
+    //      a projection (array zip, no positional shuffle), counts are
+    //      two partial-combining shuffles, all-integer output ----
+    ("t17_bigram_lm",
+      (s: SparkSession, d: String) => TextOps.bigramLmScore(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        """, bt AS (SELECT doc_id, ts FROM tok WHERE len(ts) >= 2),
+          |bgs AS (SELECT doc_id, p['h'] AS h, p['w'] AS w FROM (
+          |  SELECT doc_id, unnest(list_transform(range(2, len(ts) + 1),
+          |           i -> {'h': ts[i-1], 'w': ts[i]})) AS p FROM bt)),
+          |bc AS (SELECT h, w, count(*) AS chw FROM bgs GROUP BY h, w),
+          |hc AS (SELECT h, count(*) AS ch FROM bgs GROUP BY h),
+          |vv AS (SELECT count(DISTINCT tok) AS v FROM
+          |  (SELECT unnest(ts) AS tok FROM tok)),
+          |nlls AS (SELECT doc_id,
+          |    CAST(floor(ln(CAST(ch + v AS DOUBLE) / CAST(chw + 1 AS DOUBLE)) * 1000) AS BIGINT) AS nll
+          |  FROM bgs JOIN bc USING (h, w) JOIN hc USING (h) CROSS JOIN vv)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |       CAST(sum(nll) AS BIGINT) AS sum_nll_milli,
+          |       CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_milli
+          |FROM nlls GROUP BY doc_id""".stripMargin))),
+
     ("t13_mixture_sample",
       (s: SparkSession, d: String) => TextOps.mixtureSample(Tables.documents(s, d)),
       Some(

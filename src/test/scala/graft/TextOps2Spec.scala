@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-7 text/dedup additions: TF-IDF top terms (t16), bigram LM
+  * scoring (t17), Hamming near-dup pairs (e9), cluster-safe split (x3). */
+class TextOps2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def docs(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tfidfTopTerms ranks corpus-rare terms above ubiquitous ones") {
+    val c = docs(
+      1L -> "spark spark spark common",
+      2L -> "catalyst common",
+      3L -> "tungsten common common")
+    val r = TextOps.tfidfTopTerms(c, k = 2).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(5 - 3))).toSeq
+    val top1 = TextOps.tfidfTopTerms(c, k = 1).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    // "common" appears in all 3 docs -> idf = ln(1) = 0 -> never a top term
+    assert(top1 == Map(1L -> "spark", 2L -> "catalyst", 3L -> "tungsten"))
+    assert(r.nonEmpty)
+    // idf_milli for df=1, N=3: floor(ln(3)*1000) = 1098
+    val row = TextOps.tfidfTopTerms(c, k = 1)
+      .filter(col("doc_id") === 1L).head()
+    assert(row.getAs[Long]("tfidf_milli") == 3 * 1098)
+  }
+
+  test("tfidf ties break on token asc and empty docs emit nothing") {
+    val c = docs(1L -> "bb aa", 2L -> "")
+    val r = TextOps.tfidfTopTerms(c, k = 2).collect()
+    assert(r.map(_.getLong(0)).toSet == Set(1L))
+    // aa and bb both tf=1, df=1 -> equal score; rank 1 must be "aa"
+    val byRank = r.map(x => x.getAs[Int]("rnk") -> x.getString(1)).toMap
+    assert(byRank(1) == "aa" && byRank(2) == "bb")
+  }
+
+  test("bigramLmScore: repeated bigram scores cheaper than a rare one") {
+    val c = docs(
+      1L -> "a b a b a b",
+      2L -> "a c")
+    val r = TextOps.bigramLmScore(c).collect()
+      .map(x => x.getLong(0) -> x.getAs[Long]("avg_nll_milli")).toMap
+    // doc 1's bigrams are mostly the frequent (a,b); doc 2's (a,c) is
+    // singleton -> doc 2 must be more surprising
+    assert(r(1L) < r(2L))
+    // single-token / empty docs emit no row
+    val single = TextOps.bigramLmScore(docs(1L -> "only", 2L -> "")).collect()
+    assert(single.isEmpty)
+  }
+
+  test("hammingNearDupPairs finds identical docs at distance 0 and is exact by pigeonhole") {
+    val c = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "an utterly different document concerning catalyst internals optimization")
+    val r = Dedup.hammingNearDupPairs(c).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r.contains((1L, 2L, 0L)))
+    assert(!r.exists { case (a, b, _) => b == 3L || a == 3L })
+    // brute-force cross-check: every pair within radius 3 is found
+    val sh = Dedup.simhash(c).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val brute = for {
+      a <- sh.keys; b <- sh.keys if a < b
+      d = java.lang.Long.bitCount(sh(a) ^ sh(b)) if d <= 3
+    } yield (a, b, d.toLong)
+    assert(r == brute.toSet)
+  }
+
+  test("clusterSafeSplit puts a whole near-dup cluster on one side") {
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val c = docs(
+      1L -> s"$base bank",
+      2L -> s"$base bank",  // exact dup
+      3L -> s"$base shore", // near dup
+      4L -> "completely different content about spark catalyst optimizer rules engine")
+    val r = Dedup.clusterSafeSplit(c).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    val byDoc = r.map(x => x._1 -> x).toMap
+    assert(r.length == 4)
+    // docs 1,2,3 cluster under rep=1 and share a split side
+    assert(Seq(1L, 2L, 3L).map(byDoc(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byDoc(_)._3).distinct.size == 1)
+    // singleton represents itself
+    assert(byDoc(4L)._2 == 4L)
+    // md5-deterministic: same result on re-run
+    val again = Dedup.clusterSafeSplit(c).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+}

@@ -21,6 +21,33 @@ def norm(v):
         return repr(round(v, 12))
     return v
 
+def perplexity_boundary_guard(con, tol=1e-9):
+    """t14 computes floor(ln(N/cnt)*1000) in BOTH engines; Math.log (JVM)
+    and libm log (DuckDB) are only 1-ulp accurate, so a true value within
+    ~1e-12 of an integer milli-nat boundary could floor differently per
+    engine. Exact landing is impossible (ln of a rational is never a
+    nonzero rational, Lindemann-Weierstrass), but flag any corpus where a
+    (cnt, N) pair comes within `tol` of a boundary so the flake surfaces
+    HERE, not in the driver's hash compare (ADVICE r6)."""
+    import math
+    try:
+        pairs = con.execute("""
+            WITH t AS (SELECT unnest(string_split_regex(lower(text),
+                         '[^a-z0-9]+')) AS tok FROM documents),
+            td AS (SELECT tok FROM t WHERE tok <> ''),
+            v AS (SELECT tok, count(*) AS cnt FROM td GROUP BY tok)
+            SELECT DISTINCT cnt, (SELECT count(*) FROM td) AS n FROM v
+        """).fetchall()
+    except Exception:
+        return  # no documents table in this fixture dir
+    risky = [(c, n) for c, n in pairs
+             if c != n and abs((x := math.log(n / c) * 1000) - round(x)) < tol]
+    if risky:
+        print(f"t14 BOUNDARY GUARD: {len(risky)} (cnt,N) pairs within "
+              f"{tol} of a milli-nat floor boundary: {risky[:5]} — "
+              f"cross-engine ln rounding may flip the hash on this corpus")
+
+
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
@@ -29,6 +56,7 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    perplexity_boundary_guard(con)
     n_ok = n_bad = 0
     for name in sorted(sqls):
         if only and name not in only:
