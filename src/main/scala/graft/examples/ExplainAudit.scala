@@ -27,7 +27,10 @@ object ExplainAudit {
         // in PushedFilters), degree-oriented triangles, repetition
         // filters as a pure projection, argmax latest-per-key
         "d2_dedup_minhash_lsh", "w5_zorder_range", "g1_triangle_count",
-        "t10_repetition", "r13_latest_per_key")
+        "t10_repetition", "r13_latest_per_key",
+        // r7: exchange-free bucketed fact⋈fact join, banded Hamming
+        // near-dup join, vocab-broadcast tf-idf
+        "w6_bucketed_join", "e9_hamming_neardup", "t16_tfidf_topterms")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

@@ -370,6 +370,28 @@ object PointOpsQueries {
           |FROM edges
           |WHERE src BETWEEN 1 AND 400 AND dst BETWEEN 1000001 AND 1000040""".stripMargin))),
 
+    // ---- W6: fact⋈fact join served from BUCKETED storage
+    //      (Tables.bucketedOrdersLineitem): both tables bucketed 8-way on
+    //      their join keys at write time, so the sort-merge join runs
+    //      with NO Exchange on either side (W6BucketedJoinSpec asserts
+    //      the Exchange-free plan). The shuffle is paid once at ingest —
+    //      the Spark mirror of the reference sharding both edge
+    //      directions on vertex ranges (FastSharder.java:55-198) so
+    //      queries never re-partition ----
+    ("w6_bucketed_join",
+      (s: SparkSession, d: String) => {
+        val (ot, lt) = Tables.bucketedOrdersLineitem(s, d)
+        s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(cents(col("l_extendedprice"))).as("price_cents"))
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS n_items,
+          |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderpriority""".stripMargin)),
+
     // ---- W3: sweep with vertex-column join (reference
     //      GraphChiDatabase.scala:1875-1957) — the PageRank access pattern ----
     ("w3_sweep_in_join",
