@@ -23,35 +23,59 @@ object PageRank {
   val Base  = 150000000L // 0.15 scaled
 
   /** `iters` fixed iterations over a directed edge list; returns
-    * (id, rank_scaled) for the top-20 by (rank desc, id). */
+    * (id, rank_scaled) for the top-20 by (rank desc, id).
+    *
+    * ==One shuffle per superstep==
+    * Contributions only ever read the rank of a SOURCE vertex, so the
+    * loop state is restricted to `deg`'s vertices (sinks are
+    * reconstructed in the final full-vertex update — same numbers, the
+    * update rule never feeds a sink's rank back). Partitioning is then
+    * reused end-to-end: `deg` and `ed` are hash-partitioned on src at
+    * build time; `acc` comes out of its groupBy hashed on dst, and the
+    * alias dst→src rewrites the partitioning expression with it, so the
+    * rank-update join `deg ⋈ acc` and the next superstep's `ed ⋈ ranks`
+    * both see their clustering satisfied — the ONLY exchange per
+    * superstep is the |E|-row contribution combine (map-side partial
+    * sums, so a hub dst costs a combiner cell, not a straggler). 3→1
+    * shuffles per iteration vs. the naive full-vertex loop. */
   def top20(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select("src", "dst").localCheckpoint(true)
-    // degree and |V| are loop-invariant: materialize once, not per
-    // iteration — and the edge⋈outdeg join is TOO, so it is baked into
-    // the materialized edge list instead of re-joining every superstep
-    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg.withColumnRenamed("id", "src"), "src")
-      .localCheckpoint(true)
+    val e = edges.select("src", "dst")
+    // loop invariants, materialized once, all hashed on src. persist(),
+    // not localCheckpoint(): under AQE a checkpoint's LogicalRDD reports
+    // UnknownPartitioning, so every superstep would re-Exchange both join
+    // sides — InMemoryRelation preserves the child's hash partitioning
+    // and the downstream joins see their clustering satisfied
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist()
+    val ed = e.join(deg, "src").persist()
+    ed.count()
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
     val n = verts.agg(count(lit(1)).as("n")).localCheckpoint(true)
-    var ranks = verts.withColumn("r", lit(0L))
+    var ranksS = deg.select(col("src"), lit(0L).as("r"))
+    var lastAcc: DataFrame = null
     for (i <- 1 to iters) {
-      val contrib = ed
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+      val contrib = ed.join(ranksS, "src")
         .select(col("dst"), expr("greatest(r, 150000000L) div outdeg").as("c"))
-      val acc = contrib.groupBy(col("dst").as("id")).agg(sum("c").as("acc"))
-      ranks = verts
-        .join(acc, Seq("id"), "left_outer")
-        .crossJoin(broadcast(n))
-        .select(col("id"),
-          expr("150000000L div n + (17 * coalesce(acc, 0L)) div 20").as("r"))
-      // truncate lineage every few supersteps — otherwise the plan deepens
-      // linearly and convergence-length runs (50+ iters) re-analyze an
-      // ever-growing DAG; every-5 keeps short benchmark runs job-free
-      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+      val acc = contrib.groupBy(col("dst")).agg(sum("c").as("acc"))
+      lastAcc = acc
+      if (i < iters) {
+        ranksS = deg
+          .join(acc.withColumnRenamed("dst", "src"), Seq("src"), "left_outer")
+          .crossJoin(broadcast(n))
+          .select(col("src"),
+            expr("150000000L div n + (17 * coalesce(acc, 0L)) div 20").as("r"))
+        // truncate lineage every few supersteps — otherwise the plan
+        // deepens linearly and convergence-length runs (50+ iters)
+        // re-analyze an ever-growing DAG
+        if (i % 5 == 0) ranksS = ranksS.localCheckpoint(true)
+      }
     }
-    ranks.select(col("id"), col("r").as("rank_scaled"))
+    verts
+      .join(lastAcc.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+      .crossJoin(broadcast(n))
+      .select(col("id"),
+        expr("150000000L div n + (17 * coalesce(acc, 0L)) div 20").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("id")).limit(20)
   }
 
@@ -73,30 +97,43 @@ object PageRank {
     * sum combine (a hub key costs a combiner cell, not a straggler),
     * and the seed joins broadcast. */
   def personalizedTop20(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select("src", "dst").localCheckpoint(true)
-    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg.withColumnRenamed("id", "src"), "src")
-      .localCheckpoint(true)
+    // same src-only / partitioning-reuse loop shape as [[top20]]: one
+    // |E|-row combine per superstep is the only exchange
+    val e = edges.select("src", "dst")
+    // persist(), not localCheckpoint — see [[top20]] (AQE checkpoint
+    // loses partitioning; the cache keeps it)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist()
+    val ed = e.join(deg, "src").persist()
+    ed.count()
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
     val seed = e.agg(min("src").as("seed")).localCheckpoint(true)
-    var ranks = verts.crossJoin(broadcast(seed))
-      .select(col("id"),
-        when(col("id") === col("seed"), lit(Scale)).otherwise(lit(0L)).as("r"))
+    var ranksS = deg.crossJoin(broadcast(seed))
+      .select(col("src"),
+        when(col("src") === col("seed"), lit(Scale)).otherwise(lit(0L)).as("r"))
+    var lastAcc: DataFrame = null
     for (i <- 1 to iters) {
-      val contrib = ed
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+      val contrib = ed.join(ranksS, "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
-      val acc = contrib.groupBy(col("dst").as("id")).agg(sum("c").as("acc"))
-      ranks = verts
-        .join(acc, Seq("id"), "left_outer")
-        .crossJoin(broadcast(seed))
-        .select(col("id"),
-          (when(col("id") === col("seed"), lit(Base)).otherwise(lit(0L)) +
-            expr("(17 * coalesce(acc, 0L)) div 20")).as("r"))
-      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+      val acc = contrib.groupBy(col("dst")).agg(sum("c").as("acc"))
+      lastAcc = acc
+      if (i < iters) {
+        ranksS = deg
+          .join(acc.withColumnRenamed("dst", "src"), Seq("src"), "left_outer")
+          .crossJoin(broadcast(seed))
+          .select(col("src"),
+            (when(col("src") === col("seed"), lit(Base)).otherwise(lit(0L)) +
+              expr("(17 * coalesce(acc, 0L)) div 20")).as("r"))
+        if (i % 5 == 0) ranksS = ranksS.localCheckpoint(true)
+      }
     }
-    ranks.select(col("id"), col("r").as("rank_scaled"))
+    verts
+      .join(lastAcc.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+      .crossJoin(broadcast(seed))
+      .select(col("id"),
+        (when(col("id") === col("seed"), lit(Base)).otherwise(lit(0L)) +
+          expr("(17 * coalesce(acc, 0L)) div 20")).as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("id")).limit(20)
   }
 

@@ -291,7 +291,15 @@ object Traversals {
     * the fixpoint (not the per-iteration trace) is what parity checks,
     * per SURVEY §7.3. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val e = edges.select("src", "dst").localCheckpoint(true)
+    // the edge list is joined on src EVERY superstep: persist it hashed
+    // on src (a checkpoint under AQE reports UnknownPartitioning), so the
+    // |E|-row side never re-exchanges — per superstep only the |V|-row
+    // label table shuffles into the join plus the one unavoidable
+    // min-combine. Labels themselves keep the per-round localCheckpoint:
+    // the loop needs O(1) lineage across up-to-diameter rounds more than
+    // it needs the small side's partitioning.
+    val e = edges.select("src", "dst").repartition(col("src")).persist()
+    e.count()
     var labels = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().withColumn("label", col("id")).localCheckpoint(true)
     var changed = 1L
