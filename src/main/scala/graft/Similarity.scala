@@ -412,4 +412,46 @@ object Similarity {
           .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
     }
   }
+
+  /** E10: exact maximum-inner-product top-k (MIPS) — the retrieval metric
+    * of dot-product-trained embedding models (unnormalized two-tower /
+    * DSSM-style scores), where cosine's norm division would change the
+    * ranking. Scores are floor-scaled integers like e1's cosine.
+    *
+    * Scale path: MIPS reduces to cosine by the norm augmentation of
+    * Bachrach et al. (RecSys '14) — append sqrt(M² − ‖x‖²) to every
+    * vector (M = max corpus norm) and 0 to the query; inner-product order
+    * becomes cosine order, so the SAME hyperplane-LSH / IVF machinery as
+    * e2/e3 serves MIPS at 100 TB. This entry is the exact contract those
+    * bucketed variants are measured against. */
+  def mipsTopK(emb: DataFrame, k: Int): DataFrame = {
+    val q = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"),
+        floor(graft.functions.FloatDotProduct.dot(emb.sparkSession,
+          col("embedding"), col("qv")) * 1000000L).cast("long").as("dot_scaled"))
+      .orderBy(col("dot_scaled").desc, col("vec_id")).limit(k)
+  }
+
+  /** E11: exact L2-nearest top-k — the third standard ANN metric next to
+    * cosine (e1) and inner product ([[mipsTopK]]); squared distance (the
+    * same argsort, no sqrt in the hash) as a single left-fold over the
+    * zipped pair so DuckDB's init-less list_reduce agrees double-exactly
+    * (fold init 0.0 + x ≡ x). Ascending order, ties on vec_id. */
+  def l2TopK(emb: DataFrame, k: Int): DataFrame = {
+    val q = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"),
+        floor(expr(
+          """aggregate(zip_with(embedding, qv,
+            |  (x, y) -> (cast(x as double) - cast(y as double))
+            |          * (cast(x as double) - cast(y as double))),
+            |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
+          * 1000000L).cast("long").as("dist2_scaled"))
+      .orderBy(col("dist2_scaled").asc, col("vec_id")).limit(k)
+  }
 }

@@ -485,6 +485,26 @@ object TextOps {
       .withColumn("avg_nll_milli", expr("sum_nll_milli div n_tokens"))
   }
 
+  /** T18: the BPE merge-step statistic (Sennrich et al. '16) — the
+    * frequency table a byte-pair-encoding trainer consults each round:
+    * count every adjacent character pair inside every corpus token
+    * instance and return the top-`k` merge candidates by (count desc,
+    * pair asc). One training round merges the argmax; this operator is
+    * that round's corpus-wide scan, the distributed step a tokenizer
+    * build repeats ~50k times (with merged symbols fed back in).
+    *
+    * Scale shape: pair extraction is a projection (substring windows, no
+    * join); the count shuffles a key space bounded by the symbol-pair
+    * alphabet (≤1296 for [a-z0-9]²), so map-side combine collapses the
+    * corpus to one tiny row set per partition. */
+  def bpeMergePairs(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(k)
+
   /** T16: TF-IDF top-`k` terms per document — the classic keyword /
     * salient-term extractor (Salton & Buckley '88), the projection step
     * behind sparse retrieval indexes and topic labeling in a corpus

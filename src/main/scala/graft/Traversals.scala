@@ -618,4 +618,87 @@ object Traversals {
       .select(col("id"), col("a").as("auth_scaled"), col("h").as("hub_scaled"))
       .orderBy(col("auth_scaled").desc, col("id")).limit(20)
   }
+
+  /** G14: strongly connected components of a DIRECTED graph by iterative
+    * (forward-min, backward-min) class refinement — the Orzan/FW-BW
+    * family reshaped for keyed dataflow (no recursion, no pivot BFS
+    * per call stack frame):
+    *
+    *   class₀ = one class for everything; each round computes, WITHIN
+    *   each class, F(v) = min vertex reaching v and B(v) = min vertex
+    *   reachable from v (two CC-shaped min-label fixpoints over the
+    *   intra-class edge sets), then splits classes by the (F, B) pair.
+    *
+    * Invariants: members of one SCC always share (F, B), so they are
+    * never separated; a class whose members all have F = B = m is
+    * exactly SCC(m) (m reaches everyone, everyone reaches m); and each
+    * round finalizes at least every current class minimum's SCC, so the
+    * fixpoint — every vertex with F = B — IS the SCC decomposition,
+    * labels = per-SCC minimum vertex id. The result is unique, so the
+    * mutual-closure oracle agrees exactly.
+    *
+    * Scale shape: per outer round, the intra-class edge restriction is
+    * two hash joins, persisted hashed on src/dst so both direction
+    * fixpoints rerun CC's one-combine-per-superstep shape; no driver
+    * data, no per-SCC recursion. Fails loudly past `maxOuter` (like
+    * [[kCore]]) rather than returning a non-fixpoint. */
+  def sccLabels(edges: DataFrame, maxOuter: Int = 12,
+                maxInner: Int = 60): DataFrame = {
+    val e0 = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    var lab = e0.select(col("src").as("id")).union(e0.select(col("dst").as("id")))
+      .distinct().withColumn("cls", lit(0L)).localCheckpoint(true)
+
+    // min-label propagation along `dir` (src -> dst) within classes:
+    // the edge list is already intra-class-restricted, so each superstep
+    // is one join + one min-combine, exactly connectedComponents' shape
+    def minProp(dir: DataFrame): DataFrame = {
+      var f = lab.withColumn("f", col("id")).localCheckpoint(true)
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxInner) {
+        it += 1
+        val msg = dir.join(f.select(col("id").as("src"), col("f")), "src")
+          .groupBy(col("dst").as("id")).agg(min("f").as("mf"))
+        val next = f.join(msg, Seq("id"), "left_outer")
+          .select(col("id"), col("cls"),
+            least(col("f"), coalesce(col("mf"), col("f"))).as("f"),
+            coalesce(col("mf") < col("f"), lit(false)).as("_chg"))
+          .localCheckpoint(true)
+        changed = next.filter(col("_chg")).count()
+        f = next.select("id", "cls", "f")
+      }
+      if (changed > 0) throw new IllegalStateException(
+        s"sccLabels: min-label fixpoint not reached within maxInner=$maxInner")
+      f
+    }
+
+    var outer = 0
+    var result: DataFrame = null
+    while (result == null && outer < maxOuter) {
+      outer += 1
+      // restrict edges to same-class endpoints once per round
+      val ec = e0
+        .join(lab.select(col("id").as("src"), col("cls").as("scls")), "src")
+        .join(lab.select(col("id").as("dst"), col("cls").as("dcls")), "dst")
+        .filter(col("scls") === col("dcls"))
+        .select("src", "dst")
+        .repartition(col("src")).persist()
+      ec.count()
+      val fwd = minProp(ec)
+      val bwd = minProp(ec.select(col("dst").as("src"), col("src").as("dst")))
+        .select(col("id"), col("f").as("b"))
+      val refined = fwd.select("id", "f").join(bwd, "id").localCheckpoint(true)
+      ec.unpersist()
+      if (refined.filter(col("f") =!= col("b")).count() == 0L)
+        result = refined.select(col("id"), col("f").as("label"))
+      else
+        lab = refined.select(col("id"),
+          (col("f") * lit(1000000L) + col("b")).as("cls"))
+          .localCheckpoint(true)
+    }
+    if (result == null) throw new IllegalStateException(
+      s"sccLabels did not reach the SCC fixpoint within maxOuter=$maxOuter rounds")
+    result
+  }
 }

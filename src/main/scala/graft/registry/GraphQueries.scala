@@ -277,6 +277,27 @@ object GraphQueries {
     //      surviving edges). Oracle: UnrollRounds materialized rounds of
     //      the same peel, triangles re-enumerated per round from the
     //      canonical a<b<c join; errors loudly if not converged ----
+    // ---- G14: strongly connected components of the DIRECTED zipf
+    //      graph — iterative (forward-min, backward-min) class
+    //      refinement (Traversals.sccLabels); the SCC decomposition is
+    //      unique, so the mutual-reachability-closure oracle agrees
+    //      exactly. The closure is oracle-only cost: the engine side
+    //      never materializes transitive reachability ----
+    ("g14_scc",
+      (s: SparkSession, d: String) =>
+        Traversals.sccLabels(ZipfQueries.zipfEdges(s, d)),
+      Some(Oracle.withSql(ZipfQueries.ZEDGES + """,
+        |szd AS (SELECT DISTINCT src, dst FROM zedges WHERE src <> dst),
+        |sverts AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM szd UNION ALL SELECT dst AS id FROM szd)),
+        |sreach(id, r) AS (
+        |  SELECT id, id FROM sverts
+        |  UNION
+        |  SELECT w.id, e.dst FROM sreach w JOIN szd e ON w.r = e.src)""".stripMargin,
+        """SELECT a.id, min(a.r) AS label
+          |FROM sreach a JOIN sreach b ON a.id = b.r AND a.r = b.id
+          |GROUP BY a.id""".stripMargin))),
+
     ("g13_ktruss",
       (s: SparkSession, d: String) =>
         Queries.kTruss(zipfCanon(s, d), k = 4, maxIter = UnrollRounds),

@@ -231,6 +231,20 @@ object TextQueries {
           |       CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_milli
           |FROM nlls GROUP BY doc_id""".stripMargin))),
 
+    // ---- T18: the BPE merge-step statistic — adjacent-char pair counts
+    //      over all token instances, top-20 merge candidates; pair
+    //      extraction is a projection, the count key space is the
+    //      bounded symbol-pair alphabet (pure map-side combine) ----
+    ("t18_bpe_merge_pairs",
+      (s: SparkSession, d: String) => TextOps.bpeMergePairs(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        """, wd AS (SELECT unnest(ts) AS w FROM tok),
+          |prs AS (SELECT unnest(list_transform(range(1, length(w)),
+          |          i -> substr(w, i, 2))) AS pair
+          |        FROM wd WHERE length(w) >= 2)
+          |SELECT pair, count(*) AS cnt FROM prs
+          |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin))),
+
     ("t13_mixture_sample",
       (s: SparkSession, d: String) => TextOps.mixtureSample(Tables.documents(s, d)),
       Some(

@@ -104,6 +104,36 @@ object VectorQueries {
         Similarity.bruteForceTopK(Tables.embeddings(s, d), k = 10),
       Some(s"WITH $Q, $BRUTE\nSELECT vec_id, cos_scaled FROM brute")),
 
+    // E10: exact MIPS top-k — dot-product retrieval (unnormalized
+    // two-tower scores); at scale MIPS rides the e2/e3 bucketed paths via
+    // the norm augmentation (Bachrach et al. RecSys '14), this is the
+    // exact contract they are measured against
+    ("e10_mips_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.mipsTopK(Tables.embeddings(s, d), k = 10),
+      Some(s"""WITH $Q
+        |SELECT e.vec_id,
+        |  CAST(floor(list_reduce(list_transform(list_zip(e.embedding, q.qv),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
+        |    * 1000000) AS BIGINT) AS dot_scaled
+        |FROM embeddings e, q WHERE e.vec_id <> q.qid
+        |ORDER BY dot_scaled DESC, e.vec_id LIMIT 10""".stripMargin)),
+
+    // E11: exact L2-nearest top-k — squared distance (same argsort, no
+    // sqrt in the hash), one left-fold over the zipped pair in both
+    // engines so scores are double-exact
+    ("e11_l2_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.l2TopK(Tables.embeddings(s, d), k = 10),
+      Some(s"""WITH $Q
+        |SELECT e.vec_id,
+        |  CAST(floor(list_reduce(list_transform(list_zip(e.embedding, q.qv),
+        |    z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+        |       * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))), (s, v) -> s + v)
+        |    * 1000000) AS BIGINT) AS dist2_scaled
+        |FROM embeddings e, q WHERE e.vec_id <> q.qid
+        |ORDER BY dist2_scaled ASC, e.vec_id LIMIT 10""".stripMargin)),
+
     // E8: scalar-quantized (int8) candidates + exact rerank — per-dim
     // [min,max] grid, asymmetric dequantized-code · full-precision-query
     // scoring for the top-50, exact cosine on the survivors. Identical

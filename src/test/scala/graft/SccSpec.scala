@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** G14: strongly connected components via (forward-min, backward-min)
+  * class refinement — pinned against hand-computed decompositions. */
+class SccSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def scc(edges: (Long, Long)*): Map[Long, Long] = {
+    val s = spark; import s.implicits._
+    Traversals.sccLabels(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two cycles joined by a DAG edge are two SCCs") {
+    // 1->2->3->1 (SCC {1,2,3}), 4->5->4 (SCC {4,5}), bridge 3->4
+    val m = scc(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L, 5L -> 4L, 3L -> 4L)
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("a pure DAG is all singleton SCCs") {
+    val m = scc(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L)
+    assert(m == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("direction matters: anti-parallel pair is one SCC, one-way is not") {
+    assert(scc(7L -> 9L, 9L -> 7L) == Map(7L -> 7L, 9L -> 7L))
+    assert(scc(7L -> 9L, 9L -> 8L) == Map(7L -> 7L, 8L -> 8L, 9L -> 9L))
+  }
+
+  test("nested structure: big cycle with an inner shortcut stays one SCC") {
+    // 1->2->3->4->5->1 plus shortcut 3->1; tail 5->6
+    val m = scc(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 1L, 3L -> 1L, 5L -> 6L)
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 6L))
+  }
+
+  test("chain of 2-cycles (SCC condensation is a path) converges") {
+    // (1,2) -> (3,4) -> (5,6): three SCCs in a line — exercises multiple
+    // refinement rounds since classes split progressively
+    val m = scc(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L, 5L -> 6L, 6L -> 5L,
+      2L -> 3L, 4L -> 5L)
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("self-loops and parallel edges are ignored / deduped") {
+    val m = scc(1L -> 1L, 1L -> 2L, 1L -> 2L, 2L -> 1L)
+    assert(m == Map(1L -> 1L, 2L -> 1L))
+  }
+}

@@ -72,6 +72,28 @@ class TextOps2Spec extends AnyFunSuite {
     assert(r == brute.toSet)
   }
 
+  test("bpeMergePairs counts adjacent char pairs across token instances") {
+    val c = docs(1L -> "abab abab", 2L -> "ab x")
+    val r = TextOps.bpeMergePairs(c).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // "abab" has pairs ab,ba,ab (x2 instances) -> ab: 2*2+1=5, ba: 2*1=2
+    assert(r("ab") == 5L && r("ba") == 2L)
+    assert(!r.contains("x")) // 1-char tokens contribute nothing
+  }
+
+  test("mips and l2 top-k agree with a driver-side brute force") {
+    val s = spark; import s.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.1f)),
+      (3L, Array(0.0f, 3.0f)), (4L, Array(1.0f, 0.1f)),
+      (5L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // query = vec 1 = (1, 0)
+    val mips = Similarity.mipsTopK(emb, 3).collect().map(_.getLong(0)).toSeq
+    assert(mips == Seq(2L, 4L, 3L)) // dots: 2.0, 1.0, 0.0 (5 is -1)
+    val l2 = Similarity.l2TopK(emb, 3).collect().map(_.getLong(0)).toSeq
+    assert(l2 == Seq(4L, 2L, 5L)) // d2: 0.01, 1.01, 4.0 (3 is 10.0)
+  }
+
   test("clusterSafeSplit puts a whole near-dup cluster on one side") {
     val base = "the quick brown fox jumps over the lazy dog near the river"
     val c = docs(
