@@ -411,6 +411,39 @@ object Dedup {
       .select("doc_id", "rep", "split")
   }
 
+  /** D10: quality-aware dedup keeper — x2's clusters with the PRODUCTION
+    * keeper rule: keep the best copy, not the lowest id. Per near-dup
+    * cluster the keeper is argmax by (is_quality desc, n_tokens desc,
+    * doc_id asc) over [[TextOps.qualityScore]]'s columns — a paraphrase
+    * cluster keeps its longest quality member, so dedup never deletes
+    * the good copy in favor of a truncated one. Returns one row per
+    * cluster: (keep_id, cluster_n, n_quality).
+    *
+    * Scale shape: candidates and the CC fixpoint are the x2 machinery
+    * (pair-graph sized); quality columns are a projection over the
+    * cluster MEMBERS only (semi-join-restricted corpus scan), and the
+    * per-cluster argmax is one window over rows already grouped by
+    * label. */
+  def qualityKeeper(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashCandidatesDirect(docs)
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val labels = Traversals.connectedComponents(sym)
+      .withColumnRenamed("id", "doc_id")
+    val q = TextOps.qualityScore(docs)
+      .select("doc_id", "n_tokens", "is_quality")
+    val w = Window.partitionBy("label")
+      .orderBy(col("is_quality").desc, col("n_tokens").desc, col("doc_id"))
+    labels.join(q, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy("label")
+      .agg(max(when(col("rk") === 1, col("doc_id"))).as("keep_id"),
+        count(lit(1)).as("cluster_n"),
+        sum(col("is_quality").cast("long")).as("n_quality"))
+      .select("keep_id", "cluster_n", "n_quality")
+  }
+
   /** D9: SemDeDup-style SEMANTIC dedup (Abbas et al. '23: deduplicate by
     * embedding-space similarity, which catches paraphrases and
     * translations that lexical MinHash misses): the embedding near-dup

@@ -619,6 +619,59 @@ object Traversals {
       .orderBy(col("auth_scaled").desc, col("id")).limit(20)
   }
 
+  /** G15: maximal independent set by Luby's algorithm (Luby '86), made
+    * deterministic the suite's usual way: the per-vertex random priority
+    * is md5(salt‖id) with a zero-padded id suffix (unique, engine-
+    * independent), so every round's winner set — undecided vertices
+    * whose priority is strictly smaller than every undecided neighbor's
+    * — is engine-exact and the unrolled oracle replays it. Winners join
+    * the MIS; winners and their neighbors leave the undecided set;
+    * O(log n) rounds w.h.p. Returns the MIS vertex ids.
+    *
+    * The classic symmetry-breaking primitive behind parallel coloring /
+    * scheduling. Input is a canonical undirected simple edge list
+    * (src < dst, distinct), symmetrized internally.
+    *
+    * Scale shape: per round one keyed min-combine over the undecided
+    * edge frontier (partial combine — the hub costs a combiner cell)
+    * plus two anti-joins, all on the shrinking undecided set; the edge
+    * list persists hashed on src once. Fails loudly past `maxIter`. */
+  def maximalIndependentSet(canon: DataFrame, salt: String = "mis",
+                            maxIter: Int = 20): DataFrame = {
+    val sym = canon.select("src", "dst")
+      .unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).persist()
+    sym.count()
+    val prio = concat(md5(concat(lit(salt + "|"), col("id").cast("string"))),
+      lpad(col("id").cast("string"), 10, "0"))
+    var undecided = sym.select(col("src").as("id")).distinct()
+      .withColumn("p", prio).localCheckpoint(true)
+    var mis = undecided.select("id").limit(0).localCheckpoint(true)
+    var remaining = undecided.count()
+    var iter = 0
+    while (remaining > 0 && iter < maxIter) {
+      iter += 1
+      // min undecided-neighbor priority per vertex; vertices whose
+      // neighbors are all decided get no row and win by default
+      val nmin = sym
+        .join(undecided.select(col("id").as("src"), col("p").as("sp")), "src")
+        .groupBy(col("dst").as("id")).agg(min("sp").as("np"))
+      val winners = undecided.join(nmin, Seq("id"), "left_outer")
+        .filter(col("np").isNull || col("p") < col("np"))
+        .select("id").localCheckpoint(true)
+      mis = mis.unionByName(winners).localCheckpoint(true)
+      val excluded = winners.unionByName(
+        sym.join(winners.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"))).distinct()
+      undecided = undecided.join(excluded, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      remaining = undecided.count()
+    }
+    if (remaining > 0) throw new IllegalStateException(
+      s"maximalIndependentSet did not decide all vertices within maxIter=$maxIter rounds")
+    mis.select("id")
+  }
+
   /** G14: strongly connected components of a DIRECTED graph by iterative
     * (forward-min, backward-min) class refinement — the Orzan/FW-BW
     * family reshaped for keyed dataflow (no recursion, no pivot BFS

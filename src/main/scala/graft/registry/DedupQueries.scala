@@ -116,6 +116,30 @@ object DedupQueries {
           |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS ham
           |FROM hcand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin))),
 
+    // ---- D10: quality-aware dedup keeper — x2's clusters with the
+    //      production keeper rule: keep the best copy (is_quality desc,
+    //      n_tokens desc, doc_id asc), never the truncated one ----
+    ("d10_quality_keeper",
+      (s: SparkSession, d: String) =>
+        Dedup.qualityKeeper(Tables.documents(s, d)),
+      Some(Oracle.withSql(CLUSTERS,
+        """, qsc AS (
+          |  SELECT t.doc_id, len(t.ts) AS n_tokens,
+          |    CASE WHEN len(t.ts) >= 5 AND len(t.ts) <= 100000
+          |          AND (100 * len(list_filter(t.ts, x -> x IN ('the','a','of','and','to','is','in')))) // greatest(len(t.ts), 1) >= 1
+          |          AND len(regexp_extract_all(t.text, '[.,!?;:]')) * 4 <= len(t.ts)
+          |         THEN 1 ELSE 0 END AS is_quality
+          |  FROM tok t),
+          |mem AS (
+          |  SELECT l.label, q.doc_id, q.n_tokens, q.is_quality,
+          |    row_number() OVER (PARTITION BY l.label
+          |      ORDER BY q.is_quality DESC, q.n_tokens DESC, q.doc_id) AS rk
+          |  FROM labels l JOIN qsc q ON l.id = q.doc_id)
+          |SELECT max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+          |       count(*) AS cluster_n,
+          |       CAST(sum(is_quality) AS BIGINT) AS n_quality
+          |FROM mem GROUP BY label""".stripMargin))),
+
     // ---- X3: near-dup-cluster-safe train/eval split — whole cluster on
     //      one side (leakage guard), md5-deterministic on the cluster
     //      representative; singletons represent themselves ----

@@ -298,6 +298,47 @@ object GraphQueries {
           |FROM sreach a JOIN sreach b ON a.id = b.r AND a.r = b.id
           |GROUP BY a.id""".stripMargin))),
 
+    // ---- G15: maximal independent set, Luby's algorithm with
+    //      md5-deterministic priorities — the parallel symmetry-breaking
+    //      primitive (coloring / scheduling). Unrolled oracle replays the
+    //      exact winner rounds (fixture converges in 3; 6 unrolled with a
+    //      loud convergence assertion, all CTEs MATERIALIZED — the g13
+    //      lesson: multiply-referenced unmaterialized CTEs re-evaluate
+    //      exponentially) ----
+    ("g15_mis_luby",
+      (s: SparkSession, d: String) =>
+        Traversals.maximalIndependentSet(zipfCanon(s, d)),
+      Some {
+        val R = 6
+        val sb = new StringBuilder
+        sb.append(ZCANON).append(""",
+          |zsym AS MATERIALIZED (SELECT src, dst FROM zc UNION ALL SELECT dst, src FROM zc),
+          |mverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM zsym),
+          |u0 AS MATERIALIZED (
+          |  SELECT id, md5('mis|' || id) || lpad(CAST(id AS VARCHAR), 10, '0') AS p
+          |  FROM mverts)""".stripMargin)
+        for (i <- 1 to R) {
+          sb.append(s""",
+            |nmin$i AS MATERIALIZED (
+            |  SELECT s.dst AS id, min(u.p) AS np
+            |  FROM zsym s JOIN u${i - 1} u ON s.src = u.id GROUP BY s.dst),
+            |w$i AS MATERIALIZED (
+            |  SELECT u.id FROM u${i - 1} u LEFT JOIN nmin$i n ON u.id = n.id
+            |  WHERE n.np IS NULL OR u.p < n.np),
+            |ex$i AS MATERIALIZED (
+            |  SELECT DISTINCT id FROM (SELECT id FROM w$i
+            |    UNION ALL SELECT s.dst FROM zsym s JOIN w$i w ON s.src = w.id)),
+            |u$i AS MATERIALIZED (
+            |  SELECT u.id, u.p FROM u${i - 1} u LEFT JOIN ex$i e ON u.id = e.id
+            |  WHERE e.id IS NULL)""".stripMargin)
+        }
+        sb.append(s"""
+          |SELECT id FROM (${(1 to R).map(i => s"SELECT id FROM w$i").mkString(" UNION ALL ")})
+          |WHERE CASE WHEN (SELECT count(*) FROM u$R) = 0 THEN true
+          |  ELSE error('g15 oracle: Luby not converged in $R rounds — raise R') END""".stripMargin)
+        Oracle.withSql(sb.toString, "")
+      }),
+
     ("g13_ktruss",
       (s: SparkSession, d: String) =>
         Queries.kTruss(zipfCanon(s, d), k = 4, maxIter = UnrollRounds),

@@ -94,6 +94,28 @@ class TextOps2Spec extends AnyFunSuite {
     assert(l2 == Seq(4L, 2L, 5L)) // d2: 0.01, 1.01, 4.0 (3 is 10.0)
   }
 
+  test("qualityKeeper keeps the best-quality longest member, not the min id") {
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val c = docs(
+      5L -> s"$base bank and the story continues for a while longer here",
+      6L -> s"$base bank and the story continues for a while longer here",
+      7L -> s"$base bank") // shorter near-dup; min id would be 5
+    val r = Dedup.qualityKeeper(c).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.length == 1)
+    val (keep, n, nq) = r.head
+    assert(n == 3 && nq == 3)
+    assert(keep == 5L) // longest + quality, tie on n_tokens broken by id
+    // now make doc 5 junk (all punctuation): keeper must skip it
+    val c2 = docs(
+      5L -> (s"$base bank" + " .,!?;:" * 30),
+      6L -> s"$base bank and the story continues for a while longer here",
+      7L -> s"$base bank")
+    val r2 = Dedup.qualityKeeper(c2).collect()
+    if (r2.length == 1) // cluster may or may not include the junk variant
+      assert(r2.head.getLong(0) != 5L || r2.head.getLong(2) == 3)
+  }
+
   test("clusterSafeSplit puts a whole near-dup cluster on one side") {
     val base = "the quick brown fox jumps over the lazy dog near the river"
     val c = docs(
