@@ -619,6 +619,71 @@ object Traversals {
       .orderBy(col("auth_scaled").desc, col("id")).limit(20)
   }
 
+  /** G16: minimum spanning forest by Borůvka's algorithm (1926) — the
+    * parallel-native MST: each round every component selects its minimum
+    * outgoing edge, the selected set is acyclic when weights are unique
+    * (the largest edge of any would-be cycle cannot be either endpoint
+    * component's minimum), and components contract; O(log V) rounds.
+    * Weights are made TOTAL-ORDER unique by the composite (w, src, dst),
+    * so the MSF is the unique one and the unrolled oracle replays it
+    * edge-for-edge.
+    *
+    * Input: canonical undirected weighted edges (src < dst, distinct,
+    * integer `w`). Returns the forest edge set (src, dst, w).
+    *
+    * Scale shape: per round, component labels come from [[ccBigStar]]
+    * over the forest-so-far (≤V edges, O(log) rounds, skew-robust
+    * min-combines); the cross-component restriction is two hash joins of
+    * the edge list against the label table; the per-component argmin is
+    * one partial-combining min of a (w, src, dst) struct — a hub
+    * component costs a combiner cell. The edge list persists hashed once.
+    * Fails loudly past `maxRounds`. */
+  def msfBoruvka(canonWeighted: DataFrame, maxRounds: Int = 8): DataFrame = {
+    val e = canonWeighted.select("src", "dst", "w")
+      .repartition(col("src")).persist()
+    e.count()
+    var lab = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var forest = e.limit(0).localCheckpoint(true)
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      round += 1
+      val cross = e
+        .join(lab.select(col("id").as("src"), col("label").as("la")), "src")
+        .join(lab.select(col("id").as("dst"), col("label").as("lb")), "dst")
+        .filter(col("la") =!= col("lb"))
+      // per-component argmin carries (la, lb) through the struct (they
+      // sort AFTER dst, so the (w, src, dst) order is untouched) — the
+      // selected edges double as the CONTRACTED component graph below
+      val sel = cross
+        .select(explode(array(col("la"), col("lb"))).as("c"),
+          struct(col("w"), col("src"), col("dst"), col("la"), col("lb")).as("k"))
+        .groupBy("c").agg(min("k").as("k"))
+        .select(col("k.src").as("src"), col("k.dst").as("dst"),
+          col("k.w").as("w"), col("k.la").as("la"), col("k.lb").as("lb"))
+        .distinct().localCheckpoint(true)
+      if (sel.count() == 0L) done = true
+      else {
+        forest = forest.unionByName(sel.select("src", "dst", "w"))
+          .localCheckpoint(true)
+        // contract in LABEL space: CC over the selected component-graph
+        // (components-sized, halving each round — never the whole
+        // forest), then compose onto the vertex labels. min-label CC of
+        // label-space ids keeps labels = component-min original ids.
+        val ccc = ccBigStar(sel.select(col("la").as("src"), col("lb").as("dst")))
+          .select(col("id").as("label"), col("label").as("nl"))
+        lab = lab.join(ccc, Seq("label"), "left")
+          .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
+          .localCheckpoint(true)
+      }
+    }
+    if (!done) throw new IllegalStateException(
+      s"msfBoruvka did not contract to a spanning forest within maxRounds=$maxRounds")
+    forest
+  }
+
   /** G15: maximal independent set by Luby's algorithm (Luby '86), made
     * deterministic the suite's usual way: the per-vertex random priority
     * is md5(salt‖id) with a zero-padded id suffix (unique, engine-

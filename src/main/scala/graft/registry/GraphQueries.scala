@@ -298,6 +298,59 @@ object GraphQueries {
           |FROM sreach a JOIN sreach b ON a.id = b.r AND a.r = b.id
           |GROUP BY a.id""".stripMargin))),
 
+    // ---- G16: minimum spanning forest, Borůvka — md5-derived integer
+    //      weights made total-order unique by (w, src, dst); the MSF is
+    //      then unique, so the unrolled oracle (per-round closure labels
+    //      + per-component window argmin, all MATERIALIZED) replays it
+    //      edge-for-edge; fixture contracts in 3 rounds, 5 unrolled with
+    //      a loud convergence assertion ----
+    ("g16_msf_boruvka",
+      (s: SparkSession, d: String) =>
+        Traversals.msfBoruvka(zipfCanon(s, d).withColumn("w", expr(
+          "cast(conv(substring(md5(concat('mst|', cast(src as string), '_', cast(dst as string))), 1, 15), 16, 10) as bigint) % 1000000"))),
+      Some {
+        val R = 5
+        val sb = new StringBuilder
+        sb.append(ZCANON).append(""",
+          |ew AS MATERIALIZED (
+          |  SELECT src, dst,
+          |    CAST(('0x' || substr(md5('mst|' || src || '_' || dst), 1, 15)) AS BIGINT) % 1000000 AS w
+          |  FROM zc),
+          |wverts AS MATERIALIZED (SELECT DISTINCT id FROM
+          |  (SELECT src AS id FROM zc UNION ALL SELECT dst FROM zc)),
+          |f0 AS MATERIALIZED (SELECT src, dst, w FROM ew WHERE false)""".stripMargin)
+        for (i <- 1 to R + 1) {
+          // labels of the forest-so-far via undirected closure
+          sb.append(s""",
+            |fs$i AS MATERIALIZED (SELECT src, dst FROM f${i - 1}
+            |  UNION ALL SELECT dst, src FROM f${i - 1}),
+            |fr$i(id, r) AS (
+            |  SELECT id, id FROM wverts
+            |  UNION
+            |  SELECT x.id, y.dst FROM fr$i x JOIN fs$i y ON x.r = y.src),
+            |flab$i AS MATERIALIZED (SELECT id, min(r) AS lbl FROM fr$i GROUP BY id),
+            |fx$i AS MATERIALIZED (
+            |  SELECT e.src, e.dst, e.w, a.lbl AS la, b.lbl AS lb
+            |  FROM ew e JOIN flab$i a ON e.src = a.id JOIN flab$i b ON e.dst = b.id
+            |  WHERE a.lbl <> b.lbl)""".stripMargin)
+          if (i <= R) sb.append(s""",
+            |fsel$i AS MATERIALIZED (
+            |  SELECT DISTINCT src, dst, w FROM (
+            |    SELECT c, src, dst, w,
+            |      row_number() OVER (PARTITION BY c ORDER BY w, src, dst) AS rk
+            |    FROM (SELECT la AS c, src, dst, w FROM fx$i
+            |          UNION ALL SELECT lb AS c, src, dst, w FROM fx$i))
+            |  WHERE rk = 1),
+            |f$i AS MATERIALIZED (SELECT src, dst, w FROM f${i - 1}
+            |  UNION ALL SELECT src, dst, w FROM fsel$i)""".stripMargin)
+        }
+        sb.append(s"""
+          |SELECT src, dst, w FROM f$R
+          |WHERE CASE WHEN (SELECT count(*) FROM fx${R + 1}) = 0 THEN true
+          |  ELSE error('g16 oracle: Boruvka not contracted in $R rounds — raise R') END""".stripMargin)
+        Oracle.withSql(sb.toString, "")
+      }),
+
     // ---- G15: maximal independent set, Luby's algorithm with
     //      md5-deterministic priorities — the parallel symmetry-breaking
     //      primitive (coloring / scheduling). Unrolled oracle replays the

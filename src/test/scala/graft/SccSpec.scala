@@ -47,4 +47,27 @@ class SccSpec extends AnyFunSuite {
     val m = scc(1L -> 1L, 1L -> 2L, 1L -> 2L, 2L -> 1L)
     assert(m == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("msfBoruvka picks the unique MST of a weighted square with diagonal") {
+    val s = spark; import s.implicits._
+    // square 1-2-3-4 with weights 1,2,3,4 and diagonal 1-3 weight 5:
+    // MST = edges w=1,2,3 (the w=4 edge closes a cycle, diagonal too)
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (1L, 4L, 4L), (1L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val f = Traversals.msfBoruvka(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(f == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)))
+  }
+
+  test("msfBoruvka spans a forest: two components, each its own tree") {
+    val s = spark; import s.implicits._
+    val edges = Seq(
+      (1L, 2L, 9L), (2L, 3L, 1L), (1L, 3L, 2L), // triangle -> drop w=9
+      (10L, 11L, 7L)) // separate component
+      .toDF("src", "dst", "w")
+    val f = Traversals.msfBoruvka(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(f == Set((2L, 3L, 1L), (1L, 3L, 2L), (10L, 11L, 7L)))
+  }
 }
