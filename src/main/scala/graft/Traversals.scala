@@ -619,6 +619,32 @@ object Traversals {
       .orderBy(col("auth_scaled").desc, col("id")).limit(20)
   }
 
+  /** G17: diameter lower bound by the double-sweep heuristic (Magnien,
+    * Latapy, Habib '09 — exact on trees, near-exact on real graphs): BFS
+    * from an md5-deterministic pivot, take the farthest reached vertex
+    * (max dist, tie min id), BFS again from it; that eccentricity is the
+    * bound. Two [[bfsDistances]] sweeps — 2·O(diameter) supersteps total,
+    * each one frontier⋈edges join + anti-join — vs. all-pairs BFS for the
+    * exact diameter; the estimate covers the pivot's component. Returns
+    * one row (pivot_id, far_id, far_dist, diameter_lb). Input: canonical
+    * undirected simple edges, symmetrized internally. */
+  def doubleSweepDiameter(canon: DataFrame, salt: String = "ds",
+                          maxDepth: Int = 6): DataFrame = {
+    val sym = canon.select("src", "dst")
+      .unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val pivot = sym.select(col("src").as("id")).distinct()
+      .orderBy(md5(concat(lit(salt + "0|"), col("id").cast("string"))), col("id"))
+      .limit(1).select(col("id").as("source"), col("id"))
+    val d1 = bfsDistances(sym, pivot, maxDepth)
+    val far = d1.orderBy(col("dist").desc, col("id")).limit(1)
+      .select(col("source").as("pivot_id"), col("id").as("far_id"),
+        col("dist").as("far_dist"))
+    val farSrc = far.select(col("far_id").as("source"), col("far_id").as("id"))
+    val d2 = bfsDistances(sym, farSrc, maxDepth)
+    far.crossJoin(broadcast(d2.agg(max("dist").as("diameter_lb"))))
+  }
+
   /** G16: minimum spanning forest by Borůvka's algorithm (1926) — the
     * parallel-native MST: each round every component selects its minimum
     * outgoing edge, the selected set is acyclic when weights are unique

@@ -298,6 +298,46 @@ object GraphQueries {
           |FROM sreach a JOIN sreach b ON a.id = b.r AND a.r = b.id
           |GROUP BY a.id""".stripMargin))),
 
+    // ---- G17: double-sweep diameter lower bound — BFS from an md5
+    //      pivot, re-BFS from the farthest vertex; 2·O(diameter)
+    //      supersteps vs all-pairs for the exact value. Oracle unrolls
+    //      both sweeps to depth 6 (fixture diameter estimate is 3) with
+    //      a convergence assertion ----
+    ("g17_double_sweep_diameter",
+      (s: SparkSession, d: String) =>
+        Traversals.doubleSweepDiameter(zipfCanon(s, d)),
+      Some {
+        val D = 6
+        def sweep(pfx: String, seed: String): String = {
+          val sb = new StringBuilder
+          sb.append(s""",
+            |${pfx}0 AS MATERIALIZED (SELECT id, 0 AS d FROM $seed)""".stripMargin)
+          for (i <- 1 to D) sb.append(s""",
+            |$pfx$i AS MATERIALIZED (SELECT id, min(d) AS d FROM (
+            |  SELECT id, d FROM $pfx${i - 1}
+            |  UNION ALL
+            |  SELECT s.dst AS id, a.d + 1 AS d
+            |  FROM dsym s JOIN $pfx${i - 1} a ON s.src = a.id) GROUP BY id)""".stripMargin)
+          sb.toString
+        }
+        Oracle.withSql(ZCANON + """,
+          |dsym AS MATERIALIZED (SELECT src, dst FROM zc UNION ALL SELECT dst, src FROM zc),
+          |dverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM dsym),
+          |dp AS MATERIALIZED (SELECT id FROM dverts ORDER BY md5('ds0|' || id), id LIMIT 1)""".stripMargin
+          + sweep("da", "dp") + s""",
+          |farx AS MATERIALIZED (
+          |  SELECT (SELECT id FROM dp) AS pivot_id, id AS far_id, d AS far_dist
+          |  FROM da$D ORDER BY d DESC, id LIMIT 1),
+          |fseed AS MATERIALIZED (SELECT far_id AS id FROM farx)""".stripMargin
+          + sweep("db", "fseed"),
+          s"""SELECT pivot_id, far_id, far_dist,
+             |  (SELECT max(d) FROM db$D) AS diameter_lb
+             |FROM farx
+             |WHERE CASE WHEN (SELECT count(*) FROM da$D) = (SELECT count(*) FROM da${D - 1})
+             |  AND (SELECT count(*) FROM db$D) = (SELECT count(*) FROM db${D - 1})
+             |  THEN true ELSE error('g17 oracle: BFS not converged at depth $D') END""".stripMargin)
+      }),
+
     // ---- G16: minimum spanning forest, Borůvka — md5-derived integer
     //      weights made total-order unique by (w, src, dst); the MSF is
     //      then unique, so the unrolled oracle (per-round closure labels

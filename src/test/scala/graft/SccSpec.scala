@@ -48,6 +48,15 @@ class SccSpec extends AnyFunSuite {
     assert(m == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("doubleSweepDiameter is exact on a tree (path): diameter = path length") {
+    val s = spark; import s.implicits._
+    // path 1-2-3-4-5 has diameter 4; double sweep is exact on trees
+    val canon = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val r = Traversals.doubleSweepDiameter(canon).head()
+    assert(r.getAs[Long]("diameter_lb") == 4L)
+    assert(Set(1L, 5L).contains(r.getAs[Long]("far_id")))
+  }
+
   test("msfBoruvka picks the unique MST of a weighted square with diagonal") {
     val s = spark; import s.implicits._
     // square 1-2-3-4 with weights 1,2,3,4 and diagonal 1-3 weight 5:
