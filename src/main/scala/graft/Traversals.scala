@@ -845,4 +845,123 @@ object Traversals {
       s"sccLabels did not reach the SCC fixpoint within maxOuter=$maxOuter rounds")
     result
   }
+
+  /** G18: exact neighborhood function — N(h) = #ordered pairs (u, v) with
+    * dist(u, v) ≤ h, for h = 0..`maxH` (Palmer et al. KDD'02 "ANF" define
+    * the function; this is the exact baseline their sketches estimate).
+    * The reference's analytics stack reports reachability growth the same
+    * way (SubgraphFrequencies-style whole-graph profiles).
+    *
+    * Plan: iterate pairs(h) = pairs(h-1) ∪ (pairs(h-1) ⋈ edges), distinct
+    * — one keyed shuffle per hop, balls materialized as rows. Ball
+    * materialization is quadratic on small-diameter graphs, so `nRoots >
+    * 0` restricts the ball roots u to the nRoots md5-least vertices (the
+    * q9b/harmonic seeded-sampling discipline — cost nRoots·|ball|,
+    * independent of |V|); at 100 TB the all-roots path is
+    * [[anfHyperLogLog]] (per-vertex HLL registers, linear rows), graded
+    * against this exact form on the sampled roots. */
+  def neighborhoodFunction(edges: DataFrame, maxH: Int = 3,
+                           nRoots: Int = 0, salt: String = "anf"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select("src", "dst").distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    val verts = e.select(col("src").as("u")).union(e.select(col("dst").as("u")))
+      .distinct()
+    val roots =
+      if (nRoots <= 0) verts
+      else verts.orderBy(md5(concat(lit(salt + "|"), col("u").cast("string"))), col("u"))
+        .limit(nRoots)
+    var pairs = roots.select(col("u"), col("u").as("v")).localCheckpoint(true)
+    val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)]((0, pairs.count()))
+    for (h <- 1 to maxH) {
+      val nxt = pairs.join(e, pairs("v") === e("src"))
+        .select(pairs("u"), e("dst").as("v"))
+      pairs = pairs.unionByName(nxt).distinct().localCheckpoint(true)
+      counts += ((h, pairs.count()))
+    }
+    counts.toSeq.toDF("h", "n_pairs")
+  }
+
+  /** G18b: HyperANF (Boldi, Rosa & Vigna WWW'11) — the 100 TB path for
+    * the neighborhood function. EVERY vertex carries ONE HyperLogLog
+    * sketch of its ball; a hop is sketch(v) ∪= sketch(n) over in-edges,
+    * so state is V·2^lgK bytes and a hop is one shuffle of fixed-width
+    * registers — NO pair materialization, unlike [[neighborhoodFunction]].
+    * Built on Spark's DataSketches HLL aggregates (`hll_sketch_agg` /
+    * `hll_union_agg`), codegen'd and partial-combining.
+    *
+    * Returns (h, n_pairs, est_ok) graded on the `nRoots` md5-least
+    * vertices (the full-graph sketches are computed; only the grade is
+    * sampled): n_pairs the exact sampled count (from
+    * [[neighborhoodFunction]], which the oracle recomputes) and est_ok
+    * whether the summed sketch estimates over the same roots land within
+    * `tol` of it — the recall-as-oracle-metric discipline of e4/e5. At
+    * the fixture's ball cardinalities the lgK=12 sketch is still in its
+    * exact sparse mode, so est_ok is deterministically true. */
+  def anfHyperLogLog(edges: DataFrame, maxH: Int = 3, lgK: Int = 12,
+                     tol: Double = 0.10, nRoots: Int = 200,
+                     salt: String = "anf"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select("src", "dst").distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+    val roots = verts
+      .orderBy(md5(concat(lit(salt + "|"), col("id").cast("string"))), col("id"))
+      .limit(nRoots).localCheckpoint(true)
+    var sk = verts.groupBy("id")
+      .agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk")).localCheckpoint(true)
+    def total(s: DataFrame): Long =
+      s.join(broadcast(roots), "id")
+        .agg(sum(hll_sketch_estimate(col("sk")))).head().getLong(0)
+    val est = scala.collection.mutable.ArrayBuffer[(Int, Long)]((0, total(sk)))
+    for (h <- 1 to maxH) {
+      // ball(v) ∪= ball(out-neighbor): route each dst's sketch to its
+      // in-neighbors, then one union-agg per vertex (self rides along)
+      val fromNbr = e.join(sk.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("sk"))
+      sk = sk.unionByName(fromNbr).groupBy("id")
+        .agg(hll_union_agg(col("sk")).as("sk")).localCheckpoint(true)
+      est += ((h, total(sk)))
+    }
+    val exact = neighborhoodFunction(edges, maxH, nRoots, salt)
+    exact.join(est.toSeq.toDF("h", "est"), "h")
+      .select(col("h"), col("n_pairs"),
+        (abs(col("est") - col("n_pairs")) <= col("n_pairs") * tol).as("est_ok"))
+  }
+
+  /** G19: landmark-labeling distance estimates (the pivot/landmark half
+    * of 2-hop labeling, Akiba et al. SIGMOD'13 pruned landmark labeling;
+    * the plain upper bound d̂(u,v) = min_l d(u,l)+d(l,v) here): BFS from
+    * `nLandmarks` md5-least landmarks builds a (landmark, vertex, dist)
+    * label table ONCE, after which any pair's estimate is a label join —
+    * no per-query traversal. The 100 TB shape: label build is nLandmarks
+    * MultiBFS sweeps (V·L rows, linear in V), estimates are broadcast-
+    * joinable lookups; probe pairs here are two md5 samples crossed
+    * (`nProbes`² pairs) so the entry's cost is sample-bounded. Pairs
+    * outside every landmark's `maxDepth` ball drop out (inner join) —
+    * the label table abstains rather than guessing. */
+  def landmarkDistanceEstimates(edges: DataFrame, nLandmarks: Int = 5,
+                                nProbes: Int = 20, maxDepth: Int = 4,
+                                salt: String = "lm"): DataFrame = {
+    val e = edges.select("src", "dst").distinct().localCheckpoint(true)
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    def sample(n: Int, tag: String) = verts
+      .orderBy(md5(concat(lit(salt + tag + "|"), col("id").cast("string"))), col("id"))
+      .limit(n)
+    val lms = sample(nLandmarks, "").select(col("id").as("source"), col("id"))
+    val labels = bfsDistances(e, lms, maxDepth).localCheckpoint(true)
+    val pairs = sample(nProbes, "u").select(col("id").as("u"))
+      .crossJoin(sample(nProbes, "v").select(col("id").as("v")))
+      .filter(col("u") =!= col("v"))
+    val du = labels.select(col("source").as("l"), col("id").as("u"), col("dist").as("du"))
+    val dv = labels.select(col("source").as("l"), col("id").as("v"), col("dist").as("dv"))
+    pairs.join(du, Seq("u")).join(dv, Seq("v", "l"))
+      .groupBy("u", "v")
+      .agg(min(col("du") + col("dv")).as("est_dist"),
+        count(lit(1)).as("n_landmarks"))
+  }
 }

@@ -184,5 +184,43 @@ object EventQueries {
           |UNION ALL
           |SELECT '__rejected' AS k, count(*) AS n, CAST(0 AS BIGINT) AS dst_sum
           |FROM ex WHERE title = ''""".stripMargin)),
+
+    // ---- r17: ordered funnel conversion (view → click → purchase):
+    //      stage k counts users whose FIRST stage-k event strictly
+    //      follows their first qualifying stage-(k-1) event. Spark lacks
+    //      MATCH_RECOGNIZE; the Spark-first shape is cascaded conditional
+    //      min-aggregates — three user_id-keyed partial-combining
+    //      aggregations, co-partitioned after the first shuffle, NO
+    //      window sort and NO per-user event array. Times in µs (the
+    //      r11 DuckDB-truncation lesson) ----
+    ("r17_funnel_conversion",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d).select(
+          col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("fv"))
+        val fc = ev.filter(col("event_type") === "click").join(fv, "user_id")
+          .filter(col("ts_us") > col("fv"))
+          .groupBy("user_id").agg(min("ts_us").as("fc"))
+        val fp = ev.filter(col("event_type") === "purchase").join(fc, "user_id")
+          .filter(col("ts_us") > col("fc"))
+          .groupBy("user_id").agg(min("ts_us").as("fp"))
+        fv.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+          .unionByName(fc.agg(count(lit(1)).as("n_users"))
+            .select(lit("2_click").as("stage"), col("n_users")))
+          .unionByName(fp.agg(count(lit(1)).as("n_users"))
+            .select(lit("3_purchase").as("stage"), col("n_users")))
+      },
+      Some(
+        """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+          |fv AS (SELECT user_id, min(ts_us) AS fv FROM ev
+          |       WHERE event_type = 'view' GROUP BY user_id),
+          |fc AS (SELECT e.user_id, min(ts_us) AS fc FROM ev e JOIN fv USING (user_id)
+          |       WHERE event_type = 'click' AND ts_us > fv GROUP BY e.user_id),
+          |fp AS (SELECT e.user_id, min(ts_us) AS fp FROM ev e JOIN fc USING (user_id)
+          |       WHERE event_type = 'purchase' AND ts_us > fc GROUP BY e.user_id)
+          |SELECT '1_view' AS stage, count(*) AS n_users FROM fv
+          |UNION ALL SELECT '2_click', count(*) FROM fc
+          |UNION ALL SELECT '3_purchase', count(*) FROM fp""".stripMargin)),
   )
 }

@@ -22,6 +22,10 @@ object GraphQueries {
     * non-converged oracle (ADVICE r5). */
   private val UnrollRounds = 8
 
+  /** g18/g18b root-sample size shared by the Spark calls and their
+    * oracles (derived, not duplicated — the r6 WALKS lesson). */
+  private val AnfRoots = 200
+
   /** Canonical undirected simple graph from the zipf multigraph:
     * self-loops dropped, endpoints ordered, parallel edges collapsed. */
   private def zipfCanon(s: SparkSession, d: String): DataFrame =
@@ -564,5 +568,93 @@ object GraphQueries {
           |ORDER BY auth_scaled DESC, a.id LIMIT 20""".stripMargin)
         Oracle.withSql(sb.toString, "")
       }),
+
+    // ---- G18: exact neighborhood function N(h) on the nation hierarchy
+    //      graph (Palmer KDD'02's target quantity) — pairs within h hops,
+    //      h = 0..3, ball roots restricted to the 200 md5-least vertices
+    //      (the q9b/g11 seeded-sampling discipline: exact ball
+    //      materialization from ALL roots is quadratic on small-diameter
+    //      graphs — 46 s at sf0.1 — while sampled roots cost
+    //      nRoots·|ball| regardless of |V|). The EXACT baseline the
+    //      HyperANF entry below is graded against. Oracle = three
+    //      unrolled closure rounds from the same md5-chosen roots ----
+    ("g18_neighborhood_fn",
+      (s: SparkSession, d: String) =>
+        Traversals.neighborhoodFunction(Tables.nationEdgesSym(s, d),
+          maxH = 3, nRoots = AnfRoots),
+      Some(Oracle.withSql(Oracle.NEDGES_SYM + ANF_P,
+        """SELECT 0 AS h, count(*) AS n_pairs FROM p0
+          |UNION ALL SELECT 1, count(*) FROM p1
+          |UNION ALL SELECT 2, count(*) FROM p2
+          |UNION ALL SELECT 3, count(*) FROM p3""".stripMargin))),
+
+    // ---- G18b: HyperANF (Boldi/Rosa/Vigna WWW'11) — the 100 TB path:
+    //      EVERY vertex carries an HLL register set, one fixed-width
+    //      shuffle per hop, no pair materialization; only the GRADE is
+    //      sampled (summed estimates over the same 200 roots vs the g18
+    //      exact counts). Graded like e4/e5: the entry returns the exact
+    //      counts plus a sketch-within-10% flag the oracle pins to true
+    //      (at fixture ball cardinality the lgK=12 sketch is exact-mode,
+    //      so the flag cannot flake) ----
+    ("g18b_anf_hyperloglog",
+      (s: SparkSession, d: String) =>
+        Traversals.anfHyperLogLog(Tables.nationEdgesSym(s, d),
+          maxH = 3, nRoots = AnfRoots),
+      Some(Oracle.withSql(Oracle.NEDGES_SYM + ANF_P,
+        """SELECT h, n_pairs, CAST(1 AS BOOLEAN) AS est_ok FROM (
+          |  SELECT 0 AS h, count(*) AS n_pairs FROM p0
+          |  UNION ALL SELECT 1, count(*) FROM p1
+          |  UNION ALL SELECT 2, count(*) FROM p2
+          |  UNION ALL SELECT 3, count(*) FROM p3)""".stripMargin))),
+
+    // ---- G19: landmark-labeling distance estimates on the nation graph
+    //      — the label table (5 md5 landmarks × BFS≤4) is built once,
+    //      then 400 md5-probed pairs are answered by a label JOIN, no
+    //      per-query traversal (Akiba SIGMOD'13's shape). Oracle = one
+    //      genuinely recursive BFS CTE from the same landmarks + the
+    //      same min-over-common-landmarks join ----
+    ("g19_landmark_distance",
+      (s: SparkSession, d: String) =>
+        Traversals.landmarkDistanceEstimates(Tables.nationEdgesSym(s, d)),
+      Some(Oracle.withSql(Oracle.NEDGES_SYM + """,
+        |ns AS MATERIALIZED (SELECT DISTINCT src, dst FROM nsym),
+        |verts AS MATERIALIZED (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM ns UNION ALL SELECT dst FROM ns)),
+        |lm AS MATERIALIZED (SELECT id FROM verts ORDER BY md5('lm|' || id), id LIMIT 5),
+        |walk(l, id, dist) AS (
+        |  SELECT id, id, 0 FROM lm
+        |  UNION
+        |  SELECT w.l, n.dst, w.dist + 1 FROM walk w JOIN ns n ON w.id = n.src
+        |  WHERE w.dist < 4),
+        |dd AS MATERIALIZED (SELECT l, id, min(dist) AS d FROM walk GROUP BY l, id),
+        |us AS (SELECT id AS u FROM verts ORDER BY md5('lmu|' || id), id LIMIT 20),
+        |vs AS (SELECT id AS v FROM verts ORDER BY md5('lmv|' || id), id LIMIT 20)""".stripMargin,
+        """SELECT p.u, p.v, CAST(min(a.d + b.d) AS BIGINT) AS est_dist,
+          |       count(*) AS n_landmarks
+          |FROM (SELECT u, v FROM us, vs WHERE u <> v) p
+          |JOIN dd a ON a.id = p.u JOIN dd b ON b.id = p.v AND a.l = b.l
+          |GROUP BY p.u, p.v""".stripMargin))),
   )
+
+  /** Unrolled ball-closure rounds shared by the g18/g18b oracles: p_h =
+    * ordered pairs within h hops over the deduped symmetric nation graph
+    * (nsym is a UNION ALL multigraph; ns dedups it exactly as the Spark
+    * side's `.distinct()`). */
+  /** NOTE the inner-UNION-ALL/outer-DISTINCT shape: `withSql` prepends
+    * WITH RECURSIVE, under which DuckDB gives a top-level `anchor UNION
+    * step` CTE recursive working-table semantics even without a
+    * self-reference — p2 silently computed a different (wrong) closure
+    * until the union was pushed inside a subquery. */
+  private def ANF_P: String = s""",
+    |ns AS MATERIALIZED (SELECT DISTINCT src, dst FROM nsym),
+    |roots AS MATERIALIZED (SELECT id FROM
+    |  (SELECT src AS id FROM ns UNION SELECT dst FROM ns)
+    |  ORDER BY md5('anf|' || id), id LIMIT $AnfRoots),
+    |p0 AS MATERIALIZED (SELECT id AS u, id AS v FROM roots),
+    |p1 AS MATERIALIZED (SELECT DISTINCT u, v FROM (SELECT u, v FROM p0
+    |  UNION ALL SELECT p.u, n.dst FROM p0 p JOIN ns n ON p.v = n.src)),
+    |p2 AS MATERIALIZED (SELECT DISTINCT u, v FROM (SELECT u, v FROM p1
+    |  UNION ALL SELECT p.u, n.dst FROM p1 p JOIN ns n ON p.v = n.src)),
+    |p3 AS MATERIALIZED (SELECT DISTINCT u, v FROM (SELECT u, v FROM p2
+    |  UNION ALL SELECT p.u, n.dst FROM p2 p JOIN ns n ON p.v = n.src))""".stripMargin
 }

@@ -404,5 +404,32 @@ object RelationalQueries {
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           | AND date_diff('day', o_orderdate, l_shipdate) BETWEEN 0 AND 30
           |GROUP BY o_orderstatus""".stripMargin)),
+
+    // ---- r16: RANGE-frame rolling window — per-user trailing-1-hour
+    //      event count and value sum at every event. The frame is bounded
+    //      by the ORDER BY *value* (microseconds), not row offsets — the
+    //      sliding-aggregate shape r2's ROWS frame cannot express; at
+    //      scale it is ONE shuffle on user_id and a per-partition
+    //      two-pointer sweep (no self-join, no explode of the window).
+    //      Ties at the same ts are frame-peers on both engines, so the
+    //      result is deterministic without an event_id tiebreak ----
+    ("r16_rolling_range_window",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), cents(col("value")).as("vc"))
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(-3600000000L, 0L)
+        ev.select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("roll_n"),
+          sum("vc").over(w).as("roll_cents"))
+      },
+      Some(
+        """SELECT event_id, user_id,
+          |  count(*) OVER w AS roll_n,
+          |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS BIGINT) AS roll_cents
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
   )
 }
