@@ -44,7 +44,12 @@ object ClusterProbe {
     "e2_ann_lsh_topk", "n1_query_out_store", "s5_durable_append_compact",
     "s2c_wiki_dump_ingest", "d6b_contamination_bloom", "t13_mixture_sample",
     "g6_link_predict", "c10_cc_bigstar", "c6_als_rmse",
-    "m1_multimodal_meta", "x2_neardup_clusters")
+    "m1_multimodal_meta", "x2_neardup_clusters",
+    // r7: HLL register sketches must round-trip executor JVMs (g18b),
+    // label-join estimates (g19), RANGE-frame window (r16), cascaded
+    // funnel aggs (r17), frontier-restricted walk ranking (g7)
+    "g18b_anf_hyperloglog", "g19_landmark_distance",
+    "r16_rolling_range_window", "r17_funnel_conversion", "g7_random_walks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
