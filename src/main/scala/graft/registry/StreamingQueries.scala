@@ -266,6 +266,47 @@ object StreamingQueries {
     })
 
   /** Replay the events fixture through [[graft.streaming.OnlineIngest
+    * .funnelProgress]] — same b0/b1 ts-midpoint split + sentinel-batch
+    * protocol as the s13 upsert replay, so funnel stages span the
+    * micro-batch boundary (a user's view in b0, click/purchase in b1
+    * must chain through carried GroupState). */
+  private def funnelPath(s: SparkSession, d: String): String =
+    cache.computeIfAbsent(key(s, d, "s14"), _ => {
+      val watch = java.nio.file.Files.createTempDirectory("graft-s14-in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-s14-out").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).localCheckpoint(true)
+      val Array(lo, hi) = ev.agg(min("ts"), max("ts")).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      val mid = lo + (hi - lo) / 2
+      writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
+      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
+      writeBatch(ev.select("user_id").distinct()
+        .select(lit(-1L).as("event_id"),
+          lit(hi + 30L * 24 * 3600 * 1000000000L).as("ts"), col("user_id"),
+          lit("__sentinel").as("event_type"), lit(0.0).as("value")),
+        s"$watch/b2.parquet")
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
+      graft.streaming.OnlineIngest.funnelProgress(stream)
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            graft.streaming.OnlineIngest.FunnelOut], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start().awaitTermination()
+      unloadStreamingState()
+      out
+    })
+
+  /** Replay the events fixture through [[graft.streaming.OnlineIngest
     * .clickAttribution]] — two readStreams over the SAME file batches
     * (split at the ts midpoint so click→purchase pairs SPAN the batch
     * boundary and exercise cross-batch join state). */
@@ -389,6 +430,33 @@ object StreamingQueries {
           |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
           |      FROM events)
           |WHERE rn = 1""".stripMargin)),
+
+    // ---- S14: the STREAMING ordered funnel against r17's batch oracle —
+    //      each user's stage progress (first view → first later click →
+    //      first later purchase) is three longs of GroupState carried
+    //      across the micro-batch boundary; the emitted per-user max
+    //      stage re-aggregates to exactly the batch cascaded-min
+    //      conversion counts ----
+    ("s14_streaming_funnel",
+      (s: SparkSession, d: String) => {
+        val out = s.read.parquet(funnelPath(s, d))
+        Seq(("1_view", 1), ("2_click", 2), ("3_purchase", 3)).map { case (nm, k) =>
+          out.filter(col("reached") >= k)
+            .agg(count(lit(1)).as("n_users"))
+            .select(lit(nm).as("stage"), col("n_users"))
+        }.reduce(_ unionByName _)
+      },
+      Some(
+        """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+          |fv AS (SELECT user_id, min(ts_us) AS fv FROM ev
+          |       WHERE event_type = 'view' GROUP BY user_id),
+          |fc AS (SELECT e.user_id, min(ts_us) AS fc FROM ev e JOIN fv USING (user_id)
+          |       WHERE event_type = 'click' AND ts_us > fv GROUP BY e.user_id),
+          |fp AS (SELECT e.user_id, min(ts_us) AS fp FROM ev e JOIN fc USING (user_id)
+          |       WHERE event_type = 'purchase' AND ts_us > fc GROUP BY e.user_id)
+          |SELECT '1_view' AS stage, count(*) AS n_users FROM fv
+          |UNION ALL SELECT '2_click', count(*) FROM fc
+          |UNION ALL SELECT '3_purchase', count(*) FROM fp""".stripMargin)),
 
     // ---- S10: the streaming watermarked tumbling-window aggregation
     //      against s1_event_window's batch oracle — append mode emits

@@ -228,6 +228,70 @@ object OnlineIngest {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  case class FunnelEv(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  case class FunnelSt(fv: Long, fc: Long, fp: Long)
+  case class FunnelOut(user_id: Long, reached: Int)
+
+  /** Streaming ORDERED-funnel progress (the r17 batch query as
+    * cross-batch GroupState): per user, track the first view, the first
+    * click strictly after it, and the first purchase strictly after
+    * that. Events inside one micro-batch group are applied in (ts_us,
+    * event_id) order; because the replay fixtures split batches at a
+    * timestamp midpoint (all of batch k's events precede batch k+1's),
+    * in-order application per batch + carried state is EXACTLY the
+    * global-order state machine, so the emitted stage counts equal the
+    * batch cascaded-min-aggregate form bit-for-bit. State per live user
+    * is three longs — the minimum any funnel tracker can hold,
+    * watermark-evicted on timeout at scale. Sentinels (event_id < 0)
+    * trigger the final emission without entering the state machine
+    * ([[latestPerKey]]'s protocol). */
+  def funnelProgress(events: DataFrame): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val Unset = -1L
+    def fn(uid: Long, evs: Iterator[FunnelEv],
+           state: GroupState[FunnelSt]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get; state.remove()
+        val reached = if (s.fp != Unset) 3 else if (s.fc != Unset) 2
+                      else if (s.fv != Unset) 1 else 0
+        if (reached > 0) Iterator(FunnelOut(uid, reached)) else Iterator.empty
+      } else {
+        val es = evs.toSeq
+        var st = state.getOption.getOrElse(FunnelSt(Unset, Unset, Unset))
+        es.filter(_.event_id >= 0).sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          e.event_type match {
+            case "view" if st.fv == Unset => st = st.copy(fv = e.ts_us)
+            case "click" if st.fc == Unset && st.fv != Unset && e.ts_us > st.fv =>
+              st = st.copy(fc = e.ts_us)
+            case "purchase" if st.fp == Unset && st.fc != Unset && e.ts_us > st.fc =>
+              st = st.copy(fp = e.ts_us)
+            case _ => ()
+          }
+        }
+        if (es.exists(_.event_id < 0)) { // sentinel: final in-batch emission
+          state.remove()
+          val reached = if (st.fp != Unset) 3 else if (st.fc != Unset) 2
+                        else if (st.fv != Unset) 1 else 0
+          if (reached > 0) Iterator(FunnelOut(uid, reached)) else Iterator.empty
+        } else {
+          state.update(st)
+          state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + 365L * 24 * 3600 * 1000)
+          Iterator.empty
+        }
+      }
+    }
+    events
+      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ets", "1 hour")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("ets"))
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** STREAM-STREAM interval join: purchases matched to the same user's
     * clicks within the preceding `lookback` — the attribution join every
     * event pipeline runs, and the Structured Streaming surface piece the

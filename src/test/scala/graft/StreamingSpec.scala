@@ -149,6 +149,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((7L, baseUs, baseUs + 5L * 60 * 1000000, 2L, 300L)))
   }
 
+  test("streaming funnel chains stages across micro-batches; out-of-order pre-view click ignored") {
+    val dir = Files.createTempDirectory("graft-funnel").toString
+    val s = spark; import s.implicits._
+    val m = 60L * 1000 * 1000 * 1000
+    val base = 6000L * m
+    // user 7: click BEFORE any view (must not count), then view in b0;
+    // click + purchase arrive in b1 -> reached=3 only via carried state.
+    // user 8: purchase then view (wrong order) -> reached=1.
+    Seq((1L, base, 7L, "click", 0.0), (2L, base + m, 7L, "view", 0.0),
+        (3L, base + m, 8L, "purchase", 0.0), (4L, base + 2 * m, 8L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/b0.parquet")
+    Seq((5L, base + 10 * m, 7L, "click", 0.0), (6L, base + 11 * m, 7L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/b1.parquet")
+    Seq((-1L, base + 1000 * m, 7L, "__sentinel", 0.0),
+        (-1L, base + 1000 * m, 8L, "__sentinel", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/b2.parquet")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = graft.streaming.OnlineIngest.funnelProgress(stream)
+      .writeStream.outputMode("append").format("memory").queryName("funout").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("funout").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(7L -> 3, 8L -> 1))
+  }
+
   test("streaming dedup drops in-watermark duplicates with bounded state") {
     val dir = Files.createTempDirectory("graft-sdedup").toString
     val s = spark; import s.implicits._
