@@ -138,6 +138,38 @@ object Tables {
   def orderEdgesStored(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(edgeStorePath(spark, dir))
 
+  /** Day-partitioned events store: the layout a 100 TB event log actually
+    * ships with — `day=<epoch-day>/` directory partitions — so a join
+    * against a filtered date dimension prunes whole partition directories
+    * at RUNTIME via dynamic partition pruning (W7DppSpec asserts the
+    * dynamicpruning subquery reaches the scan). Static predicate pushdown
+    * cannot do this: the qualifying days are only known after the dim
+    * filter runs. Written once per fixture dir. */
+  private val dayStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def eventsByDayPath(spark: SparkSession, dir: String): String =
+    dayStoreCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir", { _ =>
+        val path = java.nio.file.Files.createTempDirectory("graft-store-day")
+          .toString + "/events"
+        events(spark, dir)
+          .withColumn("day", expr("ts div 86400000000000L"))
+          .repartition(col("day"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("day").parquet(path)
+        path
+      })
+
+  /** The (day, dow) date dimension MATERIALIZED from the event days —
+    * localCheckpointed so the dow column is opaque to constraint
+    * propagation: a filter on dow can only reach the fact scan through
+    * runtime DPP, which is the point. */
+  def eventDayDim(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(expr("ts div 86400000000000L").as("day")).distinct()
+      .withColumn("dow", pmod(col("day"), lit(7)))
+      .localCheckpoint(true)
+
   /** Second materialization of the SAME edge table, range-partitioned and
     * sorted by dst — the reference keeps an in-edge index per shard
     * (QueryShard.java:662-812) precisely because one sort order cannot

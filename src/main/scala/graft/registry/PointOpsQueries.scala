@@ -392,6 +392,29 @@ object PointOpsQueries {
           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           |GROUP BY o_orderpriority""".stripMargin)),
 
+    // ---- W7: DYNAMIC partition pruning — the day-partitioned event log
+    //      joined to a filtered date dimension; the qualifying days are
+    //      only known at runtime (the dim is materialized, its dow
+    //      column opaque to constraint propagation), so whole `day=`
+    //      directories are skipped via the DPP subquery filter
+    //      (W7DppSpec asserts it reaches the scan). At 100 TB this is
+    //      the difference between scanning 1/7th of the log and all of
+    //      it ----
+    ("w7_dpp_day_prune",
+      (s: SparkSession, d: String) => {
+        val ev = s.read.parquet(Tables.eventsByDayPath(s, d))
+        val dim = Tables.eventDayDim(s, d).filter(col("dow") === 1)
+        ev.join(dim, "day")
+          .agg(countDistinct(col("day")).as("n_days"),
+            count(lit(1)).as("n"),
+            sum(cents(col("value"))).as("val_cents"))
+      },
+      Some(
+        """WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS day, value FROM events)
+          |SELECT count(DISTINCT day) AS n_days, count(*) AS n,
+          |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS val_cents
+          |FROM ev WHERE day % 7 = 1""".stripMargin)),
+
     // ---- W3: sweep with vertex-column join (reference
     //      GraphChiDatabase.scala:1875-1957) — the PageRank access pattern ----
     ("w3_sweep_in_join",
