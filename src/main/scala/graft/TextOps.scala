@@ -578,4 +578,44 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("sum_nll_milli"))
       .withColumn("avg_nll_milli", expr("sum_nll_milli div n_bigrams"))
   }
+
+  /** T19: count-min sketch token frequencies (Cormode & Muthukrishnan '05)
+    * — the heavy-hitter counting primitive that pairs with the repo's HLL
+    * cardinality sketches (r9, g18b). The sketch is a d×w counter grid;
+    * every token instance increments one bucket per hash row, and a
+    * token's estimate is the MIN over its d buckets — always ≥ the true
+    * count, within εN with high probability.
+    *
+    * Scale shape — the reason a 100 TB corpus sketches instead of
+    * counting: the aggregation key space is d·w (4×256 here) REGARDLESS
+    * of vocabulary size, so map-side partial combine collapses each
+    * partition's token stream to ≤ d·w rows and the shuffle is
+    * constant-width; an exact per-token count shuffles the full
+    * vocabulary. Exact counts here are computed only for the `k`
+    * md5-chosen probe tokens (a broadcast semi-join, not a corpus
+    * shuffle) to grade the estimate. Hashing is the repo's md5 integer
+    * discipline, replicated verbatim in the oracle, so (t, exact_n,
+    * cms_est) is engine-exact. */
+  def countMinHeavyHitters(docs: DataFrame, d: Int = 4, w: Int = 256,
+                           k: Int = 20, salt: String = "cms"): DataFrame = {
+    val tokd = docs.select(explode(tokens(col("text"))).as("t"))
+      .localCheckpoint(true) // feeds the grid, the probe set and the exact counts
+    def bucket(t: Column, r: Column): Column =
+      conv(substring(md5(concat(lit(salt), r.cast("string"), lit("|"), t)), 1, 15),
+        16, 10).cast("long") % w
+    val rows = explode(sequence(lit(0), lit(d - 1)))
+    val cms = tokd.select(col("t"), rows.as("r"))
+      .select(col("r"), bucket(col("t"), col("r")).as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val probes = tokd.select("t").distinct()
+      .orderBy(md5(concat(lit(salt + "q|"), col("t"))), col("t")).limit(k)
+      .localCheckpoint(true)
+    val exact = tokd.join(broadcast(probes), "t")
+      .groupBy("t").agg(count(lit(1)).as("exact_n"))
+    val est = probes.select(col("t"), rows.as("r"))
+      .select(col("t"), col("r"), bucket(col("t"), col("r")).as("b"))
+      .join(cms, Seq("r", "b"))
+      .groupBy("t").agg(min("c").as("cms_est"))
+    exact.join(est, "t")
+  }
 }

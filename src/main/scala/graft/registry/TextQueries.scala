@@ -407,6 +407,34 @@ object TextQueries {
            |FROM gd JOIN freq f USING (gm) CROSS JOIN tot t
            |GROUP BY gd.doc_id""".stripMargin))),
 
+    // ---- T19: count-min sketch token counting — a d×w counter grid
+    //      (constant-width shuffle regardless of vocabulary) graded on 20
+    //      md5-probed tokens against their exact counts; min-over-rows
+    //      estimate ≥ exact always, engine-exact via the shared md5
+    //      bucket hashing ----
+    ("t19_countmin_sketch",
+      (s: SparkSession, d: String) =>
+        TextOps.countMinHeavyHitters(Tables.documents(s, d)),
+      Some(
+        """WITH tokr AS (SELECT unnest(list_filter(
+          |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+          |  FROM documents),
+          |inst AS (SELECT t, r FROM tokr, UNNEST([0, 1, 2, 3]) AS u(r)),
+          |cms AS (SELECT r,
+          |    CAST(('0x' || substr(md5('cms' || r || '|' || t), 1, 15)) AS BIGINT) % 256 AS b,
+          |    count(*) AS c
+          |  FROM inst GROUP BY 1, 2),
+          |probes AS (SELECT t FROM (SELECT DISTINCT t FROM tokr)
+          |  ORDER BY md5('cmsq|' || t), t LIMIT 20),
+          |ex AS (SELECT t, count(*) AS exact_n FROM tokr
+          |  WHERE t IN (SELECT t FROM probes) GROUP BY t),
+          |est AS (SELECT p.t, min(c.c) AS cms_est
+          |  FROM probes p, UNNEST([0, 1, 2, 3]) AS u(r) JOIN cms c
+          |    ON c.r = u.r
+          |   AND c.b = CAST(('0x' || substr(md5('cms' || u.r || '|' || p.t), 1, 15)) AS BIGINT) % 256
+          |  GROUP BY p.t)
+          |SELECT ex.t, ex.exact_n, est.cms_est FROM ex JOIN est USING (t)""".stripMargin)),
+
     ("x1_training_data_prep",
       (s: SparkSession, d: String) => TextOps.trainingDataPrep(Tables.documents(s, d)),
       Some(Oracle.withSql(TOK.replace("SELECT doc_id, text,", "SELECT doc_id, lang, text,"),
