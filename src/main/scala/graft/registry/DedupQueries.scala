@@ -366,5 +366,32 @@ object DedupQueries {
           |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
           |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
           |    / (a.nrm * b.nrm) * 1000000) AS BIGINT) >= 400000""".stripMargin)),
+
+    // ---- D11: blocked fuzzy join (entity resolution): candidate pairs
+    //      restricted to a cheap BLOCKING key (the name's last word)
+    //      before the quadratic edit-distance verify runs — the classic
+    //      ER shape, and the string-similarity sibling of d2's LSH bands
+    //      / e3's IVF cells: quadratic work confined inside blocks, the
+    //      block equi-join is the only corpus-sized exchange. Both
+    //      engines compute unit-cost Levenshtein ----
+    ("d11_fuzzy_blocked_join",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val names = Tables.part(s, d).select(col("p_name")).distinct()
+          .withColumn("blk", regexp_extract(col("p_name"), "[a-z]+$", 0))
+        val a = names.select(col("blk"), col("p_name").as("na"))
+        val b = names.select(col("blk"), col("p_name").as("nb"))
+        a.join(b, Seq("blk")).filter(col("na") < col("nb"))
+          .filter(levenshtein(col("na"), col("nb")) <= 2)
+          .select(col("na"), col("nb"),
+            levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+      },
+      Some(
+        """WITH names AS (SELECT DISTINCT p_name FROM part),
+          |blk AS (SELECT p_name, regexp_extract(p_name, '[a-z]+$') AS blk FROM names)
+          |SELECT a.p_name AS na, b.p_name AS nb,
+          |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+          |FROM blk a JOIN blk b ON a.blk = b.blk AND a.p_name < b.p_name
+          |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin)),
   )
 }
