@@ -30,7 +30,12 @@ object ExplainAudit {
         "t10_repetition", "r13_latest_per_key",
         // r7: exchange-free bucketed fact⋈fact join, banded Hamming
         // near-dup join, vocab-broadcast tf-idf
-        "w6_bucketed_join", "e9_hamming_neardup", "t16_tfidf_topterms")
+        "w6_bucketed_join", "e9_hamming_neardup", "t16_tfidf_topterms",
+        // late r7: runtime partition pruning (dynamicpruning on the day
+        // scan), RANGE-frame window (no self-join), constant-width
+        // count-min grid, blocked fuzzy ER join
+        "w7_dpp_day_prune", "r16_rolling_range_window",
+        "t19_countmin_sketch", "d11_fuzzy_blocked_join")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
