@@ -942,7 +942,13 @@ object Traversals {
     * joinable lookups; probe pairs here are two md5 samples crossed
     * (`nProbes`² pairs) so the entry's cost is sample-bounded. Pairs
     * outside every landmark's `maxDepth` ball drop out (inner join) —
-    * the label table abstains rather than guessing. */
+    * the label table abstains rather than guessing.
+    *
+    * The estimate is an UPPER bound on d(u, v) only for SYMMETRIC
+    * input (labels hold d(l→x); the bound needs d(u→l) + d(l→v), equal
+    * only when distances are symmetric — PropertySpec checks it on
+    * symmetrized random graphs). A directed deployment keeps forward
+    * AND backward label tables (BFS along both edge directions). */
   def landmarkDistanceEstimates(edges: DataFrame, nLandmarks: Int = 5,
                                 nProbes: Int = 20, maxDepth: Int = 4,
                                 salt: String = "lm"): DataFrame = {

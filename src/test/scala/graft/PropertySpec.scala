@@ -313,4 +313,61 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("neighborhood function equals brute-force BFS ball sizes and is monotone in h") {
+    check(Prop.forAll(genEdges) { es =>
+      val edges = TestSpark.edgesDF(es.map { case (s, d) => (s, d, 0) })
+      val got = Traversals.neighborhoodFunction(edges, maxH = 3)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val verts = (es.map(_._1) ++ es.map(_._2)).distinct
+      val adj = es.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def ball(v: Long, h: Int): Set[Long] = {
+        var s = Set(v)
+        for (_ <- 1 to h) s = s ++ s.flatMap(x => adj.getOrElse(x, Set.empty))
+        s
+      }
+      val expected = (0 to 3)
+        .map(h => h -> verts.map(v => ball(v, h).size.toLong).sum).toMap
+      got == expected && (0 until 3).forall(h => got(h) <= got(h + 1))
+    })
+  }
+
+  test("landmark estimates upper-bound the true distance on symmetric graphs") {
+    check(Prop.forAll(genEdges) { es =>
+      val sym = (es ++ es.map(_.swap)).distinct
+      val edges = TestSpark.edgesDF(sym.map { case (s, d) => (s, d, 0) })
+      val got = Traversals.landmarkDistanceEstimates(
+          edges, nLandmarks = 3, nProbes = 5, maxDepth = 3)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def dist(u: Long, v: Long): Option[Int] = {
+        var frontier = Set(u); var seen = Set(u); var d = 0
+        while (frontier.nonEmpty && !seen.contains(v) && d < 20) {
+          d += 1
+          frontier = frontier.flatMap(x => adj.getOrElse(x, Set.empty)) -- seen
+          seen = seen ++ frontier
+        }
+        if (seen.contains(v) && (v == u || d > 0)) Some(if (v == u) 0 else d) else None
+      }
+      got.forall { case ((u, v), est) =>
+        dist(u, v) match {
+          case Some(d) => est >= d // triangle upper bound
+          case None    => false   // a common landmark implies a path exists
+        }
+      }
+    })
+  }
+
+  test("count-min estimates always >= exact counts, exact side equals brute force") {
+    check(Prop.forAll(genDocs) { ds =>
+      val s = spark; import s.implicits._
+      val got = TextOps.countMinHeavyHitters(ds.toDF("doc_id", "text"), k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val counts = ds.flatMap(_._2.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      got.forall { case (t, exact, est) =>
+        est >= exact && counts.get(t).contains(exact)
+      }
+    })
+  }
 }

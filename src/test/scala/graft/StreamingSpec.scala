@@ -157,17 +157,20 @@ class StreamingSpec extends AnyFunSuite {
     // user 7: click BEFORE any view (must not count), then view in b0;
     // click + purchase arrive in b1 -> reached=3 only via carried state.
     // user 8: purchase then view (wrong order) -> reached=1.
+    // each batch as ONE part file: a multi-file batch + maxFilesPerTrigger=1
+    // would split it into separate triggers in arbitrary part-file order
+    // (the registry fixture's writeBatch coalesces for the same reason)
     Seq((1L, base, 7L, "click", 0.0), (2L, base + m, 7L, "view", 0.0),
         (3L, base + m, 8L, "purchase", 0.0), (4L, base + 2 * m, 8L, "view", 0.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-      .write.parquet(s"$dir/b0.parquet")
+      .coalesce(1).write.parquet(s"$dir/b0.parquet")
     Seq((5L, base + 10 * m, 7L, "click", 0.0), (6L, base + 11 * m, 7L, "purchase", 0.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-      .write.parquet(s"$dir/b1.parquet")
+      .coalesce(1).write.parquet(s"$dir/b1.parquet")
     Seq((-1L, base + 1000 * m, 7L, "__sentinel", 0.0),
         (-1L, base + 1000 * m, 8L, "__sentinel", 0.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-      .write.parquet(s"$dir/b2.parquet")
+      .coalesce(1).write.parquet(s"$dir/b2.parquet")
     val stream = spark.readStream
       .schema(StructType(Seq(StructField("event_id", LongType),
         StructField("ts", LongType), StructField("user_id", LongType),
