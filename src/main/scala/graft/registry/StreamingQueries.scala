@@ -341,7 +341,78 @@ object StreamingQueries {
       out
     })
 
+  /** Replay through [[graft.streaming.OnlineIngest.clickAttributionOuter]]
+    * — the LEFT OUTER variant: a sentinel batch (one far-future row per
+    * side) pushes both watermarks past every real join window so
+    * unmatched clicks finalize with null purchase columns before the
+    * AvailableNow run terminates. */
+  private def attributionOuterPath(s: SparkSession, d: String): String =
+    cache.computeIfAbsent(key(s, d, "s15"), _ => {
+      val watch = java.nio.file.Files.createTempDirectory("graft-s15-in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-s15-out").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .filter(col("event_type").isin("click", "purchase")).localCheckpoint(true)
+      val Array(lo, hi) = ev.agg(min("ts"), max("ts")).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      val mid = lo + (hi - lo) / 2
+      writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
+      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
+      // TWO sentinel batches: watermark updates at the END of a trigger
+      // and state eviction runs in the NEXT one, so the batch-b2
+      // watermark (still hi - 1h when b2 starts) cannot flush clicks
+      // within lag+lookback of the stream end — b3's trigger evicts with
+      // the post-b2 watermark, which is already past every real window
+      val far = hi + 30L * 24 * 3600 * 1000000000L
+      def sentinels(ts: Long, ids: (Long, Long)) = {
+        import s.implicits._
+        Seq((ids._1, ts, -1L, "click"), (ids._2, ts, -1L, "purchase"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+      }
+      writeBatch(sentinels(far, (-1L, -2L)), s"$watch/b2.parquet")
+      writeBatch(sentinels(far + 24L * 3600 * 1000000000L, (-3L, -4L)),
+        s"$watch/b3.parquet")
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      def side(t: String): DataFrame = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
+        .filter(col("event_type") === t)
+      graft.streaming.OnlineIngest.clickAttributionOuter(side("click"), side("purchase"))
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // sentinel pairs are dropped HERE: a filter inside the
+          // streaming plan would push below the outer join and starve
+          // its state cleanup (see clickAttributionOuter's scaladoc)
+          b.filter(col("c_id") >= 0).write.mode("append").parquet(out); ()
+        }
+        .start().awaitTermination()
+      unloadStreamingState()
+      out
+    })
+
   val entries: Seq[QueryEntry] = Seq(
+
+    // ---- S15: stream-stream LEFT OUTER interval join — every click
+    //      emits exactly once: matched in-batch from join state,
+    //      unmatched with NULL purchase columns when the watermark
+    //      evicts its window (the finalization path s12's inner join
+    //      never takes). Oracle = the batch LEFT range-join ----
+    ("s15_streaming_outer_join",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(attributionOuterPath(s, d))
+          .select("c_id", "user_id", "c_us", "p_id", "p_us"),
+      Some(
+        """SELECT c.event_id AS c_id, c.user_id, epoch_us(c.ts) AS c_us,
+          |       p.event_id AS p_id, epoch_us(p.ts) AS p_us
+          |FROM events c LEFT JOIN events p
+          |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+          | AND epoch_us(c.ts) <= epoch_us(p.ts)
+          | AND epoch_us(c.ts) > epoch_us(p.ts) - 1800000000
+          |WHERE c.event_type = 'click'""".stripMargin)),
 
     // ---- S12: stream-stream interval join (click→purchase attribution
     //      within 30 min) against the batch range-join oracle — matches

@@ -318,6 +318,40 @@ object OnlineIngest {
       .select(col("p_id"), col("c_id"), col("user_id"), col("p_us"), col("c_us"))
   }
 
+  /** [[clickAttribution]]'s LEFT OUTER form: every click emits — matched
+    * rows as soon as both sides arrive, UNMATCHED clicks with null
+    * purchase columns once the watermark passes their join window (the
+    * state-finalization semantics the inner join never exercises).
+    *
+    * Sentinel protocol, with a constraint found empirically: the
+    * symmetric hash join only runs its watermark state cleanup (which
+    * EMITS the null-joined rows) in batches where the operator itself
+    * receives input — a far-future row that advances the watermark but
+    * is filtered out BEFORE the join leaves the unmatched state stuck
+    * forever. So sentinel rows (event_id < 0, matching user_id, same
+    * far-future ts on both sides) flow THROUGH the join — they pair with
+    * each other in-batch — and must be dropped IN THE SINK (e.g. inside
+    * foreachBatch): a post-join `filter(c_id >= 0)` here references only
+    * left-side columns, so Catalyst pushes it below the left outer join
+    * and the sentinels never reach the operator. Replays need TWO
+    * sentinel batches: the watermark from sentinel batch k is applied to
+    * cleanup during batch k+1. */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+                            lookback: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("event_id").as("c_id"), col("user_id"),
+        expr("ts div 1000").as("c_us"))
+      .withColumn("c_ets", expr("timestamp_micros(c_us)"))
+      .withWatermark("c_ets", "1 hour")
+    val p = purchases.select(col("event_id").as("p_id"),
+        col("user_id").as("p_user"), expr("ts div 1000").as("p_us"))
+      .withColumn("p_ets", expr("timestamp_micros(p_us)"))
+      .withWatermark("p_ets", "1 hour")
+    c.join(p, col("user_id") === col("p_user") &&
+        col("c_ets") <= col("p_ets") &&
+        col("c_ets") > col("p_ets") - expr(s"INTERVAL $lookback"), "leftOuter")
+      .select(col("c_id"), col("user_id"), col("c_us"), col("p_id"), col("p_us"))
+  }
+
   /** Event-time tumbling window aggregation with watermark (the streaming
     * shape of the s1_event_window batch query). `ts` arrives as raw
     * nanos (nanosAsLong) and is restored to a timestamp for event time. */
