@@ -932,6 +932,42 @@ object Traversals {
         (abs(col("est") - col("n_pairs")) <= col("n_pairs") * tol).as("est_ok"))
   }
 
+  /** G20: Newman modularity of a community assignment, as an EXACT
+    * rational — Q = Σ_c (e_c/m − (d_c/2m)²) over the canonical
+    * undirected simple graph, returned as (n_comms, m_edges, q_num,
+    * q_den) with q_num = Σ_c (4·m·e_c − d_c²) and q_den = 4m², so the
+    * cross-engine comparison is integer-exact (no float summation
+    * order, no ppm rounding). `labels` is any (v, lbl) assignment —
+    * [[lpaCommunities]]' output in the registry entry.
+    *
+    * Scale shape: one canonicalization shuffle, one degree aggregation,
+    * two label joins keyed on the endpoints, then community-keyed
+    * partial-combining sums — every stage linear in |E|, no per-pair
+    * work beyond the edge list itself. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val canon = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val m = canon.count()
+    val lab = labels.toDF("v", "lbl").localCheckpoint(true)
+    val deg = canon.select(col("a").as("id")).union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val dsum = deg.join(lab, deg("id") === lab("v"))
+      .groupBy("lbl").agg(sum("deg").as("d_c"))
+    val ec = canon
+      .join(lab.select(col("v").as("a"), col("lbl").as("la")), "a")
+      .join(lab.select(col("v").as("b"), col("lbl").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_c"))
+    dsum.join(ec, Seq("lbl"), "left_outer")
+      .select(col("lbl"), col("d_c"), coalesce(col("e_c"), lit(0L)).as("e_c"))
+      .agg(count(lit(1)).as("n_comms"),
+        lit(m).as("m_edges"),
+        sum(lit(4L) * m * col("e_c") - col("d_c") * col("d_c"))
+          .cast("long").as("q_num"),
+        lit(4L * m * m).as("q_den"))
+  }
+
   /** G19: landmark-labeling distance estimates (the pivot/landmark half
     * of 2-hop labeling, Akiba et al. SIGMOD'13 pruned landmark labeling;
     * the plain upper bound d̂(u,v) = min_l d(u,l)+d(l,v) here): BFS from

@@ -26,6 +26,23 @@ object GraphQueries {
     * oracles (derived, not duplicated — the r6 WALKS lesson). */
   private val AnfRoots = 200
 
+  /** The unrolled 3-round LPA CTE chain (adj → l0 → l3), shared by the
+    * g9 oracle and g20's modularity oracle so the label derivation can
+    * never desynchronize between them. */
+  private def LPA3: String = {
+    val round = (i: Int) =>
+      s"""c$i AS (SELECT a.dst AS v, l.lbl, count(*) AS c
+         |  FROM adj a JOIN l${i - 1} l ON a.src = l.v GROUP BY 1, 2),
+         |l$i AS (SELECT v, min(lbl) AS lbl FROM
+         |  (SELECT v, lbl, c, max(c) OVER (PARTITION BY v) AS mx FROM c$i)
+         |  WHERE c = mx GROUP BY v)""".stripMargin
+    s""", adj AS (SELECT DISTINCT src, dst FROM nsym),
+       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM adj),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}""".stripMargin
+  }
+
   /** Canonical undirected simple graph from the zipf multigraph:
     * self-loops dropped, endpoints ordered, parallel edges collapsed. */
   private def zipfCanon(s: SparkSession, d: String): DataFrame =
@@ -166,20 +183,37 @@ object GraphQueries {
     ("g9_lpa_communities",
       (s: SparkSession, d: String) =>
         Traversals.lpaCommunities(Tables.nationEdgesSym(s, d), rounds = 3),
-      Some(Oracle.withSql(Oracle.NEDGES_SYM, {
-        val round = (i: Int) =>
-          s"""c$i AS (SELECT a.dst AS v, l.lbl, count(*) AS c
-             |  FROM adj a JOIN l${i - 1} l ON a.src = l.v GROUP BY 1, 2),
-             |l$i AS (SELECT v, min(lbl) AS lbl FROM
-             |  (SELECT v, lbl, c, max(c) OVER (PARTITION BY v) AS mx FROM c$i)
-             |  WHERE c = mx GROUP BY v)""".stripMargin
-        s""", adj AS (SELECT DISTINCT src, dst FROM nsym),
-           |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM adj),
-           |${round(1)},
-           |${round(2)},
-           |${round(3)}
-           |SELECT v, lbl FROM l3""".stripMargin
-      }))),
+      Some(Oracle.withSql(Oracle.NEDGES_SYM,
+        LPA3 + "\nSELECT v, lbl FROM l3"))),
+
+    // ---- G20: Newman modularity of the g9 LPA communities as an EXACT
+    //      rational (q_num = Σ_c 4·m·e_c − d_c², q_den = 4m²) — no
+    //      floats anywhere, so both engines agree bit-for-bit. Shares
+    //      the unrolled LPA CTE with g9 (derived, not duplicated) ----
+    ("g20_modularity",
+      (s: SparkSession, d: String) => {
+        val sym = Tables.nationEdgesSym(s, d)
+        Traversals.modularity(sym,
+          Traversals.lpaCommunities(sym, rounds = 3))
+      },
+      Some(Oracle.withSql(Oracle.NEDGES_SYM,
+        LPA3 + """,
+          |canon AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM nsym WHERE src <> dst),
+          |mm AS (SELECT count(*) AS m FROM canon),
+          |deg AS (SELECT id, count(*) AS deg FROM
+          |  (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon) GROUP BY id),
+          |dsum AS (SELECT l.lbl, CAST(sum(d.deg) AS BIGINT) AS d_c
+          |  FROM deg d JOIN l3 l ON d.id = l.v GROUP BY l.lbl),
+          |ec AS (SELECT la.lbl, count(*) AS e_c FROM canon c
+          |  JOIN l3 la ON c.a = la.v JOIN l3 lb ON c.b = lb.v AND la.lbl = lb.lbl
+          |  GROUP BY la.lbl),
+          |comb AS (SELECT d.lbl, d.d_c, COALESCE(e.e_c, 0) AS e_c
+          |  FROM dsum d LEFT JOIN ec e USING (lbl))
+          |SELECT count(*) AS n_comms, (SELECT m FROM mm) AS m_edges,
+          |  CAST(sum(4 * (SELECT m FROM mm) * e_c - d_c * d_c) AS BIGINT) AS q_num,
+          |  CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS BIGINT) AS q_den
+          |FROM comb""".stripMargin))),
 
     // ---- G10: time-respecting reachability (min-arrival BFS over the
     //      timestamped symmetric graph): edge (u,v,ets) is crossable only
