@@ -113,22 +113,33 @@ object Tables {
     * of re-deriving the lineitem⋈orders join per query. At 100 TB the
     * store IS the query substrate — re-joining fact tables per point query
     * is not. Bench measures the latency gap (~4×). */
-  // one cache per sort order; the temp stores live for the JVM (bench and
-  // verify are one-shot processes — a long-lived service would write them
-  // to managed storage via GraphDB.openStore instead)
+  // one cache across all materializations; the temp stores live for the
+  // JVM (bench and verify are one-shot processes — a long-lived service
+  // would write them to managed storage via GraphDB.openStore instead)
   private val storeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def materializedStore(spark: SparkSession, dir: String,
-                                prefix: String, sortCols: Seq[String]): String =
+
+  /** Write-once temp store shared by every materialization in this file
+    * (ONE cache lifecycle, keyed appId|dir|prefix — the sorted, z-order
+    * and day-partitioned stores differ only in their write step). */
+  private def cachedTempStore(spark: SparkSession, dir: String, prefix: String,
+                              leaf: String)(write: String => Unit): String =
     storeCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir|$prefix", { _ =>
-        val path = java.nio.file.Files.createTempDirectory(prefix).toString + "/edges"
-        orderEdges(spark, dir)
-          .repartitionByRange(8, col(sortCols.head))
-          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        val path =
+          java.nio.file.Files.createTempDirectory(prefix).toString + s"/$leaf"
+        write(path)
         path
       })
+
+  private def materializedStore(spark: SparkSession, dir: String,
+                                prefix: String, sortCols: Seq[String]): String =
+    cachedTempStore(spark, dir, prefix, "edges") { path =>
+      orderEdges(spark, dir)
+        .repartitionByRange(8, col(sortCols.head))
+        .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    }
 
   def edgeStorePath(spark: SparkSession, dir: String): String =
     materializedStore(spark, dir, "graft-store", Seq("src", "dst"))
@@ -145,30 +156,30 @@ object Tables {
     * dynamicpruning subquery reaches the scan). Static predicate pushdown
     * cannot do this: the qualifying days are only known after the dim
     * filter runs. Written once per fixture dir. */
-  private val dayStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   def eventsByDayPath(spark: SparkSession, dir: String): String =
-    dayStoreCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}|$dir", { _ =>
-        val path = java.nio.file.Files.createTempDirectory("graft-store-day")
-          .toString + "/events"
-        events(spark, dir)
-          .withColumn("day", expr("ts div 86400000000000L"))
-          .repartition(col("day"))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .partitionBy("day").parquet(path)
-        path
-      })
+    cachedTempStore(spark, dir, "graft-store-day", "events") { path =>
+      events(spark, dir)
+        .withColumn("day", expr("ts div 86400000000000L"))
+        .repartition(col("day"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("day").parquet(path)
+    }
 
   /** The (day, dow) date dimension MATERIALIZED from the event days —
     * localCheckpointed so the dow column is opaque to constraint
     * propagation: a filter on dow can only reach the fact scan through
-    * runtime DPP, which is the point. */
+    * runtime DPP, which is the point. Cached per (app, fixture): the dim
+    * never changes, so a timed w7 iteration measures the pruned join,
+    * not dim construction. */
+  private val dayDimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def eventDayDim(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
-      .select(expr("ts div 86400000000000L").as("day")).distinct()
-      .withColumn("dow", pmod(col("day"), lit(7)))
-      .localCheckpoint(true)
+    dayDimCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir", _ =>
+        events(spark, dir)
+          .select(expr("ts div 86400000000000L").as("day")).distinct()
+          .withColumn("dow", pmod(col("day"), lit(7)))
+          .localCheckpoint(true))
 
   /** Second materialization of the SAME edge table, range-partitioned and
     * sorted by dst — the reference keeps an in-edge index per shard
@@ -194,18 +205,15 @@ object Tables {
     * materializations. The key is write-time only; queries still filter
     * on the natural columns. */
   def edgeStoreZPath(spark: SparkSession, dir: String): String =
-    storeCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}|$dir|graft-store-z", { _ =>
-        val path = java.nio.file.Files.createTempDirectory("graft-store-z").toString + "/edges"
-        orderEdges(spark, dir)
-          .withColumn("zkey",
-            graft.functions.ZInterleave.of(spark, col("src"), col("dst")))
-          .repartitionByRange(8, col("zkey"))
-          .sortWithinPartitions("zkey")
-          .drop("zkey")
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-        path
-      })
+    cachedTempStore(spark, dir, "graft-store-z", "edges") { path =>
+      orderEdges(spark, dir)
+        .withColumn("zkey",
+          graft.functions.ZInterleave.of(spark, col("src"), col("dst")))
+        .repartitionByRange(8, col("zkey"))
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    }
 
   def orderEdgesStoredZ(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(edgeStoreZPath(spark, dir))

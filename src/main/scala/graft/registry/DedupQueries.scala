@@ -381,10 +381,12 @@ object DedupQueries {
           .withColumn("blk", regexp_extract(col("p_name"), "[a-z]+$", 0))
         val a = names.select(col("blk"), col("p_name").as("na"))
         val b = names.select(col("blk"), col("p_name").as("nb"))
+        // compute the O(|s|²) edit distance ONCE per candidate pair:
+        // Spark does not CSE across a Filter and a later Project
         a.join(b, Seq("blk")).filter(col("na") < col("nb"))
-          .filter(levenshtein(col("na"), col("nb")) <= 2)
-          .select(col("na"), col("nb"),
-            levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+          .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+          .filter(col("dist") <= 2)
+          .select("na", "nb", "dist")
       },
       Some(
         """WITH names AS (SELECT DISTINCT p_name FROM part),

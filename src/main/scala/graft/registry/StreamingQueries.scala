@@ -517,17 +517,7 @@ object StreamingQueries {
             .select(lit(nm).as("stage"), col("n_users"))
         }.reduce(_ unionByName _)
       },
-      Some(
-        """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-          |fv AS (SELECT user_id, min(ts_us) AS fv FROM ev
-          |       WHERE event_type = 'view' GROUP BY user_id),
-          |fc AS (SELECT e.user_id, min(ts_us) AS fc FROM ev e JOIN fv USING (user_id)
-          |       WHERE event_type = 'click' AND ts_us > fv GROUP BY e.user_id),
-          |fp AS (SELECT e.user_id, min(ts_us) AS fp FROM ev e JOIN fc USING (user_id)
-          |       WHERE event_type = 'purchase' AND ts_us > fc GROUP BY e.user_id)
-          |SELECT '1_view' AS stage, count(*) AS n_users FROM fv
-          |UNION ALL SELECT '2_click', count(*) FROM fc
-          |UNION ALL SELECT '3_purchase', count(*) FROM fp""".stripMargin)),
+      Some(EventQueries.FunnelOracle)), // ONE spec for batch + streaming
 
     // ---- S10: the streaming watermarked tumbling-window aggregation
     //      against s1_event_window's batch oracle — append mode emits
