@@ -370,6 +370,56 @@ object Similarity {
       .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
   }
 
+  /** C11: seeded Lloyd k-means over QUANTIZED embeddings, engine-exact —
+    * the "cluster the corpus, then balance/sample per cluster" curation
+    * step (the centroid flavor of d9's LSH clusters; spark.ml's float
+    * KMeans above is seeded but not oracle-expressible). Determinism
+    * discipline: vectors quantize to integers (×`scale`, floored);
+    * centroid means are exact-int sums divided once; distances evaluate
+    * the IDENTICAL double expression tree in index order in both engines
+    * (Spark `aggregate` with 0.0 init ≡ DuckDB init-less `list_reduce`,
+    * the e8 rule), so every argmin — tie-broken by (dist, cluster) —
+    * agrees bit-for-bit. Init = the `k` md5-least vectors, ranked.
+    *
+    * Scale shape: per round ONE broadcast of k mean vectors, one
+    * partial-combining argmin per vector, and a (k·dim)-key partial sum
+    * — no pairwise work, nothing driver-side beyond the k×dim centroid
+    * table. Empty clusters drop out identically in both engines. */
+  def lloydKmeans(emb: DataFrame, k: Int = 8, rounds: Int = 2,
+                  scale: Int = 1000, salt: String = "km"): DataFrame = {
+    val byMd5 = Seq(md5(concat(lit(salt + "|"), col("vec_id").cast("string"))),
+      col("vec_id"))
+    val q = emb.select(col("vec_id"),
+        expr(s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $scale) AS BIGINT))")
+          .as("x"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(byMd5: _*)
+    var cent = q.orderBy(byMd5: _*).limit(k)
+      .select((row_number().over(w) - 1).cast("long").as("c"),
+        expr("transform(x, v -> CAST(v AS DOUBLE))").as("m"))
+      .localCheckpoint(true)
+    val dist = expr(
+      """aggregate(zip_with(x, m, (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+        |CAST(0.0 AS DOUBLE), (s, v) -> s + v)""".stripMargin)
+    def assign(c: DataFrame): DataFrame =
+      q.crossJoin(broadcast(c))
+        .select(col("vec_id"), struct(dist.as("d"), col("c")).as("dc"))
+        .groupBy("vec_id").agg(min("dc").as("dc")) // argmin: (dist, cluster) struct-min
+        .select(col("vec_id"), col("dc.c").as("c"))
+    for (_ <- 1 to rounds) {
+      val a = assign(cent).join(q, "vec_id")
+      val sums = a.select(col("c"), posexplode(col("x")).as(Seq("i", "xi")))
+        .groupBy("c", "i").agg(sum("xi").as("s"), count(lit(1)).as("n"))
+      cent = sums.groupBy("c")
+        .agg(expr("transform(array_sort(collect_list(struct(i, s, n))), t -> CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))")
+          .as("m"))
+        .localCheckpoint(true)
+    }
+    assign(cent)
+      .groupBy(col("c").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum("vec_id").as("id_sum"))
+  }
+
   /** E2: LSH-bucketed ANN (scale path): `bits` random-hyperplane signs form
     * the bucket key; the query probes its own bucket plus all buckets
     * within Hamming distance `probeRadius` (multi-probe — the standard

@@ -284,5 +284,45 @@ object VectorQueries {
               |       (SELECT count(*) FROM ivftop) AS n_ret,
               |       (SELECT count(*) FROM ivftop
               |        WHERE vec_id IN (SELECT vec_id FROM brute)) AS hits""".stripMargin)),
+
+    // ---- C11: seeded Lloyd k-means over quantized embeddings —
+    //      clustering as a first-class oracle-checked op (the
+    //      cluster-then-balance curation step). Quantized ints, exact
+    //      mean sums, identical index-order double distance trees, and
+    //      (dist, cluster) struct-argmin make BOTH Lloyd rounds and the
+    //      final assignment engine-exact; the oracle unrolls the same
+    //      two update rounds + final assignment ----
+    ("c11_kmeans_clusters",
+      (s: SparkSession, d: String) =>
+        Similarity.lloydKmeans(Tables.embeddings(s, d)),
+      Some {
+        val dist = (x: String, m: String) =>
+          s"""list_reduce(list_transform(list_zip($x, $m),
+             |  z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])),
+             |  (s, v) -> s + v)""".stripMargin
+        val assign = (a: String, cents: String) =>
+          s"""$a AS (SELECT q.vec_id, (min({'d': ${dist("q.x", s"$cents.m")}, 'c': $cents.c})).c AS c
+             |  FROM qkm q CROSS JOIN $cents GROUP BY q.vec_id)""".stripMargin
+        val update = (m: String, a: String) =>
+          s"""$m AS (SELECT t.c, list(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) ORDER BY t.i) AS m
+             |  FROM (SELECT $a.c, u.i, sum(q.x[u.i + 1]) AS s, count(*) AS n
+             |        FROM $a JOIN qkm q USING (vec_id), UNNEST(range(0, len(q.x))) AS u(i)
+             |        GROUP BY $a.c, u.i) t
+             |  GROUP BY t.c)""".stripMargin
+        s"""WITH qkm AS (SELECT vec_id,
+           |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS x
+           |  FROM embeddings),
+           |km0 AS (SELECT row_number() OVER (ORDER BY md5('km|' || vec_id), vec_id) - 1 AS c,
+           |               list_transform(x, v -> CAST(v AS DOUBLE)) AS m
+           |        FROM qkm ORDER BY md5('km|' || vec_id), vec_id LIMIT 8),
+           |${assign("ka1", "km0")},
+           |${update("km1", "ka1")},
+           |${assign("ka2", "km1")},
+           |${update("km2", "ka2")},
+           |${assign("ka3", "km2")}
+           |SELECT c AS cluster, count(*) AS n_members,
+           |       CAST(sum(vec_id) AS BIGINT) AS id_sum
+           |FROM ka3 GROUP BY c""".stripMargin
+      }),
   )
 }
