@@ -386,7 +386,15 @@ object Similarity {
     * — no pairwise work, nothing driver-side beyond the k×dim centroid
     * table. Empty clusters drop out identically in both engines. */
   def lloydKmeans(emb: DataFrame, k: Int = 8, rounds: Int = 2,
-                  scale: Int = 1000, salt: String = "km"): DataFrame = {
+                  scale: Int = 1000, salt: String = "km"): DataFrame =
+    lloydKmeansAssign(emb, k, rounds, scale, salt)
+      .groupBy(col("c").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum("vec_id").as("id_sum"))
+
+  /** The per-vector assignment [[lloydKmeans]] aggregates: (vec_id, c)
+    * after `rounds` Lloyd updates. */
+  def lloydKmeansAssign(emb: DataFrame, k: Int = 8, rounds: Int = 2,
+                        scale: Int = 1000, salt: String = "km"): DataFrame = {
     val byMd5 = Seq(md5(concat(lit(salt + "|"), col("vec_id").cast("string"))),
       col("vec_id"))
     val q = emb.select(col("vec_id"),
@@ -416,8 +424,26 @@ object Similarity {
         .localCheckpoint(true)
     }
     assign(cent)
+  }
+
+  /** X4: cluster-BALANCED sampling — the step [[lloydKmeans]] exists for:
+    * cap every semantic cluster at `quota` members (md5-ranked, the t5
+    * sampling discipline) so no dominant mode floods the training mix
+    * (the cluster-level twin of t13's source-mixture capping). One
+    * cluster-keyed window over the assignment rows; cost ∝ corpus, the
+    * quota rank never materializes more than the assignment itself. */
+  def clusterBalancedSample(emb: DataFrame, quota: Int = 30, k: Int = 8,
+                            rounds: Int = 2, scale: Int = 1000,
+                            salt: String = "km"): DataFrame = {
+    val assigned = lloydKmeansAssign(emb, k, rounds, scale, salt)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("c")
+      .orderBy(md5(concat(lit(salt + "s|"), col("vec_id").cast("string"))),
+        col("vec_id"))
+    assigned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
       .groupBy(col("c").as("cluster"))
-      .agg(count(lit(1)).as("n_members"), sum("vec_id").as("id_sum"))
+      .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("kept_id_sum"))
   }
 
   /** E2: LSH-bucketed ANN (scale path): `bits` random-hyperplane signs form

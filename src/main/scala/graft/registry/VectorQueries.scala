@@ -295,34 +295,57 @@ object VectorQueries {
     ("c11_kmeans_clusters",
       (s: SparkSession, d: String) =>
         Similarity.lloydKmeans(Tables.embeddings(s, d)),
-      Some {
-        val dist = (x: String, m: String) =>
-          s"""list_reduce(list_transform(list_zip($x, $m),
-             |  z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])),
-             |  (s, v) -> s + v)""".stripMargin
-        val assign = (a: String, cents: String) =>
-          s"""$a AS (SELECT q.vec_id, (min({'d': ${dist("q.x", s"$cents.m")}, 'c': $cents.c})).c AS c
-             |  FROM qkm q CROSS JOIN $cents GROUP BY q.vec_id)""".stripMargin
-        val update = (m: String, a: String) =>
-          s"""$m AS (SELECT t.c, list(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) ORDER BY t.i) AS m
-             |  FROM (SELECT $a.c, u.i, sum(q.x[u.i + 1]) AS s, count(*) AS n
-             |        FROM $a JOIN qkm q USING (vec_id), UNNEST(range(0, len(q.x))) AS u(i)
-             |        GROUP BY $a.c, u.i) t
-             |  GROUP BY t.c)""".stripMargin
-        s"""WITH qkm AS (SELECT vec_id,
-           |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS x
-           |  FROM embeddings),
-           |km0 AS (SELECT row_number() OVER (ORDER BY md5('km|' || vec_id), vec_id) - 1 AS c,
-           |               list_transform(x, v -> CAST(v AS DOUBLE)) AS m
-           |        FROM qkm ORDER BY md5('km|' || vec_id), vec_id LIMIT 8),
-           |${assign("ka1", "km0")},
-           |${update("km1", "ka1")},
-           |${assign("ka2", "km1")},
-           |${update("km2", "ka2")},
-           |${assign("ka3", "km2")}
+      Some(
+        s"""$KM_CTES
            |SELECT c AS cluster, count(*) AS n_members,
            |       CAST(sum(vec_id) AS BIGINT) AS id_sum
-           |FROM ka3 GROUP BY c""".stripMargin
-      }),
+           |FROM ka3 GROUP BY c""".stripMargin)),
+
+    // ---- X4: cluster-BALANCED sampling — cap every c11 cluster at 30
+    //      md5-ranked members so no dominant semantic mode floods the
+    //      training mix (the cluster-level twin of t13's source-mixture
+    //      capping, and the step k-means exists for). Shares the whole
+    //      unrolled k-means CTE chain with c11 ----
+    ("x4_cluster_balanced_sample",
+      (s: SparkSession, d: String) =>
+        Similarity.clusterBalancedSample(Tables.embeddings(s, d), quota = 30),
+      Some(
+        s"""$KM_CTES,
+           |rk AS (SELECT vec_id, c, row_number() OVER
+           |  (PARTITION BY c ORDER BY md5('kms|' || vec_id), vec_id) AS rn
+           |  FROM ka3)
+           |SELECT c AS cluster, count(*) AS n_kept,
+           |       CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+           |FROM rk WHERE rn <= 30 GROUP BY c""".stripMargin)),
   )
+
+  /** The unrolled 2-round Lloyd k-means CTE chain (qkm → km0 → ka3),
+    * shared VERBATIM by the c11 and x4 oracles so the clustering spec
+    * cannot desynchronize between them (the LPA3 discipline). */
+  private def KM_CTES: String = {
+    val dist = (x: String, m: String) =>
+      s"""list_reduce(list_transform(list_zip($x, $m),
+         |  z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])),
+         |  (s, v) -> s + v)""".stripMargin
+    val assign = (a: String, cents: String) =>
+      s"""$a AS (SELECT q.vec_id, (min({'d': ${dist("q.x", s"$cents.m")}, 'c': $cents.c})).c AS c
+         |  FROM qkm q CROSS JOIN $cents GROUP BY q.vec_id)""".stripMargin
+    val update = (m: String, a: String) =>
+      s"""$m AS (SELECT t.c, list(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) ORDER BY t.i) AS m
+         |  FROM (SELECT $a.c, u.i, sum(q.x[u.i + 1]) AS s, count(*) AS n
+         |        FROM $a JOIN qkm q USING (vec_id), UNNEST(range(0, len(q.x))) AS u(i)
+         |        GROUP BY $a.c, u.i) t
+         |  GROUP BY t.c)""".stripMargin
+    s"""WITH qkm AS (SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS x
+       |  FROM embeddings),
+       |km0 AS (SELECT row_number() OVER (ORDER BY md5('km|' || vec_id), vec_id) - 1 AS c,
+       |               list_transform(x, v -> CAST(v AS DOUBLE)) AS m
+       |        FROM qkm ORDER BY md5('km|' || vec_id), vec_id LIMIT 8),
+       |${assign("ka1", "km0")},
+       |${update("km1", "ka1")},
+       |${assign("ka2", "km1")},
+       |${update("km2", "ka2")},
+       |${assign("ka3", "km2")}""".stripMargin
+  }
 }
