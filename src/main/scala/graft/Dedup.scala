@@ -381,6 +381,54 @@ object Dedup {
       .filter(col("ham") <= radius)
   }
 
+  /** D12: INCREMENTAL snapshot dedup — how a production corpus actually
+    * updates: only the incoming batch is curated, against the PRIOR
+    * snapshot, never corpus-vs-corpus. Incoming docs are classified
+    * exact-dup (text hash already in the prior snapshot — an anti-join
+    * against the prior's hash set, broadcastable at scale), near-dup
+    * (within Hamming `radius` of ANY prior simhash via the e9
+    * bit-sampling bands — the prior side's banded index is built once
+    * per snapshot and reused across batches), or kept. The fixture
+    * simulates the snapshot boundary deterministically: doc_id %
+    * `priorMod` == 0 is the prior corpus.
+    *
+    * Scale shape: both classifications are incoming-sized probes against
+    * prior-side structures (hash set, band index) — cost ∝ batch, not ∝
+    * total corpus, which is the entire point of incremental curation. */
+  def incrementalSnapshotDedup(docs: DataFrame, priorMod: Long = 3,
+                               radius: Int = 3, nBands: Int = 4): DataFrame = {
+    require(nBands >= radius + 1, "pigeonhole guarantee needs nBands > radius")
+    val bits = 60 / nBands
+    val mask = (1L << bits) - 1
+    val prior = docs.filter(col("doc_id") % priorMod === 0).localCheckpoint(true)
+    val inc = docs.filter(col("doc_id") % priorMod =!= 0).localCheckpoint(true)
+    val exactDup = inc
+      .join(prior.select(md5(col("text")).as("ph")).distinct(),
+        md5(inc("text")) === col("ph"), "left_semi")
+      .select("doc_id").localCheckpoint(true)
+    def band(df: DataFrame) = simhash(df).select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBands).map(b =>
+        expr(s"(simhash >> ${b * bits}) & $mask")): _*)).as(Seq("band", "key")))
+    val cand = band(inc)
+      .select(col("doc_id").as("a"), col("simhash").as("ha"),
+        col("band"), col("key"))
+      .join(band(prior).select(col("simhash").as("hb"),
+        col("band").as("b2"), col("key").as("k2")),
+        col("band") === col("b2") && col("key") === col("k2"))
+      .select("a", "ha", "hb").distinct()
+      .filter(expr(s"bit_count(ha ^ hb) <= $radius"))
+      .select(col("a").as("doc_id")).distinct().localCheckpoint(true)
+    val nearDup = cand.join(exactDup, Seq("doc_id"), "left_anti")
+    val kept = inc.select("doc_id")
+      .join(exactDup, Seq("doc_id"), "left_anti")
+      .join(cand, Seq("doc_id"), "left_anti")
+    inc.agg(count(lit(1)).as("n_incoming"))
+      .crossJoin(exactDup.agg(count(lit(1)).as("n_exact_dup")))
+      .crossJoin(nearDup.agg(count(lit(1)).as("n_near_dup")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept"),
+        coalesce(sum("doc_id"), lit(0L)).as("kept_id_sum")))
+  }
+
   /** X3: near-dup-cluster-safe train/eval split — the leakage guard a
     * training-data build runs when carving held-out data: assign the
     * WHOLE near-duplicate cluster (x2's transitive closure over MinHash

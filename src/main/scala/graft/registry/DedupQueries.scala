@@ -116,6 +116,38 @@ object DedupQueries {
           |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS ham
           |FROM hcand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin))),
 
+    // ---- D12: incremental snapshot dedup — only the incoming batch is
+    //      curated, against the PRIOR snapshot (doc_id % 3 == 0 is the
+    //      prior; both classifications probe prior-side structures, so
+    //      cost ∝ batch, not total corpus). Oracle restricts the shared
+    //      SIMHASH chain by the same snapshot predicate ----
+    ("d12_incremental_snapshot_dedup",
+      (s: SparkSession, d: String) =>
+        Dedup.incrementalSnapshotDedup(Tables.documents(s, d)),
+      Some(Oracle.withSql(SIMHASH,
+        """, pr AS (SELECT doc_id, simhash FROM sh WHERE doc_id % 3 = 0),
+          |ic AS (SELECT doc_id, simhash FROM sh WHERE doc_id % 3 <> 0),
+          |exd AS (SELECT DISTINCT d.doc_id FROM documents d
+          |  WHERE d.doc_id % 3 <> 0
+          |    AND md5(d.text) IN (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)),
+          |icb AS (SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS key
+          |  FROM ic, (SELECT unnest(range(0, 4)) AS band) b),
+          |prb AS (SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS key
+          |  FROM pr, (SELECT unnest(range(0, 4)) AS band) b),
+          |ncand AS (SELECT DISTINCT x.doc_id FROM icb x JOIN prb y
+          |  ON x.band = y.band AND x.key = y.key
+          |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+          |near AS (SELECT doc_id FROM ncand
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM exd)),
+          |kept AS (SELECT doc_id FROM ic
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM exd)
+          |    AND doc_id NOT IN (SELECT doc_id FROM ncand))
+          |SELECT (SELECT count(*) FROM ic) AS n_incoming,
+          |       (SELECT count(*) FROM exd) AS n_exact_dup,
+          |       (SELECT count(*) FROM near) AS n_near_dup,
+          |       (SELECT count(*) FROM kept) AS n_kept,
+          |       (SELECT CAST(COALESCE(sum(doc_id), 0) AS BIGINT) FROM kept) AS kept_id_sum""".stripMargin))),
+
     // ---- D10: quality-aware dedup keeper — x2's clusters with the
     //      production keeper rule: keep the best copy (is_quality desc,
     //      n_tokens desc, doc_id asc), never the truncated one ----
