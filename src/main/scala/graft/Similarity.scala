@@ -530,4 +530,89 @@ object Similarity {
           * 1000000L).cast("long").as("dist2_scaled"))
       .orderBy(col("dist2_scaled").asc, col("vec_id")).limit(k)
   }
+
+  /** E12: product-quantization ANN (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", PAMI '11) — the memory-compression end
+    * of the quantization family: where e8's scalar grid stores 1 byte PER
+    * DIMENSION (4× under float32), PQ stores one centroid id per SUBSPACE
+    * (`m` bytes per vector for ksub ≤ 256 — 32× under float32 at
+    * m=8/dim=64), so the candidate scan touches only the code column and
+    * a broadcast `m × ksub` lookup table, never the vectors.
+    *
+    * Deterministic, engine-exact variant (the e3 centroid discipline):
+    * the codebook of subspace `j` is the j-th slice of `ksub` md5-picked
+    * corpus vectors, cid = rank within the pick; encoding takes the
+    * L2-nearest centroid per (vector, subspace) with ties to the smallest
+    * cid — computed as `min(struct(d2, cid))`, whose lexicographic order
+    * on bit-identical doubles matches the oracle's `ORDER BY d2, cid`
+    * window. ADC scoring (asymmetric: exact query vs quantized corpus)
+    * folds the per-subspace query→centroid distance table over j in fixed
+    * order, so candidate sets and scores hash-match DuckDB exactly; the
+    * top `cand` rerank with exact cosine like e8.
+    *
+    * Scale shape: codebook + query distance table are O(m·ksub) broadcast
+    * rows; encoding is a broadcast join with TWO partial-combining keyed
+    * aggregations ((vec_id, j) argmin, then vec_id code-collect) of m rows
+    * per vector; ADC is a map-side projection over the code column; only
+    * the `cand`-row rerank touches full-precision vectors. At 100 TB the
+    * code column is the only corpus-sized scan — the 32× IO/memory cut is
+    * the entire point of the operator. */
+  def pqTopK(emb: DataFrame, k: Int = 10, cand: Int = 50,
+             m: Int = 8, ksub: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    val subs = spark.range(m).select(col("id").cast("int").as("j"))
+    def sub(arr: String) =
+      expr(s"slice($arr, j * (size($arr) div $m) + 1, size($arr) div $m)")
+    val l2 = expr(
+      """aggregate(zip_with(sv, cv,
+        |  (x, y) -> (cast(x as double) - cast(y as double))
+        |          * (cast(x as double) - cast(y as double))),
+        |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
+    // codebook: the j-slice of ksub md5-picked vectors; cid = in-pick rank
+    // (the row_number window sees exactly ksub rows, never the table)
+    val picked = emb
+      .orderBy(md5(concat(lit("pq|"), col("vec_id"))), col("vec_id"))
+      .limit(ksub)
+      .withColumn("cid", row_number().over(Window.orderBy("vec_id")).cast("int") - 1)
+    val cent = picked.crossJoin(broadcast(subs))
+      .select(col("j"), col("cid"), sub("embedding").as("cv"))
+    // encode: per (vector, subspace) the L2-argmin centroid, ties low cid;
+    // min(struct) partial-combines — no window over corpus-sized input
+    val codes = emb.crossJoin(broadcast(subs))
+      .select(col("vec_id"), col("j"), sub("embedding").as("sv"))
+      .join(broadcast(cent), "j")
+      .select(col("vec_id"), col("j"), col("cid"), l2.as("d2"))
+      .groupBy("vec_id", "j").agg(min(struct(col("d2"), col("cid"))).as("mc"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(j, mc.cid as cid))), s -> s.cid)")
+        .as("codes"))
+    val q = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // query→centroid distance table, flattened to qd[j * ksub + cid]
+    val qd = cent.crossJoin(broadcast(q))
+      .select(col("qid"), col("j"), col("cid"),
+        expr(s"""aggregate(zip_with(
+          |  slice(qv, j * (size(qv) div $m) + 1, size(qv) div $m), cv,
+          |  (x, y) -> (cast(x as double) - cast(y as double))
+          |          * (cast(x as double) - cast(y as double))),
+          |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin).as("qd2"))
+      .groupBy("qid")
+      .agg(expr("transform(array_sort(collect_list(struct(j, cid, qd2))), s -> s.qd2)")
+        .as("qd"))
+    val adc = expr(s"""CAST(floor(aggregate(sequence(0, ${m - 1}),
+      |  cast(0.0 as double), (s, j) -> s + qd[j * $ksub + codes[j]])
+      |  * 1000000.0D) AS BIGINT)""".stripMargin)
+    val candidates = codes.crossJoin(broadcast(qd))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"), adc.as("adc2_scaled"))
+      .orderBy(col("adc2_scaled").asc, col("vec_id")).limit(cand)
+    val cos = ndot(emb, col("embedding"), col("qv")) /
+      (sqrt(ndot(emb, col("embedding"), col("embedding"))) *
+        sqrt(ndot(emb, col("qv"), col("qv"))))
+    candidates.join(emb, "vec_id").crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adc2_scaled"),
+        floor(cos * 1000000L).cast("long").as("cos_scaled"))
+      .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
+  }
 }

@@ -974,6 +974,45 @@ object Traversals {
         lit(4L * m * m).as("q_den"))
   }
 
+  /** G21: degree assortativity (Newman, "Assortative Mixing in
+    * Networks", PRL '02) as an EXACT rational — the Pearson correlation
+    * of endpoint degrees over the canonical undirected simple edge set,
+    * cleared of denominators: with M edges and per-edge endpoint degrees
+    * (j, k),
+    *
+    *   r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²)
+    *
+    * returned as (m_edges, r_num, r_den) in BIGINTs, so the cross-engine
+    * compare is integer-exact like [[modularity]] (no float summation
+    * order). Negative r = hubs attach to leaves (the zipf fixture's
+    * regime, as for most synthetic preferential graphs).
+    *
+    * Scale shape: one canonicalization shuffle, one partial-combining
+    * degree aggregation, two broadcast-or-shuffle hash joins keyed on the
+    * endpoints, one global partial-combining sum — linear in |E|. The
+    * BIGINT headroom bound is Σ j²·deg ≤ M·maxdeg²: overflow needs
+    * maxdeg ≳ 3M·10⁹/M — not reachable before 4M·Σjk itself leaves the
+    * measurable range. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val canon = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val m = canon.count()
+    val deg = canon.select(col("a").as("id")).union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val s = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .agg(sum(col("da") * col("db")).as("sjk"),
+        sum(col("da") + col("db")).as("sjpk"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("sj2k2"))
+    s.select(lit(m).as("m_edges"),
+      (lit(4L) * m * col("sjk") - col("sjpk") * col("sjpk"))
+        .cast("long").as("r_num"),
+      (lit(2L) * m * col("sj2k2") - col("sjpk") * col("sjpk"))
+        .cast("long").as("r_den"))
+  }
+
   /** G19: landmark-labeling distance estimates (the pivot/landmark half
     * of 2-hop labeling, Akiba et al. SIGMOD'13 pruned landmark labeling;
     * the plain upper bound d̂(u,v) = min_l d(u,l)+d(l,v) here): BFS from

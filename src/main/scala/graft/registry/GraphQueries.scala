@@ -227,6 +227,29 @@ object GraphQueries {
           |  CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS BIGINT) AS q_den
           |FROM comb""".stripMargin))),
 
+    // ---- G21: degree assortativity (Newman '02) over the canonical
+    //      zipf graph as an EXACT rational (g20's discipline: clear the
+    //      denominators, hash integers) — the standard one-number answer
+    //      to "do hubs attach to hubs?" on a degree-skewed graph ----
+    ("g21_assortativity",
+      (s: SparkSession, d: String) =>
+        Traversals.assortativity(zipfCanon(s, d)),
+      Some(Oracle.withSql(ZipfQueries.ZEDGES,
+        """, zc AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+          |       FROM zedges WHERE src <> dst),
+          |deg AS (SELECT id, count(*) AS deg FROM
+          |  (SELECT src AS id FROM zc UNION ALL SELECT dst FROM zc) GROUP BY id),
+          |je AS (SELECT sa.deg AS da, sb.deg AS db
+          |  FROM zc e JOIN deg sa ON e.src = sa.id JOIN deg sb ON e.dst = sb.id),
+          |mm AS (SELECT count(*) AS m FROM zc),
+          |sums AS (SELECT CAST(sum(da * db) AS BIGINT) AS sjk,
+          |  CAST(sum(da + db) AS BIGINT) AS sjpk,
+          |  CAST(sum(da * da + db * db) AS BIGINT) AS sj2k2 FROM je)
+          |SELECT (SELECT m FROM mm) AS m_edges,
+          |  CAST(4 * (SELECT m FROM mm) * sjk - sjpk * sjpk AS BIGINT) AS r_num,
+          |  CAST(2 * (SELECT m FROM mm) * sj2k2 - sjpk * sjpk AS BIGINT) AS r_den
+          |FROM sums""".stripMargin))),
+
     // ---- G10: time-respecting reachability (min-arrival BFS over the
     //      timestamped symmetric graph): edge (u,v,ets) is crossable only
     //      when ets ≥ arrival(u); monotone min-combine, oracle unrolls

@@ -97,6 +97,59 @@ object VectorQueries {
        |  WHERE e.vec_id <> q.qid
        |  ORDER BY cos_scaled DESC, e.vec_id LIMIT 10)""".stripMargin
 
+  // E12 product-quantization shape, shared by the Scala call and the
+  // oracle SQL below so a parameter change re-derives both sides
+  // pinned from examples.PqProbe's recall sweep: recall@10 = 7/10
+  // (sf0.001, deliberately-weak planted pairs) and 9/10 (sf0.01)
+  private[registry] val PqM = 8
+  private[registry] val PqKsub = 32
+  private[registry] val PqCand = 100
+
+  /** The full e12 oracle: codebook pick → per-subspace encode (window
+    * argmin ORDER BY d2, cid — matches Spark's lexicographic
+    * min(struct(d2, cid)) on bit-identical doubles) → flattened ADC table
+    * → top-cand by ADC → exact cosine rerank. List indexing is 1-based in
+    * DuckDB, hence the `+ 1`s against Spark's 0-based subscripts. */
+  private def PQSQL: String = {
+    val l2 = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+         |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))), (s, v) -> s + v)""".stripMargin
+    s"""WITH $Q,
+       |picked AS (SELECT vec_id, embedding,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+       |  FROM (SELECT * FROM embeddings ORDER BY md5('pq|' || vec_id), vec_id LIMIT $PqKsub)),
+       |cent AS (SELECT CAST(u.j AS INTEGER) AS j, p.cid,
+       |    p.embedding[CAST(u.j AS BIGINT) * (len(p.embedding) // $PqM) + 1 :
+       |                (CAST(u.j AS BIGINT) + 1) * (len(p.embedding) // $PqM)] AS cv
+       |  FROM picked p, UNNEST(range(0, $PqM)) AS u(j)),
+       |sub AS (SELECT e.vec_id, CAST(u.j AS INTEGER) AS j,
+       |    e.embedding[CAST(u.j AS BIGINT) * (len(e.embedding) // $PqM) + 1 :
+       |                (CAST(u.j AS BIGINT) + 1) * (len(e.embedding) // $PqM)] AS sv
+       |  FROM embeddings e, UNNEST(range(0, $PqM)) AS u(j)),
+       |encr AS (SELECT s.vec_id, s.j, c.cid,
+       |    ${l2("s.sv", "c.cv")} AS d2
+       |  FROM sub s JOIN cent c ON s.j = c.j),
+       |enc AS (SELECT vec_id, j, cid FROM (
+       |    SELECT vec_id, j, cid,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, cid) AS rk
+       |    FROM encr) WHERE rk = 1),
+       |codes AS (SELECT vec_id, list(cid ORDER BY j) AS codes FROM enc GROUP BY vec_id),
+       |qdr AS (SELECT c.j, c.cid,
+       |    ${l2(s"q.qv[CAST(c.j AS BIGINT) * (len(q.qv) // $PqM) + 1 : (CAST(c.j AS BIGINT) + 1) * (len(q.qv) // $PqM)]", "c.cv")} AS qd2
+       |  FROM cent c, q),
+       |qd AS (SELECT list(qd2 ORDER BY j, cid) AS qd FROM qdr),
+       |adc AS (SELECT cd.vec_id,
+       |    CAST(floor(list_reduce(list_transform(range(0, $PqM),
+       |        j -> qd.qd[CAST(j AS BIGINT) * $PqKsub + cd.codes[CAST(j AS BIGINT) + 1] + 1]),
+       |      (s, v) -> s + v) * 1000000.0) AS BIGINT) AS adc2_scaled
+       |  FROM codes cd, qd, q WHERE cd.vec_id <> q.qid),
+       |candt AS (SELECT * FROM adc ORDER BY adc2_scaled ASC, vec_id LIMIT $PqCand)
+       |SELECT c.vec_id, c.adc2_scaled, ${cosSql("e.embedding", "q.qv")} AS cos_scaled
+       |FROM candt c JOIN embeddings e ON c.vec_id = e.vec_id, q
+       |ORDER BY cos_scaled DESC, c.vec_id LIMIT 10""".stripMargin
+  }
+
   val entries: Seq[QueryEntry] = Seq(
 
     ("e1_ann_bruteforce_topk",
@@ -133,6 +186,19 @@ object VectorQueries {
         |    * 1000000) AS BIGINT) AS dist2_scaled
         |FROM embeddings e, q WHERE e.vec_id <> q.qid
         |ORDER BY dist2_scaled ASC, e.vec_id LIMIT 10""".stripMargin)),
+
+    // E12: product quantization (Jégou '11) — m subspace codebooks of
+    // ksub md5-picked slices, per-subspace L2-argmin codes (ties low cid),
+    // ADC candidate scoring from a broadcast query→centroid table, exact
+    // cosine rerank. Codes are m bytes/vector: the candidate scan never
+    // touches the float column — the 32× memory/IO cut at 100 TB. The
+    // oracle SQL derives from the SAME named constants as the Scala call
+    // (PqM/PqKsub/PqCand — the ADVICE-r6 WALKS discipline).
+    ("e12_ann_pq_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.pqTopK(Tables.embeddings(s, d),
+          k = 10, cand = PqCand, m = PqM, ksub = PqKsub),
+      Some(PQSQL)),
 
     // E8: scalar-quantized (int8) candidates + exact rerank — per-dim
     // [min,max] grid, asymmetric dequantized-code · full-precision-query

@@ -55,6 +55,34 @@ class SimilarityLshSpec extends AnyFunSuite {
       s"sq recall ${(sq.map(_._1).toSet & brute.map(_._1).toSet).size}/10")
   }
 
+  test("product quantization: exact equality when cand covers the corpus, recall floor at production cand") {
+    val brute = Similarity.bruteForceTopK(emb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // cand >= corpus: the cosine rerank sees every vector, so the PQ
+    // approximation cannot lose anything — top-k must equal e1 exactly
+    val full = Similarity.pqTopK(emb, k = 10, cand = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(full == brute)
+    // production config (the registry's PqProbe-pinned shape): reranked
+    // rows carry the exact cosine; recall floor on the deliberately-weak
+    // fixture (codes are 8 bytes vs 256 — the 32x compression this
+    // operator exists for)
+    val pq = Similarity.pqTopK(emb, k = 10, cand = 100, ksub = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // every reranked row carries the exact cosine, whether or not the
+    // vector made the true top-10 (full-corpus ranking as the witness)
+    val allCos = Similarity.bruteForceTopK(emb, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pq.forall { case (id, c) => allCos.get(id).contains(c) },
+      "reranked scores must be exact-cosine rows")
+    assert((pq.map(_._1).toSet & brute.map(_._1).toSet).size >= 6,
+      s"pq recall ${(pq.map(_._1).toSet & brute.map(_._1).toSet).size}/10")
+    // rerun determinism: md5 codebook + lexicographic argmin, no RNG
+    val again = Similarity.pqTopK(emb, k = 10, cand = 100, ksub = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(again == pq)
+  }
+
   test("trained k-means IVF: seeded, top-k from probed cells only, recall floor") {
     val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
     val km = Similarity.kmeansIvfTopK(emb, k = 10, nCells = 16, nprobe = 4)

@@ -281,6 +281,27 @@ class TraversalsSpec extends AnyFunSuite {
     assert(got == (0L to 16L).map(_ -> 0L).toMap)
   }
 
+  test("assortativity: exact rational, -1 on a path and a star, canonicalization-invariant") {
+    def r(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val row = Traversals.assortativity(df).head()
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    // P3 (1-2-3): per-edge degrees (1,2),(2,1) -> r = -4/4 = -1
+    val path3 = edgesDF(Seq((1L, 2L, 0), (2L, 3L, 0)))
+    assert(r(path3) == (2L, -4L, 4L))
+    // K1,3 star: three (3,1) edges -> r = -36/36 = -1 (pure hub-to-leaf)
+    val star = edgesDF(Seq((0L, 1L, 0), (0L, 2L, 0), (0L, 3L, 0)))
+    assert(r(star) == (3L, -36L, 36L))
+    // direction flips, self-loops and parallel edges canonicalize away
+    val messy = edgesDF(Seq((2L, 1L, 0), (2L, 3L, 0), (3L, 2L, 0),
+      (1L, 1L, 0), (1L, 2L, 0)))
+    assert(r(messy) == (2L, -4L, 4L))
+    // K3 regular graph: zero variance -> num = den = 0 (undefined r,
+    // surfaced as the 0/0 rational, never a crash or a fake value)
+    val k3 = edgesDF(Seq((0L, 1L, 0), (1L, 2L, 0), (0L, 2L, 0)))
+    assert(r(k3) == (3L, 0L, 0L))
+  }
+
   test("Pregel PageRank matches DataFrame PageRank (scaled-int, bit-exact)") {
     val e = edgesDF(Seq((0L, 2L, 0), (1L, 2L, 0), (2L, 3L, 0), (0L, 3L, 0)))
     val a = PageRank.top20(e, iters = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
