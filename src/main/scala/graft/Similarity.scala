@@ -277,27 +277,54 @@ object Similarity {
     * interval→shard routing (VertexInterval.java:50-78) applied to ANN:
     * query cost ∝ probed fraction of the DATA READ, not just of the
     * distance computations. */
-  def ivfStoreWrite(emb: DataFrame, path: String, nCells: Int): Unit = {
+  /** Deterministic md5-pick codebook over `sample` → (cid, cv). Extracted
+    * from [[ivfStoreWrite]] so a streaming ingest can train the codebook
+    * on its initial batch and hold it FIXED while later micro-batches
+    * route (the production IVF-maintenance discipline: codebooks are
+    * trained once and versioned, never silently retrained per batch —
+    * retraining would reshuffle every already-written cell). */
+  def ivfCentroids(sample: DataFrame, nCells: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val picked = emb
+    sample
       .orderBy(md5(concat(lit("ivf|"), col("vec_id"))), col("vec_id"))
       .limit(nCells)
-    val cent = picked
       .withColumn("cid", row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
       .select(col("cid"), col("embedding").as("cv"))
+  }
+
+  /** Nearest-cell assignment (vec_id, cid) under a fixed codebook —
+    * cosine rank with ties to the low cid, the same bit-identical double
+    * fold as [[ivfTopK]]. Broadcast codebook, so map-side except the
+    * per-vector argmax window. */
+  def ivfAssign(emb: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val m = ndot(emb, col("embedding"), col("cv")) /
       sqrt(ndot(emb, col("cv"), col("cv")))
-    val assign = emb.crossJoin(broadcast(cent))
+    emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cid"),
         row_number().over(
           Window.partitionBy("vec_id").orderBy(m.desc, col("cid"))).as("rk"))
       .filter(col("rk") === 1).select("vec_id", "cid")
-    emb.join(assign, "vec_id")
+  }
+
+  def ivfStoreWrite(emb: DataFrame, path: String, nCells: Int): Unit = {
+    val cent = ivfCentroids(emb, nCells)
+    emb.join(ivfAssign(emb, cent), "vec_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cid").parquet(s"$path/vectors")
     cent.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/centroids")
   }
+
+  /** S16: append one ingest micro-batch into the cell-partitioned store
+    * under a FIXED codebook — each batch routes independently (assignment
+    * depends only on (vector, codebook)), so the store after any replay
+    * equals the batch build with the same codebook, file layout aside.
+    * Appends only touch the cell directories the batch lands in. */
+  def ivfStoreAppend(batch: DataFrame, path: String, cent: DataFrame): Unit =
+    batch.join(ivfAssign(batch, cent), "vec_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cid").parquet(s"$path/vectors")
 
   /** Probe the store written by [[ivfStoreWrite]]: rank the (tiny,
     * collected) centroid set against the query vector with the same

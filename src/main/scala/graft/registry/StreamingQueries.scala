@@ -394,7 +394,58 @@ object StreamingQueries {
       out
     })
 
+  /** Replay the embeddings fixture as two micro-batches into the
+    * cell-partitioned IVF store ([[graft.Similarity.ivfStoreAppend]])
+    * under a codebook trained on the FIRST batch and held fixed — the
+    * production ANN-index maintenance discipline (retraining per batch
+    * would reshuffle every already-written cell). Each batch routes
+    * independently, so the streamed store's content equals a batch build
+    * with the same codebook, file layout aside; the s16 probe then runs
+    * e3b's directory-pruned top-k against it. */
+  private def ivfStreamPath(s: SparkSession, d: String): String =
+    cache.computeIfAbsent(key(s, d, "s16"), _ => {
+      val watch = java.nio.file.Files.createTempDirectory("graft-s16-in").toString
+      val store = java.nio.file.Files.createTempDirectory("graft-s16-store").toString
+      val emb = Tables.embeddings(s, d)
+        .select("vec_id", "embedding").localCheckpoint(true)
+      val half = emb.agg(max("vec_id")).head().getLong(0) / 2
+      val cent = Similarity
+        .ivfCentroids(emb.filter(col("vec_id") <= half), nCells = 16)
+        .localCheckpoint(true)
+      cent.write.parquet(s"$store/centroids")
+      writeBatch(emb.filter(col("vec_id") <= half), s"$watch/b0.parquet")
+      writeBatch(emb.filter(col("vec_id") > half), s"$watch/b1.parquet")
+      val sch = StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$store/_ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          Similarity.ivfStoreAppend(b, store, cent); ()
+        }
+        .start().awaitTermination()
+      unloadStreamingState()
+      store
+    })
+
   val entries: Seq[QueryEntry] = Seq(
+
+    // ---- S16: streaming ANN-index maintenance — embeddings arrive in
+    //      micro-batches, each routed into the cell-partitioned IVF
+    //      store under the fixed first-batch codebook; the probe equals
+    //      the batch build (streaming == batch == oracle, the s6
+    //      property for the vector store). Oracle = the e3 IVF chain
+    //      with the codebook pick restricted to the stream prefix ----
+    ("s16_streaming_ivf_ingest",
+      (s: SparkSession, d: String) =>
+        Similarity.ivfStoreTopK(s, ivfStreamPath(s, d), k = 10, nprobe = 4),
+      Some(s"""WITH ${VectorQueries.QSQL},
+        |${VectorQueries.ivfSql(
+             "WHERE vec_id <= (SELECT max(vec_id) // 2 FROM embeddings)")},
+        |${VectorQueries.IVFTOP}
+        |SELECT vec_id, cos_scaled FROM ivftop""".stripMargin)),
 
     // ---- S15: stream-stream LEFT OUTER interval join — every click
     //      emits exactly once: matched in-batch from join state,

@@ -71,11 +71,14 @@ object VectorQueries {
   /** Deterministic IVF: 16 centroids picked by md5 pseudo-random shuffle
     * (engine-independent; the Spark side computes the same pick with a
     * distributed top-k); vectors assign to the nearest centroid by cosine;
-    * the query probes its 4 nearest cells (mirrors Similarity.ivfTopK). */
-  private val IVF =
-    """cent AS (
+    * the query probes its 4 nearest cells (mirrors Similarity.ivfTopK).
+    * `pickWhere` restricts the codebook's training set — empty for e3/e3b
+    * (full corpus), a vec_id bound for s16's stream-prefix codebook. */
+  private[registry] def ivfSql(pickWhere: String): String =
+    s"""cent AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
       |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        $pickWhere
       |        ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16) pick),
       |rankd AS (
       |  SELECT e.vec_id, c.cid,
@@ -90,7 +93,11 @@ object VectorQueries {
       |qc AS (SELECT r.cid FROM rankd r, q WHERE r.vec_id = q.qid AND r.rk <= 4),
       |candv AS (SELECT a.vec_id FROM assign a JOIN qc ON a.cid = qc.cid)""".stripMargin
 
-  private val IVFTOP =
+  private val IVF = ivfSql("")
+
+  private[registry] val QSQL = Q
+
+  private[registry] val IVFTOP =
     s"""ivftop AS (
        |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos_scaled
        |  FROM embeddings e JOIN candv ON e.vec_id = candv.vec_id, q

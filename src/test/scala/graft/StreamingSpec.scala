@@ -233,6 +233,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L)) // 2 failed quality; 3 was a normalized dup of 1
   }
 
+  test("streaming IVF ingest under a fixed codebook equals the batch store build") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val half = emb.agg(max("vec_id")).head().getLong(0) / 2
+    val cent = Similarity.ivfCentroids(emb.filter(col("vec_id") <= half), 16)
+      .localCheckpoint(true)
+    // batch reference: one-shot assignment under the same codebook
+    val want = emb.join(Similarity.ivfAssign(emb, cent), "vec_id")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    // streamed build: two appends route independently
+    val store = Files.createTempDirectory("graft-ivf-stream").toString
+    cent.write.parquet(s"$store/centroids")
+    Similarity.ivfStoreAppend(emb.filter(col("vec_id") <= half), store, cent)
+    Similarity.ivfStoreAppend(emb.filter(col("vec_id") > half), store, cent)
+    val got = spark.read.parquet(s"$store/vectors")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    assert(got == want)
+    // and the probe over the streamed store is well-formed top-10
+    val top = Similarity.ivfStoreTopK(spark, store, k = 10, nprobe = 4)
+    assert(top.count() == 10)
+  }
+
   test("windowed event counts with watermark match the batch equivalent") {
     val dir = Files.createTempDirectory("graft-events").toString
     val s = spark; import s.implicits._
