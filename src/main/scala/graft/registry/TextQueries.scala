@@ -122,6 +122,46 @@ object TextQueries {
           |  md5(rt) AS fp
           |FROM r""".stripMargin)),
 
+    // ---- X5: cross-modal retrieval composite — the CLIP-shaped serving
+    //      join: the QUERY is chosen on the media side (largest payload
+    //      by m1's metadata, ties to the low id), candidates are gated by
+    //      a media predicate (byte_len >= 200 — a storage-prunable
+    //      semi-join, like e6's quality gate but driven by the binary
+    //      column's metadata), and the embedding side ranks by exact
+    //      cosine. At 100 TB the media gate prunes before any distance
+    //      work and the query row is a 1-row broadcast ----
+    ("x5_crossmodal_retrieval",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val meta = Multimodal.metaPipeline(s, d)
+          .select(col("doc_id"), col("byte_len")).localCheckpoint(true)
+        val emb = Tables.embeddings(s, d)
+        val big = meta.orderBy(col("byte_len").desc, col("doc_id")).limit(1)
+          .select(col("doc_id").as("qid"))
+        val q = emb.join(broadcast(big), emb("vec_id") === col("qid"))
+          .select(col("qid"), col("embedding").as("qv"))
+        val keep = meta.filter(col("byte_len") >= 200)
+          .select(col("doc_id").as("vec_id"))
+        emb.join(keep, Seq("vec_id"), "left_semi")
+          .crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("vec_id"),
+            floor(Similarity.cosine(col("embedding"), col("qv")) * 1000000L)
+              .cast("long").as("cos_scaled"))
+          .orderBy(col("cos_scaled").desc, col("vec_id")).limit(10)
+      },
+      Some(s"""WITH meta AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS bl FROM documents),
+        |q AS (SELECT e.vec_id AS qid, e.embedding AS qv
+        |  FROM embeddings e JOIN meta m ON e.vec_id = m.doc_id
+        |  ORDER BY m.bl DESC, m.doc_id LIMIT 1),
+        |keep AS (SELECT doc_id FROM meta WHERE bl >= 200)
+        |SELECT e.vec_id,
+        |  ${VectorQueries.cosSql("e.embedding", "q.qv")} AS cos_scaled
+        |FROM embeddings e JOIN keep k ON e.vec_id = k.doc_id, q
+        |WHERE e.vec_id <> q.qid
+        |ORDER BY cos_scaled DESC, e.vec_id LIMIT 10""".stripMargin)),
+
     // ---- t6: BPE-ish pretokenization (GPT-2-style regex) — the count AND
     //      a boundary-exact fingerprint of the token list; the SQL reuses
     //      the SAME pattern constant so the engines cannot drift ----

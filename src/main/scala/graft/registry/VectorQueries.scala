@@ -23,7 +23,7 @@ object VectorQueries {
     })
 
   /** Exact scaled cosine between two embedding columns (DuckDB fragment). */
-  private def cosSql(a: String, b: String): String =
+  private[registry] def cosSql(a: String, b: String): String =
     s"""CAST(floor(
        |      list_reduce(list_transform(list_zip($a, $b),
        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
