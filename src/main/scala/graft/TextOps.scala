@@ -271,6 +271,39 @@ object TextOps {
     * only exchange is the nShards-row aggregate, which partial-combines.
     * The real shard WRITE at 100 TB is `repartition(nShards, shard)` +
     * partitioned parquet — the same one keyed exchange. */
+  /** T20: hashing-trick featurization (Weinberger et al., "Feature
+    * Hashing for Large Scale Multitask Learning", ICML '09 — the
+    * Vowpal-Wabbit featurizer): every token occurrence routes to
+    * bucket = h(tok) mod `dim`, a second independent hash gives the ±1
+    * sign so collisions cancel in expectation, and NO vocabulary pass is
+    * needed — the property that makes this the standard text featurizer
+    * at corpus scale (stateless, fixed width, map-only until the
+    * per-document combine). Output per document: nnz (surviving
+    * buckets), l1 = Σ|w|, and an order-canonical md5 fingerprint of the
+    * sparse (bucket:weight) list — the fingerprint pins the EXACT vector
+    * cross-engine without hauling `dim` columns through the compare.
+    * Documents with zero tokens (or full sign cancellation everywhere)
+    * have an empty vector and drop out, in both engines.
+    *
+    * Scale shape: one explode, one (doc, bucket) partial-combining
+    * shuffle, one doc-keyed combine — linear in token count,
+    * vocabulary-free (no vocab build, no broadcast, unlike t12/t14). */
+  def featureHash(docs: DataFrame, dim: Int = 64, salt: String = "fh"): DataFrame = {
+    val bucket = expr(s"CAST(conv(substring(md5(concat('$salt|', tok)), 1, 15), 16, 10) AS BIGINT) % $dim")
+    val sgn = expr(s"CASE WHEN CAST(conv(substring(md5(concat('${salt}s|', tok)), 1, 15), 16, 10) AS BIGINT) % 2 = 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END")
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), bucket.as("bucket"), sgn.as("sg"))
+      .groupBy("doc_id", "bucket").agg(sum("sg").as("w"))
+      .filter(col("w") =!= 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nnz"),
+        sum(abs(col("w"))).cast("long").as("l1"),
+        md5(concat_ws(",", expr(
+          """transform(array_sort(collect_list(struct(bucket, w))),
+            |  s -> concat(cast(s.bucket as string), ':', cast(s.w as string)))""".stripMargin)))
+          .as("fp"))
+  }
+
   def shardAssign(docs: DataFrame, nShards: Int = 8,
                   salt: String = "t15"): DataFrame = {
     val h = expr(s"CAST(conv(substring(md5(concat('$salt|', " +

@@ -294,6 +294,43 @@ object RelationalQueries {
           |       CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
           |FROM w""".stripMargin)),
 
+    // ---- R18: incremental aggregate-view maintenance — a persisted
+    //      per-customer aggregate STATE (count / cents-sum / first / last)
+    //      is refreshed by MERGING the new batch's partial aggregate
+    //      (counts and sums add, min/max combine), never recomputing
+    //      history; the oracle recomputes from scratch, so the entry pins
+    //      merged-state == full recompute. The 100 TB point: the refresh
+    //      shuffles only the BATCH plus one state-sized table, not the
+    //      corpus — every aggregate here is chosen mergeable (the same
+    //      discipline d12 applies to dedup state and s13 to latest-per-
+    //      key), which is what makes per-day rollup maintenance O(day)
+    //      instead of O(history) ----
+    ("r18_incremental_agg_merge",
+      (s: SparkSession, d: String) => {
+        val o = Tables.orders(s, d).select(col("o_custkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+          .localCheckpoint(true)
+        val r = o.agg(min("od_ms"), max("od_ms")).head()
+        val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+        def state(df: org.apache.spark.sql.DataFrame) = df.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum("cents").cast("long").as("cents_sum"),
+            min("od_ms").as("first_ms"), max("od_ms").as("last_ms"))
+        state(o.filter(col("od_ms") < mid))        // persisted history state
+          .unionByName(state(o.filter(col("od_ms") >= mid))) // new batch state
+          .groupBy("o_custkey")
+          .agg(sum("n_orders").cast("long").as("n_orders"),
+            sum("cents_sum").cast("long").as("cents_sum"),
+            min("first_ms").as("first_ms"), max("last_ms").as("last_ms"))
+      },
+      Some(
+        """SELECT o_custkey, count(*) AS n_orders,
+          |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_sum,
+          |  min(epoch_ms(o_orderdate)) AS first_ms,
+          |  max(epoch_ms(o_orderdate)) AS last_ms
+          |FROM orders GROUP BY o_custkey""".stripMargin)),
+
     // ---- CUBE over region × market segment (SURVEY §2.8 names cube
     //      alongside rollup; r3 covers rollup, this covers the full
     //      lattice — 4 grouping sets in ONE pass via Expand) ----

@@ -319,6 +319,26 @@ object TextQueries {
           |       CAST(sum(doc_id) AS BIGINT) AS id_sum
           |FROM sh GROUP BY shard""".stripMargin))),
 
+    // ---- T20: hashing-trick featurization (Weinberger '09, the VW
+    //      featurizer) — bucket + independent ±1 sign hash, NO vocabulary
+    //      pass; per-doc nnz / l1 / order-canonical sparse-vector md5 pin
+    //      the exact 64-dim vector cross-engine ----
+    ("t20_feature_hashing",
+      (s: SparkSession, d: String) => TextOps.featureHash(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        """, occ AS (SELECT doc_id, u.tok AS tok FROM tok, UNNEST(ts) AS u(tok)),
+          |hb AS (SELECT doc_id,
+          |    CAST(('0x' || substr(md5('fh|' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+          |    CASE WHEN CAST(('0x' || substr(md5('fhs|' || tok), 1, 15)) AS BIGINT) % 2 = 0
+          |         THEN 1 ELSE -1 END AS sg
+          |  FROM occ),
+          |wv AS (SELECT doc_id, bucket, CAST(sum(sg) AS BIGINT) AS w
+          |  FROM hb GROUP BY doc_id, bucket),
+          |nz AS (SELECT * FROM wv WHERE w <> 0)
+          |SELECT doc_id, count(*) AS nnz, CAST(sum(abs(w)) AS BIGINT) AS l1,
+          |  md5(string_agg(bucket || ':' || w, ',' ORDER BY bucket)) AS fp
+          |FROM nz GROUP BY doc_id""".stripMargin))),
+
     // ---- X1: the composite corpus-build pipeline — quality filter (t3's
     //      rule) → exact dedup (d1's keeper rule on t4's fingerprint) →
     //      per-language doc/token budget, as ONE declarative plan ----
