@@ -558,6 +558,50 @@ object Similarity {
       .orderBy(col("dist2_scaled").asc, col("vec_id")).limit(k)
   }
 
+  /** E13: MMR diversity re-ranking (Carbonell & Goldstein, SIGIR '98 —
+    * maximal marginal relevance): greedily build the served top-`k` from
+    * a `cand`-sized relevance shortlist, each step taking
+    * argmax λ·cos(q, d) − (1−λ)·max_{s∈S} cos(d, s) — the standard fix
+    * for near-duplicate-saturated neighbor lists (a corpus with d5-level
+    * near-dups serves k copies of one document without it). λ = 0.7 is
+    * applied in cleared-denominator integers (7·cq − 3·maxsel, same
+    * argmax — no division, no float ties), so selection order is
+    * engine-exact on the floor-scaled cosines and the oracle can unroll
+    * the greedy loop.
+    *
+    * Scale shape: the corpus-sized work is the shortlist build (e1 here;
+    * any bucketed variant composes); everything after is cand²-bounded —
+    * one pairwise-cosine table and k tiny argmax rounds over broadcast
+    * state. cand is a serving constant (50), so re-ranking cost is
+    * independent of corpus size. */
+  def mmrRerank(emb: DataFrame, k: Int = 10, cand: Int = 50): DataFrame = {
+    val c = bruteForceTopK(emb, cand)
+      .select(col("vec_id"), col("cos_scaled").as("cq")).localCheckpoint(true)
+    val withEmb = c.join(emb, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cq")).localCheckpoint(true)
+    val a = withEmb.select(col("vec_id").as("ai"), col("embedding").as("ea"))
+    val b = withEmb.select(col("vec_id").as("bi"), col("embedding").as("eb"))
+    val pair = a.join(b, col("ai") =!= col("bi"))
+      .select(col("ai"), col("bi"),
+        floor(cosine(col("ea"), col("eb")) * 1000000L).cast("long").as("cp"))
+      .localCheckpoint(true)
+    var sel = c.orderBy(col("cq").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), lit(1L).as("rk")).localCheckpoint(true)
+    for (i <- 2 to k) {
+      val ms = pair.join(broadcast(sel.select(col("vec_id").as("bi"))), "bi")
+        .groupBy(col("ai")).agg(max("cp").as("ms"))
+      val next = c.join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+        .join(ms, col("vec_id") === col("ai"))
+        .select(col("vec_id"), (lit(7L) * col("cq") - lit(3L) * col("ms")).as("sc"))
+        .orderBy(col("sc").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(i.toLong).as("rk"))
+      sel = sel.unionByName(next).localCheckpoint(true)
+    }
+    sel.join(c, "vec_id")
+      .select(col("rk"), col("vec_id"), col("cq").as("cos_scaled"))
+      .orderBy("rk")
+  }
+
   /** E12: product-quantization ANN (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", PAMI '11) — the memory-compression end
     * of the quantization family: where e8's scalar grid stores 1 byte PER

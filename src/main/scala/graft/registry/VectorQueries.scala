@@ -157,7 +157,55 @@ object VectorQueries {
        |ORDER BY cos_scaled DESC, c.vec_id LIMIT 10""".stripMargin
   }
 
+  /** e13 oracle: the greedy MMR loop unrolled — 50-deep relevance
+    * shortlist, pairwise candidate cosines, then 9 MATERIALIZED argmax
+    * rounds (each s_i is referenced twice — without MATERIALIZED DuckDB
+    * re-inlines the whole chain exponentially, the g3 lesson). Scores use
+    * the same cleared-denominator integers as the Scala loop. */
+  private def MMRSQL: String = {
+    val k = 10
+    val sb = new StringBuilder
+    sb.append(s"""WITH $Q,
+      |cand AS MATERIALIZED (
+      |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cq
+      |  FROM embeddings e, q WHERE e.vec_id <> q.qid
+      |  ORDER BY cq DESC, e.vec_id LIMIT 50),
+      |pair AS MATERIALIZED (
+      |  SELECT a.vec_id AS ai, b.vec_id AS bi,
+      |         ${cosSql("ea.embedding", "eb.embedding")} AS cp
+      |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+      |s1 AS MATERIALIZED (SELECT vec_id, CAST(1 AS BIGINT) AS rk FROM cand
+      |  ORDER BY cq DESC, vec_id LIMIT 1)""".stripMargin)
+    for (i <- 2 to k) {
+      sb.append(s""",
+        |r$i AS MATERIALIZED (SELECT c.vec_id, 7 * c.cq - 3 * max(p.cp) AS sc
+        |  FROM cand c JOIN pair p ON p.ai = c.vec_id
+        |  JOIN s${i - 1} s ON p.bi = s.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s${i - 1})
+        |  GROUP BY c.vec_id, c.cq),
+        |s$i AS MATERIALIZED (SELECT vec_id, rk FROM s${i - 1}
+        |  UNION ALL SELECT vec_id, CAST($i AS BIGINT) AS rk FROM
+        |    (SELECT vec_id FROM r$i ORDER BY sc DESC, vec_id LIMIT 1))""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT s.rk, s.vec_id, c.cq AS cos_scaled
+      |FROM s$k s JOIN cand c ON s.vec_id = c.vec_id
+      |ORDER BY s.rk""".stripMargin)
+    sb.toString
+  }
+
   val entries: Seq[QueryEntry] = Seq(
+
+    // E13: MMR diversity re-ranking (Carbonell-Goldstein '98) over the
+    // e1 shortlist — greedy argmax of 7·cos(q,d) − 3·max_sel cos(d,s) in
+    // cleared-denominator integers; everything after the shortlist is
+    // cand²-bounded, so serving cost is corpus-size-independent
+    ("e13_mmr_rerank",
+      (s: SparkSession, d: String) =>
+        Similarity.mmrRerank(Tables.embeddings(s, d), k = 10, cand = 50),
+      Some(MMRSQL)),
 
     ("e1_ann_bruteforce_topk",
       (s: SparkSession, d: String) =>

@@ -83,6 +83,34 @@ class SimilarityLshSpec extends AnyFunSuite {
     assert(again == pq)
   }
 
+  test("MMR rerank equals a driver-side greedy reference on the same scaled integers") {
+    val got = Similarity.mmrRerank(emb, k = 10, cand = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // reference: plain-Scala greedy over the collected shortlist + pairs
+    val cand = Similarity.bruteForceTopK(emb, 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val cq = cand.toMap
+    val ids = cand.map(_._1)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Long = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+      math.floor(d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b))) * 1000000L).toLong
+    }
+    var sel = Vector(ids.maxBy(id => (cq(id), -id)))
+    while (sel.size < 10) {
+      val next = ids.filterNot(sel.contains)
+        .map(id => id -> (7L * cq(id) - 3L * sel.map(s => cos(vecs(id), vecs(s))).max))
+        .maxBy { case (id, sc) => (sc, -id) }._1
+      sel = sel :+ next
+    }
+    assert(got == sel.zipWithIndex.map { case (id, i) => (i + 1L, id) })
+    // rank 1 is pure relevance; the served set is shortlist-only
+    assert(got.head._2 == cand.head._1)
+    assert(got.map(_._2).forall(ids.contains))
+  }
+
   test("trained k-means IVF: seeded, top-k from probed cells only, recall floor") {
     val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
     val km = Similarity.kmeansIvfTopK(emb, k = 10, nCells = 16, nprobe = 4)
