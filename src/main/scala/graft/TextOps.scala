@@ -304,6 +304,34 @@ object TextOps {
           .as("fp"))
   }
 
+  /** T21: vocabulary-growth diagnostics (the Heaps-law curve V(n) that
+    * corpus reports plot, and the practical "is more data still adding
+    * vocabulary?" signal for dedup/curation): at `parts` doc-id
+    * checkpoints, the cumulative token occurrences and the cumulative
+    * DISTINCT vocabulary. The distinct-per-prefix is computed with the
+    * first-occurrence trick — min(doc_id) per token, ONE token-keyed
+    * shuffle — so the cost is independent of checkpoint count; a naive
+    * per-checkpoint `COUNT(DISTINCT)` re-shuffles the corpus once per
+    * checkpoint. Occurrence totals ride per-document token counts
+    * (document-sized, not occurrence-sized) against the broadcast
+    * checkpoint row set. All integers: engine-exact. */
+  def vocabGrowth(docs: DataFrame, parts: Int = 4): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val first = occ.groupBy("tok").agg(min("doc_id").as("fd"))
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val cps = broadcast(docs.sparkSession.range(1, parts + 1)
+      .select(col("id").as("cp_idx"),
+        expr(s"($mx * id) div $parts").as("cp_doc")))
+    val perDoc = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("nt"))
+    val nOcc = perDoc.crossJoin(cps).filter(col("doc_id") <= col("cp_doc"))
+      .groupBy("cp_idx", "cp_doc").agg(sum("nt").cast("long").as("n_occ"))
+    val nVoc = first.crossJoin(cps).filter(col("fd") <= col("cp_doc"))
+      .groupBy("cp_idx", "cp_doc").agg(count(lit(1)).as("n_vocab"))
+    nOcc.join(nVoc, Seq("cp_idx", "cp_doc"))
+  }
+
   def shardAssign(docs: DataFrame, nShards: Int = 8,
                   salt: String = "t15"): DataFrame = {
     val h = expr(s"CAST(conv(substring(md5(concat('$salt|', " +

@@ -294,6 +294,44 @@ object RelationalQueries {
           |       CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
           |FROM w""".stripMargin)),
 
+    // ---- R19: MERGEABLE sketch rollup (Datasketches HLL) — per-day
+    //      user sketches built once, the month estimate from
+    //      hll_union_agg over the 30 day-sketches WITHOUT re-touching
+    //      raw events: the sketch-mergeability property that makes
+    //      distinct-rollups O(days) instead of O(events) at 100 TB
+    //      (r9 pins one sketch's error; this pins the MERGE path).
+    //      Oracle = exact counts + the 5% claim booleans, r9-style ----
+    ("r19_sketch_merge",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+          .select((col("ts") / lit(86400000000000L)).cast("long").as("day"),
+            col("user_id")).localCheckpoint(true)
+        val day = ev.groupBy("day").agg(
+            hll_sketch_agg(col("user_id")).as("sk"),
+            countDistinct(col("user_id")).as("ex"))
+          .withColumn("est", expr("hll_sketch_estimate(sk)"))
+          .withColumn("ok", abs(col("est") - col("ex")) <= col("ex") * 0.05)
+        val tot = broadcast(
+          ev.agg(countDistinct(col("user_id")).as("exact_total")))
+        day.agg(count(lit(1)).as("n_days"),
+            sum("ex").cast("long").as("day_exact_sum"),
+            expr("hll_sketch_estimate(hll_union_agg(sk))").as("mest"),
+            expr("bool_and(ok)").as("day_ok_all"))
+          .crossJoin(tot)
+          .select(col("n_days"), col("day_exact_sum"), col("exact_total"),
+            (abs(col("mest") - col("exact_total"))
+              <= col("exact_total") * 0.05).as("merged_ok"),
+            col("day_ok_all"))
+      },
+      Some(
+        """WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS day, user_id
+          |            FROM events),
+          |day AS (SELECT day, count(DISTINCT user_id) AS ex FROM ev GROUP BY day)
+          |SELECT (SELECT count(*) FROM day) AS n_days,
+          |  (SELECT CAST(sum(ex) AS BIGINT) FROM day) AS day_exact_sum,
+          |  (SELECT count(DISTINCT user_id) FROM ev) AS exact_total,
+          |  true AS merged_ok, true AS day_ok_all""".stripMargin)),
+
     // ---- R18: incremental aggregate-view maintenance — a persisted
     //      per-customer aggregate STATE (count / cents-sum / first / last)
     //      is refreshed by MERGING the new batch's partial aggregate

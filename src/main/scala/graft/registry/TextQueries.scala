@@ -339,6 +339,24 @@ object TextQueries {
           |  md5(string_agg(bucket || ':' || w, ',' ORDER BY bucket)) AS fp
           |FROM nz GROUP BY doc_id""".stripMargin))),
 
+    // ---- T21: Heaps-law vocabulary growth at 4 doc-id checkpoints —
+    //      cumulative distinct vocab via the first-occurrence trick
+    //      (min(doc_id) per token, ONE token shuffle for ALL checkpoints
+    //      vs one COUNT(DISTINCT) corpus re-shuffle per checkpoint) ----
+    ("t21_vocab_growth",
+      (s: SparkSession, d: String) => TextOps.vocabGrowth(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        """, occ AS (SELECT doc_id, u.tok AS tok FROM tok, UNNEST(ts) AS u(tok)),
+          |fo AS (SELECT tok, min(doc_id) AS fd FROM occ GROUP BY tok),
+          |mx AS (SELECT max(doc_id) AS m FROM documents),
+          |cps AS (SELECT CAST(u.i AS BIGINT) AS cp_idx,
+          |          (SELECT m FROM mx) * CAST(u.i AS BIGINT) // 4 AS cp_doc
+          |        FROM UNNEST([1, 2, 3, 4]) AS u(i))
+          |SELECT c.cp_idx, c.cp_doc,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM occ o WHERE o.doc_id <= c.cp_doc) AS n_occ,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM fo f WHERE f.fd <= c.cp_doc) AS n_vocab
+          |FROM cps c""".stripMargin))),
+
     // ---- X1: the composite corpus-build pipeline — quality filter (t3's
     //      rule) → exact dedup (d1's keeper rule on t4's fingerprint) →
     //      per-language doc/token budget, as ONE declarative plan ----
