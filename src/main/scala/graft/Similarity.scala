@@ -558,6 +558,40 @@ object Similarity {
       .orderBy(col("dist2_scaled").asc, col("vec_id")).limit(k)
   }
 
+  /** E14: per-dimension embedding drift between two corpus snapshots
+    * (first/second half by vec_id — in production, yesterday's ingest vs
+    * today's): the monitoring statistic that catches a silently-updated
+    * embedding model or a corrupted featurization batch before it
+    * poisons the ANN store. Values floor-scale to micro-units FIRST so
+    * every sum is integer-exact (a double sum is accumulation-order-
+    * dependent across engines); the mean difference ranks by the
+    * cross-multiplied form |sum_a·n_b − sum_b·n_a| — no division, and
+    * since (n_a, n_b) are identical for every dimension the ranking
+    * equals |mean_a − mean_b|. Top-`k` drifted dimensions, ties to the
+    * low dimension.
+    *
+    * Scale shape: one posexplode and ONE dim-keyed partial-combining
+    * aggregate (dims × partitions rows pre-combine) — no per-vector
+    * state, no join. BIGINT headroom: |sum·n| ≤ n²·10⁶·max|x|, safe to
+    * n ≈ 3×10⁶ vectors per snapshot at unit-normed values; beyond that
+    * drop the value scale (10³ keeps 3×10⁷) or lift the two products to
+    * DECIMAL(38,0) — the plan shape is unchanged. */
+  def embeddingDrift(emb: DataFrame, k: Int = 8): DataFrame = {
+    val mx = emb.agg(max("vec_id")).head().getLong(0)
+    val half = mx / 2
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i").cast("long").as("i"),
+        (col("vec_id") <= half).cast("long").as("a"),
+        floor(col("x").cast("double") * 1000000L).cast("long").as("xs"))
+      .groupBy("i")
+      .agg(sum(col("a")).as("n_a"), sum(lit(1L) - col("a")).as("n_b"),
+        sum(col("a") * col("xs")).as("sum_a"),
+        sum((lit(1L) - col("a")) * col("xs")).as("sum_b"))
+      .select(col("i"), col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
+        abs(col("sum_a") * col("n_b") - col("sum_b") * col("n_a")).as("drift_x"))
+      .orderBy(col("drift_x").desc, col("i")).limit(k)
+  }
+
   /** E13: MMR diversity re-ranking (Carbonell & Goldstein, SIGIR '98 —
     * maximal marginal relevance): greedily build the served top-`k` from
     * a `cand`-sized relevance shortlist, each step taking

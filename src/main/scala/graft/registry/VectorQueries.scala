@@ -207,6 +207,29 @@ object VectorQueries {
         Similarity.mmrRerank(Tables.embeddings(s, d), k = 10, cand = 50),
       Some(MMRSQL)),
 
+    // E14: per-dimension drift between corpus halves — micro-unit
+    // integer sums (scale-then-sum, never sum-then-scale: double sums
+    // are accumulation-order-dependent), cross-multiplied mean compare,
+    // top-8 drifted dims. One dim-keyed partial-combining aggregate.
+    ("e14_embedding_drift",
+      (s: SparkSession, d: String) =>
+        Similarity.embeddingDrift(Tables.embeddings(s, d), k = 8),
+      Some(
+        """WITH hx AS (SELECT max(vec_id) // 2 AS h FROM embeddings),
+          |vals AS (SELECT CAST(u.i AS BIGINT) AS i,
+          |    CASE WHEN e.vec_id <= (SELECT h FROM hx) THEN 1 ELSE 0 END AS a,
+          |    CAST(floor(CAST(e.embedding[CAST(u.i AS BIGINT) + 1] AS DOUBLE)
+          |               * 1000000) AS BIGINT) AS xs
+          |  FROM embeddings e, UNNEST(range(0, len(e.embedding))) AS u(i)),
+          |agg AS (SELECT i, CAST(sum(a) AS BIGINT) AS n_a,
+          |    CAST(sum(1 - a) AS BIGINT) AS n_b,
+          |    CAST(sum(a * xs) AS BIGINT) AS sum_a,
+          |    CAST(sum((1 - a) * xs) AS BIGINT) AS sum_b
+          |  FROM vals GROUP BY i)
+          |SELECT i, n_a, n_b, sum_a, sum_b,
+          |  abs(sum_a * n_b - sum_b * n_a) AS drift_x
+          |FROM agg ORDER BY drift_x DESC, i LIMIT 8""".stripMargin)),
+
     ("e1_ann_bruteforce_topk",
       (s: SparkSession, d: String) =>
         Similarity.bruteForceTopK(Tables.embeddings(s, d), k = 10),
