@@ -132,7 +132,11 @@ object ALSSweep {
                         solveCol: String, givenCol: String): DataFrame = {
     val spark = ratings.sparkSession
     import spark.implicits._
-    val rated = ratings.join(given.withColumnRenamed("id", "gid"),
+    // the fixed side is (distinct ids × 10 doubles) — vertex-sized, not
+    // rating-sized — so broadcast it: the half-sweep then has exactly ONE
+    // exchange (the groupByKey to the solve side), not a join shuffle of
+    // the full ratings table per sweep
+    val rated = ratings.join(broadcast(given.withColumnRenamed("id", "gid")),
         col(givenCol) === col("gid"))
       .select(col(solveCol).cast("int"), col("f"), col("rating").cast("double"))
       .as[Rated]
@@ -161,8 +165,8 @@ object ALSSweep {
     val r = ALSRec.ratings(spark, dir)
     val (userF, itemF) = fit(spark, r, iters)
     val dotUD = {
-      val u = userF.select(col("id").as("uid"), col("f").as("uf"))
-      val it = itemF.select(col("id").as("iid"), col("f").as("if_"))
+      val u = broadcast(userF.select(col("id").as("uid"), col("f").as("uf")))
+      val it = broadcast(itemF.select(col("id").as("iid"), col("f").as("if_")))
       r.join(u, col("user") === col("uid")).join(it, col("item") === col("iid"))
         .select(col("rating").cast("double").as("r"),
           aggregate(zip_with(col("uf"), col("if_"), (x, y) => x * y),

@@ -40,6 +40,9 @@ object Bench {
     registry.VectorQueries.ivfStorePath(spark, sfDir) // IVF cell partitions
     ALSRec.warmOracleDump(spark, sfDir) // q11's oracle-only factor dump
     registry.EventQueries.warmWikiStore(spark, sfDir) // s2c dump→store ingest
+    Tables.bucketedOrdersLineitem(spark, sfDir) // w6's write-time-shuffled tables
+    Tables.eventsByDayPath(spark, sfDir) // w7's day-partitioned event log
+    Tables.eventDayDim(spark, sfDir).count() // w7's materialized date dim
     // the s6 warm-up above ran a real streaming query — unload its state
     // providers and maintenance thread before anything is timed
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
