@@ -557,6 +557,44 @@ object Dedup {
         coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
   }
 
+  /** D13: URL-canonicalization dedup — the crawl-curation step that runs
+    * BEFORE any content hashing: a crawler sees the same page under
+    * mixed-case hosts, `www.` prefixes, tracking parameters (`utm_*`,
+    * `ref`) and fragments; canonicalizing the URL collapses those
+    * variants without touching page bytes. The synthetic corpus carries
+    * no URL column, so each document gets a doc_id/source-derived URL
+    * exhibiting every variant class (identical expression in the oracle),
+    * and the operator is the canonicalizer itself: strip fragment →
+    * strip tracking params → lowercase scheme+host → drop `www.` —
+    * a fixed normalization chain (like [[graft.TextOps]]'s PII order,
+    * later steps cannot re-expose earlier ones). Output: per canonical
+    * URL, the duplicate-cluster size and the kept doc (min doc_id) — the
+    * d1 exact-dedup contract keyed on canonical URL instead of content.
+    *
+    * Scale shape: canonicalization is a per-row regex projection (no
+    * UDF); the only exchange is the canonical-key aggregation, which
+    * partial-combines — d1's one-keyed-shuffle shape. */
+  def urlCanonicalDedup(docs: DataFrame): DataFrame = {
+    val url = concat(
+      lit("https://WWW."), col("source"), lit(".Example.COM/p/"),
+      (col("doc_id") % 50).cast("string"),
+      lit("/?utm_source=s"), (col("doc_id") % 3).cast("string"),
+      lit("&ref=r"), (col("doc_id") % 7).cast("string"),
+      lit("&id="), (col("doc_id") % 25).cast("string"),
+      lit("#sec"), (col("doc_id") % 4).cast("string"))
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(
+      regexp_replace(noFrag, "(utm_[a-z_]+|ref)=[^&#]*&?", ""),
+      "[?&]+$", "")
+    val host = regexp_extract(noTrack, "^https?://[^/]*", 0)
+    docs.select(col("doc_id"), noTrack.as("u"), host.as("h"))
+      .select(col("doc_id"),
+        concat(regexp_replace(lower(col("h")), "^https://www\\.", "https://"),
+          expr("substring(u, length(h) + 1)")).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+  }
+
   /** The r2 explode-per-bit SimHash derivation — kept (test-pinned against
     * [[simhash]]) as the shape the oracle SQL mirrors. */
   private[graft] def simhashExploded(docs: DataFrame): DataFrame = {

@@ -636,6 +636,63 @@ object Similarity {
       .orderBy("rk")
   }
 
+  /** E15: hard-negative mining — contrastive-training pair selection
+    * (the in-batch-negatives upgrade every embedding-model recipe uses):
+    * for the query vector, the top-`k` corpus vectors whose cosine lands
+    * in the BAND [lo, hi) — similar enough to be informative, below the
+    * positive/near-dup bar `hi` so no false negative poisons the loss.
+    * Scores are floor-scaled ppm integers (the e1 discipline), so the
+    * band membership and ranking are engine-exact.
+    *
+    * Scale shape: the band predicate composes with any shortlist
+    * generator — at 100 TB the candidates come from the e3 IVF probe or
+    * e2 LSH buckets and this is a filter+top-k over that shortlist; the
+    * exact scan here is the contract those paths are measured against
+    * (same pairing as e1→e2/e3). */
+  def hardNegatives(emb: DataFrame, k: Int = 10,
+                    lo: Long = 50000L, hi: Long = 150000L): DataFrame = {
+    val q = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cos = ndot(emb, col("embedding"), col("qv")) /
+      (sqrt(ndot(emb, col("embedding"), col("embedding"))) *
+        sqrt(ndot(emb, col("qv"), col("qv"))))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"),
+        floor(cos * 1000000L).cast("long").as("cos_scaled"))
+      .filter(col("cos_scaled") >= lo && col("cos_scaled") < hi)
+      .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
+  }
+
+  /** E16: reciprocal-rank fusion (Cormack et al. SIGIR '09) of two
+    * retrievers — the standard hybrid-retrieval merge (dense + sparse,
+    * or here cosine + MIPS, whose rankings genuinely differ because MIPS
+    * rewards vector norm): each list contributes 10⁶ div (60 + rank) in
+    * exact integers, candidates absent from a list contribute 0, fused
+    * top-`k` by (score desc, vec_id). RRF needs only ranks — no score
+    * calibration between retrievers — which is why it survives mixing
+    * incomparable scorers.
+    *
+    * Scale shape: each retriever's list is top-`n` (constant); the fuse
+    * is a full outer join + sum over ≤2n rows — serving cost independent
+    * of corpus size; the lists themselves come from whatever shortlist
+    * path each retriever uses (e2/e3 for dense at 100 TB). */
+  def rrfFusion(emb: DataFrame, k: Int = 10, n: Int = 20,
+                rrfK: Long = 60L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ≤n-row lists: the single-partition rank window is constant-sized
+    def ranked(list: DataFrame, score: String) =
+      list.limit(n).select(col("vec_id"),
+        row_number().over(Window.orderBy(col(score).desc, col("vec_id")))
+          .cast("long").as("rank"))
+        .select(col("vec_id"), expr(s"1000000 div ($rrfK + rank)").as("c"))
+    val a = ranked(bruteForceTopK(emb, n), "cos_scaled")
+    val b = ranked(mipsTopK(emb, n), "dot_scaled")
+    a.unionByName(b)
+      .groupBy("vec_id").agg(sum("c").as("rrf_scaled"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_scaled").desc, col("vec_id")).limit(k)
+  }
+
   /** E12: product-quantization ANN (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", PAMI '11) — the memory-compression end
     * of the quantization family: where e8's scalar grid stores 1 byte PER

@@ -332,6 +332,60 @@ object TextOps {
     nOcc.join(nVoc, Seq("cp_idx", "cp_doc"))
   }
 
+  /** T22: sliding-window document chunking — the context-window packer's
+    * upstream sibling and the RAG indexer's unit of retrieval: each
+    * document becomes overlapping token windows of `window` tokens every
+    * `stride` (stride < size ⇒ overlap, so no boundary sentence is lost
+    * to a split). Chunk identity is (doc_id, chunk_idx); the chunk BODY
+    * is pinned cross-engine by an md5 of the space-joined token slice, so
+    * the compare certifies the exact token spans, not just counts.
+    * Window starts are 0, stride, 2·stride … < n_tokens — every token is
+    * covered, the tail chunk may be short, and a doc shorter than one
+    * window yields exactly one chunk.
+    *
+    * Scale shape: pure per-row projection + explode (fan-out bounded by
+    * n_tokens/stride per doc) — no shuffle, no join; at 100 TB this is a
+    * map-only pass that parallelizes with the scan. */
+  def chunkDocs(docs: DataFrame, window: Int = 16, stride: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(0, (size(ts) - 1) div $stride)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"slice(ts, chunk_idx * $stride + 1, $window)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+
+  /** T23: linear quality classifier over hashed features — APPLYING a
+    * trained fastText/logistic-style filter at corpus scale (the
+    * deployment half of [[featureHash]]'s training-side featurizer):
+    * score(doc) = Σ_tokens w[h(tok) mod B]. The weight table is
+    * bucket-indexed and deterministic here (w[b] = md5-derived integer in
+    * [-1000, 1000], standing in for trained weights — same contract, no
+    * model file), so both engines score identically in exact integers;
+    * `pass` is the score ≥ 0 gate a curation pipeline would branch on.
+    *
+    * Scale shape: ZERO shuffle — the whole classifier folds inside one
+    * codegen'd projection per document (`aggregate` over the token
+    * array); a real deployment broadcasts the B-entry weight array and
+    * keeps the same map-only shape. This is the cheapest possible
+    * classifier application: no explode, no vocab join, no UDF. */
+  def linearQualityScore(docs: DataFrame, buckets: Int = 64,
+                         salt: String = "lq"): DataFrame = {
+    val wExpr =
+      s"""aggregate(ts, CAST(0 AS BIGINT), (s, t) -> s +
+         |  CAST(conv(substring(md5(concat('${salt}w|',
+         |    CAST(CAST(conv(substring(md5(concat('$salt|', t)), 1, 15), 16, 10) AS BIGINT) % $buckets AS STRING)
+         |  )), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000)""".stripMargin
+    docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tok"),
+        expr(wExpr).as("score"))
+      .withColumn("pass", (col("score") >= 0).cast("long"))
+  }
+
   def shardAssign(docs: DataFrame, nShards: Int = 8,
                   salt: String = "t15"): DataFrame = {
     val h = expr(s"CAST(conv(substring(md5(concat('$salt|', " +

@@ -1051,4 +1051,36 @@ object Traversals {
       .agg(min(col("du") + col("dv")).as("est_dist"),
         count(lit(1)).as("n_landmarks"))
   }
+
+  /** G22: truncated Katz centrality (Katz '53) in exact integers —
+    * x(v) = Σ_{k=1..3} α^k · walks_k(v), where walks_k(v) counts directed
+    * walks of length k ending at v over the MULTI-edge graph (parallel
+    * edges are parallel walks, the reference's multigraph semantics).
+    * α = 1/2 is cleared to the ×8 scale: katz_x8 = 4·w1 + 2·w2 + 1·w3 —
+    * all BIGINT walk counts, so the ranking is engine-exact (the
+    * [[PageRank]] scaled-integer discipline without the division). The
+    * truncation IS the determinism: a converging infinite sum would be
+    * float; three terms keep the eigenvector-centrality flavor (longer
+    * walks count, attenuated) in exact arithmetic.
+    *
+    * Scale shape: walks_{k+1} is ONE hash join of the edge list against
+    * the previous vertex-sized count vector plus a partial-combining sum
+    * keyed on dst (hub vertices combine map-side); the final blend is a
+    * tagged union + one keyed sum — the r9 single-shuffle trick. Edge
+    * list persists hashed on src once, like [[ccLabelProp]]. */
+  def katzCentrality(edges: DataFrame, k: Int = 20): DataFrame = {
+    val e = edges.select("src", "dst").repartition(col("src")).persist()
+    e.count()
+    val w1 = e.groupBy("dst").agg(count(lit(1)).as("w")).localCheckpoint(true)
+    def step(prev: DataFrame): DataFrame =
+      e.join(prev.select(col("dst").as("src"), col("w")), "src")
+        .groupBy("dst").agg(sum("w").as("w")).localCheckpoint(true)
+    val w2 = step(w1)
+    val w3 = step(w2)
+    w1.select(col("dst"), (col("w") * 4).as("c"))
+      .unionByName(w2.select(col("dst"), (col("w") * 2).as("c")))
+      .unionByName(w3.select(col("dst"), col("w").as("c")))
+      .groupBy(col("dst").as("id")).agg(sum("c").cast("long").as("katz_x8"))
+      .orderBy(col("katz_x8").desc, col("id")).limit(k)
+  }
 }

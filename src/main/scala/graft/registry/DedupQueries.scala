@@ -121,6 +121,39 @@ object DedupQueries {
     //      prior; both classifications probe prior-side structures, so
     //      cost ∝ batch, not total corpus). Oracle restricts the shared
     //      SIMHASH chain by the same snapshot predicate ----
+    // ---- d13: URL-canonicalization dedup — fragment/tracking-param
+    //      strip + host lowercase + www. drop, then the d1 contract
+    //      keyed on canonical URL; per-row regex projection + ONE
+    //      partial-combining keyed aggregate ----
+    ("d13_url_canonical_dedup",
+      (s: SparkSession, d: String) =>
+        Dedup.urlCanonicalDedup(Tables.documents(s, d)),
+      Some(
+        """WITH raw AS (
+          |  SELECT doc_id,
+          |    'https://WWW.' || source || '.Example.COM/p/' ||
+          |    CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=s' ||
+          |    CAST(doc_id % 3 AS VARCHAR) || '&ref=r' ||
+          |    CAST(doc_id % 7 AS VARCHAR) || '&id=' ||
+          |    CAST(doc_id % 25 AS VARCHAR) || '#sec' ||
+          |    CAST(doc_id % 4 AS VARCHAR) AS url
+          |  FROM documents),
+          |stripped AS (
+          |  SELECT doc_id,
+          |    regexp_replace(
+          |      regexp_replace(regexp_replace(url, '#.*$', ''),
+          |        '(utm_[a-z_]+|ref)=[^&#]*&?', '', 'g'),
+          |      '[?&]+$', '') AS u
+          |  FROM raw),
+          |hosted AS (
+          |  SELECT doc_id, u, regexp_extract(u, '^https?://[^/]*') AS h
+          |  FROM stripped)
+          |SELECT regexp_replace(lower(h), '^https://www\.', 'https://')
+          |         || substr(u, length(h) + 1) AS canon_url,
+          |       count(*) AS n_docs,
+          |       CAST(min(doc_id) AS BIGINT) AS keeper
+          |FROM hosted GROUP BY 1""".stripMargin)),
+
     ("d12_incremental_snapshot_dedup",
       (s: SparkSession, d: String) =>
         Dedup.incrementalSnapshotDedup(Tables.documents(s, d)),

@@ -231,6 +231,25 @@ object GraphQueries {
     //      zipf graph as an EXACT rational (g20's discipline: clear the
     //      denominators, hash integers) — the standard one-number answer
     //      to "do hubs attach to hubs?" on a degree-skewed graph ----
+    // ---- G22: truncated Katz centrality — α=1/2 cleared to ×8 integers
+    //      over 3 walk lengths on the symmetric multigraph; walk counts
+    //      are exact BIGINTs, so the top-20 is engine-exact ----
+    ("g22_katz_centrality",
+      (s: SparkSession, d: String) =>
+        Traversals.katzCentrality(Tables.socialEdges(s, d)),
+      Some(Oracle.withSql(Oracle.UEDGES,
+        """, w1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS w FROM uedges GROUP BY dst),
+          |w2 AS (SELECT e.dst, CAST(sum(p.w) AS BIGINT) AS w
+          |       FROM uedges e JOIN w1 p ON e.src = p.dst GROUP BY e.dst),
+          |w3 AS (SELECT e.dst, CAST(sum(p.w) AS BIGINT) AS w
+          |       FROM uedges e JOIN w2 p ON e.src = p.dst GROUP BY e.dst),
+          |u AS (SELECT dst, 4 * w AS c FROM w1
+          |      UNION ALL SELECT dst, 2 * w AS c FROM w2
+          |      UNION ALL SELECT dst, w AS c FROM w3)
+          |SELECT dst AS id, CAST(sum(c) AS BIGINT) AS katz_x8
+          |FROM u GROUP BY dst
+          |ORDER BY katz_x8 DESC, id LIMIT 20""".stripMargin))),
+
     ("g21_assortativity",
       (s: SparkSession, d: String) =>
         Traversals.assortativity(zipfCanon(s, d)),

@@ -506,5 +506,47 @@ object RelationalQueries {
           |FROM events
           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
           |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ---- X6: point-in-time-correct feature join — training-set
+    //      generation for a feature store (the Feast/Tecton "as-of
+    //      correct" contract): each label row (a purchase event) gets the
+    //      features computable from STRICTLY EARLIER events of the same
+    //      user — prior event count, prior value sum, the immediately
+    //      preceding event's type — with zero leakage. Shape: NOT one
+    //      as-of join per feature (k passes over the fact table); the
+    //      label and feature streams share one user_id shuffle, features
+    //      accumulate in a [unbounded, -1 row] frame over the merged
+    //      timeline, and label rows are filtered out at the end — one
+    //      pass however many features ride along. Frame order
+    //      (ts_us, event_id) is unique, so every engine sees the same
+    //      prefix ----
+    ("x6_feature_join_pit",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"), cents(col("value")).as("vc"))
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wl = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        ev.select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts_us"),
+            count(lit(1)).over(w).as("n_prior"),
+            coalesce(sum("vc").over(w), lit(0L)).as("prior_cents"),
+            coalesce(lag("event_type", 1).over(wl), lit("none")).as("prev_type"))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us").as("label_us"),
+            col("n_prior"), col("prior_cents"), col("prev_type"))
+      },
+      Some(
+        """SELECT event_id, user_id, label_us, n_prior, prior_cents, prev_type
+          |FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS label_us,
+          |        count(*) OVER wp AS n_prior,
+          |        coalesce(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER wp AS BIGINT), 0) AS prior_cents,
+          |        coalesce(lag(event_type, 1) OVER wl, 'none') AS prev_type
+          |      FROM events
+          |      WINDOW wp AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |             wl AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+          |WHERE event_type = 'purchase'""".stripMargin)),
   )
 }

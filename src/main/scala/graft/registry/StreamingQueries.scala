@@ -582,5 +582,59 @@ object StreamingQueries {
         """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS hour_ms,
           |       event_type, count(*) AS n, min(value) AS vmin, max(value) AS vmax
           |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- s17: stream-static enrichment — events join the STATIC
+    //      customer dim (stateless broadcast join inside the streaming
+    //      query), windowed per-segment aggregation; streaming == batch
+    //      join == oracle. The sentinel's window never finalizes, so the
+    //      oracle is the plain batch join over real events ----
+    ("s17_streaming_enrichment",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(enrichedPath(s, d))
+          .select("hour_ms", "segment", "n", "val_cents"),
+      Some(
+        """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS hour_ms,
+          |       c_mktsegment AS segment, count(*) AS n,
+          |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS val_cents
+          |FROM events JOIN customer ON user_id = c_custkey
+          |GROUP BY 1, 2""".stripMargin)),
   )
+
+  /** Replay the events fixture through [[graft.streaming.OnlineIngest
+    * .enrichedSegmentCounts]] with the static customer dim — the same
+    * midpoint split + sentinel scheme as s10 (the sentinel joins too,
+    * but its window never finalizes, so it never emits). */
+  private def enrichedPath(s: SparkSession, d: String): String =
+    cache.computeIfAbsent(key(s, d, "s17"), _ => {
+      val watch = java.nio.file.Files.createTempDirectory("graft-s17-in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-s17-out").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .localCheckpoint(true)
+      val Array(lo, hi) = ev.agg(min("ts"), max("ts")).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      val mid = lo + (hi - lo) / 2
+      writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
+      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
+      writeBatch(ev.limit(1).select(col("event_id"),
+          lit(hi + 30L * 24 * 3600 * 1000000000L).as("ts"),
+          col("user_id"), col("value")),
+        s"$watch/b2.parquet")
+      val stream = s.readStream.schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("value", DoubleType)))
+        ).option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
+      graft.streaming.OnlineIngest
+        .enrichedSegmentCounts(stream, Tables.customer(s, d))
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start().awaitTermination()
+      unloadStreamingState()
+      out
+    })
 }

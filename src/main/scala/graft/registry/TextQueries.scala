@@ -323,6 +323,40 @@ object TextQueries {
     //      featurizer) — bucket + independent ±1 sign hash, NO vocabulary
     //      pass; per-doc nnz / l1 / order-canonical sparse-vector md5 pin
     //      the exact 64-dim vector cross-engine ----
+    // ---- t22: sliding-window chunking — overlapping 16-token windows
+    //      every 8; chunk bodies pinned by md5 of the token slice ----
+    ("t22_chunking",
+      (s: SparkSession, d: String) =>
+        TextOps.chunkDocs(Tables.documents(s, d), window = 16, stride = 8),
+      Some(Oracle.withSql(TOK,
+        """SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+          |  CAST(len(ch) AS BIGINT) AS n_tok,
+          |  md5(array_to_string(ch, ' ')) AS chunk_fp
+          |FROM (
+          |  SELECT doc_id, u.ci,
+          |    list_slice(ts, CAST(u.ci * 8 + 1 AS BIGINT),
+          |               CAST(least(u.ci * 8 + 16, len(ts)) AS BIGINT)) AS ch
+          |  FROM tok, UNNEST(range(0, ((len(ts) - 1) // 8) + 1)) AS u(ci)
+          |  WHERE len(ts) > 0) t(doc_id, ci, ch)""".stripMargin))),
+
+    // ---- t23: linear quality classifier over hashed features — the
+    //      deployment half of t20: score = Σ w[h(tok) mod 64] with an
+    //      md5-derived integer weight table, pass = score ≥ 0. Zero
+    //      shuffle: the whole model application folds inside one
+    //      projection ----
+    ("t23_quality_classifier",
+      (s: SparkSession, d: String) =>
+        TextOps.linearQualityScore(Tables.documents(s, d), buckets = 64),
+      Some(Oracle.withSql(TOK,
+        """SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ts, t ->
+          |    CAST(('0x' || substr(md5('lqw|' ||
+          |      CAST(CAST(('0x' || substr(md5('lq|' || t), 1, 15)) AS BIGINT) % 64 AS VARCHAR)
+          |    ), 1, 15)) AS BIGINT) % 2001 - 1000)),
+          |    (s, v) -> s + v) AS BIGINT) AS score,
+          |  CASE WHEN score >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pass
+          |FROM tok""".stripMargin))),
+
     ("t20_feature_hashing",
       (s: SparkSession, d: String) => TextOps.featureHash(Tables.documents(s, d)),
       Some(Oracle.withSql(TOK,

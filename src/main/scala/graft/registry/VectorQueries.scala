@@ -235,6 +235,46 @@ object VectorQueries {
         Similarity.bruteForceTopK(Tables.embeddings(s, d), k = 10),
       Some(s"WITH $Q, $BRUTE\nSELECT vec_id, cos_scaled FROM brute")),
 
+    // E15: hard-negative mining — band-filtered ranking [50000, 150000)
+    // ppm below the positive bar; the band predicate composes with the
+    // e2/e3 shortlist paths at scale, exact contract here
+    ("e15_hard_negatives",
+      (s: SparkSession, d: String) =>
+        Similarity.hardNegatives(Tables.embeddings(s, d), k = 10),
+      Some(s"""WITH $Q
+        |SELECT vec_id, cos_scaled FROM (
+        |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos_scaled
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+        |WHERE cos_scaled >= 50000 AND cos_scaled < 150000
+        |ORDER BY cos_scaled DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // E16: reciprocal-rank fusion of the cosine and MIPS retrievers —
+    // 10^6 div (60 + rank) per list in exact integers, fused top-10
+    ("e16_rrf_fusion",
+      (s: SparkSession, d: String) =>
+        Similarity.rrfFusion(Tables.embeddings(s, d), k = 10, n = 20),
+      Some(s"""WITH $Q,
+        |la AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY cos_scaled DESC, vec_id) AS rank
+        |  FROM (SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos_scaled
+        |        FROM embeddings e, q WHERE e.vec_id <> q.qid
+        |        ORDER BY cos_scaled DESC, e.vec_id LIMIT 20)),
+        |lb AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY dot_scaled DESC, vec_id) AS rank
+        |  FROM (SELECT e.vec_id,
+        |          CAST(floor(list_reduce(list_transform(list_zip(e.embedding, q.qv),
+        |            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
+        |            * 1000000) AS BIGINT) AS dot_scaled
+        |        FROM embeddings e, q WHERE e.vec_id <> q.qid
+        |        ORDER BY dot_scaled DESC, e.vec_id LIMIT 20)),
+        |u AS (SELECT vec_id, 1000000 // (60 + rank) AS c FROM la
+        |      UNION ALL
+        |      SELECT vec_id, 1000000 // (60 + rank) AS c FROM lb)
+        |SELECT vec_id, CAST(sum(c) AS BIGINT) AS rrf_scaled,
+        |       count(*) AS n_lists
+        |FROM u GROUP BY vec_id
+        |ORDER BY rrf_scaled DESC, vec_id LIMIT 10""".stripMargin)),
+
     // E10: exact MIPS top-k — dot-product retrieval (unnormalized
     // two-tower scores); at scale MIPS rides the e2/e3 bucketed paths via
     // the norm augmentation (Bachrach et al. RecSys '14), this is the

@@ -363,4 +363,25 @@ object OnlineIngest {
       .agg(count(lit(1)).as("n"), min("value").as("vmin"), max("value").as("vmax"))
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n"), col("vmin"), col("vmax"))
+
+  /** S17: stream-static enrichment — the dimension-join every event
+    * pipeline performs before aggregating: the streaming fact joins a
+    * STATIC dimension table (customers) inside the streaming query, then
+    * windowed-aggregates per segment. The stream-static inner join is
+    * STATELESS in Structured Streaming (each micro-batch joins the
+    * batch-side relation directly — no join state, no dim watermark), and
+    * the broadcast hint keeps the dim on every executor, so the
+    * enrichment adds zero shuffles to the streaming plan; only the
+    * windowed aggregation keeps (watermark-bounded) state. Append mode:
+    * a window emits once, when the watermark passes it. */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ets", "1 hour")
+      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ets"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(graft.cents(col("value"))).as("val_cents"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("c_mktsegment").as("segment"), col("n"), col("val_cents"))
 }
