@@ -122,6 +122,23 @@ object Tables {
   /** Write-once temp store shared by every materialization in this file
     * (ONE cache lifecycle, keyed appId|dir|prefix — the sorted, z-order
     * and day-partitioned stores differ only in their write step). */
+  /** W8's evolving event store: batch 0 writes (event_id, user_id,
+    * val_cents); batch 1 appends the SAME schema plus a new `quality`
+    * column — the additive schema change a long-lived store accrues.
+    * Readers merge footers (`mergeSchema`) and see pre-evolution rows
+    * with `quality` null; no rewrite of old files, which at 100 TB is the
+    * difference between a metadata change and re-ingesting the store. */
+  def evolvedEventStorePath(spark: SparkSession, dir: String): String =
+    cachedTempStore(spark, dir, "graft-store-evolved", "events") { path =>
+      val ev = events(spark, dir).select(col("event_id"), col("user_id"),
+        graft.cents(col("value")).as("val_cents"))
+      ev.filter(col("event_id") % 2 === 0)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("quality", col("event_id") % 100)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    }
+
   private def cachedTempStore(spark: SparkSession, dir: String, prefix: String,
                               leaf: String)(write: String => Unit): String =
     storeCache.computeIfAbsent(

@@ -406,6 +406,68 @@ object TextOps {
     * (corpus frequency, per-doc re-aggregation) + one vocab-sized join —
     * every stage partial-aggregates. Token-less documents emit no row
     * (same as the oracle's join semantics). */
+  /** X7: curriculum phase assignment — order-by-difficulty scheduling for
+    * curriculum learning (Bengio et al. '09 applied to corpus curation:
+    * easy-first phases): difficulty = the t9 rare-occurrence share in
+    * exact milli units, and the corpus splits into `phases` quartile-ish
+    * buckets that training consumes in order. The bucketing is
+    * VALUE-COHERENT: every doc with the same difficulty value lands in
+    * the same phase (phase boundary = rank of the value's first doc), so
+    * no intra-value tiebreak is needed and the assignment is engine-exact.
+    *
+    * Scale shape: a global `ntile` would sort the corpus through ONE
+    * window partition — the classic non-scalable move. Instead the
+    * difficulty HISTOGRAM (≤1001 integer values, data-size-independent)
+    * is aggregated (partial-combining), the phase per value is computed
+    * on that tiny table, and phases broadcast-join back onto the docs:
+    * corpus-sized work stays map-side, the global-order statistic costs
+    * a histogram. */
+  def curriculumBuckets(docs: DataFrame, maxFreq: Long = 2L,
+                        phases: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokd = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .localCheckpoint(true)
+    val freq = tokd.groupBy("t").agg(count(lit(1)).as("c"))
+    val nRare = tokd.join(freq, "t")
+      .groupBy("doc_id")
+      .agg(sum(when(col("c") <= maxFreq, 1L).otherwise(0L)).as("nr"))
+    val diff = docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(nRare, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        when(col("n_tok") > 0,
+          expr("1000 * coalesce(nr, 0) div n_tok")).otherwise(0L)
+          .as("difficulty_milli"))
+      .localCheckpoint(true)
+    val wv = Window.orderBy("difficulty_milli")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = diff.groupBy("difficulty_milli").agg(count(lit(1)).as("c"))
+      .withColumn("cb", coalesce(sum("c").over(wv), lit(0L)))
+      .crossJoin(broadcast(diff.agg(count(lit(1)).as("n"))))
+      .select(col("difficulty_milli"),
+        least(lit(phases - 1L), expr(s"$phases * cb div n")).as("phase"))
+    diff.join(broadcast(hist), "difficulty_milli")
+      .select(col("doc_id"), col("n_tok"), col("difficulty_milli"), col("phase"))
+  }
+
+  /** T24: k-anonymity audit — the governance gate a training-data release
+    * runs over quasi-identifiers (Sweeney '02): group the corpus by the
+    * quasi-id tuple (lang, source, token-length bucket) and flag every
+    * equivalence class smaller than `k` — rows whose combination is rare
+    * enough to re-identify. Output per class: size and the pass flag; a
+    * release pipeline suppresses or generalizes the failing classes.
+    *
+    * Scale shape: ONE partial-combining keyed aggregation over the
+    * quasi-id tuple — d1's shape; the class count is bounded by the
+    * quasi-id domain, not the corpus. */
+  def kAnonymity(docs: DataFrame, k: Long = 5L): DataFrame =
+    docs.select(col("lang"), col("source"),
+        expr("size(filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')) div 32")
+          .cast("long").as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_anon", (col("n") >= k).cast("long"))
+
   def rarityScore(docs: DataFrame, maxFreq: Long = 2L): DataFrame = {
     val tokd = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .localCheckpoint(true) // feeds BOTH the frequency table and the re-join

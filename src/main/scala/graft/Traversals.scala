@@ -1052,6 +1052,56 @@ object Traversals {
         count(lit(1)).as("n_landmarks"))
   }
 
+  /** G23: maximal matching by deterministic parallel greedy (the
+    * Israeli–Itai '86 shape with md5 edge priorities instead of coin
+    * flips — the [[maximalIndependentSet]] determinization applied to the
+    * LINE graph without materializing it): each round an edge joins the
+    * matching iff its priority is the minimum among the remaining edges
+    * at BOTH endpoints (a local test — two keyed min-aggregations, no
+    * global sort), then all edges touching matched vertices retire.
+    * Priorities are md5(salt‖src‖dst) with a zero-padded id suffix, so
+    * every round's winner set is engine-exact and the oracle unrolls the
+    * rounds. Greedy matching is a 1/2-approximation to maximum matching —
+    * the standard scalable contract.
+    *
+    * Scale shape: per round, one tagged-union endpoint-min aggregation
+    * (partial-combining) and two hash joins of the remaining edge list
+    * against it; the edge list shrinks monotonically and localCheckpoints
+    * per round. O(log) rounds w.h.p. Fails loudly past `maxIter`. */
+  def maximalMatching(canon: DataFrame, salt: String = "mm",
+                      maxIter: Int = 20): DataFrame = {
+    val prio = concat(
+      md5(concat(lit(salt + "|"), col("src").cast("string"),
+        lit("|"), col("dst").cast("string"))),
+      lpad(col("src").cast("string"), 10, "0"),
+      lpad(col("dst").cast("string"), 10, "0"))
+    var e = canon.select("src", "dst").filter(col("src") =!= col("dst"))
+      .distinct().withColumn("p", prio).localCheckpoint(true)
+    var matched = e.select("src", "dst").limit(0).localCheckpoint(true)
+    var remaining = e.count()
+    var iter = 0
+    while (remaining > 0 && iter < maxIter) {
+      iter += 1
+      val vmin = e.select(explode(array(col("src"), col("dst"))).as("v"), col("p"))
+        .groupBy("v").agg(min("p").as("mp"))
+      val winners = e
+        .join(vmin.select(col("v").as("src"), col("mp").as("mpa")), "src")
+        .join(vmin.select(col("v").as("dst"), col("mp").as("mpb")), "dst")
+        .filter(col("p") === col("mpa") && col("p") === col("mpb"))
+        .select("src", "dst").localCheckpoint(true)
+      matched = matched.unionByName(winners).localCheckpoint(true)
+      val mv = winners.select(explode(array(col("src"), col("dst"))).as("v"))
+        .distinct().localCheckpoint(true)
+      e = e.join(mv.withColumnRenamed("v", "src"), Seq("src"), "left_anti")
+        .join(mv.withColumnRenamed("v", "dst"), Seq("dst"), "left_anti")
+        .select("src", "dst", "p").localCheckpoint(true)
+      remaining = e.count()
+    }
+    if (remaining > 0) throw new IllegalStateException(
+      s"maximalMatching did not retire all edges within maxIter=$maxIter rounds")
+    matched
+  }
+
   /** G22: truncated Katz centrality (Katz '53) in exact integers —
     * x(v) = Σ_{k=1..3} α^k · walks_k(v), where walks_k(v) counts directed
     * walks of length k ending at v over the MULTI-edge graph (parallel

@@ -490,6 +490,48 @@ object GraphQueries {
     //      loud convergence assertion, all CTEs MATERIALIZED — the g13
     //      lesson: multiply-referenced unmaterialized CTEs re-evaluate
     //      exponentially) ----
+    // ---- G23: maximal matching — md5-deterministic parallel greedy
+    //      (Israeli–Itai with the g15 determinization); an edge matches
+    //      iff it is the min-priority remaining edge at BOTH endpoints.
+    //      Oracle unrolls the rounds with the g15 convergence guard ----
+    ("g23_maximal_matching",
+      (s: SparkSession, d: String) =>
+        Traversals.maximalMatching(zipfCanon(s, d)),
+      Some {
+        val R = 8
+        val sb = new StringBuilder
+        sb.append(ZCANON).append(""",
+          |e0 AS MATERIALIZED (
+          |  SELECT src, dst,
+          |    md5('mm|' || src || '|' || dst)
+          |      || lpad(CAST(src AS VARCHAR), 10, '0')
+          |      || lpad(CAST(dst AS VARCHAR), 10, '0') AS p
+          |  FROM zc WHERE src <> dst)""".stripMargin)
+        for (i <- 1 to R) {
+          sb.append(s""",
+            |vmin$i AS MATERIALIZED (
+            |  SELECT v, min(p) AS mp FROM (
+            |    SELECT src AS v, p FROM e${i - 1}
+            |    UNION ALL SELECT dst AS v, p FROM e${i - 1}) GROUP BY v),
+            |w$i AS MATERIALIZED (
+            |  SELECT e.src, e.dst FROM e${i - 1} e
+            |  JOIN vmin$i a ON e.src = a.v AND e.p = a.mp
+            |  JOIN vmin$i b ON e.dst = b.v AND e.p = b.mp),
+            |mv$i AS MATERIALIZED (
+            |  SELECT DISTINCT v FROM (SELECT src AS v FROM w$i
+            |    UNION ALL SELECT dst AS v FROM w$i)),
+            |e$i AS MATERIALIZED (
+            |  SELECT e.src, e.dst, e.p FROM e${i - 1} e
+            |  WHERE e.src NOT IN (SELECT v FROM mv$i)
+            |    AND e.dst NOT IN (SELECT v FROM mv$i))""".stripMargin)
+        }
+        sb.append(s"""
+          |SELECT src, dst FROM (${(1 to R).map(i => s"SELECT src, dst FROM w$i").mkString(" UNION ALL ")})
+          |WHERE CASE WHEN (SELECT count(*) FROM e$R) = 0 THEN true
+          |  ELSE error('g23 oracle: matching not converged in $R rounds — raise R') END""".stripMargin)
+        Oracle.withSql(sb.toString, "")
+      }),
+
     ("g15_mis_luby",
       (s: SparkSession, d: String) =>
         Traversals.maximalIndependentSet(zipfCanon(s, d)),

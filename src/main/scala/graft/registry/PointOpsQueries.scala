@@ -392,6 +392,25 @@ object PointOpsQueries {
           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           |GROUP BY o_orderpriority""".stripMargin)),
 
+    // ---- W8: schema evolution — the evolving store appends a batch
+    //      with a NEW column; mergeSchema reconciles footers at read
+    //      time and pre-evolution rows surface the column as null. No
+    //      old-file rewrite: at 100 TB an additive column is a metadata
+    //      change, not a re-ingest ----
+    ("w8_schema_evolution",
+      (s: SparkSession, d: String) =>
+        s.read.option("mergeSchema", "true")
+          .parquet(Tables.evolvedEventStorePath(s, d))
+          .groupBy(col("quality").isNotNull.cast("long").as("has_quality"))
+          .agg(count(lit(1)).as("n"),
+            sum("val_cents").cast("long").as("val_cents"),
+            sum(coalesce(col("quality"), lit(0L))).cast("long").as("quality_sum")),
+      Some(
+        """SELECT CAST(event_id % 2 AS BIGINT) AS has_quality, count(*) AS n,
+          |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS val_cents,
+          |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN event_id % 100 ELSE 0 END) AS BIGINT) AS quality_sum
+          |FROM events GROUP BY 1""".stripMargin)),
+
     // ---- W7: DYNAMIC partition pruning — the day-partitioned event log
     //      joined to a filtered date dimension; the qualifying days are
     //      only known at runtime (the dim is materialized, its dow

@@ -507,6 +507,38 @@ object RelationalQueries {
           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
           |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // ---- R20: Markov transition table — the next-event model a
+    //      behavioral pipeline fits from an event log: per (prev_type,
+    //      event_type) transition counts and exact ppm row-normalized
+    //      probabilities. Shape: ONE user_id shuffle for the lag, one
+    //      partial-combining pair count (≤|types|² keys — tiny however
+    //      big the log), probabilities from a window over that tiny
+    //      table. All integers: engine-exact ----
+    ("r20_markov_transitions",
+      (s: SparkSession, d: String) => {
+        val wl = Window.partitionBy("user_id")
+          .orderBy(expr("ts div 1000"), col("event_id"))
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(wl))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+        pairs.withColumn("p_ppm",
+          expr("1000000 * n div sum(n) over (partition by prev_type)"))
+      },
+      Some(
+        """WITH pairs AS (
+          |  SELECT prev_type, event_type, count(*) AS n FROM (
+          |    SELECT event_type,
+          |      lag(event_type, 1) OVER (PARTITION BY user_id
+          |        ORDER BY epoch_us(ts), event_id) AS prev_type
+          |    FROM events)
+          |  WHERE prev_type IS NOT NULL
+          |  GROUP BY prev_type, event_type)
+          |SELECT prev_type, event_type, n,
+          |  1000000 * n // sum(n) OVER (PARTITION BY prev_type) AS p_ppm
+          |FROM pairs""".stripMargin)),
+
     // ---- X6: point-in-time-correct feature join — training-set
     //      generation for a feature store (the Feast/Tecton "as-of
     //      correct" contract): each label row (a purchase event) gets the

@@ -323,6 +323,45 @@ object TextQueries {
     //      featurizer) — bucket + independent ±1 sign hash, NO vocabulary
     //      pass; per-doc nnz / l1 / order-canonical sparse-vector md5 pin
     //      the exact 64-dim vector cross-engine ----
+    // ---- x7: curriculum phase assignment — rare-share difficulty in
+    //      exact milli units, value-coherent quartile buckets computed on
+    //      the difficulty HISTOGRAM (no global ntile sort) ----
+    ("x7_curriculum_buckets",
+      (s: SparkSession, d: String) =>
+        TextOps.curriculumBuckets(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        """, tokd AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+          |freq AS (SELECT t, count(*) AS c FROM tokd GROUP BY t),
+          |nrare AS (SELECT doc_id,
+          |    CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS nr
+          |  FROM tokd JOIN freq USING (t) GROUP BY doc_id),
+          |diff AS (SELECT tok.doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+          |    CASE WHEN len(ts) > 0
+          |         THEN 1000 * coalesce(nr, 0) // len(ts) ELSE 0 END AS difficulty_milli
+          |  FROM tok LEFT JOIN nrare ON tok.doc_id = nrare.doc_id),
+          |hist AS (SELECT difficulty_milli, count(*) AS c FROM diff GROUP BY 1),
+          |ph AS (SELECT difficulty_milli,
+          |    least(3, 4 * coalesce(sum(c) OVER (ORDER BY difficulty_milli
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      // (SELECT count(*) FROM diff)) AS phase
+          |  FROM hist)
+          |SELECT d.doc_id, d.n_tok, d.difficulty_milli, CAST(ph.phase AS BIGINT) AS phase
+          |FROM diff d JOIN ph USING (difficulty_milli)""".stripMargin))),
+
+    // ---- t24: k-anonymity audit over quasi-identifiers (lang, source,
+    //      length bucket) — classes smaller than k fail the release
+    //      gate; one partial-combining keyed aggregate ----
+    ("t24_k_anonymity",
+      (s: SparkSession, d: String) =>
+        TextOps.kAnonymity(Tables.documents(s, d), k = 5),
+      Some(
+        """SELECT lang, source,
+          |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          |    t -> t <> '')) // 32 AS BIGINT) AS len_bucket,
+          |  count(*) AS n,
+          |  CASE WHEN count(*) >= 5 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_anon
+          |FROM documents GROUP BY 1, 2, 3""".stripMargin)),
+
     // ---- t22: sliding-window chunking — overlapping 16-token windows
     //      every 8; chunk bodies pinned by md5 of the token slice ----
     ("t22_chunking",

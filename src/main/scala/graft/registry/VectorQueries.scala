@@ -452,6 +452,45 @@ object VectorQueries {
               |       (SELECT count(*) FROM lshtop
               |        WHERE vec_id IN (SELECT vec_id FROM brute)) AS hits""".stripMargin)),
 
+    // ---- E17: IVF tuning sweep — recall@10 vs nprobe (1..4), the
+    //      parameter-selection table an ANN deployment derives before
+    //      fixing its latency/recall point; each probe level reuses the
+    //      same codebook/assignment, so the sweep costs one assignment
+    //      plus 4 shortlist scans, and every row is oracle-exact ----
+    ("e17_ivf_probe_sweep",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val emb = Tables.embeddings(s, d)
+        val brute = Similarity.bruteForceTopK(emb, k = 10)
+          .select("vec_id").localCheckpoint(true)
+        (1 to 4).map { p =>
+          val ivf = Similarity.ivfTopK(emb, k = 10, nCells = 16, nprobe = p)
+            .select("vec_id")
+          ivf.agg(count(lit(1)).as("n_ret"))
+            .crossJoin(ivf.join(brute, Seq("vec_id"), "left_semi")
+              .agg(count(lit(1)).as("hits")))
+            .select(lit(p.toLong).as("nprobe"), col("n_ret"), col("hits"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        val per = (1 to 4).map { p =>
+          s""",
+             |qc$p AS (SELECT r.cid FROM rankd r, q WHERE r.vec_id = q.qid AND r.rk <= $p),
+             |cv$p AS (SELECT a.vec_id FROM assign a JOIN qc$p c ON a.cid = c.cid),
+             |tp$p AS (
+             |  SELECT e.vec_id FROM embeddings e JOIN cv$p ON e.vec_id = cv$p.vec_id, q
+             |  WHERE e.vec_id <> q.qid
+             |  ORDER BY ${cosSql("e.embedding", "q.qv")} DESC, e.vec_id LIMIT 10)""".stripMargin
+        }.mkString
+        val rows = (1 to 4).map { p =>
+          s"""SELECT CAST($p AS BIGINT) AS nprobe,
+             |  (SELECT count(*) FROM tp$p) AS n_ret,
+             |  (SELECT count(*) FROM tp$p
+             |   WHERE vec_id IN (SELECT vec_id FROM brute)) AS hits""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH $Q, $BRUTE, $IVF$per\n$rows"
+      }),
+
     ("e5_ann_ivf_recall",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
