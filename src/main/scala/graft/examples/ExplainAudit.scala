@@ -35,7 +35,14 @@ object ExplainAudit {
         // scan), RANGE-frame window (no self-join), constant-width
         // count-min grid, blocked fuzzy ER join
         "w7_dpp_day_prune", "r16_rolling_range_window",
-        "t19_countmin_sketch", "d11_fuzzy_blocked_join")
+        "t19_countmin_sketch", "d11_fuzzy_blocked_join",
+        // r7 continuation: single-shuffle PIT feature frame (one user_id
+        // exchange feeds every feature), zero-shuffle chunking/classifier
+        // projections, broadcast-dim markov lag, canonical-URL keyed
+        // dedup, tiny-histogram curriculum (no global ntile sort)
+        "x6_feature_join_pit", "t22_chunking", "t23_quality_classifier",
+        "r20_markov_transitions", "d13_url_canonical_dedup",
+        "x7_curriculum_buckets", "w8_schema_evolution")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

@@ -507,6 +507,72 @@ object RelationalQueries {
           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
           |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // ---- R21: last-touch attribution — each purchase attributes to the
+    //      user's most recent click strictly before it and within a
+    //      7-day horizon (the marketing-attribution / conversion-credit
+    //      join). The x6 merged-timeline shape: ONE user_id shuffle, the
+    //      last qualifying click rides a struct-argmax over the
+    //      [unbounded, -1 row] frame (no per-purchase re-scan, no as-of
+    //      join per touch type), horizon applied after. -1 = organic ----
+    ("r21_attribution_last_touch",
+      (s: SparkSession, d: String) => {
+        val horizonUs = 7L * 24 * 3600 * 1000000L
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev.withColumn("lc",
+            max(when(col("event_type") === "click",
+              struct(col("ts_us"), col("event_id")))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us").as("purch_us"),
+            when(col("lc").isNotNull &&
+                col("ts_us") - col("lc.ts_us") <= horizonUs,
+              col("lc.event_id")).otherwise(-1L).as("click_id"),
+            when(col("lc").isNotNull &&
+                col("ts_us") - col("lc.ts_us") <= horizonUs,
+              col("ts_us") - col("lc.ts_us")).otherwise(-1L).as("gap_us"))
+      },
+      Some(
+        """SELECT event_id, user_id, purch_us,
+          |  CASE WHEN lc IS NOT NULL AND purch_us - lc.ts_us <= 604800000000
+          |       THEN lc.event_id ELSE -1 END AS click_id,
+          |  CASE WHEN lc IS NOT NULL AND purch_us - lc.ts_us <= 604800000000
+          |       THEN purch_us - lc.ts_us ELSE -1 END AS gap_us
+          |FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS purch_us,
+          |        max(CASE WHEN event_type = 'click'
+          |            THEN {'ts_us': epoch_us(ts), 'event_id': event_id} END)
+          |          OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+          |      FROM events)
+          |WHERE event_type = 'purchase'""".stripMargin)),
+
+    // ---- R22: semi-structured extraction — the JSON property column
+    //      every event log carries, parsed with from_json (a typed,
+    //      codegen'd projection — no UDF) and aggregated per event type.
+    //      At 100 TB the parse rides the scan; only the per-type
+    //      aggregate exchanges (partial-combining, ≤|types| keys) ----
+    ("r22_json_extract",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        ev.select(col("event_type"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("k",
+                  org.apache.spark.sql.types.LongType))))
+              .getField("k").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").cast("long").as("k_sum"),
+            min("k").cast("long").as("k_min"), max("k").cast("long").as("k_max"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+          |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+          |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+          |FROM events GROUP BY event_type""".stripMargin)),
+
     // ---- R20: Markov transition table — the next-event model a
     //      behavioral pipeline fits from an event log: per (prev_type,
     //      event_type) transition counts and exact ppm row-normalized

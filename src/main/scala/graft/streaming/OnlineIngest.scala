@@ -109,8 +109,13 @@ object OnlineIngest {
               out ::= SessionOut(uid, s.start, s.last, s.n, s.cents)
               cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.cents))
             case Some(s) =>
-              // a late in-gap event must not move the session end backwards
-              cur = Some(SessionState(s.start, math.max(s.last, e.ts_us), s.n + 1, s.cents + e.cents))
+              // a late in-gap event must not move the session end
+              // backwards — and one EARLIER than the current start (an
+              // in-watermark straggler from before the session's first
+              // seen event) must extend the start backwards, or the
+              // emitted span silently begins at the second event
+              cur = Some(SessionState(math.min(s.start, e.ts_us),
+                math.max(s.last, e.ts_us), s.n + 1, s.cents + e.cents))
             case None =>
               cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.cents))
           }

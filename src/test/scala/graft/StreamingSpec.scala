@@ -149,6 +149,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((7L, baseUs, baseUs + 5L * 60 * 1000000, 2L, 300L)))
   }
 
+  test("stateful recovery: sessionizer killed mid-stream resumes GroupState from the checkpoint") {
+    val dir = Files.createTempDirectory("graft-sess-rec").toString
+    val out = Files.createTempDirectory("graft-sess-rec-out").toString
+    val s = spark; import s.implicits._
+    val m = 60L * 1000 * 1000 * 1000
+    val base = 6000L * m
+    val sch = StructType(Seq(StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      val q = graft.streaming.OnlineIngest
+        .sessionize(stream, gapUs = 30L * 60 * 1000000)
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            graft.streaming.OnlineIngest.SessionOut], _: Long) =>
+          b.write.mode("append").parquet(s"$out/res"); ()
+        }.start()
+      q.awaitTermination()
+    }
+    // run 1 sees ONLY the session's first half — it ends with the open
+    // session held in GroupState
+    Seq((base, 7L, 1.0), (base + 5L * m, 7L, 2.0))
+      .toDF("ts", "user_id", "value").write.parquet(s"$dir/e0.parquet")
+    run()
+    // the query is now DEAD (simulated crash/redeploy). The second half
+    // and a far-future event arrive; a fresh query on the SAME checkpoint
+    // must resume the open session, extend it, and close it
+    Seq((base + 10L * m, 7L, 4.0)).toDF("ts", "user_id", "value")
+      .write.parquet(s"$dir/e1.parquet")
+    Seq((base + 600L * m, 7L, 8.0)).toDF("ts", "user_id", "value")
+      .write.parquet(s"$dir/e2.parquet")
+    run()
+    val got = spark.read.parquet(s"$out/res").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val baseUs = 6000L * 60 * 1000000
+    // ONE closed session spanning the crash: 3 events, 700 cents — the
+    // restart neither lost the open state nor re-emitted a partial session
+    assert(got.toSeq == Seq((7L, baseUs, baseUs + 10L * 60 * 1000000, 3L, 700L)))
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
   test("streaming funnel chains stages across micro-batches; out-of-order pre-view click ignored") {
     val dir = Files.createTempDirectory("graft-funnel").toString
     val s = spark; import s.implicits._
