@@ -361,11 +361,19 @@ object Dedup {
     * bounded, never all-pairs; the exact bit_count rerank runs on
     * candidates only and is one codegen'd integer instruction per pair. */
   def hammingNearDupPairs(docs: DataFrame, radius: Int = 3,
-                          nBands: Int = 4): DataFrame = {
+                          nBands: Int = 4): DataFrame =
+    hammingPairsFrom(simhash(docs).select(col("doc_id"), col("simhash")),
+      radius, nBands)
+
+  /** The e9 band join generalized over any (doc_id, simhash) 60-bit
+    * fingerprint frame — shared by e9 (text simhash) and m5 (media
+    * blockhash): same pigeonhole guarantee, same collision-bounded
+    * candidate volume. */
+  def hammingPairsFrom(sh: DataFrame, radius: Int = 3,
+                       nBands: Int = 4): DataFrame = {
     require(nBands >= radius + 1, "pigeonhole guarantee needs nBands > radius")
     val bits = 60 / nBands
     val mask = (1L << bits) - 1
-    val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBands).map(b =>
         expr(s"(simhash >> ${b * bits}) & $mask")): _*)).as(Seq("band", "key")))

@@ -150,4 +150,53 @@ object Multimodal {
     implicit val s: SparkSession = spark
     windowFeatures(asMedia(Tables.documents(spark, dir)), winBytes, hopBytes).toDF()
   }
+
+  /** M5: perceptual block-hash over the media payload — a REAL perceptual
+    * hash (the blockhash family: Yang et al. '06 shape on raw bytes, what
+    * pHash does on DCT coefficients): split the payload into 60 equal
+    * byte blocks; bit b = 1 iff 60·sum(block b) > Σ all bytes (block
+    * above the mean). Unlike a cryptographic digest, a small payload edit
+    * flips only the bits of the touched blocks, so near-identical media
+    * land within small Hamming distance — exactly the property the e9
+    * banded join exploits downstream. Runs inside the typed mapPartitions
+    * codec slot (where a real decoder's DCT would sit); the comparison is
+    * exact integers, so the oracle reproduces every bit.
+    *
+    * Block boundaries: block b covers byte positions [b·n/60, (b+1)·n/60)
+    * (integer division) — empty when n < 60 spreads thin; empty blocks
+    * sum 0. */
+  case class MediaHash(doc_id: Long, simhash: Long)
+  def blockHash(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.payload.length
+        var total = 0L
+        var i = 0
+        while (i < n) { total += r.payload(i) & 0xFF; i += 1 }
+        var h = 0L
+        var b = 0
+        while (b < 60) {
+          val from = b * n / 60
+          val until = (b + 1) * n / 60
+          var s = 0L
+          var j = from
+          while (j < until) { s += r.payload(j) & 0xFF; j += 1 }
+          if (60L * s > total) h |= 1L << b
+          b += 1
+        }
+        MediaHash(r.doc_id, h)
+      }
+    }
+  }
+
+  /** M5 pipeline: payload → blockhash → e9 banded Hamming near-dup
+    * pairs. The only corpus-sized exchange is the band join. */
+  def phashNearDup(spark: SparkSession, dir: String, radius: Int = 3,
+                   nBands: Int = 4): DataFrame = {
+    implicit val s: SparkSession = spark
+    Dedup.hammingPairsFrom(
+      blockHash(asMedia(Tables.documents(spark, dir))).toDF(),
+      radius, nBands)
+  }
 }

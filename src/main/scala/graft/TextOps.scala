@@ -450,6 +450,41 @@ object TextOps {
       .select(col("doc_id"), col("n_tok"), col("difficulty_milli"), col("phase"))
   }
 
+  /** X8: RAG indexing composite — the retrieval-corpus build chained as
+    * ONE declarative plan: [[chunkDocs]] splits the corpus into
+    * overlapping windows, each chunk gets an embedding, and retrieval is
+    * cosine top-k against a query chunk. The embedder here is the
+    * deterministic stand-in the multimodal suite uses for codecs — an
+    * md5-derived integer-valued vector per chunk fingerprint (a real
+    * deployment swaps in a model server at exactly this projection; the
+    * plumbing — chunk identity, embedding column shape, scoring — is the
+    * real contract). Integer-valued doubles make the cosine floor-exact
+    * cross-engine (the e1 discipline).
+    *
+    * Scale shape: chunk + embed are map-only projections riding the
+    * scan; the exact top-k scan here is the contract the e2/e3/e12
+    * bucketed paths serve at 100 TB (index the chunk embeddings with the
+    * same IVF store the s16 maintenance path feeds). */
+  def ragIndexTopK(docs: DataFrame, window: Int = 16, stride: Int = 8,
+                   dim: Int = 8, k: Int = 10): DataFrame = {
+    val embCols = (0 until dim).map { j =>
+      expr(s"CAST(CAST(conv(substring(md5(concat('x8|', chunk_fp, '|$j')), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000 AS DOUBLE)")
+    }
+    val emb = chunkDocs(docs, window, stride)
+      .select(col("doc_id"), col("chunk_idx"), array(embCols: _*).as("v"))
+      .localCheckpoint(true) // feeds both the query pick and the scan
+    val q = emb.orderBy("doc_id", "chunk_idx").limit(1)
+      .select(col("doc_id").as("qd"), col("chunk_idx").as("qc"),
+        col("v").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .filter(!(col("doc_id") === col("qd") && col("chunk_idx") === col("qc")))
+      .select(col("doc_id"), col("chunk_idx"),
+        floor(Similarity.cosine(col("v"), col("qv")) * 1000000L)
+          .cast("long").as("cos_scaled"))
+      .orderBy(col("cos_scaled").desc, col("doc_id"), col("chunk_idx"))
+      .limit(k)
+  }
+
   /** T24: k-anonymity audit — the governance gate a training-data release
     * runs over quasi-identifiers (Sweeney '02): group the corpus by the
     * quasi-id tuple (lang, source, token-length bucket) and flag every

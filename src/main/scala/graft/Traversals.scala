@@ -1052,6 +1052,45 @@ object Traversals {
         count(lit(1)).as("n_landmarks"))
   }
 
+  /** C12: semi-supervised label propagation (the Zhu–Ghahramani '02
+    * shape made deterministic): seed vertices carry a known class and are
+    * CLAMPED (they never change — the property that separates
+    * classification from [[lpaCommunities]]' unsupervised self-labels);
+    * every other vertex takes, each round, the most-voted label among its
+    * labeled in-neighbors (count desc, label asc — computed as ONE
+    * partial-combining `min(struct(-count, label))`, no window sort), or
+    * keeps its current label when no labeled neighbor votes. Seeds here
+    * are id % 10 == 0 with class id % 3 (the deterministic fixture
+    * stand-in for human labels). Unreached vertices report -1.
+    *
+    * Scale shape: per round, one hash join of the edge list against the
+    * labeled vertex set and two keyed partial-combining aggregations —
+    * the [[lpaCommunities]] cost model with a clamp. */
+  def semiSupervisedLabels(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val adj = edges.select("src", "dst").distinct()
+      .repartition(col("src")).persist()
+    adj.count()
+    val seedLbl = when(col("id") % 10 === 0, col("id") % 3)
+    var lab = adj.select(col("src").as("id"))
+      .unionByName(adj.select(col("dst").as("id"))).distinct()
+      .withColumn("lbl", seedLbl).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(lab.filter(col("lbl").isNotNull)
+          .select(col("id").as("src"), col("lbl").as("nl")), "src")
+        .groupBy(col("dst").as("vv"), col("nl")).agg(count(lit(1)).as("c"))
+        .groupBy("vv").agg(min(struct((-col("c")).as("nc"), col("nl").as("l")))
+          .as("m"))
+        .select(col("vv"), col("m.l").as("voted"))
+      lab = lab.join(votes, lab("id") === votes("vv"), "left")
+        .select(lab("id"),
+          when(lab("id") % 10 === 0, lab("lbl"))
+            .otherwise(coalesce(col("voted"), lab("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    lab.select(col("id"), coalesce(col("lbl"), lit(-1L)).as("lbl"))
+  }
+
   /** G23: maximal matching by deterministic parallel greedy (the
     * Israeli–Itai '86 shape with md5 edge priorities instead of coin
     * flips — the [[maximalIndependentSet]] determinization applied to the

@@ -231,6 +231,37 @@ object GraphQueries {
     //      zipf graph as an EXACT rational (g20's discipline: clear the
     //      denominators, hash integers) — the standard one-number answer
     //      to "do hubs attach to hubs?" on a degree-skewed graph ----
+    // ---- C12: semi-supervised label propagation — clamped md5-free
+    //      seeds (id%10==0 → class id%3), per-round most-voted neighbor
+    //      label via min(struct(-count, label)); oracle unrolls the 3
+    //      rounds with a row_number argmax ----
+    ("c12_semi_supervised_labels",
+      (s: SparkSession, d: String) =>
+        Traversals.semiSupervisedLabels(Tables.socialEdges(s, d)),
+      Some {
+        val R = 3
+        val sb = new StringBuilder
+        sb.append(Oracle.UEDGES).append(""",
+          |usym AS (SELECT DISTINCT src, dst FROM uedges),
+          |sverts AS (SELECT DISTINCT src AS id FROM usym),
+          |l0 AS (SELECT id, CASE WHEN id % 10 = 0 THEN id % 3 END AS lbl FROM sverts)""".stripMargin)
+        for (i <- 1 to R) {
+          sb.append(s""",
+            |vt$i AS (SELECT u.dst AS id, l.lbl, count(*) AS c
+            |  FROM usym u JOIN l${i - 1} l ON u.src = l.id
+            |  WHERE l.lbl IS NOT NULL GROUP BY u.dst, l.lbl),
+            |bt$i AS (SELECT id, lbl AS voted FROM (
+            |  SELECT id, lbl, row_number() OVER (PARTITION BY id
+            |    ORDER BY c DESC, lbl) AS rn FROM vt$i) WHERE rn = 1),
+            |l$i AS (SELECT l.id,
+            |    CASE WHEN l.id % 10 = 0 THEN l.lbl
+            |         ELSE coalesce(b.voted, l.lbl) END AS lbl
+            |  FROM l${i - 1} l LEFT JOIN bt$i b ON l.id = b.id)""".stripMargin)
+        }
+        Oracle.withSql(sb.toString,
+          s"SELECT id, CAST(coalesce(lbl, -1) AS BIGINT) AS lbl FROM l$R")
+      }),
+
     // ---- G22: truncated Katz centrality — α=1/2 cleared to ×8 integers
     //      over 3 walk lengths on the symmetric multigraph; walk counts
     //      are exact BIGINTs, so the top-20 is engine-exact ----

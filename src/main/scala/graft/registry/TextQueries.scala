@@ -122,6 +122,73 @@ object TextQueries {
           |  md5(rt) AS fp
           |FROM r""".stripMargin)),
 
+    // ---- X8: RAG indexing composite — chunk → hash-embedding →
+    //      cosine top-k as ONE declarative plan; integer-valued double
+    //      embeddings keep the score floor-exact cross-engine ----
+    ("x8_rag_index_topk",
+      (s: SparkSession, d: String) =>
+        TextOps.ragIndexTopK(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        """, ch AS (
+          |  SELECT doc_id, ci AS chunk_idx,
+          |    md5(array_to_string(list_slice(ts, CAST(ci * 8 + 1 AS BIGINT),
+          |      CAST(least(ci * 8 + 16, len(ts)) AS BIGINT)), ' ')) AS chunk_fp
+          |  FROM tok, UNNEST(range(0, ((len(ts) - 1) // 8) + 1)) AS u(ci)
+          |  WHERE len(ts) > 0),
+          |emb AS (
+          |  SELECT doc_id, chunk_idx,
+          |    list_transform(range(0, 8), j -> CAST(
+          |      CAST(('0x' || substr(md5('x8|' || chunk_fp || '|' || j), 1, 15)) AS BIGINT)
+          |      % 2001 - 1000 AS DOUBLE)) AS v
+          |  FROM ch),
+          |q AS (SELECT doc_id AS qd, chunk_idx AS qc, v AS qv
+          |      FROM emb ORDER BY doc_id, chunk_idx LIMIT 1)
+          |SELECT e.doc_id, CAST(e.chunk_idx AS BIGINT) AS chunk_idx,
+          |  CAST(floor(
+          |    list_reduce(list_transform(list_zip(e.v, q.qv),
+          |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
+          |    / (sqrt(list_reduce(list_transform(e.v,
+          |         x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)), (s, v) -> s + v))
+          |     * sqrt(list_reduce(list_transform(q.qv,
+          |         x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)), (s, v) -> s + v)))
+          |    * 1000000) AS BIGINT) AS cos_scaled
+          |FROM emb e, q
+          |WHERE NOT (e.doc_id = q.qd AND e.chunk_idx = q.qc)
+          |ORDER BY cos_scaled DESC, e.doc_id, e.chunk_idx LIMIT 10""".stripMargin))),
+
+    // ---- M5: perceptual media dedup — blockhash (60 byte-blocks, bit =
+    //      block above the payload mean) computed in the typed codec
+    //      slot, then the e9 banded Hamming join; a payload edit flips
+    //      only the touched blocks' bits, so near-identical media pair
+    //      up. Exact integers end-to-end ----
+    ("m5_media_phash_neardup",
+      (s: SparkSession, d: String) =>
+        Multimodal.phashNearDup(s, d, radius = 3, nBands = 4),
+      Some(
+        """WITH bs AS (
+          |  SELECT doc_id, strlen(text) AS n,
+          |    coalesce(list_sum(list_transform(range(0, strlen(text)),
+          |      i -> ord(substr(text, CAST(i + 1 AS BIGINT), 1)))), 0) AS total,
+          |    list_transform(range(0, 60), blk -> coalesce(list_sum(
+          |      list_transform(range(blk * strlen(text) // 60,
+          |                          (blk + 1) * strlen(text) // 60),
+          |        i -> ord(substr(text, CAST(i + 1 AS BIGINT), 1)))), 0)) AS sums
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+          |    blk -> CASE WHEN 60 * sums[CAST(blk + 1 AS BIGINT)] > total
+          |                THEN CAST(1 AS BIGINT) << blk ELSE CAST(0 AS BIGINT) END))
+          |    AS BIGINT) AS simhash
+          |  FROM bs),
+          |hbd AS (SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS key
+          |        FROM sh, (SELECT unnest(range(0, 4)) AS band) bands),
+          |hcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+          |                 x.simhash AS ha, y.simhash AS hb
+          |          FROM hbd x JOIN hbd y
+          |          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+          |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS ham
+          |FROM hcand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin)),
+
     // ---- X5: cross-modal retrieval composite — the CLIP-shaped serving
     //      join: the QUERY is chosen on the media side (largest payload
     //      by m1's metadata, ties to the low id), candidates are gated by
