@@ -565,6 +565,53 @@ object Dedup {
         coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
   }
 
+  /** D14: shingle-set CONTAINMENT over the d2 candidate pairs — Broder's
+    * asymmetric companion to resemblance ('97): C(A→B) = |A∩B| / |A|
+    * catches quotes, excerpts and supersets that symmetric Jaccard
+    * dilutes (a 10-line quote inside a 1000-line doc has tiny
+    * resemblance but containment ≈ 1 from the quote's side). Both
+    * directions in exact ppm integers.
+    *
+    * Scale shape: identical to the d3b discipline — candidates come from
+    * the banded MinHash join (never all-pairs), the shingle self-join is
+    * restricted to candidate documents FIRST, and the intersection count
+    * partial-combines per (a, b). */
+  def containmentVerify(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).localCheckpoint(true)
+    val cand = minhashCandidatesFrom(sh).localCheckpoint(true)
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val sz = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(shc.select(col("doc_id").as("a"), col("s")), "a")
+      .join(shc.select(col("doc_id").as("b2"), col("s").as("s2")),
+        col("b") === col("b2") && col("s") === col("s2"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
+      .join(sz.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("inter"),
+        expr("1000000 * inter div n_a").as("c_ab_ppm"),
+        expr("1000000 * inter div n_b").as("c_ba_ppm"))
+  }
+
+  /** D15: duplicate-aware sampling weights — soft dedup (the
+    * retention-preserving alternative to dropping rows, the move
+    * dedup-sensitive mixtures make): every document keeps its row but
+    * carries weight 1/|exact-dup cluster| in ppm, so a downstream
+    * weighted sampler sees each distinct text with total mass 1 however
+    * many times it was crawled. d1's one keyed shuffle plus the join
+    * back (hash-keyed, broadcastable when the dup table is small). */
+  def dedupWeights(docs: DataFrame): DataFrame = {
+    val h = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val cl = h.groupBy("h").agg(count(lit(1)).as("cluster_n"))
+    h.join(cl, "h")
+      .select(col("doc_id"), col("cluster_n"),
+        expr("1000000 div cluster_n").as("weight_ppm"))
+  }
+
   /** D13: URL-canonicalization dedup — the crawl-curation step that runs
     * BEFORE any content hashing: a crawler sees the same page under
     * mixed-case hosts, `www.` prefixes, tracking parameters (`utm_*`,

@@ -121,6 +121,42 @@ object DedupQueries {
     //      prior; both classifications probe prior-side structures, so
     //      cost ∝ batch, not total corpus). Oracle restricts the shared
     //      SIMHASH chain by the same snapshot predicate ----
+    // ---- d14: shingle-set containment over the d2 candidates —
+    //      Broder's asymmetric C(A→B) = |A∩B|/|A| in exact ppm; catches
+    //      quote/superset relations resemblance dilutes ----
+    ("d14_containment",
+      (s: SparkSession, d: String) =>
+        Dedup.containmentVerify(Tables.documents(s, d)),
+      Some(Oracle.withSql(LSH,
+        """, cd AS (SELECT DISTINCT doc_id FROM (
+          |    SELECT a AS doc_id FROM cand UNION ALL SELECT b FROM cand)),
+          |shc AS (SELECT shu.doc_id, shu.s FROM shu JOIN cd USING (doc_id)),
+          |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+          |inter AS (SELECT c.a, c.b, count(*) AS i
+          |  FROM cand c JOIN shc x ON c.a = x.doc_id
+          |  JOIN shc y ON c.b = y.doc_id AND x.s = y.s
+          |  GROUP BY c.a, c.b)
+          |SELECT c.a, c.b, sa.n AS n_a, sb.n AS n_b,
+          |  CAST(coalesce(i.i, 0) AS BIGINT) AS inter,
+          |  1000000 * coalesce(i.i, 0) // sa.n AS c_ab_ppm,
+          |  1000000 * coalesce(i.i, 0) // sb.n AS c_ba_ppm
+          |FROM cand c
+          |LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+          |JOIN sz sa ON c.a = sa.doc_id
+          |JOIN sz sb ON c.b = sb.doc_id""".stripMargin))),
+
+    // ---- d15: duplicate-aware sampling weights — soft dedup: every doc
+    //      keeps its row with weight 1/|exact-dup cluster| ppm, so a
+    //      weighted sampler sees each distinct text with total mass 1 ----
+    ("d15_dedup_weights",
+      (s: SparkSession, d: String) =>
+        Dedup.dedupWeights(Tables.documents(s, d)),
+      Some(
+        """SELECT doc_id,
+          |  count(*) OVER (PARTITION BY md5(text)) AS cluster_n,
+          |  1000000 // count(*) OVER (PARTITION BY md5(text)) AS weight_ppm
+          |FROM documents""".stripMargin)),
+
     // ---- d13: URL-canonicalization dedup — fragment/tracking-param
     //      strip + host lowercase + www. drop, then the d1 contract
     //      keyed on canonical URL; per-row regex projection + ONE

@@ -583,6 +583,20 @@ object StreamingQueries {
           |       event_type, count(*) AS n, min(value) AS vmin, max(value) AS vmax
           |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // ---- s18: COMPLETE-mode running totals — the live-dashboard
+    //      aggregate; each micro-batch re-emits the full per-type state
+    //      (overwrite sink), so the final view equals the batch
+    //      aggregate. Third output-mode contract pinned (append s10/s17,
+    //      latest-view s13, complete here) ----
+    ("s18_streaming_running_counts",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(runningCountsPath(s, d))
+          .select("event_type", "n", "val_cents"),
+      Some(
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS val_cents
+          |FROM events GROUP BY event_type""".stripMargin)),
+
     // ---- s17: stream-static enrichment — events join the STATIC
     //      customer dim (stateless broadcast join inside the streaming
     //      query), windowed per-segment aggregation; streaming == batch
@@ -599,6 +613,40 @@ object StreamingQueries {
           |FROM events JOIN customer ON user_id = c_custkey
           |GROUP BY 1, 2""".stripMargin)),
   )
+
+  /** Replay the events fixture through [[graft.streaming.OnlineIngest
+    * .runningTypeCounts]] in COMPLETE mode: each micro-batch overwrites
+    * the sink with the full aggregate state, so after the replay the
+    * sink holds exactly the all-time totals. Two midpoint batches, no
+    * sentinel (complete mode has no watermark to advance). */
+  private def runningCountsPath(s: SparkSession, d: String): String =
+    cache.computeIfAbsent(key(s, d, "s18"), _ => {
+      val watch = java.nio.file.Files.createTempDirectory("graft-s18-in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-s18-out").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .localCheckpoint(true)
+      val Array(lo, hi) = ev.agg(min("ts"), max("ts")).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      val mid = lo + (hi - lo) / 2
+      writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
+      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
+      val stream = s.readStream.schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType)))
+        ).option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
+      graft.streaming.OnlineIngest.runningTypeCounts(stream)
+        .writeStream.outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(s"$out/res"); ()
+        }
+        .start().awaitTermination()
+      unloadStreamingState()
+      s"$out/res"
+    })
 
   /** Replay the events fixture through [[graft.streaming.OnlineIngest
     * .enrichedSegmentCounts]] with the static customer dim — the same

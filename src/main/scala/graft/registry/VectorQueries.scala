@@ -452,6 +452,45 @@ object VectorQueries {
               |       (SELECT count(*) FROM lshtop
               |        WHERE vec_id IN (SELECT vec_id FROM brute)) AS hits""".stripMargin)),
 
+    // ---- E18: matryoshka truncation sweep — recall@10 of prefix-dim
+    //      cosine retrieval (64/32/16/8 dims) vs the full-dim truth: the
+    //      MRL-style accuracy/cost table behind dimension-truncated
+    //      serving (half the dims = half the scan bytes). Prefix slices
+    //      are projections; every row is oracle-exact ----
+    ("e18_matryoshka_sweep",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val emb = Tables.embeddings(s, d)
+        val brute = Similarity.bruteForceTopK(emb, k = 10)
+          .select("vec_id").localCheckpoint(true)
+        Seq(64, 32, 16, 8).map { dim =>
+          val tr = emb.select(col("vec_id"),
+            expr(s"slice(embedding, 1, $dim)").as("embedding"))
+          val top = Similarity.bruteForceTopK(tr, k = 10).select("vec_id")
+          top.agg(count(lit(1)).as("n_ret"))
+            .crossJoin(top.join(brute, Seq("vec_id"), "left_semi")
+              .agg(count(lit(1)).as("hits")))
+            .select(lit(dim.toLong).as("dim"), col("n_ret"), col("hits"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        val per = Seq(64, 32, 16, 8).map { dim =>
+          s""",
+             |tr$dim AS (
+             |  SELECT e.vec_id FROM embeddings e, q
+             |  WHERE e.vec_id <> q.qid
+             |  ORDER BY ${cosSql(s"list_slice(e.embedding, 1, $dim)",
+                s"list_slice(q.qv, 1, $dim)")} DESC, e.vec_id LIMIT 10)""".stripMargin
+        }.mkString
+        val rows = Seq(64, 32, 16, 8).map { dim =>
+          s"""SELECT CAST($dim AS BIGINT) AS dim,
+             |  (SELECT count(*) FROM tr$dim) AS n_ret,
+             |  (SELECT count(*) FROM tr$dim
+             |   WHERE vec_id IN (SELECT vec_id FROM brute)) AS hits""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH $Q, $BRUTE$per\n$rows"
+      }),
+
     // ---- E17: IVF tuning sweep — recall@10 vs nprobe (1..4), the
     //      parameter-selection table an ANN deployment derives before
     //      fixing its latency/recall point; each probe level reuses the

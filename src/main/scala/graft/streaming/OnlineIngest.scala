@@ -369,6 +369,18 @@ object OnlineIngest {
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n"), col("vmin"), col("vmax"))
 
+  /** S18: running totals in COMPLETE output mode — the live dashboard
+    * aggregate (all-time counts per event type, re-emitted in full each
+    * micro-batch). Complete mode is the third output-mode contract the
+    * suite pins (append: s10/s17; the update-shaped latest-view: s13):
+    * no watermark, state = one row per group key (bounded by the type
+    * domain, not the stream), and the LAST emission equals the batch
+    * aggregate over everything ingested — which is what the replay
+    * verifies. */
+  def runningTypeCounts(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(graft.cents(col("value"))).as("val_cents"))
+
   /** S17: stream-static enrichment — the dimension-join every event
     * pipeline performs before aggregating: the streaming fact joins a
     * STATIC dimension table (customers) inside the streaming query, then
