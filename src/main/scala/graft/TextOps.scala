@@ -450,6 +450,48 @@ object TextOps {
       .select(col("doc_id"), col("n_tok"), col("difficulty_milli"), col("phase"))
   }
 
+  /** T25: language-ID confusion matrix — the calibration table that
+    * decides whether the t2 heuristic is trustworthy per language: count
+    * of documents per (declared lang, predicted lang) cell plus the
+    * diagonal flag. A curation pipeline reads the off-diagonal mass
+    * before trusting pred_lang for routing. One |langs|²-keyed
+    * partial-combining aggregate over the t2 projection — scan-bound. */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_diag", (col("lang") === col("pred_lang")).cast("long"))
+
+  /** X9: dataset datasheet — the one-row corpus summary a release ships
+    * (the "datasheets for datasets" numbers, Gebru et al. '21, computed
+    * not hand-written): document/token/char mass, language count,
+    * exact-dup rate and quality-pass rate in exact ppm. ONE pass over
+    * the corpus feeds every statistic: per-doc projections aggregate
+    * partial-combining; the dup rate rides the d1 hash count-distinct.
+    * All integers, so the datasheet is engine-exact. */
+  def datasetDatasheet(docs: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    val enStop = Stopwords.head._2
+    val perDoc = docs.select(
+      col("doc_id"), col("lang"), md5(col("text")).as("h"),
+      length(col("text")).cast("long").as("chars"),
+      size(ts).cast("long").as("toks"),
+      qualityCond(size(ts), expr("regexp_count(text, '[.,!?;:]')"),
+        stopScore(ts, enStop)).cast("long").as("q"))
+    perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum("toks").cast("long").as("n_tokens"),
+      sum("chars").cast("long").as("n_chars"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("h").as("n_distinct_texts"),
+      sum("q").cast("long").as("n_quality"))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"),
+        col("n_distinct_texts"), col("n_quality"),
+        expr("1000000 * (n_docs - n_distinct_texts) div n_docs").as("dup_ppm"),
+        expr("1000000 * n_quality div n_docs").as("quality_ppm"))
+  }
+
   /** X8: RAG indexing composite — the retrieval-corpus build chained as
     * ONE declarative plan: [[chunkDocs]] splits the corpus into
     * overlapping windows, each chunk gets an embedding, and retrieval is

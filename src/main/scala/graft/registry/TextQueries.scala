@@ -390,6 +390,53 @@ object TextQueries {
     //      featurizer) — bucket + independent ±1 sign hash, NO vocabulary
     //      pass; per-doc nnz / l1 / order-canonical sparse-vector md5 pin
     //      the exact 64-dim vector cross-engine ----
+    // ---- t25: language-ID confusion matrix — per (declared, predicted)
+    //      document counts; the calibration read before trusting t2's
+    //      pred_lang for routing ----
+    ("t25_langid_confusion",
+      (s: SparkSession, d: String) =>
+        TextOps.langIdConfusion(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        s""", pr AS (SELECT t.doc_id, d.lang,
+           |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+           |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+           |       WHEN s_de >= s_fr THEN 'de'
+           |       ELSE 'fr' END AS pred_lang
+           |  FROM (SELECT doc_id,
+           |    len(list_filter(ts, t -> t IN $enList)) AS s_en,
+           |    len(list_filter(ts, t -> t IN ('el','la','de','y','que','los'))) AS s_es,
+           |    len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+           |    len(list_filter(ts, t -> t IN ('le','les','et','est','une'))) AS s_fr
+           |    FROM tok) t JOIN documents d ON t.doc_id = d.doc_id)
+           |SELECT lang, pred_lang, count(*) AS n,
+           |  CASE WHEN lang = pred_lang THEN CAST(1 AS BIGINT)
+           |       ELSE CAST(0 AS BIGINT) END AS is_diag
+           |FROM pr GROUP BY lang, pred_lang""".stripMargin))),
+
+    // ---- x9: dataset datasheet — the release-note corpus summary
+    //      (docs/tokens/chars/langs/dup rate/quality rate) computed in
+    //      ONE pass, exact ppm integers ----
+    ("x9_dataset_datasheet",
+      (s: SparkSession, d: String) =>
+        TextOps.datasetDatasheet(Tables.documents(s, d)),
+      Some(Oracle.withSql(TOK,
+        s""", pd AS (SELECT tok.doc_id, d.lang, md5(tok.text) AS h,
+           |  length(tok.text) AS chars, len(ts) AS toks,
+           |  CASE WHEN len(ts) >= 5 AND len(ts) <= 100000
+           |        AND 100 * len(list_filter(ts, t -> t IN $enList)) >= greatest(len(ts), 1)
+           |        AND len(regexp_extract_all(tok.text, '[.,!?;:]')) * 4 <= len(ts)
+           |       THEN 1 ELSE 0 END AS q
+           |  FROM tok JOIN documents d ON tok.doc_id = d.doc_id)
+           |SELECT count(*) AS n_docs,
+           |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+           |  CAST(sum(chars) AS BIGINT) AS n_chars,
+           |  count(DISTINCT lang) AS n_langs,
+           |  count(DISTINCT h) AS n_distinct_texts,
+           |  CAST(sum(q) AS BIGINT) AS n_quality,
+           |  1000000 * (count(*) - count(DISTINCT h)) // count(*) AS dup_ppm,
+           |  1000000 * CAST(sum(q) AS BIGINT) // count(*) AS quality_ppm
+           |FROM pd""".stripMargin))),
+
     // ---- x7: curriculum phase assignment — rare-share difficulty in
     //      exact milli units, value-coherent quartile buckets computed on
     //      the difficulty HISTOGRAM (no global ntile sort) ----
