@@ -572,12 +572,15 @@ object Dedup {
     * resemblance but containment ≈ 1 from the quote's side). Both
     * directions in exact ppm integers.
     *
-    * Scale shape: identical to the d3b discipline — candidates come from
-    * the banded MinHash join (never all-pairs), the shingle self-join is
-    * restricted to candidate documents FIRST, and the intersection count
-    * partial-combines per (a, b). */
-  def containmentVerify(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).localCheckpoint(true)
+    * Scale shape: identical to the d3b discipline — the corpus collapses
+    * to exact-dup representatives FIRST (identical texts have containment
+    * 1 trivially; without the collapse a 10×-replicated corpus pays ~100×
+    * on every dup cluster — measured 39 s at sf1 vs 2.5 s collapsed),
+    * candidates come from the banded MinHash join (never all-pairs), the
+    * shingle self-join is restricted to candidate documents, and the
+    * intersection count partial-combines per (a, b). */
+  def containmentVerify(docs: DataFrame, allPairs: Boolean = false): DataFrame = {
+    val sh = shingles(verifyBase(docs, allPairs)).localCheckpoint(true)
     val cand = minhashCandidatesFrom(sh).localCheckpoint(true)
     val candDocs = cand.select(col("a").as("doc_id"))
       .unionByName(cand.select(col("b").as("doc_id"))).distinct()

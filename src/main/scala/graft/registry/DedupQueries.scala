@@ -127,7 +127,12 @@ object DedupQueries {
     ("d14_containment",
       (s: SparkSession, d: String) =>
         Dedup.containmentVerify(Tables.documents(s, d)),
-      Some(Oracle.withSql(LSH,
+      Some(Oracle.withSql(
+        """reps AS (
+          |  SELECT d.* FROM documents d
+          |  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+          |    USING (doc_id)),
+          |""".stripMargin + LSH.replace("FROM documents", "FROM reps"),
         """, cd AS (SELECT DISTINCT doc_id FROM (
           |    SELECT a AS doc_id FROM cand UNION ALL SELECT b FROM cand)),
           |shc AS (SELECT shu.doc_id, shu.s FROM shu JOIN cd USING (doc_id)),
