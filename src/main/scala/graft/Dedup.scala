@@ -600,6 +600,39 @@ object Dedup {
         expr("1000000 * inter div n_b").as("c_ba_ppm"))
   }
 
+  /** D16: MinHash estimator calibration — for every candidate pair (on
+    * the exact-dup representatives, the d3b discipline), the Jaccard
+    * ESTIMATE the 8-hash MinHash signature implies (matching components
+    * × 125000 ppm — the unbiased estimator the LSH banding thresholds
+    * are derived from, Broder '97) next to the EXACT shingle Jaccard and
+    * the absolute error. This is the table that justifies the d2 band
+    * configuration: if |est − exact| were large at the near-dup
+    * threshold, the bands would be mis-tuned. All integers.
+    *
+    * Scale shape: signatures are the per-row codegen projection (d2);
+    * the exact side pays the candidate-restricted shingle join (d3b's
+    * collapse-first bound) — the calibration runs on candidates only,
+    * never the corpus. */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val reps = representatives(docs)
+    val sg = signatureDirect(reps).localCheckpoint(true)
+    val matchExpr = (0 until NumHashes)
+      .map(k => s"CASE WHEN a_m$k = b_m$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val sh = shingles(reps).localCheckpoint(true)
+    val exact = jaccardVerifyFrom(sh)
+      .select(col("a"), col("b"), col("jacc_pct"))
+    val sa = sg.select(col("doc_id").as("a") +:
+      (0 until NumHashes).map(k => col(s"m$k").as(s"a_m$k")): _*)
+    val sb = sg.select(col("doc_id").as("b") +:
+      (0 until NumHashes).map(k => col(s"m$k").as(s"b_m$k")): _*)
+    exact.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        (expr(matchExpr) * lit(1000000L / NumHashes)).cast("long").as("est_ppm"),
+        (col("jacc_pct") * 10000L).cast("long").as("jacc_ppm"))
+      .withColumn("abs_err_ppm", abs(col("est_ppm") - col("jacc_ppm")))
+  }
+
   /** D15: duplicate-aware sampling weights — soft dedup (the
     * retention-preserving alternative to dropping rows, the move
     * dedup-sensitive mixtures make): every document keeps its row but

@@ -508,13 +508,26 @@ object TextOps {
     * bucketed paths serve at 100 TB (index the chunk embeddings with the
     * same IVF store the s16 maintenance path feeds). */
   def ragIndexTopK(docs: DataFrame, window: Int = 16, stride: Int = 8,
-                   dim: Int = 8, k: Int = 10): DataFrame = {
+                   dim: Int = 8, k: Int = 10): DataFrame =
+    ragTopKFrom(
+      chunkEmbed(docs, window, stride, dim).localCheckpoint(true), k)
+
+  /** The chunk→embedding half of [[ragIndexTopK]] — a STATELESS map-only
+    * projection, which is what makes it the s19 streaming-ingest body:
+    * each micro-batch chunks and embeds independently, so a streamed
+    * chunk store equals the batch build. */
+  def chunkEmbed(docs: DataFrame, window: Int = 16, stride: Int = 8,
+                 dim: Int = 8): DataFrame = {
     val embCols = (0 until dim).map { j =>
       expr(s"CAST(CAST(conv(substring(md5(concat('x8|', chunk_fp, '|$j')), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000 AS DOUBLE)")
     }
-    val emb = chunkDocs(docs, window, stride)
+    chunkDocs(docs, window, stride)
       .select(col("doc_id"), col("chunk_idx"), array(embCols: _*).as("v"))
-      .localCheckpoint(true) // feeds both the query pick and the scan
+  }
+
+  /** The retrieval half of [[ragIndexTopK]] over any (doc_id, chunk_idx,
+    * v) chunk-embedding frame — batch-built (x8) or streamed (s19). */
+  def ragTopKFrom(emb: DataFrame, k: Int = 10): DataFrame = {
     val q = emb.orderBy("doc_id", "chunk_idx").limit(1)
       .select(col("doc_id").as("qd"), col("chunk_idx").as("qc"),
         col("v").as("qv"))

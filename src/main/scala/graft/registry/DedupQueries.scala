@@ -150,6 +150,39 @@ object DedupQueries {
           |JOIN sz sa ON c.a = sa.doc_id
           |JOIN sz sb ON c.b = sb.doc_id""".stripMargin))),
 
+    // ---- d16: MinHash estimator calibration — per candidate pair (on
+    //      representatives), the 8-hash Jaccard estimate (matching
+    //      components × 125000 ppm) vs the exact shingle Jaccard and the
+    //      absolute error; the table that justifies the d2 band tuning ----
+    ("d16_minhash_calibration",
+      (s: SparkSession, d: String) =>
+        Dedup.minhashCalibration(Tables.documents(s, d)),
+      Some(Oracle.withSql(
+        """reps AS (
+          |  SELECT d.* FROM documents d
+          |  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+          |    USING (doc_id)),
+          |""".stripMargin + LSH.replace("FROM documents", "FROM reps"),
+        """, sz AS (SELECT doc_id, count(*) AS n FROM shu GROUP BY doc_id),
+          |inter AS (
+          |  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
+          |  FROM shu sa JOIN shu sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+          |  GROUP BY 1, 2),
+          |ex AS (
+          |  SELECT c.a, c.b,
+          |    (100 * COALESCE(i.i, 0)) // (sa.n + sb.n - COALESCE(i.i, 0)) AS jacc_pct
+          |  FROM cand c LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+          |  JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id),
+          |est AS (
+          |  SELECT x.a, x.b, CAST(125000 * count(*) FILTER (WHERE ma.m = mb.m) AS BIGINT) AS est_ppm
+          |  FROM (SELECT a, b FROM cand) x
+          |  JOIN mh ma ON ma.doc_id = x.a JOIN mh mb ON mb.doc_id = x.b AND ma.k = mb.k
+          |  GROUP BY x.a, x.b)
+          |SELECT e.a, e.b, est.est_ppm,
+          |  CAST(e.jacc_pct * 10000 AS BIGINT) AS jacc_ppm,
+          |  abs(est.est_ppm - e.jacc_pct * 10000) AS abs_err_ppm
+          |FROM ex e JOIN est ON e.a = est.a AND e.b = est.b""".stripMargin))),
+
     // ---- d15: duplicate-aware sampling weights — soft dedup: every doc
     //      keeps its row with weight 1/|exact-dup cluster| ppm, so a
     //      weighted sampler sees each distinct text with total mass 1 ----

@@ -130,6 +130,34 @@ object GraphQueries {
         """SELECT (SELECT count(*) FROM tlist) AS n_triangles,
           |       (SELECT count(*) FROM zc) AS n_edges""".stripMargin))),
 
+    // ---- G24: graph datasheet — the one-row graph card (x9's
+    //      discipline for graphs): |V|, |E|, density ppm, max degree,
+    //      triangle count, all exact integers from partial-combining
+    //      aggregates over the canonical simple graph ----
+    ("g24_graph_datasheet",
+      (s: SparkSession, d: String) => {
+        val zc = zipfCanon(s, d).localCheckpoint(true)
+        val deg = zc.select(col("src").as("id"))
+          .unionByName(zc.select(col("dst").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("dg"))
+        deg.agg(count(lit(1)).as("n_verts"), max("dg").as("max_deg"))
+          .crossJoin(zc.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(Queries.triangleList(zc).agg(count(lit(1)).as("n_triangles")))
+          .select(col("n_verts"), col("n_edges"), col("max_deg"),
+            col("n_triangles"),
+            expr("1000000 * 2 * n_edges div (n_verts * (n_verts - 1))")
+              .as("density_ppm"))
+      },
+      Some(Oracle.withSql(ZCANON + TRI,
+        """, dg AS (SELECT id, count(*) AS d FROM
+          |  (SELECT src AS id FROM zc UNION ALL SELECT dst FROM zc) GROUP BY id)
+          |SELECT (SELECT count(*) FROM dg) AS n_verts,
+          |  (SELECT count(*) FROM zc) AS n_edges,
+          |  (SELECT max(d) FROM dg) AS max_deg,
+          |  (SELECT count(*) FROM tlist) AS n_triangles,
+          |  1000000 * 2 * (SELECT count(*) FROM zc)
+          |    // ((SELECT count(*) FROM dg) * ((SELECT count(*) FROM dg) - 1)) AS density_ppm""".stripMargin))),
+
     // ---- G2: local clustering coefficient top-20, exact ppm integer
     //      arithmetic (no float in the hash) ----
     ("g2_clustering_topk",

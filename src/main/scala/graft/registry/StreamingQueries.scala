@@ -394,6 +394,36 @@ object StreamingQueries {
       out
     })
 
+  /** Replay the documents fixture as two micro-batches through
+    * [[graft.TextOps.chunkEmbed]] into an append-only chunk-embedding
+    * store — the streaming half of the x8 RAG composite. Chunk+embed is
+    * stateless, so the streamed store content equals the batch build
+    * (file layout aside) and the x8 oracle verifies retrieval over it. */
+  private def ragStreamPath(s: SparkSession, d: String): String =
+    cache.computeIfAbsent(key(s, d, "s19"), _ => {
+      val watch = java.nio.file.Files.createTempDirectory("graft-s19-in").toString
+      val store = java.nio.file.Files.createTempDirectory("graft-s19-store").toString
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .localCheckpoint(true)
+      val half = docs.agg(max("doc_id")).head().getLong(0) / 2
+      writeBatch(docs.filter(col("doc_id") <= half), s"$watch/b0.parquet")
+      writeBatch(docs.filter(col("doc_id") > half), s"$watch/b1.parquet")
+      val sch = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$store/_ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.TextOps.chunkEmbed(b)
+            .write.mode("append").parquet(s"$store/chunks"); ()
+        }
+        .start().awaitTermination()
+      unloadStreamingState()
+      s"$store/chunks"
+    })
+
   /** Replay the embeddings fixture as two micro-batches into the
     * cell-partitioned IVF store ([[graft.Similarity.ivfStoreAppend]])
     * under a codebook trained on the FIRST batch and held fixed — the
@@ -446,6 +476,19 @@ object StreamingQueries {
              "WHERE vec_id <= (SELECT max(vec_id) // 2 FROM embeddings)")},
         |${VectorQueries.IVFTOP}
         |SELECT vec_id, cos_scaled FROM ivftop""".stripMargin)),
+
+    // ---- S19: streaming RAG-index maintenance — documents arrive in
+    //      micro-batches; each batch chunks + embeds (a STATELESS
+    //      map-only projection, so batches route independently) and
+    //      appends to the chunk store; retrieval over the streamed store
+    //      equals the x8 batch build — oracle SHARED VERBATIM with x8
+    //      (streaming == batch == oracle for the chunk index, the s16
+    //      property for the RAG path) ----
+    ("s19_streaming_rag_ingest",
+      (s: SparkSession, d: String) =>
+        TextOps.ragTopKFrom(
+          s.read.parquet(ragStreamPath(s, d)).localCheckpoint(true), k = 10),
+      Some(TextQueries.X8SQL)),
 
     // ---- S15: stream-stream LEFT OUTER interval join — every click
     //      emits exactly once: matched in-batch from join state,

@@ -17,6 +17,36 @@ object TextQueries {
 
   private val enList = "('the','a','of','and','to','is','in')"
 
+  /** The x8 oracle chain (chunk → hash-embedding → cosine top-k),
+    * shared verbatim by x8 (batch build) and s19 (streamed store). */
+  private[registry] val X8SQL: String = Oracle.withSql(TOK,
+    """, ch AS (
+          |  SELECT doc_id, ci AS chunk_idx,
+          |    md5(array_to_string(list_slice(ts, CAST(ci * 8 + 1 AS BIGINT),
+          |      CAST(least(ci * 8 + 16, len(ts)) AS BIGINT)), ' ')) AS chunk_fp
+          |  FROM tok, UNNEST(range(0, ((len(ts) - 1) // 8) + 1)) AS u(ci)
+          |  WHERE len(ts) > 0),
+          |emb AS (
+          |  SELECT doc_id, chunk_idx,
+          |    list_transform(range(0, 8), j -> CAST(
+          |      CAST(('0x' || substr(md5('x8|' || chunk_fp || '|' || j), 1, 15)) AS BIGINT)
+          |      % 2001 - 1000 AS DOUBLE)) AS v
+          |  FROM ch),
+          |q AS (SELECT doc_id AS qd, chunk_idx AS qc, v AS qv
+          |      FROM emb ORDER BY doc_id, chunk_idx LIMIT 1)
+          |SELECT e.doc_id, CAST(e.chunk_idx AS BIGINT) AS chunk_idx,
+          |  CAST(floor(
+          |    list_reduce(list_transform(list_zip(e.v, q.qv),
+          |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
+          |    / (sqrt(list_reduce(list_transform(e.v,
+          |         x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)), (s, v) -> s + v))
+          |     * sqrt(list_reduce(list_transform(q.qv,
+          |         x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)), (s, v) -> s + v)))
+          |    * 1000000) AS BIGINT) AS cos_scaled
+          |FROM emb e, q
+          |WHERE NOT (e.doc_id = q.qd AND e.chunk_idx = q.qc)
+          |ORDER BY cos_scaled DESC, e.doc_id, e.chunk_idx LIMIT 10""".stripMargin)
+
   val entries: Seq[QueryEntry] = Seq(
 
     ("t1_token_stats",
@@ -124,37 +154,13 @@ object TextQueries {
 
     // ---- X8: RAG indexing composite — chunk → hash-embedding →
     //      cosine top-k as ONE declarative plan; integer-valued double
-    //      embeddings keep the score floor-exact cross-engine ----
+    //      embeddings keep the score floor-exact cross-engine. The
+    //      oracle SQL is shared verbatim with s19's streamed store
+    //      (streaming == batch == oracle for the chunk index) ----
     ("x8_rag_index_topk",
       (s: SparkSession, d: String) =>
         TextOps.ragIndexTopK(Tables.documents(s, d)),
-      Some(Oracle.withSql(TOK,
-        """, ch AS (
-          |  SELECT doc_id, ci AS chunk_idx,
-          |    md5(array_to_string(list_slice(ts, CAST(ci * 8 + 1 AS BIGINT),
-          |      CAST(least(ci * 8 + 16, len(ts)) AS BIGINT)), ' ')) AS chunk_fp
-          |  FROM tok, UNNEST(range(0, ((len(ts) - 1) // 8) + 1)) AS u(ci)
-          |  WHERE len(ts) > 0),
-          |emb AS (
-          |  SELECT doc_id, chunk_idx,
-          |    list_transform(range(0, 8), j -> CAST(
-          |      CAST(('0x' || substr(md5('x8|' || chunk_fp || '|' || j), 1, 15)) AS BIGINT)
-          |      % 2001 - 1000 AS DOUBLE)) AS v
-          |  FROM ch),
-          |q AS (SELECT doc_id AS qd, chunk_idx AS qc, v AS qv
-          |      FROM emb ORDER BY doc_id, chunk_idx LIMIT 1)
-          |SELECT e.doc_id, CAST(e.chunk_idx AS BIGINT) AS chunk_idx,
-          |  CAST(floor(
-          |    list_reduce(list_transform(list_zip(e.v, q.qv),
-          |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, v) -> s + v)
-          |    / (sqrt(list_reduce(list_transform(e.v,
-          |         x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)), (s, v) -> s + v))
-          |     * sqrt(list_reduce(list_transform(q.qv,
-          |         x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)), (s, v) -> s + v)))
-          |    * 1000000) AS BIGINT) AS cos_scaled
-          |FROM emb e, q
-          |WHERE NOT (e.doc_id = q.qd AND e.chunk_idx = q.qc)
-          |ORDER BY cos_scaled DESC, e.doc_id, e.chunk_idx LIMIT 10""".stripMargin))),
+      Some(X8SQL)),
 
     // ---- M5: perceptual media dedup — blockhash (60 byte-blocks, bit =
     //      block above the payload mean) computed in the typed codec

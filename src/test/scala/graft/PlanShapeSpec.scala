@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Pins the shuffle-count claims the scale story rests on: the map-only
+  * operators must execute with ZERO shuffle exchanges, and the
+  * merged-timeline operators with exactly ONE. A regression that slips a
+  * shuffle into a projection fails here, not in a 100 TB run. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    (p +: p.children.flatMap(collectAll)) ++ (p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case q: QueryStageExec => collectAll(q.plan)
+      case _ => Seq.empty
+    })
+
+  private def shuffleCount(df: DataFrame): Int = {
+    df.write.mode("overwrite").format("noop").save() // finalize under AQE
+    collectAll(df.queryExecution.executedPlan).collect {
+      case e: Exchange if !e.getClass.getSimpleName.contains("Broadcast") => e
+    }.size
+  }
+
+  test("map-only operators run with ZERO shuffle exchanges") {
+    val docs = Tables.documents(spark, dir)
+    assert(shuffleCount(TextOps.chunkDocs(docs)) == 0, "t22 chunking")
+    assert(shuffleCount(TextOps.linearQualityScore(docs)) == 0, "t23 classifier")
+    assert(shuffleCount(Dedup.simhash(docs)) == 0, "d4 simhash")
+    assert(shuffleCount(TextOps.repetitionScore(docs)) == 0, "t10 repetition")
+  }
+
+  test("merged-timeline operators run with exactly ONE shuffle") {
+    assert(shuffleCount(
+      SparkEntry.queries("x6_feature_join_pit")(spark, dir)) == 1, "x6 PIT")
+    assert(shuffleCount(
+      SparkEntry.queries("r21_attribution_last_touch")(spark, dir)) == 1, "r21")
+  }
+
+  test("keyed single-aggregate operators run with exactly ONE shuffle") {
+    val docs = Tables.documents(spark, dir)
+    assert(shuffleCount(Dedup.urlCanonicalDedup(docs)) == 1, "d13 url dedup")
+    assert(shuffleCount(TextOps.kAnonymity(docs)) == 1, "t24 k-anonymity")
+  }
+}
