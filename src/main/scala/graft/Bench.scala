@@ -128,15 +128,19 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum + ingestSec
     val sfTag = sfDir.split('/').last
+    // the FULL artifact path: honor SPARK_GRAFT_BENCH_OUT (the sf1 runs
+    // set it), fall back to the sf-suffixed default — and point the
+    // compact line's "full" field at the SAME path (it used to re-derive
+    // from sfTag, so an overridden out path printed a wrong pointer)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_LOCAL_$sfTag.json")
     val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(results)},"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f}"""
     // Persist the FULL structured artifact first: the driver captures only
     // a 2000-char truncated log tail, which once hid 33 of 107 entries'
     // timings (VERDICT r4 missing #3) — a file at HEAD can't be truncated.
     // Overwritten per run; sf-suffixed so sf0.1 and sf1 runs coexist.
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        s"BENCH_LOCAL_$sfTag.json")),
-      fullJson.getBytes)
+      java.nio.file.Paths.get(outPath), fullJson.getBytes)
     // The driver parses a JSON object out of the last 2000 log chars; the
     // full ~140-entry map is ~4 KB, so every round through r6 its `parsed`
     // field came back null and the judge had to eyeball the raw tail.
@@ -154,7 +158,7 @@ object Bench {
       "s5_durable_append_compact", "x1_training_data_prep")
     val headline = results.filter { case (k, _) => headlineNames.contains(k) }
     val nOk = results.count(_._2 >= 0)
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(headline)},"n_queries":${results.size},"n_ok":$nOk,"failed":${failed.mkString("[", ",", "]")},"full":"BENCH_LOCAL_$sfTag.json","sf":"$sfDir","ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(headline)},"n_queries":${results.size},"n_ok":$nOk,"failed":${failed.mkString("[", ",", "]")},"full":"$outPath","sf":"$sfDir","ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f}"""
     println(compact)
     spark.stop()
   }
