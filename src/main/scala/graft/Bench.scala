@@ -43,6 +43,7 @@ object Bench {
     Tables.bucketedOrdersLineitem(spark, sfDir) // w6's write-time-shuffled tables
     Tables.eventsByDayPath(spark, sfDir) // w7's day-partitioned event log
     Tables.eventDayDim(spark, sfDir).count() // w7's materialized date dim
+    Tables.evolvedEventStorePath(spark, sfDir) // w8's evolving store
     // the s6 warm-up above ran a real streaming query — unload its state
     // providers and maintenance thread before anything is timed
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()

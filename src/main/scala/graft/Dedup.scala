@@ -614,7 +614,10 @@ object Dedup {
     * collapse-first bound) — the calibration runs on candidates only,
     * never the corpus. */
   def minhashCalibration(docs: DataFrame): DataFrame = {
-    val reps = representatives(docs)
+    // checkpoint the shared representatives frame ONCE: both the
+    // signature and shingle branches re-executed the d1 exact-dedup
+    // shuffle otherwise
+    val reps = representatives(docs).localCheckpoint(true)
     val sg = signatureDirect(reps).localCheckpoint(true)
     val matchExpr = (0 until NumHashes)
       .map(k => s"CASE WHEN a_m$k = b_m$k THEN 1 ELSE 0 END")

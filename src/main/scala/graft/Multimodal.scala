@@ -177,8 +177,10 @@ object Multimodal {
         var h = 0L
         var b = 0
         while (b < 60) {
-          val from = b * n / 60
-          val until = (b + 1) * n / 60
+          // Long arithmetic: b * n overflows Int for payloads ≥ ~36 MB —
+          // exactly the large-media regime this operator targets
+          val from = (b.toLong * n / 60).toInt
+          val until = ((b + 1).toLong * n / 60).toInt
           var s = 0L
           var j = from
           while (j < until) { s += r.payload(j) & 0xFF; j += 1 }

@@ -36,7 +36,14 @@ object Similarity {
 
   /** E1: brute-force cosine top-k for the query vector = embedding of the
     * smallest vec_id; scores scaled to integers for exact parity. */
-  def bruteForceTopK(emb: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(emb: DataFrame, k: Int): DataFrame =
+    scoredScan(emb).orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
+
+  /** The e1 scoring discipline as ONE shared stage — query = embedding of
+    * the smallest vec_id, exact codegen cosine, floor-scaled ppm integers
+    * — so every exact-contract consumer (e1 top-k, e15's band filter)
+    * scores identically by construction. */
+  private def scoredScan(emb: DataFrame): DataFrame = {
     val q = emb.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val cos = ndot(emb, col("embedding"), col("qv")) /
@@ -46,7 +53,6 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("vec_id"),
         floor(cos * 1000000L).cast("long").as("cos_scaled"))
-      .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
   }
 
   /** E8: scalar-quantized (int8) candidate generation with exact rerank —
@@ -650,19 +656,10 @@ object Similarity {
     * exact scan here is the contract those paths are measured against
     * (same pairing as e1→e2/e3). */
   def hardNegatives(emb: DataFrame, k: Int = 10,
-                    lo: Long = 50000L, hi: Long = 150000L): DataFrame = {
-    val q = emb.orderBy("vec_id").limit(1)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val cos = ndot(emb, col("embedding"), col("qv")) /
-      (sqrt(ndot(emb, col("embedding"), col("embedding"))) *
-        sqrt(ndot(emb, col("qv"), col("qv"))))
-    emb.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("vec_id"),
-        floor(cos * 1000000L).cast("long").as("cos_scaled"))
+                    lo: Long = 50000L, hi: Long = 150000L): DataFrame =
+    scoredScan(emb)
       .filter(col("cos_scaled") >= lo && col("cos_scaled") < hi)
       .orderBy(col("cos_scaled").desc, col("vec_id")).limit(k)
-  }
 
   /** E16: reciprocal-rank fusion (Cormack et al. SIGIR '09) of two
     * retrievers — the standard hybrid-retrieval merge (dense + sparse,

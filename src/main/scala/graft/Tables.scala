@@ -119,9 +119,6 @@ object Tables {
   private val storeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Write-once temp store shared by every materialization in this file
-    * (ONE cache lifecycle, keyed appId|dir|prefix — the sorted, z-order
-    * and day-partitioned stores differ only in their write step). */
   /** W8's evolving event store: batch 0 writes (event_id, user_id,
     * val_cents); batch 1 appends the SAME schema plus a new `quality`
     * column — the additive schema change a long-lived store accrues.
@@ -139,6 +136,9 @@ object Tables {
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
     }
 
+  /** Write-once temp store shared by every materialization in this file
+    * (ONE cache lifecycle, keyed appId|dir|prefix — the sorted, z-order
+    * and day-partitioned stores differ only in their write step). */
   private def cachedTempStore(spark: SparkSession, dir: String, prefix: String,
                               leaf: String)(write: String => Unit): String =
     storeCache.computeIfAbsent(

@@ -552,8 +552,9 @@ object TextOps {
     * quasi-id domain, not the corpus. */
   def kAnonymity(docs: DataFrame, k: Long = 5L): DataFrame =
     docs.select(col("lang"), col("source"),
-        expr("size(filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')) div 32")
-          .cast("long").as("len_bucket"))
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .select(col("lang"), col("source"),
+        expr("n_tok div 32").as("len_bucket"))
       .groupBy("lang", "source", "len_bucket")
       .agg(count(lit(1)).as("n"))
       .withColumn("is_anon", (col("n") >= k).cast("long"))

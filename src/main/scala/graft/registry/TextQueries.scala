@@ -47,6 +47,23 @@ object TextQueries {
           |WHERE NOT (e.doc_id = q.qd AND e.chunk_idx = q.qc)
           |ORDER BY cos_scaled DESC, e.doc_id, e.chunk_idx LIMIT 10""".stripMargin)
 
+  /** The t2 language-ID chain (per-doc stopword votes + tie-break CASE),
+    * shared by the t2 oracle and t25's confusion matrix so the stopword
+    * lists and tie-break order cannot diverge between them. Ends at CTE
+    * `lp(doc_id, s_en, s_es, s_de, s_fr, pred_lang)`. */
+  private[registry] val LANGPRED: String =
+    s""", lp AS (SELECT doc_id, s_en, s_es, s_de, s_fr,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de >= s_fr THEN 'de'
+       |       ELSE 'fr' END AS pred_lang
+       |  FROM (SELECT doc_id,
+       |    len(list_filter(ts, t -> t IN $enList)) AS s_en,
+       |    len(list_filter(ts, t -> t IN ('el','la','de','y','que','los'))) AS s_es,
+       |    len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+       |    len(list_filter(ts, t -> t IN ('le','les','et','est','une'))) AS s_fr
+       |    FROM tok))""".stripMargin
+
   val entries: Seq[QueryEntry] = Seq(
 
     ("t1_token_stats",
@@ -58,18 +75,8 @@ object TextQueries {
 
     ("t2_lang_id",
       (s: SparkSession, d: String) => TextOps.langId(Tables.documents(s, d)),
-      Some(Oracle.withSql(TOK,
-        s"""SELECT doc_id, s_en, s_es, s_de, s_fr,
-           |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-           |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-           |       WHEN s_de >= s_fr THEN 'de'
-           |       ELSE 'fr' END AS pred_lang
-           |FROM (SELECT doc_id,
-           |  len(list_filter(ts, t -> t IN $enList)) AS s_en,
-           |  len(list_filter(ts, t -> t IN ('el','la','de','y','que','los'))) AS s_es,
-           |  len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
-           |  len(list_filter(ts, t -> t IN ('le','les','et','est','une'))) AS s_fr
-           |  FROM tok)""".stripMargin))),
+      Some(Oracle.withSql(TOK + LANGPRED,
+        "SELECT doc_id, s_en, s_es, s_de, s_fr, pred_lang FROM lp"))),
 
     ("t3_quality_score",
       (s: SparkSession, d: String) => TextOps.qualityScore(Tables.documents(s, d)),
@@ -166,7 +173,11 @@ object TextQueries {
     //      block above the payload mean) computed in the typed codec
     //      slot, then the e9 banded Hamming join; a payload edit flips
     //      only the touched blocks' bits, so near-identical media pair
-    //      up. Exact integers end-to-end ----
+    //      up. Exact integers end-to-end. Oracle counts characters
+    //      (strlen/ord) against Spark's UTF-8 bytes — identical on the
+    //      ASCII fixture, the SAME documented assumption as the m2/m3/m4
+    //      oracles (m2's comment: "fixture text is ASCII, so char
+    //      slicing == byte slicing") ----
     ("m5_media_phash_neardup",
       (s: SparkSession, d: String) =>
         Multimodal.phashNearDup(s, d, radius = 3, nBands = 4),
@@ -402,22 +413,12 @@ object TextQueries {
     ("t25_langid_confusion",
       (s: SparkSession, d: String) =>
         TextOps.langIdConfusion(Tables.documents(s, d)),
-      Some(Oracle.withSql(TOK,
-        s""", pr AS (SELECT t.doc_id, d.lang,
-           |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-           |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-           |       WHEN s_de >= s_fr THEN 'de'
-           |       ELSE 'fr' END AS pred_lang
-           |  FROM (SELECT doc_id,
-           |    len(list_filter(ts, t -> t IN $enList)) AS s_en,
-           |    len(list_filter(ts, t -> t IN ('el','la','de','y','que','los'))) AS s_es,
-           |    len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
-           |    len(list_filter(ts, t -> t IN ('le','les','et','est','une'))) AS s_fr
-           |    FROM tok) t JOIN documents d ON t.doc_id = d.doc_id)
-           |SELECT lang, pred_lang, count(*) AS n,
-           |  CASE WHEN lang = pred_lang THEN CAST(1 AS BIGINT)
-           |       ELSE CAST(0 AS BIGINT) END AS is_diag
-           |FROM pr GROUP BY lang, pred_lang""".stripMargin))),
+      Some(Oracle.withSql(TOK + LANGPRED,
+        """SELECT d.lang, lp.pred_lang, count(*) AS n,
+          |  CASE WHEN d.lang = lp.pred_lang THEN CAST(1 AS BIGINT)
+          |       ELSE CAST(0 AS BIGINT) END AS is_diag
+          |FROM lp JOIN documents d ON lp.doc_id = d.doc_id
+          |GROUP BY d.lang, lp.pred_lang""".stripMargin))),
 
     // ---- x9: dataset datasheet — the release-note corpus summary
     //      (docs/tokens/chars/langs/dup rate/quality rate) computed in

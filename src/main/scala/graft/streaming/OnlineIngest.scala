@@ -108,12 +108,23 @@ object OnlineIngest {
             case Some(s) if e.ts_us - s.last > gapUs =>
               out ::= SessionOut(uid, s.start, s.last, s.n, s.cents)
               cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.cents))
+            case Some(s) if s.start - e.ts_us > gapUs =>
+              // an in-watermark straggler MORE than a gap BEFORE the open
+              // session's start belongs to a separate, earlier session —
+              // merging it would emit one span containing an internal
+              // silence longer than the gap, which the batch form never
+              // produces. Emit it as its own session (batch-equal for
+              // isolated stragglers; a run of several such stragglers
+              // that would have coalesced in batch order emits split —
+              // the bounded, documented divergence of arrival-order
+              // processing)
+              out ::= SessionOut(uid, e.ts_us, e.ts_us, 1, e.cents)
             case Some(s) =>
               // a late in-gap event must not move the session end
-              // backwards — and one EARLIER than the current start (an
-              // in-watermark straggler from before the session's first
-              // seen event) must extend the start backwards, or the
-              // emitted span silently begins at the second event
+              // backwards — and one within a gap BEFORE the current
+              // start (an in-watermark straggler) must extend the start
+              // backwards, or the emitted span silently begins at the
+              // second event
               cur = Some(SessionState(math.min(s.start, e.ts_us),
                 math.max(s.last, e.ts_us), s.n + 1, s.cents + e.cents))
             case None =>

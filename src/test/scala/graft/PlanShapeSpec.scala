@@ -22,7 +22,11 @@ class PlanShapeSpec extends AnyFunSuite {
     })
 
   private def shuffleCount(df: DataFrame): Int = {
-    df.write.mode("overwrite").format("noop").save() // finalize under AQE
+    // collect() executes THIS Dataset's own QueryExecution, so the
+    // inspected AdaptiveSparkPlanExec is the finalized post-AQE plan
+    // (a write would build a separate QueryExecution and leave this one
+    // un-executed)
+    df.collect()
     collectAll(df.queryExecution.executedPlan).collect {
       case e: Exchange if !e.getClass.getSimpleName.contains("Broadcast") => e
     }.size

@@ -149,6 +149,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((7L, baseUs, baseUs + 5L * 60 * 1000000, 2L, 300L)))
   }
 
+  test("sessionizer: far-earlier straggler emits its own session, near-earlier extends start") {
+    val dir = Files.createTempDirectory("graft-sess-str").toString
+    val s = spark; import s.implicits._
+    val m = 60L * 1000 * 1000 * 1000
+    val base = 6000L * m
+    // batch 0 opens a session at +120 min; batch 1 delivers one straggler
+    // 50 min EARLIER (beyond the 30-min gap -> its own session, and
+    // safely INSIDE the 1 h watermark horizon so delivery can't race the
+    // watermark update) and one 10 min earlier (in gap -> extends start)
+    Seq((base + 120L * m, 7L, 1.0)).toDF("ts", "user_id", "value")
+      .write.parquet(s"$dir/e0.parquet")
+    Thread.sleep(1100) // distinct mtime orders the files
+    Seq((base + 70L * m, 7L, 2.0), (base + 110L * m, 7L, 4.0))
+      .toDF("ts", "user_id", "value").write.parquet(s"$dir/e1.parquet")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = graft.streaming.OnlineIngest.sessionize(stream, gapUs = 30L * 60 * 1000000)
+      .writeStream.outputMode("append").format("memory").queryName("sessstr").start()
+    q.processAllAvailable(); q.stop()
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    val got = spark.table("sessstr").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val baseUs = 6000L * 60 * 1000000
+    // emitted so far: ONLY the far straggler's single-event session (the
+    // open session stays in state — nothing advanced the watermark past it)
+    assert(got == Set((baseUs + 70L * 60 * 1000000,
+      baseUs + 70L * 60 * 1000000, 1L, 200L)))
+  }
+
   test("stateful recovery: sessionizer killed mid-stream resumes GroupState from the checkpoint") {
     val dir = Files.createTempDirectory("graft-sess-rec").toString
     val out = Files.createTempDirectory("graft-sess-rec-out").toString
