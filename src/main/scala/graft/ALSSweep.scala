@@ -165,8 +165,14 @@ object ALSSweep {
     val r = ALSRec.ratings(spark, dir)
     val (userF, itemF) = fit(spark, r, iters)
     val dotUD = {
-      val u = broadcast(userF.select(col("id").as("uid"), col("f").as("uf")))
-      val it = broadcast(itemF.select(col("id").as("iid"), col("f").as("if_")))
+      // No broadcast hint: the factor tables are vertex-sized, and at the
+      // 100 TB scale contract a vertex-sized broadcast blows Spark's 8 GB
+      // broadcast / driver-memory limits. Let Catalyst/AQE pick — at
+      // bench SFs the tables are under the autoBroadcast threshold so the
+      // plan is identical; at scale it degrades gracefully to a shuffle
+      // join on the rating side's natural key.
+      val u = userF.select(col("id").as("uid"), col("f").as("uf"))
+      val it = itemF.select(col("id").as("iid"), col("f").as("if_"))
       r.join(u, col("user") === col("uid")).join(it, col("item") === col("iid"))
         .select(col("rating").cast("double").as("r"),
           aggregate(zip_with(col("uf"), col("if_"), (x, y) => x * y),

@@ -368,25 +368,47 @@ object Dedup {
   /** The e9 band join generalized over any (doc_id, simhash) 60-bit
     * fingerprint frame — shared by e9 (text simhash) and m5 (media
     * blockhash): same pigeonhole guarantee, same collision-bounded
-    * candidate volume. */
+    * candidate volume.
+    *
+    * Collapse-first (the d3b discipline): the band self-join runs over
+    * DISTINCT signatures only, so a group of C identical fingerprints —
+    * the common case in a dup-heavy corpus — contributes ONE banded row
+    * per band instead of C (the naive form shuffles 4·C² candidate rows
+    * through the distinct for every such group). Identical-signature
+    * pairs are emitted directly with ham = 0 (no bit_count, no band
+    * join), and cross-signature candidate pairs expand back to member
+    * pairs with two output-bounded joins. Same pair set by pigeonhole —
+    * the guarantee is a property of the signature pair, not of which
+    * document carries the signature. */
   def hammingPairsFrom(sh: DataFrame, radius: Int = 3,
                        nBands: Int = 4): DataFrame = {
     require(nBands >= radius + 1, "pigeonhole guarantee needs nBands > radius")
     val bits = 60 / nBands
     val mask = (1L << bits) - 1
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val sig = sh.select("simhash").distinct()
+    val banded = sig.select(col("simhash"),
       posexplode(array((0 until nBands).map(b =>
         expr(s"(simhash >> ${b * bits}) & $mask")): _*)).as(Seq("band", "key")))
-    val x = banded.select(col("band"), col("key"),
-      col("doc_id").as("a"), col("simhash").as("ha"))
+    val x = banded.select(col("band"), col("key"), col("simhash").as("ha"))
     val y = banded.select(col("band").as("band2"), col("key").as("key2"),
-      col("doc_id").as("b"), col("simhash").as("hb"))
-    x.join(y, col("band") === col("band2") && col("key") === col("key2")
-        && col("a") < col("b"))
-      .select("a", "b", "ha", "hb").distinct()
-      .select(col("a"), col("b"),
+      col("simhash").as("hb"))
+    val sigPairs = x.join(y,
+        col("band") === col("band2") && col("key") === col("key2")
+          && col("ha") < col("hb"))
+      .select("ha", "hb").distinct()
+      .select(col("ha"), col("hb"),
         expr("cast(bit_count(ha ^ hb) as bigint)").as("ham"))
       .filter(col("ham") <= radius)
+    val cross = sigPairs
+      .join(sh.select(col("doc_id").as("ida"), col("simhash").as("ha")), "ha")
+      .join(sh.select(col("doc_id").as("idb"), col("simhash").as("hb")), "hb")
+      .select(least(col("ida"), col("idb")).as("a"),
+        greatest(col("ida"), col("idb")).as("b"), col("ham"))
+    val within = sh.select(col("doc_id").as("a"), col("simhash").as("h"))
+      .join(sh.select(col("doc_id").as("b"), col("simhash").as("h")), "h")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(0L).as("ham"))
+    cross.unionByName(within)
   }
 
   /** D12: INCREMENTAL snapshot dedup — how a production corpus actually

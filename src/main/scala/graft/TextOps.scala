@@ -329,7 +329,15 @@ object TextOps {
       .groupBy("cp_idx", "cp_doc").agg(sum("nt").cast("long").as("n_occ"))
     val nVoc = first.crossJoin(cps).filter(col("fd") <= col("cp_doc"))
       .groupBy("cp_idx", "cp_doc").agg(count(lit(1)).as("n_vocab"))
-    nOcc.join(nVoc, Seq("cp_idx", "cp_doc"))
+    // A checkpoint whose prefix has zero occurrences (or zero
+    // first-occurring vocab) must still emit a row with 0 — the oracle's
+    // scalar subqueries do. Anchor on the broadcast checkpoint frame and
+    // left-join both aggregates.
+    cps.join(nOcc, Seq("cp_idx", "cp_doc"), "left")
+      .join(nVoc, Seq("cp_idx", "cp_doc"), "left")
+      .select(col("cp_idx"), col("cp_doc"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+        coalesce(col("n_vocab"), lit(0L)).as("n_vocab"))
   }
 
   /** T22: sliding-window document chunking — the context-window packer's
@@ -856,30 +864,32 @@ object TextOps {
     *
     * Scale shape — the reason a 100 TB corpus sketches instead of
     * counting: the aggregation key space is d·w (4×256 here) REGARDLESS
-    * of vocabulary size, so map-side partial combine collapses each
-    * partition's token stream to ≤ d·w rows and the shuffle is
-    * constant-width; an exact per-token count shuffles the full
-    * vocabulary. Exact counts here are computed only for the `k`
-    * md5-chosen probe tokens (a broadcast semi-join, not a corpus
-    * shuffle) to grade the estimate. Hashing is the repo's md5 integer
-    * discipline, replicated verbatim in the oracle, so (t, exact_n,
-    * cms_est) is engine-exact. */
+    * of vocabulary size, so map-side partial combine keeps every shuffle
+    * constant- or vocab-width. The corpus is touched exactly ONCE — a
+    * partial-combining `groupBy(token).count()` whose output is
+    * vocab-sized — and that tiny table (checkpointed) feeds all three
+    * consumers: the grid (cell (r,b) = Σc over tokens hashing there ≡
+    * the per-instance increment count, bit-identical), the md5-chosen
+    * probe set, and the probes' exact counts (a row lookup, not a
+    * corpus shuffle). Nothing corpus-sized is ever materialized.
+    * Hashing is the repo's md5 integer discipline, replicated verbatim
+    * in the oracle, so (t, exact_n, cms_est) is engine-exact. */
   def countMinHeavyHitters(docs: DataFrame, d: Int = 4, w: Int = 256,
                            k: Int = 20, salt: String = "cms"): DataFrame = {
-    val tokd = docs.select(explode(tokens(col("text"))).as("t"))
-      .localCheckpoint(true) // feeds the grid, the probe set and the exact counts
+    val vocab = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // vocab-sized; feeds grid, probes and exact counts
     def bucket(t: Column, r: Column): Column =
       conv(substring(md5(concat(lit(salt), r.cast("string"), lit("|"), t)), 1, 15),
         16, 10).cast("long") % w
     val rows = explode(sequence(lit(0), lit(d - 1)))
-    val cms = tokd.select(col("t"), rows.as("r"))
-      .select(col("r"), bucket(col("t"), col("r")).as("b"))
-      .groupBy("r", "b").agg(count(lit(1)).as("c"))
-    val probes = tokd.select("t").distinct()
+    val cms = vocab.select(col("t"), col("c"), rows.as("r"))
+      .select(col("r"), bucket(col("t"), col("r")).as("b"), col("c"))
+      .groupBy("r", "b").agg(sum("c").as("c"))
+    val probes = vocab.select("t")
       .orderBy(md5(concat(lit(salt + "q|"), col("t"))), col("t")).limit(k)
-      .localCheckpoint(true)
-    val exact = tokd.join(broadcast(probes), "t")
-      .groupBy("t").agg(count(lit(1)).as("exact_n"))
+    val exact = vocab.join(broadcast(probes), "t")
+      .select(col("t"), col("c").as("exact_n"))
     val est = probes.select(col("t"), rows.as("r"))
       .select(col("t"), col("r"), bucket(col("t"), col("r")).as("b"))
       .join(cms, Seq("r", "b"))

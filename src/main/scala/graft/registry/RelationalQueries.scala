@@ -304,7 +304,7 @@ object RelationalQueries {
     ("r19_sketch_merge",
       (s: SparkSession, d: String) => {
         val ev = Tables.events(s, d)
-          .select((col("ts") / lit(86400000000000L)).cast("long").as("day"),
+          .select(expr("ts div 86400000000000").as("day"),
             col("user_id")).localCheckpoint(true)
         val day = ev.groupBy("day").agg(
             hll_sketch_agg(col("user_id")).as("sk"),
@@ -602,7 +602,8 @@ object RelationalQueries {
           |  WHERE prev_type IS NOT NULL
           |  GROUP BY prev_type, event_type)
           |SELECT prev_type, event_type, n,
-          |  1000000 * n // sum(n) OVER (PARTITION BY prev_type) AS p_ppm
+          |  CAST(1000000 * n // sum(n) OVER (PARTITION BY prev_type)
+          |       AS BIGINT) AS p_ppm
           |FROM pairs""".stripMargin)),
 
     // ---- X6: point-in-time-correct feature join — training-set

@@ -55,6 +55,24 @@ object StreamingQueries {
     finally walk.close()
   }
 
+  /** Run a replay fixture build with a SMALL shuffle-partition count.
+    * A stateful streaming query creates one state store per shuffle
+    * partition per stateful operator PER TRIGGER — at the driver's
+    * local[32] the s12/s15 interval-join replays spend 12–38 s in that
+    * fixed machinery regardless of data volume (VERDICT r7: s15 costs
+    * 38 s at sf0.1 vs 19 s at sf1 — triggers, not rows). The batch data
+    * per trigger is fixture-sized, so 4 partitions lose no parallelism
+    * while cutting the state-store count 8×. Partition count is pinned
+    * at query START (checkpoint-fixed), so this must wrap `.start()`;
+    * the prior session value is restored in `finally` so no batch entry
+    * timed afterwards sees it. Sentinel/boundary coverage is untouched —
+    * file-per-trigger replay order is unchanged. */
+  private def withReplayShuffle[T](s: SparkSession)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Unload every loaded state-store provider and stop the maintenance
     * task once a replay has terminated. Lingering providers + maintenance
     * threads in the shared bench session were polluting every entry timed
@@ -67,7 +85,7 @@ object StreamingQueries {
   /** Replay the events fixture through [[graft.streaming.OnlineIngest
     * .sessionize]] and return the closed sessions as a batch DataFrame. */
   private def sessionizedPath(s: SparkSession, d: String): String =
-    cache.computeIfAbsent(key(s, d, "s8"), _ => {
+    cache.computeIfAbsent(key(s, d, "s8"), _ => withReplayShuffle(s) {
       val watch = java.nio.file.Files.createTempDirectory("graft-s8-in").toString
       val out = java.nio.file.Files.createTempDirectory("graft-s8-out").toString
       val ev = Tables.events(s, d)
@@ -107,7 +125,7 @@ object StreamingQueries {
     * 10 ms/doc so the whole replay sits far inside the 1 h watermark
     * horizon at every tested SF — no state eviction mid-replay. */
   private def dedupedPath(s: SparkSession, d: String): String =
-    cache.computeIfAbsent(key(s, d, "s9"), _ => {
+    cache.computeIfAbsent(key(s, d, "s9"), _ => withReplayShuffle(s) {
       val watch = java.nio.file.Files.createTempDirectory("graft-s9-in").toString
       val out = java.nio.file.Files.createTempDirectory("graft-s9-out").toString
       val base = 1700000000L * 1000000000L // fixed epoch ns, far from 0
@@ -151,7 +169,7 @@ object StreamingQueries {
     * finalize; the sentinel's own window never emits (nothing later moves
     * the watermark past it). */
   private def windowedPath(s: SparkSession, d: String): String =
-    cache.computeIfAbsent(key(s, d, "s10"), _ => {
+    cache.computeIfAbsent(key(s, d, "s10"), _ => withReplayShuffle(s) {
       val watch = java.nio.file.Files.createTempDirectory("graft-s10-in").toString
       val out = java.nio.file.Files.createTempDirectory("graft-s10-out").toString
       val ev = Tables.events(s, d)
@@ -189,7 +207,7 @@ object StreamingQueries {
     * BEFORE the watermark-bounded dedup state (rejected docs never touch
     * state), with the same cross-batch re-sends as the s9 replay. */
   private def corpusGatePath(s: SparkSession, d: String): String =
-    cache.computeIfAbsent(key(s, d, "s11"), _ => {
+    cache.computeIfAbsent(key(s, d, "s11"), _ => withReplayShuffle(s) {
       val watch = java.nio.file.Files.createTempDirectory("graft-s11-in").toString
       val out = java.nio.file.Files.createTempDirectory("graft-s11-out").toString
       val base = 1700000000L * 1000000000L
@@ -230,7 +248,7 @@ object StreamingQueries {
     * that advances the watermark and triggers the final emission without
     * entering the max-fold. */
   private def latestPath(s: SparkSession, d: String): String =
-    cache.computeIfAbsent(key(s, d, "s13"), _ => {
+    cache.computeIfAbsent(key(s, d, "s13"), _ => withReplayShuffle(s) {
       val watch = java.nio.file.Files.createTempDirectory("graft-s13-in").toString
       val out = java.nio.file.Files.createTempDirectory("graft-s13-out").toString
       val ev = Tables.events(s, d)
@@ -271,7 +289,7 @@ object StreamingQueries {
     * micro-batch boundary (a user's view in b0, click/purchase in b1
     * must chain through carried GroupState). */
   private def funnelPath(s: SparkSession, d: String): String =
-    cache.computeIfAbsent(key(s, d, "s14"), _ => {
+    cache.computeIfAbsent(key(s, d, "s14"), _ => withReplayShuffle(s) {
       val watch = java.nio.file.Files.createTempDirectory("graft-s14-in").toString
       val out = java.nio.file.Files.createTempDirectory("graft-s14-out").toString
       val ev = Tables.events(s, d)
@@ -311,7 +329,7 @@ object StreamingQueries {
     * (split at the ts midpoint so click→purchase pairs SPAN the batch
     * boundary and exercise cross-batch join state). */
   private def attributionPath(s: SparkSession, d: String): String =
-    cache.computeIfAbsent(key(s, d, "s12"), _ => {
+    cache.computeIfAbsent(key(s, d, "s12"), _ => withReplayShuffle(s) {
       val watch = java.nio.file.Files.createTempDirectory("graft-s12-in").toString
       val out = java.nio.file.Files.createTempDirectory("graft-s12-out").toString
       val ev = Tables.events(s, d)
@@ -347,7 +365,7 @@ object StreamingQueries {
     * unmatched clicks finalize with null purchase columns before the
     * AvailableNow run terminates. */
   private def attributionOuterPath(s: SparkSession, d: String): String =
-    cache.computeIfAbsent(key(s, d, "s15"), _ => {
+    cache.computeIfAbsent(key(s, d, "s15"), _ => withReplayShuffle(s) {
       val watch = java.nio.file.Files.createTempDirectory("graft-s15-in").toString
       val out = java.nio.file.Files.createTempDirectory("graft-s15-out").toString
       val ev = Tables.events(s, d)
@@ -400,7 +418,7 @@ object StreamingQueries {
     * stateless, so the streamed store content equals the batch build
     * (file layout aside) and the x8 oracle verifies retrieval over it. */
   private def ragStreamPath(s: SparkSession, d: String): String =
-    cache.computeIfAbsent(key(s, d, "s19"), _ => {
+    cache.computeIfAbsent(key(s, d, "s19"), _ => withReplayShuffle(s) {
       val watch = java.nio.file.Files.createTempDirectory("graft-s19-in").toString
       val store = java.nio.file.Files.createTempDirectory("graft-s19-store").toString
       val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -433,7 +451,7 @@ object StreamingQueries {
     * with the same codebook, file layout aside; the s16 probe then runs
     * e3b's directory-pruned top-k against it. */
   private def ivfStreamPath(s: SparkSession, d: String): String =
-    cache.computeIfAbsent(key(s, d, "s16"), _ => {
+    cache.computeIfAbsent(key(s, d, "s16"), _ => withReplayShuffle(s) {
       val watch = java.nio.file.Files.createTempDirectory("graft-s16-in").toString
       val store = java.nio.file.Files.createTempDirectory("graft-s16-store").toString
       val emb = Tables.embeddings(s, d)
@@ -663,7 +681,7 @@ object StreamingQueries {
     * sink holds exactly the all-time totals. Two midpoint batches, no
     * sentinel (complete mode has no watermark to advance). */
   private def runningCountsPath(s: SparkSession, d: String): String =
-    cache.computeIfAbsent(key(s, d, "s18"), _ => {
+    cache.computeIfAbsent(key(s, d, "s18"), _ => withReplayShuffle(s) {
       val watch = java.nio.file.Files.createTempDirectory("graft-s18-in").toString
       val out = java.nio.file.Files.createTempDirectory("graft-s18-out").toString
       val ev = Tables.events(s, d)
@@ -696,7 +714,7 @@ object StreamingQueries {
     * midpoint split + sentinel scheme as s10 (the sentinel joins too,
     * but its window never finalizes, so it never emits). */
   private def enrichedPath(s: SparkSession, d: String): String =
-    cache.computeIfAbsent(key(s, d, "s17"), _ => {
+    cache.computeIfAbsent(key(s, d, "s17"), _ => withReplayShuffle(s) {
       val watch = java.nio.file.Files.createTempDirectory("graft-s17-in").toString
       val out = java.nio.file.Files.createTempDirectory("graft-s17-out").toString
       val ev = Tables.events(s, d)
