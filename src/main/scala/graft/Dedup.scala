@@ -181,8 +181,33 @@ object Dedup {
   private[graft] def pairBlowup(nPairs: Long, nDocs: Long): Boolean =
     nDocs > 0 && nPairs > BlowupPairsPerDoc * nDocs
 
-  def jaccardVerifyFrom(sh: DataFrame): DataFrame = {
-    val cand = minhashCandidatesFrom(sh).localCheckpoint(true)
+  /** `maxPairs`: optional deterministic cap on the verified candidate
+    * pairs — the lowest `maxPairs` by md5(a|b) (cross-engine-stable
+    * order, mirrored verbatim in the d3 oracle SQL). The all-pairs d3
+    * baseline is honest-quadratic inside fat dup clusters (58 s / 27–58 s
+    * run-to-run spread at sf1, VERDICT r7); the cap bounds the fixture's
+    * pairwise work while [[jaccardVerify]]'s collapse-first default (d3b)
+    * remains the UNBOUNDED-correct composition. Implemented as
+    * orderBy+limit ⇒ TakeOrdered (per-partition top-P + driver merge),
+    * never a single-partition global sort. Logged loudly when it bites. */
+  def jaccardVerifyFrom(sh: DataFrame, maxPairs: Option[Int] = None): DataFrame = {
+    val candAll = minhashCandidatesFrom(sh)
+    val cand = (maxPairs match {
+      case Some(p) =>
+        val capped = candAll.orderBy(
+          md5(concat(col("a").cast("string"), lit("|"), col("b").cast("string"))),
+          col("a"), col("b")).limit(p)
+        capped
+      case None => candAll
+    }).localCheckpoint(true)
+    maxPairs.foreach { p =>
+      if (cand.count() == p)
+        System.err.println(
+          s"[graft.Dedup] jaccardVerify: candidate-pair cap ENGAGED at $p " +
+            "pairs (md5-ordered prefix) — remaining pairs are not verified; " +
+            "use the collapse-first composition (d3b) for unbounded-correct " +
+            "verification")
+    }
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // restrict the shingle self-join to candidate documents FIRST — the
     // unrestricted join is quadratic in the hottest shingle's frequency,
@@ -342,7 +367,7 @@ object Dedup {
     val pairs = minhashCandidatesDirect(docs)
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-    Traversals.connectedComponents(sym)
+    Traversals.connectedComponentsAuto(sym)
       .groupBy("label").agg(min("id").as("keep_id"), count(lit(1)).as("cluster_n"))
       .select("keep_id", "cluster_n")
   }
@@ -536,7 +561,9 @@ object Dedup {
     val pairs = Similarity.cosinePairsLsh(emb, minCosScaled)
     val sym = pairs.select(col("x").as("src"), col("y").as("dst"))
       .unionByName(pairs.select(col("y").as("src"), col("x").as("dst")))
-    Traversals.connectedComponents(sym)
+    // the pair graph is near-dup-structure-sized, never corpus-sized —
+    // the size-gated CC solves it locally when it fits
+    Traversals.connectedComponentsAuto(sym)
       .groupBy("label").agg(min("id").as("keep_id"), count(lit(1)).as("cluster_n"))
       .select("keep_id", "cluster_n")
   }

@@ -290,6 +290,23 @@ object Traversals {
     * Pregel's active-set is replaced by a convergence count per superstep;
     * the fixpoint (not the per-iteration trace) is what parity checks,
     * per SURVEY §7.3. */
+  /** Size-gated CC for STRUCTURALLY-SMALL graphs (near-dup pair graphs,
+    * contracted component graphs): below the gate one driver pass labels
+    * the components (Tarjan on the symmetrized list ≡ union-find), above
+    * it the distributed label propagation runs unchanged. Use where the
+    * input is provably bounded by duplicate/cluster structure rather
+    * than corpus size — [[connectedComponents]] itself stays the
+    * ref-exact distributed contract (c4). Input must be symmetrized,
+    * like [[connectedComponents]]. */
+  def connectedComponentsAuto(sym: DataFrame,
+                              localGate: Long = LocalContractRows): DataFrame = {
+    val e = sym.select("src", "dst").persist()
+    try {
+      if (e.count() <= localGate) localSccLabels(e)
+      else connectedComponents(e)
+    } finally e.unpersist()
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     // the edge list is joined on src EVERY superstep: persist it hashed
     // on src (a checkpoint under AQE reports UnknownPartitioning), so the
@@ -664,7 +681,13 @@ object Traversals {
     * one partial-combining min of a (w, src, dst) struct — a hub
     * component costs a combiner cell. The edge list persists hashed once.
     * Fails loudly past `maxRounds`. */
-  def msfBoruvka(canonWeighted: DataFrame, maxRounds: Int = 8): DataFrame = {
+  /** Contracted-graph rows below which [[msfBoruvka]] solves the
+    * label-space CC on the driver (≤ ~16 MB collected) instead of the
+    * nested distributed fixpoint. */
+  private[graft] val LocalContractRows = 1L << 20
+
+  def msfBoruvka(canonWeighted: DataFrame, maxRounds: Int = 8,
+                 localGate: Long = LocalContractRows): DataFrame = {
     val e = canonWeighted.select("src", "dst", "w")
       .repartition(col("src")).persist()
     e.count()
@@ -690,7 +713,8 @@ object Traversals {
         .select(col("k.src").as("src"), col("k.dst").as("dst"),
           col("k.w").as("w"), col("k.la").as("la"), col("k.lb").as("lb"))
         .distinct().localCheckpoint(true)
-      if (sel.count() == 0L) done = true
+      val nSel = sel.count()
+      if (nSel == 0L) done = true
       else {
         forest = forest.unionByName(sel.select("src", "dst", "w"))
           .localCheckpoint(true)
@@ -698,8 +722,43 @@ object Traversals {
         // (components-sized, halving each round — never the whole
         // forest), then compose onto the vertex labels. min-label CC of
         // label-space ids keeps labels = component-min original ids.
-        val ccc = ccBigStar(sel.select(col("la").as("src"), col("lb").as("dst")))
-          .select(col("id").as("label"), col("label").as("nl"))
+        //
+        // SIZE-GATED local solve (the AQE re-plan philosophy): the
+        // contracted graph is ≤ one edge per component and halves every
+        // round, so past the first round(s) it is provably tiny however
+        // big the input; below the gate a driver union-find replaces the
+        // nested ccBigStar fixpoint (each distributed CC round is
+        // several shuffle+checkpoint jobs — at bench scale the nested
+        // fixpoint WAS g16's cost). Above the gate (early rounds of a
+        // 100 TB forest) the distributed path runs unchanged. nSel is
+        // already on the driver — the gate costs nothing.
+        val ccc =
+          if (nSel <= localGate) {
+            val sp = sel.sparkSession
+            import sp.implicits._
+            val parent = scala.collection.mutable.HashMap[Long, Long]()
+            def find(x: Long): Long = {
+              var r = x
+              while (parent(r) != r) r = parent(r)
+              var c = x
+              while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+              r
+            }
+            sel.select("la", "lb").collect().foreach { row =>
+              val a = row.getLong(0); val b = row.getLong(1)
+              parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+              val ra = find(a); val rb = find(b)
+              if (ra != rb) parent(ra) = rb
+            }
+            val minOf = scala.collection.mutable.HashMap[Long, Long]()
+            parent.keys.foreach { v =>
+              val r = find(v)
+              minOf(r) = math.min(minOf.getOrElse(r, v), v)
+            }
+            parent.keys.toSeq.map(v => (v, minOf(find(v)))).toDF("label", "nl")
+          } else
+            ccBigStar(sel.select(col("la").as("src"), col("lb").as("dst")))
+              .select(col("id").as("label"), col("label").as("nl"))
         lab = lab.join(ccc, Seq("label"), "left")
           .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
           .localCheckpoint(true)
@@ -786,31 +845,111 @@ object Traversals {
     * fixpoints rerun CC's one-combine-per-superstep shape; no driver
     * data, no per-SCC recursion. Fails loudly past `maxOuter` (like
     * [[kCore]]) rather than returning a non-fixpoint. */
+  /** Intra-class edge rows below which [[sccLabels]] finishes the
+    * remaining subproblem with one driver Tarjan pass (≤ ~16 MB
+    * collected). The distributed FW/BW refinement above the gate and a
+    * local solve below it is the published hybrid shape for parallel
+    * SCC (Hong, Rodia, Olukotun PPoPP'13: trim + FW-BW until the
+    * pieces fit, then Tarjan each piece locally) — the class
+    * restriction guarantees no edge crosses classes, so one local pass
+    * over the survivor edges solves every remaining class at once. */
+  private[graft] val LocalSccRows = 1L << 20
+
+  /** Driver Tarjan over a collected intra-class edge list: (id, label)
+    * with label = min vertex id of the SCC, for every edge endpoint.
+    * Iterative (explicit work stack) — a 1M-edge chain must not blow the
+    * JVM stack. */
+  private def localSccLabels(ec: DataFrame): DataFrame = {
+    val sp = ec.sparkSession
+    import sp.implicits._
+    import scala.collection.mutable
+    val adj = mutable.HashMap[Long, mutable.ArrayBuffer[Long]]()
+    ec.select("src", "dst").collect().foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer[Long]()) += b
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer[Long]())
+    }
+    var counter = 0
+    val index = mutable.HashMap[Long, Int]()
+    val low = mutable.HashMap[Long, Int]()
+    val onStack = mutable.HashSet[Long]()
+    val stack = mutable.ArrayBuffer[Long]()
+    val label = mutable.HashMap[Long, Long]()
+    for (root <- adj.keys if !index.contains(root)) {
+      val work = mutable.ArrayBuffer[(Long, Int)]((root, 0))
+      while (work.nonEmpty) {
+        val (u, pi) = work.last
+        if (pi == 0) {
+          index(u) = counter; low(u) = counter; counter += 1
+          stack += u; onStack += u
+        }
+        val nbrs = adj(u)
+        if (pi < nbrs.length) {
+          work(work.length - 1) = (u, pi + 1)
+          val w = nbrs(pi)
+          if (!index.contains(w)) work += ((w, 0))
+          else if (onStack(w)) low(u) = math.min(low(u), index(w))
+        } else {
+          work.remove(work.length - 1)
+          if (work.nonEmpty) {
+            val p = work.last._1
+            low(p) = math.min(low(p), low(u))
+          }
+          if (low(u) == index(u)) {
+            var mn = Long.MaxValue
+            val members = mutable.ArrayBuffer[Long]()
+            var stop = false
+            while (!stop) {
+              val w = stack.remove(stack.length - 1); onStack -= w
+              members += w; mn = math.min(mn, w)
+              if (w == u) stop = true
+            }
+            members.foreach(m => label(m) = mn)
+          }
+        }
+      }
+    }
+    label.toSeq.toDF("id", "label")
+  }
+
   def sccLabels(edges: DataFrame, maxOuter: Int = 12,
-                maxInner: Int = 60): DataFrame = {
+                maxInner: Int = 60,
+                localGate: Long = LocalSccRows): DataFrame = {
     val e0 = edges.select("src", "dst").filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true)
     var lab = e0.select(col("src").as("id")).union(e0.select(col("dst").as("id")))
       .distinct().withColumn("cls", lit(0L)).localCheckpoint(true)
 
-    // min-label propagation along `dir` (src -> dst) within classes:
-    // the edge list is already intra-class-restricted, so each superstep
-    // is one join + one min-combine, exactly connectedComponents' shape
-    def minProp(dir: DataFrame): DataFrame = {
-      var f = lab.withColumn("f", col("id")).localCheckpoint(true)
+    // forward AND backward min-label propagation within classes, in
+    // LOCK-STEP: one label frame carries both fixpoints (f along
+    // src->dst, b along dst->src), so a round-pair costs ONE checkpoint
+    // + ONE convergence count instead of two — the superstep count per
+    // outer round is max(diam_f, diam_b), not their sum (VERDICT r7
+    // next #7: checkpoints report UnknownPartitioning under AQE, so
+    // cross-round partition reuse is unavailable; job-count halving is
+    // the structural lever that remains). The two propagations are
+    // independent, so lock-stepping changes no fixpoint.
+    def minPropBoth(ec: DataFrame, ecR: DataFrame): DataFrame = {
+      var f = lab.withColumn("f", col("id")).withColumn("b", col("id"))
+        .localCheckpoint(true)
       var changed = 1L
       var it = 0
       while (changed > 0 && it < maxInner) {
         it += 1
-        val msg = dir.join(f.select(col("id").as("src"), col("f")), "src")
+        val msgF = ec.join(f.select(col("id").as("src"), col("f")), "src")
           .groupBy(col("dst").as("id")).agg(min("f").as("mf"))
-        val next = f.join(msg, Seq("id"), "left_outer")
+        val msgB = ecR.join(f.select(col("id").as("src"), col("b")), "src")
+          .groupBy(col("dst").as("id")).agg(min("b").as("mb"))
+        val next = f.join(msgF, Seq("id"), "left_outer")
+          .join(msgB, Seq("id"), "left_outer")
           .select(col("id"), col("cls"),
             least(col("f"), coalesce(col("mf"), col("f"))).as("f"),
-            coalesce(col("mf") < col("f"), lit(false)).as("_chg"))
+            least(col("b"), coalesce(col("mb"), col("b"))).as("b"),
+            (coalesce(col("mf") < col("f"), lit(false)) ||
+              coalesce(col("mb") < col("b"), lit(false))).as("_chg"))
           .localCheckpoint(true)
         changed = next.filter(col("_chg")).count()
-        f = next.select("id", "cls", "f")
+        f = next.select("id", "cls", "f", "b")
       }
       if (changed > 0) throw new IllegalStateException(
         s"sccLabels: min-label fixpoint not reached within maxInner=$maxInner")
@@ -819,28 +958,52 @@ object Traversals {
 
     var outer = 0
     var result: DataFrame = null
+    // classes only REFINE, so an edge that leaves the intra-class set
+    // never re-enters — each round restricts the PREVIOUS round's
+    // survivors, not the full edge list. Round 1 pays |E|; the frame
+    // then shrinks monotonically (on DAG-ish graphs to near-empty after
+    // one refinement), so later rounds are survivor-sized.
+    var ecur = e0
     while (result == null && outer < maxOuter) {
       outer += 1
-      // restrict edges to same-class endpoints once per round
-      val ec = e0
+      // restrict edges to same-class endpoints once per round; both
+      // directions persist hashed on their join key so the edge side
+      // never re-exchanges inside the fixpoint
+      val ec = ecur
         .join(lab.select(col("id").as("src"), col("cls").as("scls")), "src")
         .join(lab.select(col("id").as("dst"), col("cls").as("dcls")), "dst")
         .filter(col("scls") === col("dcls"))
         .select("src", "dst")
         .repartition(col("src")).persist()
-      ec.count()
-      val fwd = minProp(ec)
-      val bwd = minProp(ec.select(col("dst").as("src"), col("src").as("dst")))
-        .select(col("id"), col("f").as("b"))
-      val refined = fwd.select("id", "f").join(bwd, "id").localCheckpoint(true)
-      ec.unpersist()
-      if (refined.filter(col("f") =!= col("b")).count() == 0L)
-        result = refined.select(col("id"), col("f").as("label"))
-      else
-        lab = refined.select(col("id"),
-          (col("f") * lit(1000000L) + col("b")).as("cls"))
+      val nEc = ec.count()
+      if (nEc <= localGate) {
+        // below the gate: no intra-class edge crosses classes, so one
+        // local Tarjan over the survivors labels every remaining class;
+        // vertices with no surviving intra-class edge are singleton SCCs
+        val comp = localSccLabels(ec)
+        result = lab.select("id").join(comp, Seq("id"), "left")
+          .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        if (ecur ne e0) ecur.unpersist()
+        ecur = e0
+        ec.unpersist()
+      } else {
+        val ecR = ec.select(col("dst").as("src"), col("src").as("dst"))
+          .repartition(col("src")).persist()
+        ecR.count()
+        val refined = minPropBoth(ec, ecR).select("id", "f", "b")
           .localCheckpoint(true)
+        if (ecur ne e0) ecur.unpersist()
+        ecur = ec
+        ecR.unpersist()
+        if (refined.filter(col("f") =!= col("b")).count() == 0L)
+          result = refined.select(col("id"), col("f").as("label"))
+        else
+          lab = refined.select(col("id"),
+            (col("f") * lit(1000000L) + col("b")).as("cls"))
+            .localCheckpoint(true)
+      }
     }
+    if (ecur ne e0) ecur.unpersist()
     if (result == null) throw new IllegalStateException(
       s"sccLabels did not reach the SCC fixpoint within maxOuter=$maxOuter rounds")
     result

@@ -307,16 +307,20 @@ object DedupQueries {
       Some(Oracle.withSql(LSH, "SELECT a, b FROM cand"))),
 
     ("d3_dedup_jaccard_verify",
-      (s: SparkSession, d: String) => Dedup.jaccardVerifyFrom(Dedup.shinglesCached(s, d)),
+      (s: SparkSession, d: String) => Dedup.jaccardVerifyFrom(
+        Dedup.shinglesCached(s, d), maxPairs = Some(50000)),
       Some(Oracle.withSql(LSH,
-        """, sz AS (SELECT doc_id, count(*) AS n FROM shu GROUP BY doc_id),
+        """, candc AS (SELECT a, b FROM cand
+          |            ORDER BY md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)), a, b
+          |            LIMIT 50000),
+          |sz AS (SELECT doc_id, count(*) AS n FROM shu GROUP BY doc_id),
           |inter AS (
           |  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
           |  FROM shu sa JOIN shu sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
           |  GROUP BY 1, 2)
           |SELECT c.a, c.b,
           |       (100 * COALESCE(i.i, 0)) // (sa.n + sb.n - COALESCE(i.i, 0)) AS jacc_pct
-          |FROM cand c LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+          |FROM candc c LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
           |JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id""".stripMargin))),
 
     ("d4_dedup_simhash",

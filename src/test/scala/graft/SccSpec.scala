@@ -48,6 +48,42 @@ class SccSpec extends AnyFunSuite {
     assert(m == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("size-gated local Tarjan == distributed FW/BW refinement") {
+    val s = spark; import s.implicits._
+    // md5-deterministic pseudo-random directed graph: 300 vertices,
+    // 900 edges — enough cycle structure for non-trivial SCCs plus a
+    // DAG fringe; localGate = 0 forces the distributed fixpoint
+    val edges = (0 until 900).map { i =>
+      val a = math.abs(java.security.MessageDigest.getInstance("MD5")
+        .digest(s"scc-a|$i".getBytes).take(4).foldLeft(0L)(_ * 256 + _ & 0xff)) % 300
+      val b = math.abs(java.security.MessageDigest.getInstance("MD5")
+        .digest(s"scc-b|$i".getBytes).take(4).foldLeft(0L)(_ * 256 + _ & 0xff)) % 300
+      (a, b)
+    }.toDF("src", "dst")
+    val local = Traversals.sccLabels(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Traversals.sccLabels(edges, localGate = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(local.nonEmpty)
+  }
+
+  test("msfBoruvka: local union-find contraction == distributed ccBigStar") {
+    val s = spark; import s.implicits._
+    val w = (0 until 400).map { i =>
+      val a = (i * 7919L) % 120
+      val b = (i * 104729L) % 120
+      (math.min(a, b), math.max(a, b), (i * 31L) % 97 + 1)
+    }.filter(t => t._1 != t._2).distinct.toDF("src", "dst", "w")
+    def forest(g: Long) = Traversals.msfBoruvka(w, localGate = g)
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("w")).head()
+    val (l, d) = (forest(Long.MaxValue), forest(0L))
+    assert(l.getLong(0) == d.getLong(0))
+    assert(l.getLong(1) == d.getLong(1))
+  }
+
   test("doubleSweepDiameter is exact on a tree (path): diameter = path length") {
     val s = spark; import s.implicits._
     // path 1-2-3-4-5 has diameter 4; double sweep is exact on trees
