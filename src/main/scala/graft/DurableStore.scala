@@ -95,6 +95,60 @@ class DurableStore(val spark: SparkSession, val root: String,
     if (hit.isEmpty) read(v).limit(0) else readFiles(spark, hit.map(_.path))
   }
 
+  /** Sub-100 ms SERVING path for single-source point reads — the latency
+    * class of the reference's mmap shard lookup (QueryShard.java:207-253),
+    * the one latency family a Spark JOB cannot reach: scheduler + task
+    * launch + codegen floor a job at ~100 ms even when manifest pruning
+    * routes to one file. This path never leaves the driver: the manifest
+    * routes by [srcMin, srcMax] (the reference's interval→shard
+    * selection), then parquet-mr reads the hit files with a src = key
+    * predicate — row groups whose footer stats exclude the key are
+    * skipped (the same min/max a Spark scan would use), dictionary and
+    * record filtering drop the rest. Returns rows in the store schema's
+    * column order.
+    *
+    * A SERVING shortcut, not a query operator: results are pinned equal
+    * to readForSrc(v, key).filter(src = key) by DurableStoreSpec, and
+    * the routing work is manifest-sized. Single-key lookups only — scans
+    * and joins stay on the distributed read paths. */
+  def pointReadLocal(v: Int, srcKey: Long): Seq[Seq[Any]] = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val m = manifest(v)
+    val hit = m.files.filter(f => srcKey >= f.srcMin && srcKey <= f.srcMax)
+    val pred = FilterCompat.get(
+      FilterApi.eq(FilterApi.longColumn("src"), java.lang.Long.valueOf(srcKey)))
+    val conf = spark.sessionState.newHadoopConf()
+    val out = Seq.newBuilder[Seq[Any]]
+    hit.foreach { f =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f.path))
+        .withConf(conf).withFilter(pred).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val t = g.getType
+          out += (0 until t.getFieldCount).map { i =>
+            if (g.getFieldRepetitionCount(i) == 0) null
+            else t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+              case INT64   => g.getLong(i, 0)
+              case INT32   => g.getInteger(i, 0)
+              case DOUBLE  => g.getDouble(i, 0)
+              case FLOAT   => g.getFloat(i, 0)
+              case BOOLEAN => g.getBoolean(i, 0)
+              case _       => g.getValueToString(i, 0)
+            }
+          }
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.result()
+  }
+
   /** W2 on the durable store: a src-range sweep pruned at the FILE level
     * by manifest [srcMin, srcMax] overlap — the dst-interval shard
     * selection of the reference (VertexInterval.java:50-78) applied to

@@ -77,11 +77,27 @@ object LiveJournalProbe {
       col("etype"), col("ets"), col("weight"), col("rating")))
       .localCheckpoint(true)
 
+    // drop the ingest-only input before the query sections so its blocks
+    // don't ride as heap pressure under the timed supersteps
+    sliced.unpersist()
+    System.gc()
+
     timed("q1_fof_top20") { Queries.friendsOfFriendsExclTop20(sym).count() }
+    System.gc()
     timed("c3_pagerank_3iter") { PageRank.top20(e, 3).count() }
+    System.gc()
     timed("c4_cc_labelprop") {
       Traversals.connectedComponents(sym.select("src", "dst")).count()
     }
+    System.gc()
+    // the designed web-scale CC path (SoCC'14 star contraction, O(log n)
+    // rounds, hub-proof partial-min) next to the ref-exact label-prop —
+    // at diameter-bound graphs label-prop's superstep count is the cost,
+    // big-star's round count is data-size-logarithmic
+    timed("c10_cc_bigstar") {
+      Traversals.ccBigStar(sym.select("src", "dst")).count()
+    }
+    System.gc()
     // seeds are the 1,200 smallest src ids — all inside the FIRST copy,
     // so packed state stays one-copy-vertex-bounded (the disjointness
     // argument; the frontier never crosses copies)

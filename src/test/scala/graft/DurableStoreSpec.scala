@@ -82,6 +82,17 @@ class DurableStoreSpec extends AnyFunSuite {
       rowSet(edges(base: _*)).filter(_._1 == 1L).map(identity))
   }
 
+  test("pointReadLocal (driver serving path) == readForSrc distributed read") {
+    val st = fresh(base: _*)
+    val served = st.pointReadLocal(1, 1L)
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(3).asInstanceOf[Long])).toSet
+    assert(served == rowSet(st.readForSrc(1, 1L).filter(col("src") === 1L)))
+    assert(served == rowSet(edges(base: _*)).filter(_._1 == 1L).map(identity))
+    // a key outside every file range serves empty without touching parquet
+    assert(st.pointReadLocal(1, 999999L).isEmpty)
+  }
+
   test("updateEdges is copy-on-write: only covering files rewritten, old version intact") {
     val st = fresh(base: _*)
     val v2 = st.updateEdges(1, col("src") === 1L, "w", lit(99L), srcKey = Some(1L))
