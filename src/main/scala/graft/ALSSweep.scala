@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   * λ (0.065), per-vertex XtX/Xty accumulation and solver, alternating
   * user/item sides.
   *
-  * Spark shape: one sweep = join ratings with the fixed side's factors,
-  * then a typed [[Aggregator]] builds each vertex's (XtX, Xty, deg) with
-  * MAP-SIDE partIAL aggregation (the sums are associative — this is what
-  * makes the sweep scale: the shuffle carries one 66-double state per
-  * (vertex, map partition), not one row per rating), and `finish` runs
-  * the 10×10 Cholesky solve. Factors are localCheckpointed per sweep so
-  * lineage stays O(1) across iterations, like [[PageRank]].
+  * Spark shape: ratings are hash-partitioned ONCE per side (a user-keyed
+  * and an item-keyed persisted frame — at 100 TB, the bucketed-table
+  * layout); each half-sweep broadcast-joins the fixed side's factors
+  * (vertex-sized) into the solve side's frame and aggregates each
+  * vertex's (XtX, Xty, deg) with an [[Aggregator]]-backed UDAF IN PLACE —
+  * the broadcast join preserves the streamed side's partitioning, so the
+  * per-sweep plan has zero exchanges and `finish` runs the 10×10 Cholesky
+  * solve where the ratings already live. Factors are localCheckpointed
+  * per sweep so lineage stays O(1) across iterations, like [[PageRank]].
   *
   * Init factors are md5-derived uniforms (the reference's `randomize`,
   * FactorVec.randomize, determinized — same value every engine/run), so
@@ -30,7 +32,6 @@ object ALSSweep {
   val Lambda = 0.065 // reference ALSMatrixFactorization.scala:135
 
   case class FactorRow(id: Int, f: Array[Double])
-  type Rated = (Int, Array[Double], Double) // (solve-side id, neighbor factor, rating)
 
   /** Deterministic stand-in for the reference's Random.nextDouble init:
     * uniform in [0,1) keyed by (side, id, j). */
@@ -84,14 +85,17 @@ object ALSSweep {
     * Xty, deg). reduce = the reference's per-edge XtX/Xty update loop
     * (ALSMatrixFactorization.scala:148-166); merge = element-wise add
     * (associativity is the map-side-combine ticket); finish = λ·deg
-    * regularization + Cholesky solve (:178-190). */
+    * regularization + Cholesky solve (:178-190). Input is (neighbor
+    * factor, rating) — the solve-side id is the RELATIONAL grouping key,
+    * so [[fit]]'s pre-partitioned rating frames satisfy the aggregate's
+    * distribution and the half-sweep plans with ZERO exchanges. */
   private class NormalEq
-      extends Aggregator[Rated, (Array[Double], Array[Double], Long), Array[Double]] {
+      extends Aggregator[(Array[Double], Double), (Array[Double], Array[Double], Long), Array[Double]] {
     def zero = (new Array[Double](D * D), new Array[Double](D), 0L)
-    def reduce(acc: (Array[Double], Array[Double], Long), row: Rated) = {
+    def reduce(acc: (Array[Double], Array[Double], Long), row: (Array[Double], Double)) = {
       val (xtx, xty, _) = acc
-      val y = row._2
-      val r = row._3
+      val y = row._1
+      val r = row._2
       var i = 0
       while (i < D) {
         xty(i) += y(i) * r
@@ -120,6 +124,13 @@ object ALSSweep {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
 
+  /** [[NormalEq]] as a column UDAF: keeps the grouping RELATIONAL (a
+    * `groupBy(col)` Catalyst can match against the child's hash
+    * partitioning), where the former typed `groupByKey(_._1)` hid the key
+    * behind a lambda and forced a fresh exchange every half-sweep. */
+  private lazy val normalEq = udaf(new NormalEq,
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Double)]())
+
   private def initFactors(spark: SparkSession, ids: DataFrame, side: String): DataFrame = {
     import spark.implicits._
     ids.as[Int].map { id =>
@@ -127,35 +138,43 @@ object ALSSweep {
     }.toDF("id", "f").localCheckpoint(true)
   }
 
-  /** One half-sweep: re-solve `solveCol`'s factors given `givenCol`'s. */
+  /** One half-sweep: re-solve `solveCol`'s factors given `givenCol`'s.
+    * `ratings` must already be hash-partitioned on `solveCol` ([[fit]]
+    * prepares one frame per side): the fixed side broadcasts (vertex-sized,
+    * 10 doubles/row) and the broadcast join PRESERVES the streamed side's
+    * partitioning, so the groupBy aggregates in place — the half-sweep has
+    * zero exchanges, and a full sweep costs two broadcasts + pure CPU. */
   private def solveSide(ratings: DataFrame, given: DataFrame,
-                        solveCol: String, givenCol: String): DataFrame = {
-    val spark = ratings.sparkSession
-    import spark.implicits._
-    // the fixed side is (distinct ids × 10 doubles) — vertex-sized, not
-    // rating-sized — so broadcast it: the half-sweep then has exactly ONE
-    // exchange (the groupByKey to the solve side), not a join shuffle of
-    // the full ratings table per sweep
-    val rated = ratings.join(broadcast(given.withColumnRenamed("id", "gid")),
+                        solveCol: String, givenCol: String): DataFrame =
+    ratings.join(broadcast(given.withColumnRenamed("id", "gid")),
         col(givenCol) === col("gid"))
-      .select(col(solveCol).cast("int"), col("f"), col("rating").cast("double"))
-      .as[Rated]
-    rated.groupByKey(_._1)
-      .agg(new NormalEq().toColumn.name("f"))
-      .toDF("id", "f")
+      .groupBy(solveCol)
+      .agg(normalEq(col("f"), col("rating")).as("f"))
+      .withColumnRenamed(solveCol, "id")
       .localCheckpoint(true)
-  }
 
   /** Full fit: `iters` alternating sweeps (items first, like the
-    * reference's vertex-ordering over the bipartite graph). */
+    * reference's vertex-ordering over the bipartite graph). The ratings
+    * are shuffled ONCE per side up front (user-keyed and item-keyed
+    * persisted frames — the two clusterings every sweep reuses); at
+    * 100 TB this is the bucketed-table layout a production fit would
+    * read directly, and per-iteration cost is exchange-free. */
   def fit(spark: SparkSession, ratings: DataFrame, iters: Int): (DataFrame, DataFrame) = {
-    val r = ratings.localCheckpoint(true)
-    var userF = initFactors(spark, r.select("user").distinct(), "u")
-    var itemF = initFactors(spark, r.select("item").distinct(), "i")
+    val typed = ratings.select(col("user").cast("int").as("user"),
+      col("item").cast("int").as("item"), col("rating").cast("double").as("rating"))
+    // persist, NOT localCheckpoint: checkpointed frames report
+    // UnknownPartitioning (CheckpointPartitioningProbe), which would put
+    // the per-sweep exchange right back
+    val byUser = typed.repartition(col("user")).persist()
+    val byItem = typed.repartition(col("item")).persist()
+    var userF = initFactors(spark, byUser.select("user").distinct(), "u")
+    var itemF = initFactors(spark, byItem.select("item").distinct(), "i")
     for (_ <- 1 to iters) {
-      userF = solveSide(r, itemF, "user", "item")
-      itemF = solveSide(r, userF, "item", "user")
+      userF = solveSide(byUser, itemF, "user", "item")
+      itemF = solveSide(byItem, userF, "item", "user")
     }
+    byUser.unpersist()
+    byItem.unpersist()
     (userF, itemF)
   }
 

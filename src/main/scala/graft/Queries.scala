@@ -330,23 +330,26 @@ object Queries {
     * `walksPerStart` walks of `steps` hops; step i moves to the
     * (h mod deg)-th out-neighbor in dst order.
     *
-    * Scale shape: NO edge-sized shuffle anywhere. The frontier (≤
-    * nStarts·walksPerStart vertices) broadcasts into a semi-join that
-    * restricts the adjacency to frontier sources BEFORE ranking, so the
-    * per-src row_number/count window sorts only frontier-degree rows —
-    * ranks are partition-local per src, so restricting to whole sources
+    * Scale shape: the distinct adjacency is materialized ONCE (one
+    * dedup shuffle — the only edge-sized work in the plan); each step
+    * then filters the cached frame with an IN predicate over the
+    * COLLECTED frontier (≤ nStarts·walksPerStart ≈ 20 values) and ranks
+    * only frontier-degree rows in the per-src window. The two designs
+    * this replaces both paid per step: the r7 ranked-E-row index put a
+    * full window sort over E up front (grew 6.6× on 10× data), and the
+    * r8 broadcast semi-join re-derived the edge table — a fact⋈fact
+    * join for the order graph — on every step. Over a src-sorted edge
+    * STORE the same IN predicate pushes into parquet footer stats and
+    * each step is a point lookup with no materialization at all.
+    * Ranks are partition-local per src, so restricting to whole sources
     * leaves them exactly as a full-adjacency ranking would (the oracle
-    * ranks the full adjacency and agrees). Each step costs one
-    * broadcast-filtered scan of the edge set; the r7 predecessor built
-    * one ranked E-row index up front (full distinct + window sort +
-    * checkpoint of E rows) and grew 6.6× on 10× data from that stage
-    * alone. Start selection is a partial-combined src dedup +
-    * TakeOrdered, the lightest E-shuffle in the plan.
+    * ranks the full adjacency and agrees).
     * Output: (walk_id, v, step) rows, steps 0..`steps`. */
   def randomWalks(edges: DataFrame, nStarts: Int = WalkNStarts,
                   walksPerStart: Int = WalkWalksPerStart,
                   steps: Int = WalkSteps, salt: String = WalkSalt): DataFrame = {
-    val adjAll = edges.select(col("src"), col("dst"))
+    val adjAll = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
     val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
     val starts = adjAll.select(col("src").as("v")).distinct()
       .orderBy(md5(concat(lit(s"${salt}0|"), col("v").cast("string"))), col("v"))
@@ -358,23 +361,32 @@ object Queries {
       .localCheckpoint(true)
     var cur = w0
     val acc = scala.collection.mutable.ArrayBuffer[DataFrame](w0)
-    for (s <- 1 to steps) {
-      val fv = cur.select(col("v").as("fv")).distinct()
-      val rk = adjAll
-        .join(broadcast(fv), adjAll("src") === col("fv"), "left_semi")
-        .distinct()
-        .select(col("src"), col("dst"),
-          row_number().over(bySrc.orderBy("dst")).as("rk"),
-          count(lit(1)).over(bySrc).as("deg"))
-      val h = expr(
-        s"CAST(conv(substring(md5(concat('$salt|', walk_id, '|$s')), 1, 15), 16, 10) AS BIGINT)")
-      // checkpoint per step: the frontier is ≤ #walks rows, and cutting
-      // lineage keeps step s from re-running every prior step's scan
-      cur = cur.join(rk, cur("v") === rk("src"))
-        .filter(col("rk") === h % col("deg") + 1)
-        .select(col("walk_id"), col("dst").as("v"), lit(s).as("step"))
-        .localCheckpoint(true)
-      acc += cur
+    var s = 1
+    var live = true
+    while (s <= steps && live) {
+      // the frontier is ≤ nStarts·walksPerStart VALUES (≤20 at the
+      // defaults) — collect it off the checkpointed frame into an IN
+      // filter over the materialized adjacency (an InSet probe per cached
+      // row; over a src-sorted store the same predicate becomes parquet
+      // footer pruning)
+      val fvals = cur.select(col("v")).distinct().collect().map(_.get(0)).toSeq
+      if (fvals.isEmpty) live = false // all walks hit sinks: later steps are empty
+      else {
+        val rk = adjAll.filter(col("src").isInCollection(fvals))
+          .select(col("src"), col("dst"),
+            row_number().over(bySrc.orderBy("dst")).as("rk"),
+            count(lit(1)).over(bySrc).as("deg"))
+        val h = expr(
+          s"CAST(conv(substring(md5(concat('$salt|', walk_id, '|$s')), 1, 15), 16, 10) AS BIGINT)")
+        // checkpoint per step: the frontier is ≤ #walks rows, and cutting
+        // lineage keeps step s from re-running every prior step's scan
+        cur = cur.join(rk, cur("v") === rk("src"))
+          .filter(col("rk") === h % col("deg") + 1)
+          .select(col("walk_id"), col("dst").as("v"), lit(s).as("step"))
+          .localCheckpoint(true)
+        acc += cur
+        s += 1
+      }
     }
     acc.reduce(_ unionByName _)
   }

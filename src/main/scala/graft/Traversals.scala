@@ -593,16 +593,46 @@ object Traversals {
     temporalReachFrom(edges, sources, hops)
   }
 
-  /** [[temporalReach]] from an explicit source set (one `v` column). */
+  /** [[temporalReach]] from an explicit source set (one `v` column).
+    *
+    * Delta-frontier: only vertices whose arrival IMPROVED last hop are
+    * re-expanded. Correct because the combine is monotone min and a
+    * vertex's out-messages depend only on (v, arr(v)): an unchanged
+    * vertex re-sends exactly the messages already folded in, and an
+    * improved (smaller) arrival only ADMITS more edges (ets ≥ arr), so
+    * expanding improvements alone covers every new message — the g14
+    * survivor-restriction discipline applied to the temporal BFS. The
+    * full-set expansion this replaces joined |reached|×E every hop;
+    * here hop h joins only last hop's improvements (frontier-sized,
+    * broadcastable), and the loop exits early once a hop improves
+    * nothing (all later hops are then provably empty too). */
   def temporalReachFrom(edges: DataFrame, sources: DataFrame,
                         hops: Int): DataFrame = {
-    val e = edges.select("src", "dst", "ets").distinct().localCheckpoint(true)
+    // no distinct: min-combine folds duplicate (src,dst,ets) messages to
+    // the same arrival, so deduping the edge frame would pay a full
+    // E-sized exchange to save only map-side combine input — checkpoint
+    // the projection as-is (materialize once, zero shuffles)
+    val e = edges.select("src", "dst", "ets").localCheckpoint(true)
     var arr = sources.select(col("v")).withColumn("arr", lit(0L))
-    for (_ <- 1 to hops) {
-      val nxt = arr.join(e, arr("v") === e("src") && e("ets") >= arr("arr"))
+      .localCheckpoint(true)
+    var delta = arr
+    var h = 0
+    while (h < hops && !delta.isEmpty) {
+      // messages from the improved frontier only; ONE min-combine shuffle
+      // per hop folds them into the running arrivals (partial-combining,
+      // so the exchange carries ~V rows, not the raw message volume)
+      val msgs = delta.join(e, delta("v") === e("src") && e("ets") >= delta("arr"))
         .select(e("dst").as("v"), e("ets").as("arr"))
-      arr = arr.unionByName(nxt).groupBy("v").agg(min("arr").as("arr"))
+      val arrNew = arr.unionByName(msgs).groupBy("v").agg(min("arr").as("arr"))
         .localCheckpoint(true)
+      // next frontier = vertices whose arrival changed (vertex-sized
+      // frames; AQE broadcasts the smaller side)
+      delta = arrNew.join(arr.select(col("v").as("pv"), col("arr").as("prev")),
+          arrNew("v") === col("pv"), "left_outer")
+        .filter(col("prev").isNull || arrNew("arr") < col("prev"))
+        .select(arrNew("v"), arrNew("arr")).localCheckpoint(true)
+      arr = arrNew
+      h += 1
     }
     arr
   }
@@ -1068,8 +1098,13 @@ object Traversals {
                      exact: Option[DataFrame] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select("src", "dst").distinct()
-      .repartition(col("src")).localCheckpoint(true)
+    // ONE exchange keyed on dst up front (the hop join's key), persisted —
+    // NOT checkpointed, which would erase the partitioning
+    // (CheckpointPartitioningProbe) and put an E-sized reshuffle back into
+    // every hop. distinct() after the repartition plans exchange-free:
+    // HashPartitioning(dst) satisfies the dedup's {src,dst} clustering.
+    val e = edges.select("src", "dst").repartition(col("dst")).distinct()
+      .persist()
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
     val roots = verts
@@ -1092,6 +1127,9 @@ object Traversals {
         .agg(hll_union_agg(col("sk")).as("sk")).localCheckpoint(true)
       est += ((h, total(sk)))
     }
+    // every consumer of e has materialized (sketches are eagerly
+    // checkpointed, totals are actions) — release the cached edge frame
+    e.unpersist()
     // the exact sampled counts can be injected (e.g. the registry shares
     // one computation between the g18 and g18b entries) so this
     // function's own cost is the sketch path it exists to measure

@@ -12,13 +12,20 @@ import org.apache.spark.sql.functions._
   * 6M lineitem rows, the scale where per-job overhead stops hiding plan
   * differences — the BENCH_sf1 input.
   *
-  * Usage: MakeScale <srcDir> <outDir> [k=10]
+  * An optional 4th arg restricts which tables are SCALED (the rest are
+  * copied 1×): `documents,embeddings` builds the sf10-class corpus
+  * fixture — 100× docs/vectors for the dedup/ANN envelope without
+  * crossing the graph tables' id-space bounds (safe only for k ≤ 10).
+  *
+  * Usage: MakeScale <srcDir> <outDir> [k=10] [scaleOnly=t1,t2,...]
   */
 object MakeScale {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val k = if (args.length > 2) args(2).toInt else 10
+    val scaleOnly: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -28,6 +35,11 @@ object MakeScale {
 
     def rep(name: String, shifts: Map[String, Long], parts: Int = 8): Unit = {
       val t = spark.read.parquet(s"$src/$name.parquet")
+      if (scaleOnly.exists(!_.contains(name))) {
+        t.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+        println(s"[makescale] $name copied 1x")
+        return
+      }
       val all = (0 until k).map { i =>
         shifts.foldLeft(t) { case (df, (c, base)) =>
           df.withColumn(c, col(c) + lit(i * base)) }
