@@ -75,14 +75,29 @@ object Dedup {
       expr(s"stack(${NumHashes}, $pairs)").as(Seq("k", "m")))
   }
 
-  /** LSH band signatures: (doc_id, b, sig) — 2 minhash rows per band,
-    * hashed straight off the wide signature (no self-join). */
+  /** LSH band signatures: (doc_id, b, sig) — `rowsPerBand` minhash rows
+    * per band, hashed straight off the wide signature (no self-join).
+    *
+    * `rowsPerBand` is THE precision/recall knob (LSH S-curve: match
+    * probability j^r per band): r=2 over 16 hashes is the registry
+    * default every oracle mirrors, but a random pair's per-band collision
+    * odds are only squared — on a large low-entropy corpus (small shingle
+    * vocabulary ⇒ random pairs share minhashes at rates ∝ their accidental
+    * Jaccard) the candidate set turns quadratic. The 100×-documents
+    * replay measured it: 104M candidates over 494k docs (210/doc) at r=2
+    * vs near-dup-structure-sized at r=4. At scale, size r to the corpus:
+    * r ≈ log(n)/log(1/j_bg) for background similarity j_bg. */
   def bands(docs: DataFrame): DataFrame = bandsFrom(shingles(docs))
 
-  private def bandsFrom(sh: DataFrame): DataFrame = {
-    val nBands = NumHashes / RowsPerBand
+  private def bandsFrom(sh: DataFrame,
+                        rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val nBands = NumHashes / rowsPerBand
     val pairs = (0 until nBands)
-      .map(b => s"$b, md5(concat(m${2 * b}, m${2 * b + 1}))").mkString(", ")
+      .map { b =>
+        val ms = (0 until rowsPerBand).map(r => s"m${rowsPerBand * b + r}")
+          .mkString(", ")
+        s"$b, md5(concat($ms))"
+      }.mkString(", ")
     signatureFrom(sh).select(col("doc_id"),
       expr(s"stack($nBands, $pairs)").as(Seq("b", "sig")))
   }
@@ -118,8 +133,9 @@ object Dedup {
   def minhashCandidates(docs: DataFrame): DataFrame =
     minhashCandidatesFrom(shingles(docs))
 
-  def minhashCandidatesFrom(sh: DataFrame): DataFrame = {
-    val bd = bandsFrom(sh)
+  def minhashCandidatesFrom(sh: DataFrame,
+                            rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val bd = bandsFrom(sh, rowsPerBand)
     val x = bd.select(col("b"), col("sig"), col("doc_id").as("a"))
     val y = bd.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bb"))
     x.join(y, col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bb"))
@@ -190,8 +206,9 @@ object Dedup {
     * remains the UNBOUNDED-correct composition. Implemented as
     * orderBy+limit ⇒ TakeOrdered (per-partition top-P + driver merge),
     * never a single-partition global sort. Logged loudly when it bites. */
-  def jaccardVerifyFrom(sh: DataFrame, maxPairs: Option[Int] = None): DataFrame = {
-    val candAll = minhashCandidatesFrom(sh)
+  def jaccardVerifyFrom(sh: DataFrame, maxPairs: Option[Int] = None,
+                        rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val candAll = minhashCandidatesFrom(sh, rowsPerBand)
     val cand = (maxPairs match {
       case Some(p) =>
         val capped = candAll.orderBy(
@@ -371,7 +388,11 @@ object Dedup {
     * other. Cluster count is bounded by true near-dup structure, so the
     * CC fixpoint runs on a graph ~|dup pairs|, not ~|corpus|. */
   def nearDupClusters(docs: DataFrame): DataFrame = {
-    val pairs = minhashCandidatesDirect(docs)
+    // checkpoint BEFORE symmetrizing: the union consumes `pairs` twice,
+    // and the CC size gate adds a third action — uncheckpointed, the
+    // whole LSH candidate pipeline re-ran per consumer (measured 3× the
+    // d2 cost at the 100×-documents replay)
+    val pairs = minhashCandidatesDirect(docs).localCheckpoint(true)
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     Traversals.connectedComponentsAuto(sym)
@@ -565,7 +586,10 @@ object Dedup {
     * fixpoint runs on the pair graph (~|near-dup structure|), and
     * nothing is corpus-quadratic. */
   def semanticClusters(emb: DataFrame, minCosScaled: Long = 400000L): DataFrame = {
-    val pairs = Similarity.cosinePairsLsh(emb, minCosScaled)
+    // checkpointed for the same reason as [[nearDupClusters]]: the
+    // symmetrizing union + the CC size gate would otherwise re-run the
+    // whole LSH-bucket + exact-verify pipeline per consumer
+    val pairs = Similarity.cosinePairsLsh(emb, minCosScaled).localCheckpoint(true)
     val sym = pairs.select(col("x").as("src"), col("y").as("dst"))
       .unionByName(pairs.select(col("y").as("src"), col("x").as("dst")))
     // the pair graph is near-dup-structure-sized, never corpus-sized —

@@ -419,35 +419,44 @@ object Traversals {
 
   /** G4: WEIGHTED single-source shortest paths — distributed Bellman-Ford
     * relaxation (the weighted upgrade of [[ssspTree]]'s hop-count BFS):
-    * per round, every edge offers dist(src)+w to its dst and each vertex
-    * keeps its minimum; fixpoint when nothing improves. Integer weights
-    * keep the fixpoint engine-exact. Convergence is detected from the
-    * (count, sum) signature of the distance table — min-relaxation is
-    * monotone (per-vertex distances only decrease, the reached set only
-    * grows), so an unchanged signature IS the fixpoint, no row-diff join
-    * needed.
+    * per round, only vertices whose distance IMPROVED last round offer
+    * dist(src)+w to their out-neighbors and each vertex keeps its
+    * minimum; fixpoint when a round improves nothing. Integer weights
+    * keep the fixpoint engine-exact.
     *
-    * Scale shape: each round = one join edges⋈dist + one partial-min
-    * aggregate (hot dst keys combine map-side); dist localCheckpoints
-    * per round (O(1) lineage); rounds ≤ weighted diameter. */
+    * Delta-frontier (the SPFA discipline, same argument as
+    * [[temporalReachFrom]]): min-relaxation is monotone and a vertex's
+    * offers depend only on (id, d), so an unchanged vertex re-offers
+    * exactly what was already folded in — expanding improvements alone
+    * yields the SAME distance table every round as full expansion, and an
+    * empty improvement set IS the fixpoint (no signature scan needed).
+    * The full-expansion form this replaces joined the whole reached set
+    * with E every round; late rounds relax a handful of frontier
+    * vertices, not the graph.
+    *
+    * Scale shape: each round = one frontier⋈edges join + one partial-min
+    * aggregate (hot dst keys combine map-side) + one vertex-sized
+    * improvement join; dist localCheckpoints per round (O(1) lineage);
+    * rounds ≤ weighted diameter. */
   def weightedSSSP(edges: DataFrame, weightCol: String = "rating",
                    maxIter: Int = 50): DataFrame = {
     val e = edges.select(col("src"), col("dst"),
       col(weightCol).cast("long").as("w")).localCheckpoint(true)
     var dist = e.agg(min("src").as("id")).select(col("id"), lit(0L).as("d"))
       .localCheckpoint(true)
-    var sig = (0L, 0L)
+    var delta = dist
     var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
+    while (iter < maxIter && !delta.isEmpty) {
       iter += 1
-      val relax = dist.join(e, dist("id") === e("src"))
-        .select(e("dst").as("id"), (dist("d") + e("w")).as("d"))
+      val relax = delta.join(e, delta("id") === e("src"))
+        .select(e("dst").as("id"), (delta("d") + e("w")).as("d"))
       val next = dist.unionByName(relax)
         .groupBy("id").agg(min("d").as("d")).localCheckpoint(true)
-      val row = next.agg(count(lit(1)), sum("d")).head()
-      val nsig = (row.getLong(0), row.getLong(1))
-      if (nsig == sig) done = true else { sig = nsig; dist = next }
+      delta = next.join(dist.select(col("id").as("pid"), col("d").as("pd")),
+          next("id") === col("pid"), "left_outer")
+        .filter(col("pd").isNull || next("d") < col("pd"))
+        .select(next("id"), next("d")).localCheckpoint(true)
+      dist = next
     }
     dist.select(col("id"), col("d").as("dist"))
   }

@@ -41,8 +41,26 @@ object MakeScale {
         return
       }
       val all = (0 until k).map { i =>
-        shifts.foldLeft(t) { case (df, (c, base)) =>
+        val shifted = shifts.foldLeft(t) { case (df, (c, base)) =>
           df.withColumn(c, col(c) + lit(i * base)) }
+        // id shifts alone leave copy CONTENT identical, which turns a
+        // replicated corpus into a dup-factor-k stress (near-dup cluster
+        // sizes, and thus pair-emitting outputs, grow quadratically BY
+        // CONSTRUCTION). For the linear-growth envelope the copies must be
+        // content-disjoint like the graph copies are id-disjoint: tag every
+        // document token with the copy index (all shingles differ across
+        // copies), and sign-flip embedding dimensions by a per-copy hash
+        // pattern (norm-preserving; distinct sign patterns decorrelate
+        // drawn vectors, expected cross-copy cosine ~0).
+        val disjoint =
+          if (name == "documents" && i > 0)
+            shifted.withColumn("text",
+              concat(lit(s"c${i}_"), regexp_replace(col("text"), " ", s" c${i}_")))
+          else if (name == "embeddings" && i > 0)
+            shifted.withColumn("embedding", expr(
+              s"transform(embedding, (x, j) -> x * CAST(1 - 2 * pmod(hash($i, j), 2) AS FLOAT))"))
+          else shifted
+        disjoint
       }.reduce(_ unionByName _)
       all.repartition(parts).write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
       println(s"[makescale] $name x$k -> ${spark.read.parquet(s"$out/$name.parquet").count()} rows")

@@ -60,6 +60,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(!cand.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("wider bands (rowsPerBand=4) give a candidate subset with identical scores") {
+    val sh = Dedup.shingles(corpus)
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val c2 = Dedup.minhashCandidatesFrom(sh, rowsPerBand = 2).collect().map(key).toSet
+    val c4 = Dedup.minhashCandidatesFrom(sh, rowsPerBand = 4).collect().map(key).toSet
+    // j^4 ≤ j^2 per band: r=4 can only drop candidates, never add
+    assert(c4.subsetOf(c2))
+    // the exact dup shares every minhash, so it collides at any width
+    assert(c4.contains((1L, 2L)))
+    // scores on surviving pairs are the same exact shingle Jaccard
+    val v2 = Dedup.jaccardVerifyFrom(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val v4 = Dedup.jaccardVerifyFrom(sh, rowsPerBand = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    v4.foreach { case (p, j) => assert(v2(p) == j, s"pair $p") }
+  }
+
   test("jaccard verify (allPairs) scores exact dup at 100") {
     val j = Dedup.jaccardVerify(corpus, allPairs = true)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
