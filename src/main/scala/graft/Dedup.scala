@@ -464,6 +464,69 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** 120-bit SimHash as TWO 60-bit halves (h0 = md5 bytes 0-7, h1 =
+    * bytes 8-15; each half is the d4 vote over its own bits) — the wide
+    * fingerprint the [[hammingNearDupPairsWide]] scale path bands over.
+    * Same zero-shuffle projection shape as [[simhash]]; both halves ride
+    * one pass over the token array (two codegen'd expressions). */
+  def simhashWide(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimHash60.of(s, col("ts"), 0).as("h0"),
+        graft.functions.SimHash60.of(s, col("ts"), 1).as("h1"))
+  }
+
+  /** E9b: the 100 TB Hamming near-dup path — [[hammingNearDupPairs]]'
+    * pigeonhole band join over the 120-bit [[simhashWide]] fingerprint,
+    * 4 bands × 30 bits, exact for radius ≤ 3.
+    *
+    * Why it exists (measured, PERF.md sf10 corpus replay): e9's 60-bit
+    * fingerprint fixes the band key at 15 bits, so random band
+    * collisions grow ~n²/2^15 — at 500k docs the candidate set saturates
+    * (94.6 s). 30-bit keys push the same saturation point out by 2^15:
+    * candidate volume stays ∝ true near-dup structure through the
+    * hundreds-of-millions-of-docs range, and the per-pair rerank is two
+    * codegen'd bit_counts. Same collapse-first discipline: bands join
+    * DISTINCT (h0, h1) signatures; identical-signature pairs emit
+    * directly at ham 0. */
+  def hammingNearDupPairsWide(docs: DataFrame, radius: Int = 3): DataFrame = {
+    require(radius <= 3, "4 bands x 30 bits are exact only for radius <= 3")
+    val sh = simhashWide(docs).localCheckpoint(true)
+    val mask = (1L << 30) - 1
+    val sig = sh.select("h0", "h1").distinct()
+    val banded = sig.select(col("h0"), col("h1"),
+      posexplode(array(
+        expr(s"h0 & $mask"), expr(s"(h0 >> 30) & $mask"),
+        expr(s"h1 & $mask"), expr(s"(h1 >> 30) & $mask"))).as(Seq("band", "key")))
+    val x = banded.select(col("band"), col("key"),
+      col("h0").as("xa0"), col("h1").as("xa1"))
+    val y = banded.select(col("band").as("band2"), col("key").as("key2"),
+      col("h0").as("xb0"), col("h1").as("xb1"))
+    val sigPairs = x.join(y,
+        col("band") === col("band2") && col("key") === col("key2") &&
+          struct(col("xa0"), col("xa1")) < struct(col("xb0"), col("xb1")))
+      .select("xa0", "xa1", "xb0", "xb1").distinct()
+      .select(col("xa0"), col("xa1"), col("xb0"), col("xb1"),
+        expr("cast(bit_count(xa0 ^ xb0) + bit_count(xa1 ^ xb1) as bigint)")
+          .as("ham"))
+      .filter(col("ham") <= radius)
+    val cross = sigPairs
+      .join(sh.select(col("doc_id").as("ida"),
+        col("h0").as("xa0"), col("h1").as("xa1")), Seq("xa0", "xa1"))
+      .join(sh.select(col("doc_id").as("idb"),
+        col("h0").as("xb0"), col("h1").as("xb1")), Seq("xb0", "xb1"))
+      .select(least(col("ida"), col("idb")).as("a"),
+        greatest(col("ida"), col("idb")).as("b"), col("ham"))
+    val within = sh.select(col("doc_id").as("a"), col("h0"), col("h1"))
+      .join(sh.select(col("doc_id").as("b"), col("h0"), col("h1")),
+        Seq("h0", "h1"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(0L).as("ham"))
+    cross.unionByName(within)
+  }
+
   /** D12: INCREMENTAL snapshot dedup — how a production corpus actually
     * updates: only the incoming batch is curated, against the PRIOR
     * snapshot, never corpus-vs-corpus. Incoming docs are classified

@@ -68,6 +68,13 @@ object DocCorpusProbe {
     timed("d3b_verify_r4") {
       Dedup.jaccardVerifyFrom(sh, rowsPerBand = 4).count()
     }
+    System.gc()
+    // the e9 saturation fix: 120-bit fingerprint, 4×30-bit bands — the
+    // same radius-3 pigeonhole guarantee with 2^15× fewer random band
+    // collisions than e9's 60-bit 4×15 (94.6 s at this corpus)
+    timed("e9b_wide_neardup") {
+      Dedup.hammingNearDupPairsWide(docs).count()
+    }
     spark.stop()
   }
 }

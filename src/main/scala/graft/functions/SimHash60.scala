@@ -22,8 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * pipeline (hash + vote + pack) as one compiled loop with a single
   * stack-local vote array per row. The SURVEY §7.3 preference-order (b)
   * case, like [[FloatDotProduct]].
+  *
+  * `half` selects which 60 md5 bits feed the votes: 0 = digest bytes
+  * 0-7 (hex chars 1-15, the d4 signature), 1 = bytes 8-15 (hex chars
+  * 17-31). Two halves give the 120-bit wide fingerprint whose 4×30-bit
+  * bands stay collision-bounded at corpus sizes where the 60-bit
+  * 4×15-bit bands saturate (the e9b scale path; PERF.md corpus replay).
   */
-case class SimHash60(child: Expression) extends UnaryExpression {
+case class SimHash60(child: Expression, half: Int = 0) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -34,7 +40,7 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       if (ts.isNullAt(i)) return null
-      val h = SimHash60.tokenHash(ts.getUTF8String(i))
+      val h = SimHash60.tokenHash(ts.getUTF8String(i), half)
       var b = 0
       while (b < 60) {
         votes(b) += (((h >> b) & 1L).toInt << 1) - 1
@@ -58,7 +64,7 @@ case class SimHash60(child: Expression) extends UnaryExpression {
          |int[] $votes = new int[60];
          |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  long $h = $mod.tokenHash($a.getUTF8String($i));
+         |  long $h = $mod.tokenHash($a.getUTF8String($i), $half);
          |  for (int $b = 0; $b < 60; $b++) {
          |    $votes[$b] += ((int) (($h >> $b) & 1L) << 1) - 1;
          |  }
@@ -76,15 +82,19 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 }
 
 object SimHash60 {
-  /** First 60 bits of md5 over the token's UTF-8 bytes — bit-equal to the
-    * SQL form `cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)`. */
-  def tokenHash(t: UTF8String): Long = {
+  /** 60 md5 bits over the token's UTF-8 bytes: half 0 = digest bytes
+    * 0-7 big-endian >>> 4, bit-equal to the SQL form
+    * `cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)`; half 1 =
+    * bytes 8-15, ≡ `conv(substring(md5(t), 17, 15), 16, 10)`. */
+  def tokenHash(t: UTF8String, half: Int): Long = {
     val md = org.apache.commons.codec.digest.DigestUtils.md5(t.getBytes)
     var h = 0L
-    var j = 0
-    while (j < 8) { h = (h << 8) | (md(j) & 0xFFL); j += 1 }
+    var j = 8 * half
+    while (j < 8 * half + 8) { h = (h << 8) | (md(j) & 0xFFL); j += 1 }
     h >>> 4
   }
+
+  def tokenHash(t: UTF8String): Long = tokenHash(t, 0)
 
   def pack(votes: Array[Int]): Long = {
     var sig = 0L
@@ -97,16 +107,24 @@ object SimHash60 {
   }
 
   val FnName = "graft_simhash60"
+  val FnNameHi = "graft_simhash60_hi"
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnName, exprs => {
         require(exprs.length == 1, s"$FnName expects exactly 1 argument")
         SimHash60(exprs.head)
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnNameHi, exprs => {
+        require(exprs.length == 1, s"$FnNameHi expects exactly 1 argument")
+        SimHash60(exprs.head, half = 1)
+      }, "built-in")
+  }
 
-  def of(spark: SparkSession, tokens: Column): Column = {
+  def of(spark: SparkSession, tokens: Column, half: Int = 0): Column = {
     register(spark)
-    org.apache.spark.sql.functions.call_function(FnName, tokens)
+    org.apache.spark.sql.functions.call_function(
+      if (half == 0) FnName else FnNameHi, tokens)
   }
 }

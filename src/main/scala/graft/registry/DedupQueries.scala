@@ -81,6 +81,27 @@ object DedupQueries {
       |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM bv GROUP BY doc_id)""".stripMargin
 
+  /** The 120-bit wide fingerprint (e9b): per token BOTH 60-bit md5
+    * halves — hex chars 1-15 (the d4 hash) and 17-31 — voted per bit
+    * into two packed longs per document. Mirrors
+    * [[graft.Dedup.simhashWide]] bit-for-bit. */
+  val SIMHASH_WIDE: String =
+    TextQueries.TOK + """,
+      |tokd AS (SELECT DISTINCT doc_id, unnest(ts) AS t FROM tok),
+      |thw AS (SELECT doc_id,
+      |  CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS ha,
+      |  CAST(('0x' || substr(md5(t), 17, 15)) AS BIGINT) AS hb FROM tokd),
+      |bvw AS (
+      |  SELECT doc_id, bit,
+      |    sum(2 * ((ha >> bit) & 1) - 1) AS v0,
+      |    sum(2 * ((hb >> bit) & 1) - 1) AS v1
+      |  FROM thw, (SELECT unnest(range(0, 60)) AS bit) bits
+      |  GROUP BY doc_id, bit),
+      |shw AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN v0 > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS h0,
+      |  CAST(sum(CASE WHEN v1 > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS h1
+      |  FROM bvw GROUP BY doc_id)""".stripMargin
+
   /** The x2 transitive-closure chain over the LSH candidate pairs, shared
     * by x2 (cluster summary) and x3 (cluster-safe split). Ends at CTE
     * `labels(id, label)` — min reachable id, the same fixpoint as
@@ -115,6 +136,21 @@ object DedupQueries {
           |          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
           |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS ham
           |FROM hcand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin))),
+
+    // ---- E9b: the 100 TB Hamming path — 120-bit simhash (two 60-bit
+    //      md5 halves), 4 bands × 30 bits, exact for radius ≤ 3. The
+    //      bands are exact by pigeonhole, so the oracle is the honest
+    //      ALL-PAIRS Hamming filter over the same wide fingerprints —
+    //      identical result set by construction, and the oracle stays
+    //      independent of the banding it grades ----
+    ("e9b_hamming_neardup_wide",
+      (s: SparkSession, d: String) =>
+        Dedup.hammingNearDupPairsWide(Tables.documents(s, d)),
+      Some(Oracle.withSql(SIMHASH_WIDE,
+        """SELECT x.doc_id AS a, y.doc_id AS b,
+          |  CAST(bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) AS BIGINT) AS ham
+          |FROM shw x JOIN shw y ON x.doc_id < y.doc_id
+          |WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 3""".stripMargin))),
 
     // ---- D12: incremental snapshot dedup — only the incoming batch is
     //      curated, against the PRIOR snapshot (doc_id % 3 == 0 is the

@@ -169,6 +169,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(m(3L).getAs[String]("top_bigram") == "x y" && m(3L).getAs[Long]("top_bigram_n") == 2)
   }
 
+  test("wide 120-bit hamming pairs equal the brute-force filter; halves are independent") {
+    val sigs = Dedup.simhashWide(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the two halves come from disjoint md5 bytes — a corpus where they
+    // coincide for every doc would mean the second half is not wired
+    assert(sigs.values.exists { case (h0, h1) => h0 != h1 })
+    val brute = (for {
+      (a, (a0, a1)) <- sigs.toSeq; (b, (b0, b1)) <- sigs.toSeq if a < b
+      ham = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+      if ham <= 3
+    } yield (a, b, ham.toLong)).toSet
+    val banded = Dedup.hammingNearDupPairsWide(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute) // pigeonhole: 4x30-bit bands are exact at radius 3
+    assert(banded.contains((1L, 2L, 0L))) // the exact dup survives at ham 0
+  }
+
   test("simhash is equal for identical docs, near for near-dups") {
     val sh = TestSpark.toMap2(Dedup.simhash(corpus))
     assert(sh(1L) == sh(2L))
