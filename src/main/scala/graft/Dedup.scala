@@ -79,8 +79,8 @@ object Dedup {
     * per band, hashed straight off the wide signature (no self-join).
     *
     * `rowsPerBand` is THE precision/recall knob (LSH S-curve: match
-    * probability j^r per band): r=2 over 16 hashes is the registry
-    * default every oracle mirrors, but a random pair's per-band collision
+    * probability j^r per band): r=2 over the 8-hash signature (4 bands)
+    * is the registry default every oracle mirrors, but a random pair's per-band collision
     * odds are only squared — on a large low-entropy corpus (small shingle
     * vocabulary ⇒ random pairs share minhashes at rates ∝ their accidental
     * Jaccard) the candidate set turns quadratic. The 100×-documents
@@ -116,11 +116,17 @@ object Dedup {
   }
 
   /** D2 off the projection signature: band hashes + the bucket equi-join
-    * are the only shuffle (fixed-width 32-char keys). */
-  def minhashCandidatesDirect(docs: DataFrame): DataFrame = {
-    val nBands = NumHashes / RowsPerBand
+    * are the only shuffle (fixed-width 32-char keys). `rowsPerBand` is
+    * the same S-curve knob as [[bands]] — size it to the corpus. */
+  def minhashCandidatesDirect(docs: DataFrame,
+                              rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val nBands = NumHashes / rowsPerBand
     val pairs = (0 until nBands)
-      .map(b => s"$b, md5(concat(m${2 * b}, m${2 * b + 1}))").mkString(", ")
+      .map { b =>
+        val ms = (0 until rowsPerBand).map(r => s"m${rowsPerBand * b + r}")
+          .mkString(", ")
+        s"$b, md5(concat($ms))"
+      }.mkString(", ")
     val bd = signatureDirect(docs).select(col("doc_id"),
       expr(s"stack($nBands, $pairs)").as(Seq("b", "sig")))
     val x = bd.select(col("b"), col("sig"), col("doc_id").as("a"))
@@ -259,6 +265,34 @@ object Dedup {
       .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .select(col("a"), col("b"),
         expr("(100 * i) div (na + nb - i)").as("jacc_pct"))
+  }
+
+  /** D17: the LSH band-width sweep as a REGISTRY metric (the d16
+    * calibration discipline applied to the S-curve knob): for each
+    * rowsPerBand r ∈ {2, 4} over the same 8-hash signatures, the
+    * candidate-pair count, how many candidates are TRUE near-dups
+    * (exact shingle Jaccard ≥ `jaccThresholdPct`, judged over the most
+    * inclusive r=2 candidate set), and recall vs that truth set in ppm.
+    * r=2's recall is 1e6 by construction (truth ⊆ its candidates); the
+    * r=4 row quantifies exactly what the scale-sized band width trades:
+    * per-band match probability j² → j⁴, so threshold-J pairs thin out
+    * while the 500k-doc replay's 58× candidate cut is bought (PERF.md).
+    * All driver-side loops are over the CONSTANT {2, 4}. */
+  def lshBandSweep(docs: DataFrame, jaccThresholdPct: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = shingles(docs).localCheckpoint(true)
+    val truth = jaccardVerifyFrom(sh)
+      .filter(col("jacc_pct") >= jaccThresholdPct)
+      .select("a", "b").localCheckpoint(true)
+    val nTrue = truth.count()
+    Seq(2, 4).map { r =>
+      val cand = minhashCandidatesFrom(sh, r).localCheckpoint(true)
+      val nCand = cand.count()
+      val nHit = cand.join(truth, Seq("a", "b"), "left_semi").count()
+      (r, nCand, nHit,
+        if (nTrue == 0) 1000000L else 1000000L * nHit / nTrue)
+    }.toDF("r", "n_cand", "n_hit", "recall_ppm")
   }
 
   /** D4: 60-bit SimHash per document over the distinct token set (first 60

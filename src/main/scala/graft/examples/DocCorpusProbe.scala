@@ -54,8 +54,8 @@ object DocCorpusProbe {
     val sh = Dedup.shingles(reps).localCheckpoint(true)
     println(s"[corpus] shingle rows: ${sh.count()}")
 
-    // the S-curve measurement: candidate volume at r=2 (registry default)
-    // vs r=4 over the SAME 16-hash signatures
+    // the S-curve measurement: candidate volume at r=2 (registry default,
+    // 4 bands) vs r=4 (2 bands) over the SAME 8-hash signatures
     timed("candidates_r2_count") {
       Dedup.minhashCandidatesFrom(sh, rowsPerBand = 2).count()
     }

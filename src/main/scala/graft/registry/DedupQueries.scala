@@ -219,6 +219,45 @@ object DedupQueries {
           |  abs(est.est_ppm - e.jacc_pct * 10000) AS abs_err_ppm
           |FROM ex e JOIN est ON e.a = est.a AND e.b = est.b""".stripMargin))),
 
+    // ---- d17: the LSH band-width sweep — the S-curve knob as a graded
+    //      registry metric: candidate volume and truth-recall at r=2 vs
+    //      r=4 over the same 8-hash signatures (truth = exact Jaccard ≥
+    //      50 over the inclusive r=2 candidates). The 500k-doc replay's
+    //      58× candidate cut is the other side of this trade (PERF.md) ----
+    ("d17_lsh_band_sweep",
+      (s: SparkSession, d: String) =>
+        Dedup.lshBandSweep(Tables.documents(s, d)),
+      Some(Oracle.withSql(LSH,
+        """, band4 AS (
+          |  SELECT doc_id, k // 4 AS b, md5(string_agg(m, '' ORDER BY k)) AS sig
+          |  FROM mh GROUP BY doc_id, k // 4),
+          |cand4 AS (
+          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |  FROM band4 x JOIN band4 y
+          |  ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+          |sz AS (SELECT doc_id, count(*) AS n FROM shu GROUP BY doc_id),
+          |inter AS (
+          |  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
+          |  FROM shu sa JOIN shu sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+          |  GROUP BY 1, 2),
+          |truth AS (
+          |  SELECT c.a, c.b
+          |  FROM cand c LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+          |  JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+          |  WHERE (100 * COALESCE(i.i, 0)) // (sa.n + sb.n - COALESCE(i.i, 0)) >= 50),
+          |nt AS (SELECT count(*) AS n FROM truth),
+          |rows_ AS (
+          |  SELECT 2 AS r, (SELECT count(*) FROM cand) AS n_cand,
+          |         (SELECT count(*) FROM truth) AS n_hit
+          |  UNION ALL
+          |  SELECT 4 AS r, (SELECT count(*) FROM cand4) AS n_cand,
+          |         (SELECT count(*) FROM cand4 c JOIN truth t
+          |          ON c.a = t.a AND c.b = t.b) AS n_hit)
+          |SELECT r, CAST(n_cand AS BIGINT) AS n_cand, CAST(n_hit AS BIGINT) AS n_hit,
+          |  CAST(CASE WHEN (SELECT n FROM nt) = 0 THEN 1000000
+          |       ELSE (1000000 * n_hit) // (SELECT n FROM nt) END AS BIGINT) AS recall_ppm
+          |FROM rows_""".stripMargin))),
+
     // ---- d15: duplicate-aware sampling weights — soft dedup: every doc
     //      keeps its row with weight 1/|exact-dup cluster| ppm, so a
     //      weighted sampler sees each distinct text with total mass 1 ----
