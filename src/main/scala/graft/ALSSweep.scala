@@ -158,7 +158,17 @@ object ALSSweep {
     * are shuffled ONCE per side up front (user-keyed and item-keyed
     * persisted frames — the two clusterings every sweep reuses); at
     * 100 TB this is the bucketed-table layout a production fit would
-    * read directly, and per-iteration cost is exchange-free. */
+    * read directly.
+    *
+    * Scale bound on "exchange-free": the per-sweep plan relies on
+    * BROADCASTING the fixed side's factors (D doubles per vertex), which
+    * holds up to Spark's broadcast limit — ~10^8 vertices at D=10
+    * against the 8 GB cap. Past that, drop the hint in [[solveSide]]:
+    * the solve-side groupBy still aggregates in place on the persisted
+    * clustering, and only the (vertex-sized) factor join shuffles —
+    * graceful degradation, one exchange per sweep, never a ratings
+    * reshuffle. The [[rmse]] scoring join below already makes that
+    * choice (no hint, AQE decides) because it joins BOTH factor sides. */
   def fit(spark: SparkSession, ratings: DataFrame, iters: Int): (DataFrame, DataFrame) = {
     val typed = ratings.select(col("user").cast("int").as("user"),
       col("item").cast("int").as("item"), col("rating").cast("double").as("rating"))

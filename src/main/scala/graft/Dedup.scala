@@ -91,6 +91,9 @@ object Dedup {
 
   private def bandsFrom(sh: DataFrame,
                         rowsPerBand: Int = RowsPerBand): DataFrame = {
+    require(rowsPerBand >= 1 && NumHashes % rowsPerBand == 0,
+      s"rowsPerBand must divide NumHashes=$NumHashes (got $rowsPerBand); " +
+        "a non-divisor would silently drop signature hashes from every band")
     val nBands = NumHashes / rowsPerBand
     val pairs = (0 until nBands)
       .map { b =>
@@ -120,6 +123,8 @@ object Dedup {
     * the same S-curve knob as [[bands]] — size it to the corpus. */
   def minhashCandidatesDirect(docs: DataFrame,
                               rowsPerBand: Int = RowsPerBand): DataFrame = {
+    require(rowsPerBand >= 1 && NumHashes % rowsPerBand == 0,
+      s"rowsPerBand must divide NumHashes=$NumHashes (got $rowsPerBand)")
     val nBands = NumHashes / rowsPerBand
     val pairs = (0 until nBands)
       .map { b =>
@@ -231,6 +236,16 @@ object Dedup {
             "use the collapse-first composition (d3b) for unbounded-correct " +
             "verification")
     }
+    jaccardVerifyCandidates(sh, cand)
+  }
+
+  /** Exact shingle-Jaccard over an ALREADY-materialized candidate frame
+    * (`cand` must be checkpointed: the blowup guard counts it and the
+    * pipeline consumes it from three branches) — the seam
+    * [[jaccardVerifyFrom]] and [[lshBandSweep]] share so the sweep does
+    * not regenerate the candidate set it already has. */
+  private[graft] def jaccardVerifyCandidates(sh: DataFrame,
+                                             cand: DataFrame): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // restrict the shingle self-join to candidate documents FIRST — the
     // unrestricted join is quadratic in the hottest shingle's frequency,
@@ -282,12 +297,19 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = shingles(docs).localCheckpoint(true)
-    val truth = jaccardVerifyFrom(sh)
+    // the r=2 candidates are BOTH the truth basis and the r=2 row —
+    // materialize once and verify off the shared frame (the candidate
+    // pipeline is the sweep's dominant cost, quadratic on exactly the
+    // blowup-shaped corpora this metric exists to measure)
+    val cand2 = minhashCandidatesFrom(sh, 2).localCheckpoint(true)
+    val truth = jaccardVerifyCandidates(sh, cand2)
       .filter(col("jacc_pct") >= jaccThresholdPct)
       .select("a", "b").localCheckpoint(true)
     val nTrue = truth.count()
     Seq(2, 4).map { r =>
-      val cand = minhashCandidatesFrom(sh, r).localCheckpoint(true)
+      val cand =
+        if (r == 2) cand2
+        else minhashCandidatesFrom(sh, r).localCheckpoint(true)
       val nCand = cand.count()
       val nHit = cand.join(truth, Seq("a", "b"), "left_semi").count()
       (r, nCand, nHit,

@@ -320,6 +320,10 @@ object Queries {
   val WalkSteps = 4
   val WalkSalt = "rw"
 
+  /** Largest walk frontier inlined as an IN literal; above this the step
+    * restriction reverts to a broadcast semi-join (no driver collect). */
+  val FrontierInlineLimit = 1000
+
   /** G7: deterministic random walks — the DeepWalk/node2vec corpus
     * generation step (walk sequences become training sentences for graph
     * embeddings). Every "random" choice is an md5 draw keyed by
@@ -368,11 +372,20 @@ object Queries {
       // defaults) — collect it off the checkpointed frame into an IN
       // filter over the materialized adjacency (an InSet probe per cached
       // row; over a src-sorted store the same predicate becomes parquet
-      // footer pruning)
-      val fvals = cur.select(col("v")).distinct().collect().map(_.get(0)).toSeq
+      // footer pruning). The collect is GUARDED: callers passing big
+      // nStarts/walksPerStart fall back to the broadcast semi-join, so
+      // the driver never inlines an unbounded literal set.
+      val fvals = cur.select(col("v")).distinct()
+        .limit(FrontierInlineLimit + 1).collect().map(_.get(0)).toSeq
       if (fvals.isEmpty) live = false // all walks hit sinks: later steps are empty
       else {
-        val rk = adjAll.filter(col("src").isInCollection(fvals))
+        val restricted =
+          if (fvals.size <= FrontierInlineLimit)
+            adjAll.filter(col("src").isInCollection(fvals))
+          else
+            adjAll.join(broadcast(cur.select(col("v").as("fv")).distinct()),
+              adjAll("src") === col("fv"), "left_semi")
+        val rk = restricted
           .select(col("src"), col("dst"),
             row_number().over(bySrc.orderBy("dst")).as("rk"),
             count(lit(1)).over(bySrc).as("deg"))

@@ -48,14 +48,20 @@ object MakeScale {
         // sizes, and thus pair-emitting outputs, grow quadratically BY
         // CONSTRUCTION). For the linear-growth envelope the copies must be
         // content-disjoint like the graph copies are id-disjoint: tag every
-        // document token with the copy index (all shingles differ across
-        // copies), and sign-flip embedding dimensions by a per-copy hash
-        // pattern (norm-preserving; distinct sign patterns decorrelate
-        // drawn vectors, expected cross-copy cosine ~0).
+        // document token with the copy index, and sign-flip embedding
+        // dimensions by a per-copy hash pattern (norm-preserving; distinct
+        // sign patterns decorrelate drawn vectors, cross-copy cosine ~0).
+        // The tag must be FUSED (alphanumeric, no separator character): a
+        // 'c1_' prefix would be split off by the [^a-z0-9]+ tokenizer,
+        // leaving every copy's distinct-token SET (and so its simhash)
+        // nearly identical — quadratic cross-copy Hamming structure at
+        // exactly the entries this fixture exists to scale-test. Tagging
+        // rides the fixture's space separators; 'c7xvector' stays one
+        // token through tokenize and shingle alike.
         val disjoint =
           if (name == "documents" && i > 0)
             shifted.withColumn("text",
-              concat(lit(s"c${i}_"), regexp_replace(col("text"), " ", s" c${i}_")))
+              concat(lit(s"c${i}x"), regexp_replace(col("text"), " ", s" c${i}x")))
           else if (name == "embeddings" && i > 0)
             shifted.withColumn("embedding", expr(
               s"transform(embedding, (x, j) -> x * CAST(1 - 2 * pmod(hash($i, j), 2) AS FLOAT))"))
