@@ -246,6 +246,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("temporal reach (delta frontier) equals the naive full-expansion unroll") {
+    val genTemporal: Gen[List[(Long, Long, Long)]] =
+      Gen.nonEmptyListOf(for {
+        s <- Gen.choose(0L, 9L)
+        d <- Gen.choose(0L, 9L).suchThat(_ != s)
+        t <- Gen.choose(0L, 6L)
+      } yield (s, d, t))
+    check(Prop.forAll(genTemporal) { es =>
+      val sess = spark; import sess.implicits._
+      val hops = 4
+      val edges = es.toDF("src", "dst", "ets")
+      val src = es.map(_._1).min
+      val got = Traversals.temporalReachFrom(edges, Seq(src).toDF("v"), hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // naive reference: expand the WHOLE arrival map every hop (the
+      // pre-delta form the rewrite must stay value-identical to)
+      var arr = Map(src -> 0L)
+      for (_ <- 1 to hops) {
+        val msgs = for ((u, v, t) <- es; a <- arr.get(u) if t >= a) yield v -> t
+        arr = (arr.toSeq ++ msgs).groupBy(_._1)
+          .map { case (v, xs) => v -> xs.map(_._2).min }
+      }
+      got == arr
+    })
+  }
+
   test("k-core fixpoint equals brute-force iterative peeling") {
     check(Prop.forAll(genEdges) { es =>
       val canonPairs = es.collect { case (a, b) if a != b =>
