@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline surface:
@@ -494,27 +494,55 @@ object Dedup {
     require(nBands >= radius + 1, "pigeonhole guarantee needs nBands > radius")
     val bits = 60 / nBands
     val mask = (1L << bits) - 1
-    val sig = sh.select("simhash").distinct()
-    val banded = sig.select(col("simhash"),
-      posexplode(array((0 until nBands).map(b =>
-        expr(s"(simhash >> ${b * bits}) & $mask")): _*)).as(Seq("band", "key")))
-    val x = banded.select(col("band"), col("key"), col("simhash").as("ha"))
-    val y = banded.select(col("band").as("band2"), col("key").as("key2"),
-      col("simhash").as("hb"))
+    hammingPairsGeneric(sh, Seq("simhash"),
+      (0 until nBands).map(b => expr(s"(simhash >> ${b * bits}) & $mask")),
+      radius)
+  }
+
+  /** The collapse-first Hamming band-join pipeline, generic over a
+    * multi-long fingerprint: `sigCols` are the (doc_id-keyed) signature
+    * columns, `bandKeys` the disjoint band-key expressions over them.
+    * Pigeonhole exactness is the CALLER's contract (`|bandKeys| ≥
+    * radius + 1` over disjoint bit bands); this helper only runs the
+    * shared plan: DISTINCT signatures → band equi-join → bit_count
+    * rerank ≤ radius → expand back to member pairs, plus the direct
+    * ham = 0 emit for identical signatures. One implementation now backs
+    * e9, e9b, m5 and d12's band index (r8 review finding: the wide
+    * variant had copy-adapted this whole chain). */
+  private def hammingPairsGeneric(shIn: DataFrame, sigCols: Seq[String],
+                                  bandKeys: Seq[Column],
+                                  radius: Int): DataFrame = {
+    // checkpoint the fingerprint projection ONCE: the consumers below
+    // (distinct, two expand-back joins, the within self-join) would
+    // otherwise recompute the upstream md5-vote projection per use
+    // (ADVICE r8 — the wide variant already did this, e9/m5 did not)
+    val sh = shIn.localCheckpoint(true)
+    val xa = sigCols.map(c => s"xa_$c")
+    val xb = sigCols.map(c => s"xb_$c")
+    val sig = sh.select(sigCols.map(col): _*).distinct()
+    val banded = sig.select(sigCols.map(col) :+
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")): _*)
+    val x = banded.select(col("band") +: col("key") +:
+      sigCols.map(c => col(c).as(s"xa_$c")): _*)
+    val y = banded.select(col("band").as("band2") +: col("key").as("key2") +:
+      sigCols.map(c => col(c).as(s"xb_$c")): _*)
+    val ham = sigCols.map(c => expr(s"bit_count(xa_$c ^ xb_$c)"))
+      .reduce(_ + _).cast("bigint").as("ham")
     val sigPairs = x.join(y,
         col("band") === col("band2") && col("key") === col("key2")
-          && col("ha") < col("hb"))
-      .select("ha", "hb").distinct()
-      .select(col("ha"), col("hb"),
-        expr("cast(bit_count(ha ^ hb) as bigint)").as("ham"))
+          && struct(xa.map(col): _*) < struct(xb.map(col): _*))
+      .select((xa ++ xb).map(col): _*).distinct()
+      .select((xa ++ xb).map(col) :+ ham: _*)
       .filter(col("ham") <= radius)
     val cross = sigPairs
-      .join(sh.select(col("doc_id").as("ida"), col("simhash").as("ha")), "ha")
-      .join(sh.select(col("doc_id").as("idb"), col("simhash").as("hb")), "hb")
+      .join(sh.select(col("doc_id").as("ida") +:
+        sigCols.map(c => col(c).as(s"xa_$c")): _*), xa)
+      .join(sh.select(col("doc_id").as("idb") +:
+        sigCols.map(c => col(c).as(s"xb_$c")): _*), xb)
       .select(least(col("ida"), col("idb")).as("a"),
         greatest(col("ida"), col("idb")).as("b"), col("ham"))
-    val within = sh.select(col("doc_id").as("a"), col("simhash").as("h"))
-      .join(sh.select(col("doc_id").as("b"), col("simhash").as("h")), "h")
+    val within = sh.select(col("doc_id").as("a") +: sigCols.map(col): _*)
+      .join(sh.select(col("doc_id").as("b") +: sigCols.map(col): _*), sigCols)
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), lit(0L).as("ham"))
     cross.unionByName(within)
@@ -549,38 +577,11 @@ object Dedup {
     * directly at ham 0. */
   def hammingNearDupPairsWide(docs: DataFrame, radius: Int = 3): DataFrame = {
     require(radius <= 3, "4 bands x 30 bits are exact only for radius <= 3")
-    val sh = simhashWide(docs).localCheckpoint(true)
     val mask = (1L << 30) - 1
-    val sig = sh.select("h0", "h1").distinct()
-    val banded = sig.select(col("h0"), col("h1"),
-      posexplode(array(
-        expr(s"h0 & $mask"), expr(s"(h0 >> 30) & $mask"),
-        expr(s"h1 & $mask"), expr(s"(h1 >> 30) & $mask"))).as(Seq("band", "key")))
-    val x = banded.select(col("band"), col("key"),
-      col("h0").as("xa0"), col("h1").as("xa1"))
-    val y = banded.select(col("band").as("band2"), col("key").as("key2"),
-      col("h0").as("xb0"), col("h1").as("xb1"))
-    val sigPairs = x.join(y,
-        col("band") === col("band2") && col("key") === col("key2") &&
-          struct(col("xa0"), col("xa1")) < struct(col("xb0"), col("xb1")))
-      .select("xa0", "xa1", "xb0", "xb1").distinct()
-      .select(col("xa0"), col("xa1"), col("xb0"), col("xb1"),
-        expr("cast(bit_count(xa0 ^ xb0) + bit_count(xa1 ^ xb1) as bigint)")
-          .as("ham"))
-      .filter(col("ham") <= radius)
-    val cross = sigPairs
-      .join(sh.select(col("doc_id").as("ida"),
-        col("h0").as("xa0"), col("h1").as("xa1")), Seq("xa0", "xa1"))
-      .join(sh.select(col("doc_id").as("idb"),
-        col("h0").as("xb0"), col("h1").as("xb1")), Seq("xb0", "xb1"))
-      .select(least(col("ida"), col("idb")).as("a"),
-        greatest(col("ida"), col("idb")).as("b"), col("ham"))
-    val within = sh.select(col("doc_id").as("a"), col("h0"), col("h1"))
-      .join(sh.select(col("doc_id").as("b"), col("h0"), col("h1")),
-        Seq("h0", "h1"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), lit(0L).as("ham"))
-    cross.unionByName(within)
+    hammingPairsGeneric(simhashWide(docs), Seq("h0", "h1"),
+      Seq(expr(s"h0 & $mask"), expr(s"(h0 >> 30) & $mask"),
+        expr(s"h1 & $mask"), expr(s"(h1 >> 30) & $mask")),
+      radius)
   }
 
   /** D12: INCREMENTAL snapshot dedup — how a production corpus actually
