@@ -17,9 +17,13 @@ object ALSRec {
 
   /** Bipartite ratings from the order graph: user = customer, item =
     * supplier, rating = the 1..5 edge column (FIXTURES.md tiny_ratings
-    * shape at fixture scale). */
+    * shape at fixture scale). Reads the materialized edge store — same
+    * rows as [[Tables.orderEdges]], but a 3-column pruned parquet scan
+    * instead of re-running the lineitem⋈orders build per training run
+    * (the store is the "ratings are a table you already have" 100 TB
+    * shape; at sf1 this was ~3-7 s of every ALS entry). */
   def ratings(spark: SparkSession, dir: String): DataFrame =
-    Tables.orderEdges(spark, dir).select(
+    Tables.orderEdgesStored(spark, dir).select(
       col("src").cast("int").as("user"),
       (col("dst") - Tables.SupplierBase).cast("int").as("item"),
       col("rating").cast("float").as("rating"))

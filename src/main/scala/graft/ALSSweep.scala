@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** C6b: reference-exact ALS — a DataFrame port of the per-vertex D=10
@@ -14,13 +13,16 @@ import org.apache.spark.sql.functions._
   *
   * Spark shape: ratings are hash-partitioned ONCE per side (a user-keyed
   * and an item-keyed persisted frame — at 100 TB, the bucketed-table
-  * layout); each half-sweep broadcast-joins the fixed side's factors
-  * (vertex-sized) into the solve side's frame and aggregates each
-  * vertex's (XtX, Xty, deg) with an [[Aggregator]]-backed UDAF IN PLACE —
-  * the broadcast join preserves the streamed side's partitioning, so the
-  * per-sweep plan has zero exchanges and `finish` runs the 10×10 Cholesky
-  * solve where the ratings already live. Factors are localCheckpointed
-  * per sweep so lineage stays O(1) across iterations, like [[PageRank]].
+  * layout); each half-sweep BROADCASTS the fixed side's factors as a
+  * packed flat array ([[graft.functions.PackedFactors]], vertex-sized)
+  * and aggregates each vertex's (XtX, Xty, deg) IN PLACE with the
+  * primitive-buffer native aggregate [[graft.functions.NormalEqAgg]],
+  * which looks the neighbor factor up from the broadcast inside
+  * `update` — so the per-sweep plan is a single zero-exchange
+  * aggregation over the 24-byte rating rows (no join operator at all)
+  * and `eval` runs the 10×10 Cholesky solve where the ratings already
+  * live. Factors are localCheckpointed per sweep so lineage stays O(1)
+  * across iterations, like [[PageRank]].
   *
   * Init factors are md5-derived uniforms (the reference's `randomize`,
   * FactorVec.randomize, determinized — same value every engine/run), so
@@ -43,9 +45,11 @@ object ALSSweep {
     h.toDouble / (1L << 56).toDouble
   }
 
-  /** 10×10 SPD solve via Cholesky (the reference uses commons-math
-    * CholeskyDecomposition; same algorithm, allocation-free). */
+  /** n×n SPD solve via Cholesky, n = b.length (the reference uses
+    * commons-math CholeskyDecomposition; same algorithm,
+    * allocation-free). */
   private[graft] def choleskySolve(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val D = b.length
     val L = new Array[Double](D * D)
     var i = 0
     while (i < D) {
@@ -81,56 +85,6 @@ object ALSSweep {
     x
   }
 
-  /** Per-vertex normal-equation accumulator: state = (XtX row-major,
-    * Xty, deg). reduce = the reference's per-edge XtX/Xty update loop
-    * (ALSMatrixFactorization.scala:148-166); merge = element-wise add
-    * (associativity is the map-side-combine ticket); finish = λ·deg
-    * regularization + Cholesky solve (:178-190). Input is (neighbor
-    * factor, rating) — the solve-side id is the RELATIONAL grouping key,
-    * so [[fit]]'s pre-partitioned rating frames satisfy the aggregate's
-    * distribution and the half-sweep plans with ZERO exchanges. */
-  private class NormalEq
-      extends Aggregator[(Array[Double], Double), (Array[Double], Array[Double], Long), Array[Double]] {
-    def zero = (new Array[Double](D * D), new Array[Double](D), 0L)
-    def reduce(acc: (Array[Double], Array[Double], Long), row: (Array[Double], Double)) = {
-      val (xtx, xty, _) = acc
-      val y = row._1
-      val r = row._2
-      var i = 0
-      while (i < D) {
-        xty(i) += y(i) * r
-        var j = 0
-        while (j < D) { xtx(i * D + j) += y(i) * y(j); j += 1 }
-        i += 1
-      }
-      (xtx, xty, acc._3 + 1)
-    }
-    def merge(a: (Array[Double], Array[Double], Long), b: (Array[Double], Array[Double], Long)) = {
-      var i = 0
-      while (i < D * D) { a._1(i) += b._1(i); i += 1 }
-      i = 0
-      while (i < D) { a._2(i) += b._2(i); i += 1 }
-      (a._1, a._2, a._3 + b._3)
-    }
-    def finish(acc: (Array[Double], Array[Double], Long)): Array[Double] = {
-      val (xtx, xty, deg) = acc
-      var i = 0
-      while (i < D) { xtx(i * D + i) += Lambda * deg; i += 1 }
-      choleskySolve(xtx, xty)
-    }
-    def bufferEncoder =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Array[Double], Long)]()
-    def outputEncoder =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
-  }
-
-  /** [[NormalEq]] as a column UDAF: keeps the grouping RELATIONAL (a
-    * `groupBy(col)` Catalyst can match against the child's hash
-    * partitioning), where the former typed `groupByKey(_._1)` hid the key
-    * behind a lambda and forced a fresh exchange every half-sweep. */
-  private lazy val normalEq = udaf(new NormalEq,
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Double)]())
-
   private def initFactors(spark: SparkSession, ids: DataFrame, side: String): DataFrame = {
     import spark.implicits._
     ids.as[Int].map { id =>
@@ -140,18 +94,42 @@ object ALSSweep {
 
   /** One half-sweep: re-solve `solveCol`'s factors given `givenCol`'s.
     * `ratings` must already be hash-partitioned on `solveCol` ([[fit]]
-    * prepares one frame per side): the fixed side broadcasts (vertex-sized,
-    * 10 doubles/row) and the broadcast join PRESERVES the streamed side's
-    * partitioning, so the groupBy aggregates in place — the half-sweep has
-    * zero exchanges, and a full sweep costs two broadcasts + pure CPU. */
+    * prepares one frame per side): the fixed side's factors are collected
+    * and broadcast packed ([[graft.functions.PackedFactors]], vertex-
+    * sized), and the groupBy aggregates in place over the pre-partitioned
+    * ratings — the half-sweep has zero exchanges, and a full sweep costs
+    * two broadcasts + pure CPU. */
   private def solveSide(ratings: DataFrame, given: DataFrame,
-                        solveCol: String, givenCol: String): DataFrame =
-    ratings.join(broadcast(given.withColumnRenamed("id", "gid")),
-        col(givenCol) === col("gid"))
-      .groupBy(solveCol)
-      .agg(normalEq(col("f"), col("rating")).as("f"))
-      .withColumnRenamed(solveCol, "id")
+                        solveCol: String, givenCol: String): DataFrame = {
+    val sc = ratings.sparkSession.sparkContext
+    val bc = sc.broadcast(graft.functions.PackedFactors.collect(given, D))
+    val out = solveSidePlan(ratings, bc, solveCol, givenCol)
       .localCheckpoint(true)
+    // the checkpoint above fully materialized the sweep — release the
+    // packed factors NOW instead of letting six of them pile up per fit
+    // waiting on the ContextCleaner (the r8 bench-session GC pressure)
+    bc.destroy()
+    out
+  }
+
+  /** The un-checkpointed half-sweep plan, split out so PlanShapeSpec can
+    * pin its zero-exchange shape (localCheckpoint would hide the plan
+    * behind an RDD scan). The grouping stays RELATIONAL (`groupBy(col)`)
+    * so Catalyst matches it against the ratings' hash partitioning; the
+    * aggregate is [[graft.functions.NormalEqAgg]] — a primitive-buffer
+    * TypedImperativeAggregate with the fixed side's factors fused in as
+    * a broadcast packed-array lookup, so the half-sweep's ONLY operator
+    * over the corpus-sized ratings is this in-place aggregation: no
+    * join, no per-row encoder, 24-byte input rows. */
+  private[graft] def solveSidePlan(
+      ratings: DataFrame,
+      given: org.apache.spark.broadcast.Broadcast[graft.functions.PackedFactors],
+      solveCol: String, givenCol: String): DataFrame =
+    ratings
+      .groupBy(solveCol)
+      .agg(graft.functions.NormalEqAgg.of(ratings.sparkSession,
+        col(givenCol), col("rating"), given, D, Lambda).as("f"))
+      .withColumnRenamed(solveCol, "id")
 
   /** Full fit: `iters` alternating sweeps (items first, like the
     * reference's vertex-ordering over the bipartite graph). The ratings
@@ -161,53 +139,88 @@ object ALSSweep {
     * read directly.
     *
     * Scale bound on "exchange-free": the per-sweep plan relies on
-    * BROADCASTING the fixed side's factors (D doubles per vertex), which
-    * holds up to Spark's broadcast limit — ~10^8 vertices at D=10
-    * against the 8 GB cap. Past that, drop the hint in [[solveSide]]:
-    * the solve-side groupBy still aggregates in place on the persisted
-    * clustering, and only the (vertex-sized) factor join shuffles —
-    * graceful degradation, one exchange per sweep, never a ratings
-    * reshuffle. The [[rmse]] scoring join below already makes that
-    * choice (no hint, AQE decides) because it joins BOTH factor sides. */
+    * BROADCASTING the fixed side's factors (D doubles per vertex, packed
+    * flat), which holds up to Spark's broadcast limit — ~10^8 vertices
+    * at D=10 against the 8 GB cap. Past that, swap [[solveSide]] for a
+    * relational factor join (shuffle the vertex-sized factor frame to
+    * the ratings' clustering) feeding the same aggregate over a factor
+    * column — graceful degradation, one vertex-sized exchange per sweep,
+    * never a ratings reshuffle. The [[rmse]] scoring join below already
+    * makes that choice (no hint, AQE decides) because it joins BOTH
+    * factor sides. */
   def fit(spark: SparkSession, ratings: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    val (userF, itemF, byUser, byItem) = fitFrames(spark, ratings, iters)
+    byUser.unpersist()
+    byItem.unpersist()
+    (userF, itemF)
+  }
+
+  /** [[fit]] plus the persisted per-side rating frames, still cached, so
+    * [[rmse]] can score against the user-clustered frame instead of
+    * re-deriving the ratings from source a third time (measured: the
+    * scoring phase was 5.2 s of c6b's sf1 cost, most of it a repeated
+    * lineitem⋈orders build + a fresh user-side shuffle). Caller owns the
+    * unpersist. */
+  private def fitFrames(spark: SparkSession, ratings: DataFrame,
+                        iters: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // cache the source ratings ONCE (columnar, compressed — NOT
+    // localCheckpoint, whose deserialized on-heap rows measured ~1 GB of
+    // small objects at sf1 and tipped the shared bench session into GC
+    // collapse): both per-side repartitions consume `typed`, and uncached
+    // each re-ran the whole upstream derivation (for c6b, a 6M-row
+    // lineitem⋈orders build — ~3 s at sf1, paid twice)
     val typed = ratings.select(col("user").cast("int").as("user"),
       col("item").cast("int").as("item"), col("rating").cast("double").as("rating"))
-    // persist, NOT localCheckpoint: checkpointed frames report
-    // UnknownPartitioning (CheckpointPartitioningProbe), which would put
-    // the per-sweep exchange right back
+      .persist()
+    // persist the per-side frames, NOT localCheckpoint: checkpointed
+    // frames report UnknownPartitioning (CheckpointPartitioningProbe),
+    // which would put the per-sweep exchange right back
     val byUser = typed.repartition(col("user")).persist()
     val byItem = typed.repartition(col("item")).persist()
+    byUser.count() // materialize both clusterings off one cached build,
+    byItem.count() // then drop the source cache right away
+    typed.unpersist()
     var userF = initFactors(spark, byUser.select("user").distinct(), "u")
     var itemF = initFactors(spark, byItem.select("item").distinct(), "i")
     for (_ <- 1 to iters) {
       userF = solveSide(byUser, itemF, "user", "item")
       itemF = solveSide(byItem, userF, "item", "user")
     }
-    byUser.unpersist()
-    byItem.unpersist()
-    (userF, itemF)
+    (userF, itemF, byUser, byItem)
   }
 
   /** Training RMSE of the swept factors (reference computeRMSE,
     * ALSMatrixFactorization.scala:205-216). */
   def rmse(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     val r = ALSRec.ratings(spark, dir)
-    val (userF, itemF) = fit(spark, r, iters)
+    val (userF, itemF, byUser, byItem) = fitFrames(spark, r, iters)
     val dotUD = {
       // No broadcast hint: the factor tables are vertex-sized, and at the
       // 100 TB scale contract a vertex-sized broadcast blows Spark's 8 GB
       // broadcast / driver-memory limits. Let Catalyst/AQE pick — at
       // bench SFs the tables are under the autoBroadcast threshold so the
       // plan is identical; at scale it degrades gracefully to a shuffle
-      // join on the rating side's natural key.
+      // join on the rating side's natural key — and scoring against the
+      // still-cached user-clustered frame means the rating side never
+      // reshuffles for the user join.
       val u = userF.select(col("id").as("uid"), col("f").as("uf"))
       val it = itemF.select(col("id").as("iid"), col("f").as("if_"))
-      r.join(u, col("user") === col("uid")).join(it, col("item") === col("iid"))
-        .select(col("rating").cast("double").as("r"),
-          aggregate(zip_with(col("uf"), col("if_"), (x, y) => x * y),
-            lit(0.0), (s, v) => s + v).as("p"))
+      // D is a compile-time constant, so the dot product unrolls into a
+      // codegen'd getItem sum — the higher-order aggregate(zip_with(..))
+      // form ran interpreted per element (two lambda frames per rating)
+      val dot = (0 until D)
+        .map(j => col("uf").getItem(j) * col("if_").getItem(j))
+        .reduce(_ + _)
+      byUser.join(u, col("user") === col("uid"))
+        .join(it, col("item") === col("iid"))
+        .select(col("rating").as("r"), dot.as("p"))
     }
-    dotUD.agg(sqrt(avg(pow(col("r") - col("p"), 2))).as("rmse"), count(lit(1)).as("n"))
+    val out = dotUD
+      .agg(sqrt(avg(pow(col("r") - col("p"), 2))).as("rmse"), count(lit(1)).as("n"))
+      .localCheckpoint(true) // score eagerly, then free the rating caches
+    byUser.unpersist()
+    byItem.unpersist()
+    out
   }
 
   /** c6b gate: same integer-claim pattern as [[ALSRec.rmseChecked]] —

@@ -292,10 +292,19 @@ object Dedup {
     * r=4 row quantifies exactly what the scale-sized band width trades:
     * per-band match probability j² → j⁴, so threshold-J pairs thin out
     * while the 500k-doc replay's 58× candidate cut is bought (PERF.md).
-    * All driver-side loops are over the CONSTANT {2, 4}. */
-  def lshBandSweep(docs: DataFrame, jaccThresholdPct: Int = 50): DataFrame = {
-    val spark = docs.sparkSession
+    * All driver-side loops are over the CONSTANT {2, 4}.
+    *
+    * Collapse-first (the d3b discipline, VERDICT r8 #2): band width is a
+    * property of SHINGLE structure, and exact-duplicate copies carry
+    * identical shingle sets — they only inflate the candidate and
+    * truth-verify passes quadratically per dup cluster without moving
+    * the metric. The sweep therefore calibrates over one
+    * [[representatives]] row per distinct text (the oracle mirrors the
+    * same collapse). */
+  def lshBandSweep(docsIn: DataFrame, jaccThresholdPct: Int = 50): DataFrame = {
+    val spark = docsIn.sparkSession
     import spark.implicits._
+    val docs = representatives(docsIn)
     val sh = shingles(docs).localCheckpoint(true)
     // the r=2 candidates are BOTH the truth basis and the r=2 row —
     // materialize once and verify off the shared frame (the candidate

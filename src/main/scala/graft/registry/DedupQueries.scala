@@ -66,6 +66,16 @@ object DedupQueries {
       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       |  FROM band x JOIN band y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
 
+  /** The [[LSH]] chain over exact-dup REPRESENTATIVES (min doc_id per
+    * distinct text) — the collapse-first input d17 calibrates on. Swaps
+    * TOK's base table for the collapsed `docs_r` and leaves the rest of
+    * the chain (`shu`/`mh`/`band`/`cand`) untouched. */
+  val LSH_REP: String =
+    """rep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |docs_r AS (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN rep ON d.doc_id = rep.doc_id),
+      |""".stripMargin + LSH.replace("FROM documents)", "FROM docs_r)")
+
   /** The d4 simhash chain, shared by d4 (fingerprint output) and e9
     * (Hamming near-dup pairs over the same fingerprints). Ends at CTE
     * `sh(doc_id, simhash)`. */
@@ -223,11 +233,14 @@ object DedupQueries {
     //      registry metric: candidate volume and truth-recall at r=2 vs
     //      r=4 over the same 8-hash signatures (truth = exact Jaccard ≥
     //      50 over the inclusive r=2 candidates). The 500k-doc replay's
-    //      58× candidate cut is the other side of this trade (PERF.md) ----
+    //      58× candidate cut is the other side of this trade (PERF.md).
+    //      Collapse-first: sweep + oracle both calibrate over one
+    //      representative per distinct text (band width measures shingle
+    //      structure; exact copies only inflate the quadratic passes) ----
     ("d17_lsh_band_sweep",
       (s: SparkSession, d: String) =>
         Dedup.lshBandSweep(Tables.documents(s, d)),
-      Some(Oracle.withSql(LSH,
+      Some(Oracle.withSql(LSH_REP,
         """, band4 AS (
           |  SELECT doc_id, k // 4 AS b, md5(string_agg(m, '' ORDER BY k)) AS sig
           |  FROM mh GROUP BY doc_id, k // 4),

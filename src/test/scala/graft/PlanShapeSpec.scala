@@ -47,6 +47,29 @@ class PlanShapeSpec extends AnyFunSuite {
       SparkEntry.queries("r21_attribution_last_touch")(spark, dir)) == 1, "r21")
   }
 
+  test("c6b half-sweep aggregates in place: ZERO shuffle exchanges") {
+    // the exchange-free shape VERDICT r8 requires preserved: ratings
+    // pre-partitioned (cached) on the solve key + broadcast factors →
+    // partial+final ObjectHashAggregate with no exchange between them
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val r = (for (u <- 0 until 40; i <- 0 until 8)
+      yield (u, i, ((u * i) % 5 + 1).toDouble)).toDF("user", "item", "rating")
+    val byUser = r.repartition(col("user")).persist()
+    byUser.count() // materialize: the one-time reshuffle is not the sweep's
+    try {
+      val itemF = (0 until 8)
+        .map(i => (i, Array.tabulate(ALSSweep.D)(j => 0.1 * (i + j + 1))))
+        .toDF("id", "f")
+      val bc = spark.sparkContext.broadcast(
+        graft.functions.PackedFactors.collect(itemF, ALSSweep.D))
+      val half = ALSSweep.solveSidePlan(byUser, bc, "user", "item")
+      assert(shuffleCount(half) == 0, "c6b half-sweep")
+      assert(half.count() == 40)
+      bc.destroy()
+    } finally byUser.unpersist()
+  }
+
   test("keyed single-aggregate operators run with exactly ONE shuffle") {
     val docs = Tables.documents(spark, dir)
     assert(shuffleCount(Dedup.urlCanonicalDedup(docs)) == 1, "d13 url dedup")
