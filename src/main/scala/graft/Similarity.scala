@@ -723,28 +723,34 @@ object Similarity {
     val subs = spark.range(m).select(col("id").cast("int").as("j"))
     def sub(arr: String) =
       expr(s"slice($arr, j * (size($arr) div $m) + 1, size($arr) div $m)")
-    val l2 = expr(
-      """aggregate(zip_with(sv, cv,
-        |  (x, y) -> (cast(x as double) - cast(y as double))
-        |          * (cast(x as double) - cast(y as double))),
-        |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
     // codebook: the j-slice of ksub md5-picked vectors; cid = in-pick rank
     // (the row_number window sees exactly ksub rows, never the table)
     val picked = emb
       .orderBy(md5(concat(lit("pq|"), col("vec_id"))), col("vec_id"))
       .limit(ksub)
       .withColumn("cid", row_number().over(Window.orderBy("vec_id")).cast("int") - 1)
+      .localCheckpoint(true) // consumed twice: packed codebook + qd table
     val cent = picked.crossJoin(broadcast(subs))
       .select(col("j"), col("cid"), sub("embedding").as("cv"))
-    // encode: per (vector, subspace) the L2-argmin centroid, ties low cid;
-    // min(struct) partial-combines — no window over corpus-sized input
-    val codes = emb.crossJoin(broadcast(subs))
-      .select(col("vec_id"), col("j"), sub("embedding").as("sv"))
-      .join(broadcast(cent), "j")
-      .select(col("vec_id"), col("j"), col("cid"), l2.as("d2"))
-      .groupBy("vec_id", "j").agg(min(struct(col("d2"), col("cid"))).as("mc"))
-      .groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(j, mc.cid as cid))), s -> s.cid)")
+    // encode: per (vector, subspace) the L2-argmin centroid, ties low cid —
+    // ONE codegen'd projection over the corpus (functions.PqEncode) against
+    // the packed ksub×dim codebook. The former relational form (corpus × m
+    // crossJoin ⋈ m·ksub centroids + two keyed aggregations) evaluated 128
+    // interpreted lambda L2s per vector — 18.1 s at the 200k-vector replay
+    // (VERDICT r8 #3); the argmin itself is the same min(struct(d2, cid))
+    // winner, so candidate sets and oracle hashes are unchanged.
+    val pk = picked.select(col("cid"), col("embedding")).collect()
+      .sortBy(_.getInt(0))
+    val dim = pk.headOption.map(_.getSeq[Float](1).length).getOrElse(0)
+    val cb = new Array[Double](ksub * dim)
+    pk.foreach { r =>
+      val c = r.getInt(0)
+      val e = r.getSeq[Float](1)
+      var i = 0
+      while (i < dim) { cb(c * dim + i) = e(i).toDouble; i += 1 }
+    }
+    val codes = emb.select(col("vec_id"),
+      graft.functions.PqEncode.of(spark, col("embedding"), cb, m, ksub)
         .as("codes"))
     val q = emb.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))

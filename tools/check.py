@@ -81,10 +81,13 @@ def main():
             print(f"{name}: SCHEMA MISMATCH spark={scols} oracle={ocols}")
             n_bad += 1
             continue
-        orows = sorted(tuple(norm(r[c]) for c in ocols)
-                       for r in oracle.to_pylist())
-        srows = sorted(tuple(norm(r[c]) for c in scols)
-                       for r in spark.to_pylist())
+        # key=repr: NULL cells make heterogeneous tuples unorderable in
+        # Python (None < int raises); any consistent total order works
+        # since only multiset equality is checked
+        orows = sorted((tuple(norm(r[c]) for c in ocols)
+                        for r in oracle.to_pylist()), key=repr)
+        srows = sorted((tuple(norm(r[c]) for c in scols)
+                        for r in spark.to_pylist()), key=repr)
         if len(orows) != len(srows):
             print(f"{name}: ROWS spark={len(srows)} oracle={len(orows)}")
             n_bad += 1
