@@ -143,10 +143,20 @@ object Bench {
     // visible. Streaming replays are excluded: their cost is fixed
     // micro-batch machinery, a retime just doubles it.
     val RETIME_FLOOR = 3.0
+    // Entries whose SECOND sample is not a clean re-measurement (ADVICE
+    // r8): s5 re-mutates the durable store (the retime times a different
+    // store state), s7 memoizes its lifecycle result (retime ≈ 0), and
+    // d3/c6/q11 build cross-call caches (shinglesCached, ALSRec.models)
+    // on the first sample — min() would silently drop that legitimate
+    // one-time cost from the published total. These report their FIRST
+    // sample, like streaming replays.
+    val NoRetime = Set("s5_durable_append_compact", "s7_time_travel_vacuum",
+      "d3_dedup_jaccard_verify", "c6_als_rmse", "q11_recommend_topk")
     val retimed = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val queryFns = SparkEntry.queries
     val confirmed = results.map { case (name, first) =>
-      if (first > RETIME_FLOOR && !name.contains("_streaming_")) {
+      if (first > RETIME_FLOOR && !name.contains("_streaming_")
+          && !NoRetime.contains(name)) {
         System.gc()
         val (ok, second) = timed {
           try { queryFns(name)(spark, sfDir).write.mode(SaveMode.Overwrite)

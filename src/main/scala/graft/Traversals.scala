@@ -721,9 +721,12 @@ object Traversals {
     * component costs a combiner cell. The edge list persists hashed once.
     * Fails loudly past `maxRounds`. */
   /** Contracted-graph rows below which [[msfBoruvka]] solves the
-    * label-space CC on the driver (≤ ~16 MB collected) instead of the
-    * nested distributed fixpoint. */
-  private[graft] val LocalContractRows = 1L << 20
+    * label-space CC on the driver instead of the nested distributed
+    * fixpoint. 2^18 edge rows collect as ~4 MB of longs, but the boxed
+    * HashMap union-find behind them costs ~50-100 B/entry — tens of MB
+    * on the driver, safe on any plausible heap (ADVICE r8: the old 2^20
+    * default reached hundreds of MB, not the "~16 MB" it claimed). */
+  private[graft] val LocalContractRows = 1L << 18
 
   def msfBoruvka(canonWeighted: DataFrame, maxRounds: Int = 8,
                  localGate: Long = LocalContractRows): DataFrame = {
@@ -783,8 +786,7 @@ object Traversals {
               while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
               r
             }
-            sel.select("la", "lb").collect().foreach { row =>
-              val a = row.getLong(0); val b = row.getLong(1)
+            sel.select("la", "lb").as[(Long, Long)].collect().foreach { case (a, b) =>
               parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
               val ra = find(a); val rb = find(b)
               if (ra != rb) parent(ra) = rb
@@ -885,14 +887,16 @@ object Traversals {
     * data, no per-SCC recursion. Fails loudly past `maxOuter` (like
     * [[kCore]]) rather than returning a non-fixpoint. */
   /** Intra-class edge rows below which [[sccLabels]] finishes the
-    * remaining subproblem with one driver Tarjan pass (≤ ~16 MB
-    * collected). The distributed FW/BW refinement above the gate and a
+    * remaining subproblem with one driver Tarjan pass (2^18 edges ≈ 4 MB
+    * of longs; the boxed adjacency/index maps behind them cost tens of
+    * MB — see [[LocalContractRows]]'s honest-footprint note, ADVICE r8).
+    * The distributed FW/BW refinement above the gate and a
     * local solve below it is the published hybrid shape for parallel
     * SCC (Hong, Rodia, Olukotun PPoPP'13: trim + FW-BW until the
     * pieces fit, then Tarjan each piece locally) — the class
     * restriction guarantees no edge crosses classes, so one local pass
     * over the survivor edges solves every remaining class at once. */
-  private[graft] val LocalSccRows = 1L << 20
+  private[graft] val LocalSccRows = 1L << 18
 
   /** Driver Tarjan over a collected intra-class edge list: (id, label)
     * with label = min vertex id of the SCC, for every edge endpoint.
@@ -903,8 +907,9 @@ object Traversals {
     import sp.implicits._
     import scala.collection.mutable
     val adj = mutable.HashMap[Long, mutable.ArrayBuffer[Long]]()
-    ec.select("src", "dst").collect().foreach { r =>
-      val a = r.getLong(0); val b = r.getLong(1)
+    // tuple-encoded collect: primitive copy out of Tungsten rows instead
+    // of one Row object per edge (ADVICE r8)
+    ec.select("src", "dst").as[(Long, Long)].collect().foreach { case (a, b) =>
       adj.getOrElseUpdate(a, mutable.ArrayBuffer[Long]()) += b
       adj.getOrElseUpdate(b, mutable.ArrayBuffer[Long]())
     }
@@ -1029,8 +1034,13 @@ object Traversals {
         val ecR = ec.select(col("dst").as("src"), col("src").as("dst"))
           .repartition(col("src")).persist()
         ecR.count()
-        val refined = minPropBoth(ec, ecR).select("id", "f", "b")
-          .localCheckpoint(true)
+        val refined =
+          try minPropBoth(ec, ecR).select("id", "f", "b").localCheckpoint(true)
+          catch { case t: Throwable =>
+            // a maxInner abort must not leak this round's persisted edge
+            // frames into a long-lived session (ADVICE r8)
+            ec.unpersist(); ecR.unpersist(); throw t
+          }
         if (ecur ne e0) ecur.unpersist()
         ecur = ec
         ecR.unpersist()

@@ -66,7 +66,14 @@ object StreamingQueries {
     * at query START (checkpoint-fixed), so this must wrap `.start()`;
     * the prior session value is restored in `finally` so no batch entry
     * timed afterwards sees it. Sentinel/boundary coverage is untouched —
-    * file-per-trigger replay order is unchanged. */
+    * file-per-trigger replay order is unchanged.
+    *
+    * SEQUENTIAL-ONLY (ADVICE r8): this mutates session-global shuffle
+    * partitions with a try/finally restore, which is safe only because
+    * replays run strictly sequentially (entry builds are one-at-a-time in
+    * Verify/Bench and memoized in `cache`). A future concurrent entry
+    * runner must scope the setting via a cloned session
+    * (`spark.newSession()` shares state stores but not conf) instead. */
   private def withReplayShuffle[T](s: SparkSession)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -95,13 +102,19 @@ object StreamingQueries {
       }
       val mid = lo + (hi - lo) / 2
       writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
-      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
-      // sentinels: one per user, far past every real event — close every
-      // open session in-batch; their own sessions stay in state unemitted
-      writeBatch(ev.select("user_id").distinct()
-        .select(col("user_id"), lit(hi + 30L * 24 * 3600 * 1000000000L).as("ts"),
-          lit(0.0).as("value")),
-        s"$watch/b2.parquet")
+      // sentinels (one per user, far past every real event) RIDE IN the
+      // second data batch: session closure is in-batch — the sorted fold
+      // sees the user's b1 events before the sentinel — so the merged
+      // feed emits the identical multiset with one fewer trigger
+      // (VERDICT r8 #5; the micro-batch floor, not rows, dominates the
+      // replay cost). Cross-batch GroupState coverage is unchanged (b0 |
+      // b1 still split at the midpoint) and pinned in StreamingSpec's
+      // merged-feed test. Sentinel sessions stay in state unemitted.
+      writeBatch(ev.filter(col("ts") >= mid)
+        .unionByName(ev.select("user_id").distinct()
+          .select(col("user_id"), lit(hi + 30L * 24 * 3600 * 1000000000L).as("ts"),
+            lit(0.0).as("value"))),
+        s"$watch/b1.parquet")
       val sch = StructType(Seq(StructField("user_id", LongType),
         StructField("ts", LongType), StructField("value", DoubleType)))
       val stream = s.readStream.schema(sch)
@@ -259,12 +272,17 @@ object StreamingQueries {
       }
       val mid = lo + (hi - lo) / 2
       writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
-      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
-      writeBatch(ev.select("user_id").distinct()
-        .select(lit(-1L).as("event_id"),
-          lit(hi + 30L * 24 * 3600 * 1000000000L).as("ts"), col("user_id"),
-          lit("__sentinel").as("event_type"), lit(0.0).as("value")),
-        s"$watch/b2.parquet")
+      // sentinels ride in the second data batch (the s8 merged-feed
+      // discipline, VERDICT r8 #5): latestPerKey applies the real rows
+      // to the fold before the sentinel check regardless of arrival
+      // order, so emission is identical with one fewer trigger;
+      // cross-batch carry (b0 | b1) is unchanged
+      writeBatch(ev.filter(col("ts") >= mid)
+        .unionByName(ev.select("user_id").distinct()
+          .select(lit(-1L).as("event_id"),
+            lit(hi + 30L * 24 * 3600 * 1000000000L).as("ts"), col("user_id"),
+            lit("__sentinel").as("event_type"), lit(0.0).as("value"))),
+        s"$watch/b1.parquet")
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("ts", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
@@ -300,12 +318,16 @@ object StreamingQueries {
       }
       val mid = lo + (hi - lo) / 2
       writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
-      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
-      writeBatch(ev.select("user_id").distinct()
-        .select(lit(-1L).as("event_id"),
-          lit(hi + 30L * 24 * 3600 * 1000000000L).as("ts"), col("user_id"),
-          lit("__sentinel").as("event_type"), lit(0.0).as("value")),
-        s"$watch/b2.parquet")
+      // sentinels ride in the second data batch (the s8 merged-feed
+      // discipline, VERDICT r8 #5): the funnel fold applies the real rows
+      // in (ts, id) order before the sentinel check, so stage counts are
+      // identical with one fewer trigger; cross-batch carry unchanged
+      writeBatch(ev.filter(col("ts") >= mid)
+        .unionByName(ev.select("user_id").distinct()
+          .select(lit(-1L).as("event_id"),
+            lit(hi + 30L * 24 * 3600 * 1000000000L).as("ts"), col("user_id"),
+            lit("__sentinel").as("event_type"), lit(0.0).as("value"))),
+        s"$watch/b1.parquet")
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("ts", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
@@ -375,22 +397,24 @@ object StreamingQueries {
         case r => Array(r.getLong(0), r.getLong(1))
       }
       val mid = lo + (hi - lo) / 2
-      writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
-      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
-      // TWO sentinel batches: watermark updates at the END of a trigger
-      // and state eviction runs in the NEXT one, so the batch-b2
-      // watermark (still hi - 1h when b2 starts) cannot flush clicks
-      // within lag+lookback of the stream end — b3's trigger evicts with
-      // the post-b2 watermark, which is already past every real window
       val far = hi + 30L * 24 * 3600 * 1000000000L
       def sentinels(ts: Long, ids: (Long, Long)) = {
         import s.implicits._
         Seq((ids._1, ts, -1L, "click"), (ids._2, ts, -1L, "purchase"))
           .toDF("event_id", "ts", "user_id", "event_type")
       }
-      writeBatch(sentinels(far, (-1L, -2L)), s"$watch/b2.parquet")
+      writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
+      // the FIRST sentinel pair rides in the second data batch (the s8
+      // merged-feed discipline, VERDICT r8 #5) — after this trigger the
+      // watermark is already far past every real join window. Watermark
+      // updates at the END of a trigger and state eviction runs in the
+      // NEXT one, so unmatched clicks cannot flush in the same trigger —
+      // the LAST sentinel pair keeps its own trigger, whose eviction pass
+      // runs with the post-b1 watermark and finalizes every null match.
+      writeBatch(ev.filter(col("ts") >= mid)
+        .unionByName(sentinels(far, (-1L, -2L))), s"$watch/b1.parquet")
       writeBatch(sentinels(far + 24L * 3600 * 1000000000L, (-3L, -4L)),
-        s"$watch/b3.parquet")
+        s"$watch/b2.parquet")
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("ts", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType)))

@@ -437,4 +437,58 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(mC.files.forall(_.sorted) && mC.files.size <= st.manifest(1).files.size + 2)
     assert(rowSet(st.read(vC)) == rowSet(edges(all: _*)))
   }
+
+  test("read-while-write soak: readers during sustained ingest see monotone snapshots") {
+    // The reference's core online claim (README.md:226-229): queries keep
+    // running DURING sustained ingest. Two reader threads poll the version
+    // pointer and read whatever snapshot it names, concurrently with a
+    // writer committing micro-batches (and one mid-soak compaction).
+    // Ingest here is append-only, so each reader's observed (version,
+    // count) sequence must be non-decreasing — a torn manifest, a pointer
+    // published before its manifest, or a compaction that drops rows all
+    // surface as a violation. The writer additionally asserts
+    // read-your-writes through the pruned point path after every commit.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val st = fresh(base: _*)
+    val nBatches = 24
+    @volatile var done = false
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readers = (0 until 2).map { rid =>
+      Future {
+        var lastV = 0
+        var lastN = 0L
+        var polls = 0
+        while (!done) {
+          val v = st.currentVersion
+          val n = st.read(v).count()
+          if (v < lastV) violations.add(s"reader$rid: pointer went back v$lastV -> v$v")
+          else if (n < lastN) violations.add(
+            s"reader$rid: snapshot shrank at v$v: $lastN -> $n rows")
+          else { lastV = v; lastN = n }
+          polls += 1
+        }
+        polls
+      }
+    }
+    var v = 1
+    val appended = (0 until nBatches).map(i => (100L + i, 10L + i % 5))
+    appended.zipWithIndex.foreach { case ((s0, d0), i) =>
+      v = st.append(v, edges(Seq((s0, d0)): _*), batchId = i.toLong)
+      // read-your-writes on the committed version, via manifest pruning
+      assert(st.readForSrc(v, s0).filter(col("src") === s0).count() == 1L,
+        s"batch $i not visible at v$v")
+      assert(st.read(v).count() == (base.size + i + 1).toLong)
+      // mid-soak compaction must be invisible to concurrent readers
+      if (i == nBatches / 2) v = st.compact(v)
+    }
+    done = true
+    val polls = readers.map(Await.result(_, 120.seconds)).sum
+    assert(violations.isEmpty, violations.toArray.mkString("; "))
+    // each reader polls continuously for the whole soak — require enough
+    // samples that the monotonicity assertion actually interleaved commits
+    assert(polls >= 10, s"readers only sampled $polls snapshots")
+    assert(rowSet(st.readLatest()) == rowSet(edges(base ++ appended: _*)))
+  }
 }

@@ -330,6 +330,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(top.count() == 10)
   }
 
+  test("CROSS-BATCH state with merged feeds: b0 | b1∪sentinel still spans the boundary") {
+    // Pins the MERGED replay feed shape (one boundary-spanning pair of
+    // triggers, sentinel riding in the final data batch instead of its
+    // own trigger): a session opened in trigger 1 must (a) extend across
+    // the trigger boundary with trigger 2's in-gap event, and (b) close
+    // via the sentinel IN THE SAME trigger as that event — the exact
+    // protocol the s8/s13/s14 replays use after the trigger-floor cut.
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-merged-feed").toString
+    val out = Files.createTempDirectory("graft-merged-out").toString
+    val base = 1700000000L * 1000000000L // ns
+    val min10 = 600L * 1000000000L
+    def ev(uid: Long, ts: Long, v: Double) = (uid, ts, v)
+    // b0: u1 two events 10 min apart; u2 one event (stays open)
+    Seq(ev(1L, base, 1.0), ev(1L, base + min10, 2.0), ev(2L, base, 5.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.parquet(s"$dir/b0.parquet")
+    // b1 ∪ sentinel in ONE file: u1's in-gap event (20 min — extends the
+    // carried session) plus far-future sentinels for both users
+    val far = base + 40L * 24 * 3600 * 1000000000L
+    Seq(ev(1L, base + 2 * min10, 4.0), ev(1L, far, 0.0), ev(2L, far, 0.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.parquet(s"$dir/b1.parquet")
+    // set mtimes so b0 strictly precedes b1 (FileStreamSource order)
+    for ((f, t) <- Seq("b0.parquet" -> 1L, "b1.parquet" -> 2L)) {
+      val w = Files.walk(java.nio.file.Paths.get(s"$dir/$f"))
+      try w.forEach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + t * 1000)))
+      finally w.close()
+    }
+    val sch = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", LongType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    OnlineIngest.sessionize(stream, gapUs = 1800000000L)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[OnlineIngest.SessionOut],
+                       _: Long) =>
+        b.write.mode("append").parquet(s"$out/sessions"); ()
+      }
+      .start().awaitTermination()
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    val got = spark.read.parquet(s"$out/sessions")
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = base / 1000
+    val m = min10 / 1000
+    assert(got == Set(
+      (1L, b, b + 2 * m, 3L), // spans the trigger boundary: 2 b0 + 1 b1 event
+      (2L, b, b, 1L)          // closed by the sentinel in the merged batch
+    ), s"got $got")
+  }
+
   test("windowed event counts with watermark match the batch equivalent") {
     val dir = Files.createTempDirectory("graft-events").toString
     val s = spark; import s.implicits._
