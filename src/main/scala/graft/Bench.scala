@@ -44,6 +44,11 @@ object Bench {
     Tables.eventsByDayPath(spark, sfDir) // w7's day-partitioned event log
     Tables.eventDayDim(spark, sfDir).count() // w7's materialized date dim
     Tables.evolvedEventStorePath(spark, sfDir) // w8's evolving store
+    // streaming replay INPUT feeds (parquet micro-batch files + s16's
+    // codebook): source data pre-exists at any deployment, so building it
+    // is warm-up like the stores above — the timed s* entries remain the
+    // real streaming runs (micro-batch planning, state stores, sinks)
+    registry.StreamingQueries.warmReplayFixtures(spark, sfDir)
     // the s6 warm-up above ran a real streaming query — unload its state
     // providers and maintenance thread before anything is timed
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
