@@ -33,6 +33,36 @@ object Queries {
       .orderBy(col("paths").desc, col("id")).limit(20)
   }
 
+  /** Q1 SERVED: identical result to [[friendsOfFriendsExclTop20]], composed
+    * as a SERVING-path read — the reference's native shape for this query
+    * (two rounds of edge-shard lookups over sorted shards,
+    * QueryShard.java:207-253; FoF in the reference is never a scan).
+    * Deliberately breaks this object's no-driver-collect rule (the
+    * [[DurableStore.pointReadLocal]] discipline): hop 1 collects the query
+    * vertex's ≤degree-sized neighbor list, hop 2 pushes `src IN (mids)` as
+    * a LITERAL predicate into the scan. Over a src-sorted range-disjoint
+    * store (and its union with the reversed view) both hops prune to the
+    * files/row groups whose footer min/max cover the probe keys — at the
+    * 400M-edge envelope this answers in ~5.6 s where the one-plan scan
+    * form takes ~110 s (PERF.md round-9 envelope table). The broadcast-
+    * join form stays the right plan when the FoF is a SUBQUERY of a larger
+    * plan; this is the right plan when it is THE query, served online. */
+  def friendsOfFriendsExclTop20Served(edges: DataFrame,
+                                      maxFanout: Int = 1 << 16): DataFrame = {
+    val v0 = edges.agg(min("src")).head().getLong(0)
+    val mids = edges.filter(col("src") === v0).select("dst").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // a hub query vertex would inflate the literal IN-list (and the plan)
+    // past any footer-pruning payoff — that regime belongs to the
+    // broadcast-join form, so fail loudly instead of degrading silently
+    require(mids.size <= maxFanout,
+      s"fofServed: query vertex $v0 has ${mids.size} neighbors " +
+        s"(> $maxFanout) — use friendsOfFriendsExclTop20 (scan form)")
+    edges.filter(col("src").isin(mids: _*)).filter(col("dst") =!= v0)
+      .groupBy(col("dst").as("id")).agg(count(lit(1)).as("paths"))
+      .orderBy(col("paths").desc, col("id")).limit(20)
+  }
+
   /** Q3 friendsOfFriends: plain distinct 2-hop reachable set (reference
     * Queries.scala:72-76). */
   def friendsOfFriends(edges: DataFrame): DataFrame = {

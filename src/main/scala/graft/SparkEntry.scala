@@ -125,6 +125,26 @@ object SparkEntry {
           |GROUP BY u.dst
           |ORDER BY paths DESC, id LIMIT 20""".stripMargin))),
 
+    // ---- Q1 SERVED: the same flagship FoF as an ONLINE lookup — two
+    //      rounds of literal point predicates pushed into the sorted
+    //      store's footers (the reference's shard-lookup shape; collected
+    //      hop under the pointReadLocal discipline). Same oracle as
+    //      q1/q1b: identical rows by construction. ----
+    ("q1s_fof_served_store",
+      (s: SparkSession, d: String) => {
+        val e = Tables.orderEdgesStored(s, d).select("src", "dst")
+        val sym = e.unionByName(e.select(e("dst").as("src"), e("src").as("dst")))
+        Queries.friendsOfFriendsExclTop20Served(sym)
+      },
+      Some(withSql(Oracle.UEDGES,
+        """, qv AS (SELECT min(src) AS v FROM uedges),
+          |hop1 AS (SELECT DISTINCT u.dst AS mid FROM uedges u, qv WHERE u.src = qv.v)
+          |SELECT u.dst AS id, count(*) AS paths
+          |FROM hop1 h JOIN uedges u ON u.src = h.mid, qv
+          |WHERE u.dst <> qv.v
+          |GROUP BY u.dst
+          |ORDER BY paths DESC, id LIMIT 20""".stripMargin))),
+
     // ---- Q3: plain 2-hop reachable set ----
     ("q3_fof",
       (s: SparkSession, d: String) => Queries.friendsOfFriends(Tables.socialEdges(s, d)),

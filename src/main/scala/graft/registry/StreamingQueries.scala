@@ -29,6 +29,13 @@ import org.apache.spark.sql.types._
   */
 object StreamingQueries {
 
+  /** Memoized fixture/output paths. INVARIANT: a mapping function passed
+    * to `computeIfAbsent` must NEVER call back into this map — nested
+    * computeIfAbsent on a ConcurrentHashMap throws
+    * `IllegalStateException: Recursive update` whenever the two keys land
+    * in the same bin (flaky by construction here: keys embed the
+    * applicationId, so collisions vary per run). Run fns therefore
+    * resolve their fixture path BEFORE entering their own mapping fn. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -125,9 +132,9 @@ object StreamingQueries {
 
   /** Replay the events fixture through [[graft.streaming.OnlineIngest
     * .sessionize]] and return the closed sessions as a batch DataFrame. */
-  private def sessionizedPath(s: SparkSession, d: String): String =
+  private def sessionizedPath(s: SparkSession, d: String): String = {
+    val watch = sessionizeFixture(s, d)
     cache.computeIfAbsent(key(s, d, "s8"), _ => withReplayShuffle(s) {
-      val watch = sessionizeFixture(s, d)
       val out = java.nio.file.Files.createTempDirectory("graft-s8-out").toString
       val sch = StructType(Seq(StructField("user_id", LongType),
         StructField("ts", LongType), StructField("value", DoubleType)))
@@ -145,12 +152,8 @@ object StreamingQueries {
       unloadStreamingState()
       out
     })
+  }
 
-  /** Replay the documents fixture (with synthetic arrival times) through
-    * [[graft.streaming.OnlineIngest.streamingDedup]]; batch 1 RE-SENDS a
-    * tenth of batch 0 as true cross-batch duplicates. Arrival spacing is
-    * 10 ms/doc so the whole replay sits far inside the 1 h watermark
-    * horizon at every tested SF — no state eviction mid-replay. */
   /** s9/s11 share the documents-with-arrival-times fixture shape; built
     * once per tag in the untimed warm-up (see [[sessionizeFixture]]). */
   private def docsReplayFixture(s: SparkSession, d: String, tag: String): String =
@@ -175,9 +178,14 @@ object StreamingQueries {
       watch
     })
 
-  private def dedupedPath(s: SparkSession, d: String): String =
+  /** Replay the documents fixture (with synthetic arrival times) through
+    * [[graft.streaming.OnlineIngest.streamingDedup]]; batch 1 RE-SENDS a
+    * tenth of batch 0 as true cross-batch duplicates. Arrival spacing is
+    * 10 ms/doc so the whole replay sits far inside the 1 h watermark
+    * horizon at every tested SF — no state eviction mid-replay. */
+  private def dedupedPath(s: SparkSession, d: String): String = {
+    val watch = docsReplayFixture(s, d, "s9")
     cache.computeIfAbsent(key(s, d, "s9"), _ => withReplayShuffle(s) {
-      val watch = docsReplayFixture(s, d, "s9")
       val out = java.nio.file.Files.createTempDirectory("graft-s9-out").toString
       val sch = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType), StructField("ts", LongType)))
@@ -197,6 +205,7 @@ object StreamingQueries {
       unloadStreamingState()
       out
     })
+  }
 
   /** Replay the events fixture through [[graft.streaming.OnlineIngest
     * .windowedEventCounts]] (watermarked tumbling windows, append mode —
@@ -229,9 +238,9 @@ object StreamingQueries {
       watch
     })
 
-  private def windowedPath(s: SparkSession, d: String): String =
+  private def windowedPath(s: SparkSession, d: String): String = {
+    val watch = windowedFixture(s, d)
     cache.computeIfAbsent(key(s, d, "s10"), _ => withReplayShuffle(s) {
-      val watch = windowedFixture(s, d)
       val out = java.nio.file.Files.createTempDirectory("graft-s10-out").toString
       val stream = s.readStream.schema(StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),
@@ -249,14 +258,15 @@ object StreamingQueries {
       unloadStreamingState()
       out
     })
+  }
 
   /** Replay the documents fixture through [[graft.streaming.OnlineIngest
     * .corpusIngest]] — the full streaming corpus gate: quality filter
     * BEFORE the watermark-bounded dedup state (rejected docs never touch
     * state), with the same cross-batch re-sends as the s9 replay. */
-  private def corpusGatePath(s: SparkSession, d: String): String =
+  private def corpusGatePath(s: SparkSession, d: String): String = {
+    val watch = docsReplayFixture(s, d, "s11")
     cache.computeIfAbsent(key(s, d, "s11"), _ => withReplayShuffle(s) {
-      val watch = docsReplayFixture(s, d, "s11")
       val out = java.nio.file.Files.createTempDirectory("graft-s11-out").toString
       val sch = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType), StructField("ts", LongType)))
@@ -276,6 +286,7 @@ object StreamingQueries {
       unloadStreamingState()
       out
     })
+  }
 
   /** Replay the events fixture through [[graft.streaming.OnlineIngest
     * .latestPerKey]]: the same midpoint batch split as s8 (so most users'
@@ -312,9 +323,9 @@ object StreamingQueries {
       watch
     })
 
-  private def latestPath(s: SparkSession, d: String): String =
+  private def latestPath(s: SparkSession, d: String): String = {
+    val watch = eventsSentinelFixture(s, d)
     cache.computeIfAbsent(key(s, d, "s13"), _ => withReplayShuffle(s) {
-      val watch = eventsSentinelFixture(s, d)
       val out = java.nio.file.Files.createTempDirectory("graft-s13-out").toString
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("ts", LongType), StructField("user_id", LongType),
@@ -333,15 +344,16 @@ object StreamingQueries {
       unloadStreamingState()
       out
     })
+  }
 
   /** Replay the events fixture through [[graft.streaming.OnlineIngest
     * .funnelProgress]] — same b0/b1 ts-midpoint split + sentinel-batch
     * protocol as the s13 upsert replay, so funnel stages span the
     * micro-batch boundary (a user's view in b0, click/purchase in b1
     * must chain through carried GroupState). */
-  private def funnelPath(s: SparkSession, d: String): String =
+  private def funnelPath(s: SparkSession, d: String): String = {
+    val watch = eventsSentinelFixture(s, d) // shared with s13
     cache.computeIfAbsent(key(s, d, "s14"), _ => withReplayShuffle(s) {
-      val watch = eventsSentinelFixture(s, d) // shared with s13
       val out = java.nio.file.Files.createTempDirectory("graft-s14-out").toString
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("ts", LongType), StructField("user_id", LongType),
@@ -360,11 +372,17 @@ object StreamingQueries {
       unloadStreamingState()
       out
     })
+  }
 
   /** Replay the events fixture through [[graft.streaming.OnlineIngest
     * .clickAttribution]] — two readStreams over the SAME file batches
     * (split at the ts midpoint so click→purchase pairs SPAN the batch
     * boundary and exercise cross-batch join state). */
+  /** s12's two sides are PER-SIDE feeds (click and purchase land in their
+    * own directories — the production shape: two topics, not one topic
+    * re-filtered twice): each FileStreamSource parses only its own rows.
+    * Batch composition per trigger is unchanged — both sides split at the
+    * same ts midpoint, so join pairs still span the trigger boundary. */
   private def attributionFixture(s: SparkSession, d: String): String =
     cache.computeIfAbsent(key(s, d, "s12.fix"), _ => {
       val watch = java.nio.file.Files.createTempDirectory("graft-s12-in").toString
@@ -375,22 +393,24 @@ object StreamingQueries {
         case r => Array(r.getLong(0), r.getLong(1))
       }
       val mid = lo + (hi - lo) / 2
-      writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
-      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
+      for (t <- Seq("click", "purchase"); b <- Seq(0, 1)) {
+        val half = if (b == 0) ev.filter(col("ts") < mid)
+                   else ev.filter(col("ts") >= mid)
+        writeBatch(half.filter(col("event_type") === t), s"$watch/$t/b$b.parquet")
+      }
       ev.unpersist()
       watch
     })
 
-  private def attributionPath(s: SparkSession, d: String): String =
+  private def attributionPath(s: SparkSession, d: String): String = {
+    val watch = attributionFixture(s, d)
     cache.computeIfAbsent(key(s, d, "s12"), _ => withReplayShuffle(s) {
-      val watch = attributionFixture(s, d)
       val out = java.nio.file.Files.createTempDirectory("graft-s12-out").toString
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("ts", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType)))
       def side(t: String): DataFrame = s.readStream.schema(sch)
-        .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
-        .filter(col("event_type") === t)
+        .option("maxFilesPerTrigger", "1").parquet(s"$watch/$t/*")
       graft.streaming.OnlineIngest.clickAttribution(side("click"), side("purchase"))
         .writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -402,12 +422,22 @@ object StreamingQueries {
       unloadStreamingState()
       out
     })
+  }
 
   /** Replay through [[graft.streaming.OnlineIngest.clickAttributionOuter]]
     * — the LEFT OUTER variant: a sentinel batch (one far-future row per
     * side) pushes both watermarks past every real join window so
     * unmatched clicks finalize with null purchase columns before the
     * AvailableNow run terminates. */
+  /** s15's fixture: per-side feeds like s12's, each side carrying ITS OWN
+    * sentinels (a deployment's heartbeat rows arrive on their own topic).
+    * The FIRST sentinel rides in each side's second data batch (the s8
+    * merged-feed discipline, VERDICT r8 #5) — after that trigger the
+    * watermark is already far past every real join window. Watermark
+    * updates at the END of a trigger and state eviction runs in the NEXT
+    * one, so unmatched clicks cannot flush in the same trigger — the LAST
+    * sentinel keeps its own trigger per side, whose eviction pass runs
+    * with the post-b1 watermark and finalizes every null match. */
   private def attributionOuterFixture(s: SparkSession, d: String): String =
     cache.computeIfAbsent(key(s, d, "s15.fix"), _ => {
       val watch = java.nio.file.Files.createTempDirectory("graft-s15-in").toString
@@ -419,37 +449,31 @@ object StreamingQueries {
       }
       val mid = lo + (hi - lo) / 2
       val far = hi + 30L * 24 * 3600 * 1000000000L
-      def sentinels(ts: Long, ids: (Long, Long)) = {
+      def sentinel(t: String, ts: Long, id: Long) = {
         import s.implicits._
-        Seq((ids._1, ts, -1L, "click"), (ids._2, ts, -1L, "purchase"))
-          .toDF("event_id", "ts", "user_id", "event_type")
+        Seq((id, ts, -1L, t)).toDF("event_id", "ts", "user_id", "event_type")
       }
-      writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
-      // the FIRST sentinel pair rides in the second data batch (the s8
-      // merged-feed discipline, VERDICT r8 #5) — after this trigger the
-      // watermark is already far past every real join window. Watermark
-      // updates at the END of a trigger and state eviction runs in the
-      // NEXT one, so unmatched clicks cannot flush in the same trigger —
-      // the LAST sentinel pair keeps its own trigger, whose eviction pass
-      // runs with the post-b1 watermark and finalizes every null match.
-      writeBatch(ev.filter(col("ts") >= mid)
-        .unionByName(sentinels(far, (-1L, -2L))), s"$watch/b1.parquet")
-      writeBatch(sentinels(far + 24L * 3600 * 1000000000L, (-3L, -4L)),
-        s"$watch/b2.parquet")
+      for ((t, sid) <- Seq(("click", -1L), ("purchase", -2L))) {
+        val sd = ev.filter(col("event_type") === t)
+        writeBatch(sd.filter(col("ts") < mid), s"$watch/$t/b0.parquet")
+        writeBatch(sd.filter(col("ts") >= mid)
+          .unionByName(sentinel(t, far, sid)), s"$watch/$t/b1.parquet")
+        writeBatch(sentinel(t, far + 24L * 3600 * 1000000000L, sid - 2L),
+          s"$watch/$t/b2.parquet")
+      }
       ev.unpersist()
       watch
     })
 
-  private def attributionOuterPath(s: SparkSession, d: String): String =
+  private def attributionOuterPath(s: SparkSession, d: String): String = {
+    val watch = attributionOuterFixture(s, d)
     cache.computeIfAbsent(key(s, d, "s15"), _ => withReplayShuffle(s) {
-      val watch = attributionOuterFixture(s, d)
       val out = java.nio.file.Files.createTempDirectory("graft-s15-out").toString
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("ts", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType)))
       def side(t: String): DataFrame = s.readStream.schema(sch)
-        .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
-        .filter(col("event_type") === t)
+        .option("maxFilesPerTrigger", "1").parquet(s"$watch/$t/*")
       graft.streaming.OnlineIngest.clickAttributionOuter(side("click"), side("purchase"))
         .writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -464,6 +488,7 @@ object StreamingQueries {
       unloadStreamingState()
       out
     })
+  }
 
   /** Replay the documents fixture as two micro-batches through
     * [[graft.TextOps.chunkEmbed]] into an append-only chunk-embedding
@@ -482,9 +507,9 @@ object StreamingQueries {
       watch
     })
 
-  private def ragStreamPath(s: SparkSession, d: String): String =
+  private def ragStreamPath(s: SparkSession, d: String): String = {
+    val watch = ragStreamFixture(s, d)
     cache.computeIfAbsent(key(s, d, "s19"), _ => withReplayShuffle(s) {
-      val watch = ragStreamFixture(s, d)
       val store = java.nio.file.Files.createTempDirectory("graft-s19-store").toString
       val sch = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType)))
@@ -501,6 +526,7 @@ object StreamingQueries {
       unloadStreamingState()
       s"$store/chunks"
     })
+  }
 
   /** Replay the embeddings fixture as two micro-batches into the
     * cell-partitioned IVF store ([[graft.Similarity.ivfStoreAppend]])
@@ -527,9 +553,9 @@ object StreamingQueries {
       fix
     })
 
-  private def ivfStreamPath(s: SparkSession, d: String): String =
+  private def ivfStreamPath(s: SparkSession, d: String): String = {
+    val fix = ivfStreamFixture(s, d)
     cache.computeIfAbsent(key(s, d, "s16"), _ => withReplayShuffle(s) {
-      val fix = ivfStreamFixture(s, d)
       val store = java.nio.file.Files.createTempDirectory("graft-s16-store").toString
       val cent = s.read.parquet(s"$fix/centroids").localCheckpoint(true)
       cent.write.parquet(s"$store/centroids")
@@ -547,6 +573,7 @@ object StreamingQueries {
       unloadStreamingState()
       store
     })
+  }
 
   /** Materialize every replay's INPUT fixture (the parquet micro-batch
     * feeds, plus s16's codebook) without running any streaming query.
@@ -789,9 +816,9 @@ object StreamingQueries {
       watch
     })
 
-  private def runningCountsPath(s: SparkSession, d: String): String =
+  private def runningCountsPath(s: SparkSession, d: String): String = {
+    val watch = runningCountsFixture(s, d)
     cache.computeIfAbsent(key(s, d, "s18"), _ => withReplayShuffle(s) {
-      val watch = runningCountsFixture(s, d)
       val out = java.nio.file.Files.createTempDirectory("graft-s18-out").toString
       val stream = s.readStream.schema(StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),
@@ -808,6 +835,7 @@ object StreamingQueries {
       unloadStreamingState()
       s"$out/res"
     })
+  }
 
   /** Replay the events fixture through [[graft.streaming.OnlineIngest
     * .enrichedSegmentCounts]] with the static customer dim — the same
@@ -835,9 +863,9 @@ object StreamingQueries {
       watch
     })
 
-  private def enrichedPath(s: SparkSession, d: String): String =
+  private def enrichedPath(s: SparkSession, d: String): String = {
+    val watch = enrichedFixture(s, d)
     cache.computeIfAbsent(key(s, d, "s17"), _ => withReplayShuffle(s) {
-      val watch = enrichedFixture(s, d)
       val out = java.nio.file.Files.createTempDirectory("graft-s17-out").toString
       val stream = s.readStream.schema(StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),
@@ -855,4 +883,5 @@ object StreamingQueries {
       unloadStreamingState()
       out
     })
+  }
 }
