@@ -75,4 +75,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffleCount(Dedup.urlCanonicalDedup(docs)) == 1, "d13 url dedup")
     assert(shuffleCount(TextOps.kAnonymity(docs)) == 1, "t24 k-anonymity")
   }
+
+  test("served FoF pushes literal point predicates into BOTH store scans") {
+    // the q1s serving contract: hop 2's IN(mids) must reach the parquet
+    // scan as PushedFilters on src (direct branch) AND on dst (reversed
+    // branch of the sym union) — that footer routing is the whole reason
+    // the entry stays flat while the scan form grows linearly
+    // (0.77 / 0.67 s at sf0.1 / sf1; 5.6 s at the 400M-edge envelope)
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val e = Tables.orderEdgesStored(spark, dir).select("src", "dst")
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val served = Queries.friendsOfFriendsExclTop20Served(sym)
+    served.collect()
+    val scans = collectAll(served.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f.metadata.getOrElse("PushedFilters", "") }
+      .filter(_.contains("In("))
+    assert(scans.exists(_.contains("In(src")),
+      s"no pushed IN on src; scans: $scans")
+    assert(scans.exists(_.contains("In(dst")),
+      s"no pushed IN on dst; scans: $scans")
+  }
 }

@@ -34,6 +34,22 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("served FoF equals the scan form on random graphs, row for row") {
+    // the q1s serving composition (collected hop-1 mids, literal IN
+    // pushdown) must be a pure PHYSICAL variant: same rows, same
+    // deterministic (paths desc, id) top-20 cut as the broadcast-join
+    // scan form, on any graph — including repeated edges (path
+    // multiplicity) and 2-cycles through the query vertex
+    check(Prop.forAll(genEdges) { es =>
+      val edges = TestSpark.edgesDF(es.map { case (s, d) => (s, d, 0) })
+      val scan = Queries.friendsOfFriendsExclTop20(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val served = Queries.friendsOfFriendsExclTop20Served(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      served == scan
+    })
+  }
+
   test("BFS distances equal brute-force BFS") {
     check(Prop.forAll(genEdges) { es =>
       val s = spark; import s.implicits._
