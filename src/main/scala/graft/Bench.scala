@@ -159,6 +159,10 @@ object Bench {
       "d3_dedup_jaccard_verify", "c6_als_rmse", "q11_recommend_topk")
     val retimed = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val queryFns = SparkEntry.queries
+    // a renamed registry entry must not silently fall out of this set and
+    // re-enable min(first, retime) for a dirty second sample (r9 review)
+    NoRetime.foreach(n => require(queryFns.contains(n),
+      s"Bench.NoRetime names unknown registry entry '$n' — renamed?"))
     val confirmed = results.map { case (name, first) =>
       if (first > RETIME_FLOOR && !name.contains("_streaming_")
           && !NoRetime.contains(name)) {

@@ -356,14 +356,12 @@ object Dedup {
     * `tokens(text)` here would re-split the text once per gram
     * (O(tokens²) per document). Callers project the token array first. */
   def ngramHashes(ts: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
-    when(size(ts) >= k,
-      transform(sequence(lit(1), size(ts) - (k - 1)),
-        i => md5(concat_ws(" ", slice(ts, i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
+    transform(ngramsRaw(ts, k), g => md5(g))
 
-  /** [[ngramHashes]] without the md5 — raw space-joined k-grams, for
-    * staged pipelines that hash only the grams surviving a prefilter
-    * ([[contaminationBloom]]). */
+  /** Raw space-joined k-grams — [[ngramHashes]] is this plus a per-gram
+    * md5; staged pipelines hash only the grams surviving a prefilter
+    * ([[contaminationBloom]]). ONE gram builder: the size-guard/sequence/
+    * slice chain used to be duplicated across the two forms (r9 review). */
   def ngramsRaw(ts: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     when(size(ts) >= k,
       transform(sequence(lit(1), size(ts) - (k - 1)),

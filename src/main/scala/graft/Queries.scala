@@ -49,7 +49,13 @@ object Queries {
     * plan; this is the right plan when it is THE query, served online. */
   def friendsOfFriendsExclTop20Served(edges: DataFrame,
                                       maxFanout: Int = 1 << 16): DataFrame = {
-    val v0 = edges.agg(min("src")).head().getLong(0)
+    val minRow = edges.agg(min("src")).head()
+    // empty edge frame: min(src) is NULL — return the scan form's empty
+    // result instead of NPE-ing on the primitive get (r9 review finding)
+    if (minRow.isNullAt(0))
+      return edges.limit(0).select(col("src").as("id"),
+        lit(0L).as("paths"))
+    val v0 = minRow.getLong(0)
     val mids = edges.filter(col("src") === v0).select("dst").distinct()
       .collect().map(_.getLong(0)).toSeq
     // a hub query vertex would inflate the literal IN-list (and the plan)

@@ -741,8 +741,15 @@ object Similarity {
     // winner, so candidate sets and oracle hashes are unchanged.
     val pk = picked.select(col("cid"), col("embedding")).collect()
       .sortBy(_.getInt(0))
+    // a corpus smaller than ksub picks fewer centroids: kEff is the REAL
+    // codebook size and must drive both the encoder's argmin scan (a
+    // ksub-scan against a zero-padded codebook could argmin to a phantom
+    // all-zero centroid) and the flattened qd stride (qd holds m·kEff
+    // entries sorted by (j, cid), so the lookup stride is kEff, not
+    // ksub). Identical to ksub at every tested scale (r9 review finding).
+    val kEff = pk.length
     val dim = pk.headOption.map(_.getSeq[Float](1).length).getOrElse(0)
-    val cb = new Array[Double](ksub * dim)
+    val cb = new Array[Double](kEff * dim)
     pk.foreach { r =>
       val c = r.getInt(0)
       val e = r.getSeq[Float](1)
@@ -750,7 +757,7 @@ object Similarity {
       while (i < dim) { cb(c * dim + i) = e(i).toDouble; i += 1 }
     }
     val codes = emb.select(col("vec_id"),
-      graft.functions.PqEncode.of(spark, col("embedding"), cb, m, ksub)
+      graft.functions.PqEncode.of(spark, col("embedding"), cb, m, kEff)
         .as("codes"))
     val q = emb.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -766,7 +773,7 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(j, cid, qd2))), s -> s.qd2)")
         .as("qd"))
     val adc = expr(s"""CAST(floor(aggregate(sequence(0, ${m - 1}),
-      |  cast(0.0 as double), (s, j) -> s + qd[j * $ksub + codes[j]])
+      |  cast(0.0 as double), (s, j) -> s + qd[j * $kEff + codes[j]])
       |  * 1000000.0D) AS BIGINT)""".stripMargin)
     val candidates = codes.crossJoin(broadcast(qd))
       .filter(col("vec_id") =!= col("qid"))

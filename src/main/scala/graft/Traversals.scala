@@ -728,7 +728,13 @@ object Traversals {
     * default reached hundreds of MB, not the "~16 MB" it claimed). */
   private[graft] val LocalContractRows = 1L << 18
 
-  def msfBoruvka(canonWeighted: DataFrame, maxRounds: Int = 8,
+  // maxRounds 12 (was 8): components at least halve per round, so 12
+  // rounds contract 4096× before the fail-loud throw — lowering the local
+  // gate 2^20 → 2^18 (ADVICE r8) widened the window where a slowly-
+  // contracting graph needs 1-2 extra DISTRIBUTED rounds to duck under
+  // the gate, and the old bound could now throw on inputs it used to
+  // hand to the driver solver (r9 review finding)
+  def msfBoruvka(canonWeighted: DataFrame, maxRounds: Int = 12,
                  localGate: Long = LocalContractRows): DataFrame = {
     val e = canonWeighted.select("src", "dst", "w")
       .repartition(col("src")).persist()
@@ -956,7 +962,10 @@ object Traversals {
     label.toSeq.toDF("id", "label")
   }
 
-  def sccLabels(edges: DataFrame, maxOuter: Int = 12,
+  // maxOuter 14 (was 12): the 2^20 → 2^18 local-gate cut (ADVICE r8) can
+  // cost 1-2 extra FW-BW refinement rounds before the survivor edges fit
+  // the driver Tarjan pass — same widening as msfBoruvka's maxRounds
+  def sccLabels(edges: DataFrame, maxOuter: Int = 14,
                 maxInner: Int = 60,
                 localGate: Long = LocalSccRows): DataFrame = {
     val e0 = edges.select("src", "dst").filter(col("src") =!= col("dst"))
@@ -1037,9 +1046,13 @@ object Traversals {
         val refined =
           try minPropBoth(ec, ecR).select("id", "f", "b").localCheckpoint(true)
           catch { case t: Throwable =>
-            // a maxInner abort must not leak this round's persisted edge
-            // frames into a long-lived session (ADVICE r8)
-            ec.unpersist(); ecR.unpersist(); throw t
+            // a maxInner abort must not leak persisted edge frames into a
+            // long-lived session (ADVICE r8): this round's pair AND the
+            // previous round's frame still held in ecur (r9 review
+            // finding — the first cut of this cleanup missed ecur)
+            ec.unpersist(); ecR.unpersist()
+            if (ecur ne e0) ecur.unpersist()
+            throw t
           }
         if (ecur ne e0) ecur.unpersist()
         ecur = ec

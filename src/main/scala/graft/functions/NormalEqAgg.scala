@@ -119,6 +119,15 @@ case class NormalEqAgg(
 
   override def eval(buf: Array[Double]): Any = {
     val deg = buf(tri + d)
+    // a group whose rated counterparts were ALL absent from the broadcast
+    // accumulated nothing: the zero normal equations would Cholesky to
+    // 0/0 = NaN factors that poison every later sweep. The broadcast-join
+    // form this aggregate replaced DROPPED such groups — return null (the
+    // SQL equivalent) to keep that contract. Unreachable from fit() today
+    // (both sides initialize from the same ratings frame); load-bearing
+    // for the documented at-scale degradation path that feeds factors
+    // from a relational join (r9 review finding).
+    if (deg == 0.0) return null
     val a = new Array[Double](d * d)
     var p = 0
     var i = 0

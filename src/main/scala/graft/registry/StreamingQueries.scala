@@ -154,11 +154,14 @@ object StreamingQueries {
     })
   }
 
-  /** s9/s11 share the documents-with-arrival-times fixture shape; built
-    * once per tag in the untimed warm-up (see [[sessionizeFixture]]). */
-  private def docsReplayFixture(s: SparkSession, d: String, tag: String): String =
-    cache.computeIfAbsent(key(s, d, s"$tag.fix"), _ => {
-      val watch = java.nio.file.Files.createTempDirectory(s"graft-$tag-in").toString
+  /** s9 and s11 consume the SAME documents-with-arrival-times feed, so
+    * they SHARE one fixture dir (the s13/s14 discipline: each query's
+    * FileStreamSource tracks its progress in its own checkpoint, so a
+    * shared watch dir is free); built once in the untimed warm-up
+    * (see [[sessionizeFixture]]). */
+  private def docsReplayFixture(s: SparkSession, d: String): String =
+    cache.computeIfAbsent(key(s, d, "s9s11.fix"), _ => {
+      val watch = java.nio.file.Files.createTempDirectory("graft-s9s11-in").toString
       val base = 1700000000L * 1000000000L // fixed epoch ns, far from 0
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
@@ -184,7 +187,7 @@ object StreamingQueries {
     * 10 ms/doc so the whole replay sits far inside the 1 h watermark
     * horizon at every tested SF — no state eviction mid-replay. */
   private def dedupedPath(s: SparkSession, d: String): String = {
-    val watch = docsReplayFixture(s, d, "s9")
+    val watch = docsReplayFixture(s, d)
     cache.computeIfAbsent(key(s, d, "s9"), _ => withReplayShuffle(s) {
       val out = java.nio.file.Files.createTempDirectory("graft-s9-out").toString
       val sch = StructType(Seq(StructField("doc_id", LongType),
@@ -265,7 +268,7 @@ object StreamingQueries {
     * BEFORE the watermark-bounded dedup state (rejected docs never touch
     * state), with the same cross-batch re-sends as the s9 replay. */
   private def corpusGatePath(s: SparkSession, d: String): String = {
-    val watch = docsReplayFixture(s, d, "s11")
+    val watch = docsReplayFixture(s, d) // shared with s9
     cache.computeIfAbsent(key(s, d, "s11"), _ => withReplayShuffle(s) {
       val out = java.nio.file.Files.createTempDirectory("graft-s11-out").toString
       val sch = StructType(Seq(StructField("doc_id", LongType),
@@ -586,8 +589,7 @@ object StreamingQueries {
     * builds these lazily on first use. */
   def warmReplayFixtures(s: SparkSession, d: String): Unit = {
     sessionizeFixture(s, d)
-    docsReplayFixture(s, d, "s9")
-    docsReplayFixture(s, d, "s11")
+    docsReplayFixture(s, d) // shared by s9 + s11
     windowedFixture(s, d)
     eventsSentinelFixture(s, d)
     attributionFixture(s, d)
