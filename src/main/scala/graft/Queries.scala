@@ -56,17 +56,47 @@ object Queries {
       return edges.limit(0).select(col("src").as("id"),
         lit(0L).as("paths"))
     val v0 = minRow.getLong(0)
-    val mids = edges.filter(col("src") === v0).select("dst").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    servedFofFrom(
+      out = keys => edges.filter(col("src").isin(keys: _*)).select("src", "dst"),
+      in = _ => edges.limit(0).select("src", "dst"),
+      v0 = v0, maxFanout = maxFanout)
+  }
+
+  /** The ONE served-FoF composition (VERDICT r9 next #6): two rounds of
+    * point lookups over a pair of direction-pruned edge readers.
+    * `out(keys)` must return exactly the edge rows with `src ∈ keys`;
+    * `in(keys)` exactly the rows with `dst ∈ keys` — each from whatever
+    * physical substrate prunes that direction (src-sorted primary files
+    * for `out`, the dst-bucketed in-edge mirror for `in` — the reference's
+    * per-shard in-edge index, QueryShard.java:662-812). The composition
+    * itself is substrate-agnostic: hop 1 collects v0's (out ∪ in)
+    * neighbors under the pointReadLocal serving discipline, hop 2 pushes
+    * the collected mids back through both readers as LITERAL `IN`
+    * predicates, repeats kept (2-hop path multiplicity), the start vertex
+    * excluded — row-equal to [[friendsOfFriendsExclTop20]] over the
+    * symmetric view `E ∪ reverse(E)` when both readers cover E (and to
+    * the directed scan form when `in` is empty). Callers:
+    * [[graft.DurableStore.servedFof]] (manifest-routed store + mirror)
+    * and the envelope probes' parquet-directory pair. */
+  def servedFofFrom(out: Seq[Long] => DataFrame, in: Seq[Long] => DataFrame,
+                    v0: Long, topK: Int = 20,
+                    maxFanout: Int = 1 << 16): DataFrame = {
+    val mids = out(Seq(v0)).select(col("dst").as("id"))
+      .unionByName(in(Seq(v0)).select(col("src").as("id")))
+      .distinct().collect().map(_.getLong(0)).toSeq
     // a hub query vertex would inflate the literal IN-list (and the plan)
     // past any footer-pruning payoff — that regime belongs to the
     // broadcast-join form, so fail loudly instead of degrading silently
     require(mids.size <= maxFanout,
       s"fofServed: query vertex $v0 has ${mids.size} neighbors " +
         s"(> $maxFanout) — use friendsOfFriendsExclTop20 (scan form)")
-    edges.filter(col("src").isin(mids: _*)).filter(col("dst") =!= v0)
-      .groupBy(col("dst").as("id")).agg(count(lit(1)).as("paths"))
-      .orderBy(col("paths").desc, col("id")).limit(20)
+    val hop2 =
+      if (mids.isEmpty) out(Seq(v0)).select(col("dst").as("id")).limit(0)
+      else out(mids).select(col("dst").as("id"))
+        .unionByName(in(mids).select(col("src").as("id")))
+    hop2.filter(col("id") =!= v0)
+      .groupBy(col("id")).agg(count(lit(1)).as("paths"))
+      .orderBy(col("paths").desc, col("id")).limit(topK)
   }
 
   /** Q3 friendsOfFriends: plain distinct 2-hop reachable set (reference

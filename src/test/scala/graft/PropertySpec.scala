@@ -50,6 +50,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("STORE-served FoF (mirror-routed reverse hop) equals the sym scan form") {
+    // DurableStore.servedFof reads the out hop from src-routed primary
+    // files and the reverse hop from the dst-bucketed in-edge mirror;
+    // on any random graph (repeated edges, 2-cycles, hubs) it must be
+    // row-equal to the broadcast-join scan form over the symmetric view,
+    // with the query vertex answered from manifest stats alone
+    check(Prop.forAll(genEdges) { es =>
+      import org.apache.spark.sql.functions.col
+      val edges = TestSpark.edgesDF(es.map { case (s, d) => (s, d, 0) })
+      val e = edges.select("src", "dst")
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val scan = Queries.friendsOfFriendsExclTop20(sym)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val root = java.nio.file.Files.createTempDirectory("graft-prop-srv").toString
+      val st = DurableStore.create(spark, edges, root,
+        numBuckets = 2, withInEdgeIndex = true)
+      val v0 = st.minEndpoint(1).get
+      val served = st.servedFof(1, v0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      v0 == (es.map(_._1) ++ es.map(_._2)).min && served == scan
+    })
+  }
+
   test("BFS distances equal brute-force BFS") {
     check(Prop.forAll(genEdges) { es =>
       val s = spark; import s.implicits._
