@@ -119,8 +119,12 @@ object ALSSweep {
     * aggregate is [[graft.functions.NormalEqAgg]] — a primitive-buffer
     * TypedImperativeAggregate with the fixed side's factors fused in as
     * a broadcast packed-array lookup, so the half-sweep's ONLY operator
-    * over the corpus-sized ratings is this in-place aggregation: no
-    * join, no per-row encoder, 24-byte input rows. */
+    * over the corpus-sized ratings is this aggregation: no join, no
+    * per-row encoder, 24-byte input rows. It runs hash-in-place when
+    * the ObjectHashAggregate fallback threshold covers the per-
+    * partition key count ([[fitFrames]] raises it for the fit); below
+    * that Spark sort-falls-back — still exchange-free, sorting the
+    * 24-byte rows rather than joined factor rows (ADVICE r9). */
   private[graft] def solveSidePlan(
       ratings: DataFrame,
       given: org.apache.spark.broadcast.Broadcast[graft.functions.PackedFactors],
@@ -182,9 +186,26 @@ object ALSSweep {
     typed.unpersist()
     var userF = initFactors(spark, byUser.select("user").distinct(), "u")
     var itemF = initFactors(spark, byItem.select("item").distinct(), "i")
-    for (_ <- 1 to iters) {
-      userF = solveSide(byUser, itemF, "user", "item")
-      itemF = solveSide(byItem, userF, "item", "user")
+    // ObjectHashAggregateExec falls back to SORT-based aggregation after
+    // `fallbackThreshold` distinct keys per partition (default 128) — at
+    // ~1e5 solve keys every task would fall back and sort its 24-byte
+    // rows before aggregating (ADVICE r9). Raise it for the fit so the
+    // half-sweeps aggregate hash-in-place: buffers are ~0.5 KB flat
+    // double arrays, so even 1M keys/partition is ~0.5 GB, far under
+    // executor budget. try/finally-scoped; sound here because every
+    // sweep materializes eagerly (solveSide localCheckpoints) before
+    // the restore runs.
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val fbPrev = spark.conf.getOption(fbKey)
+    spark.conf.set(fbKey, (1 << 20).toString)
+    try {
+      for (_ <- 1 to iters) {
+        userF = solveSide(byUser, itemF, "user", "item")
+        itemF = solveSide(byItem, userF, "item", "user")
+      }
+    } finally fbPrev match {
+      case Some(v) => spark.conf.set(fbKey, v)
+      case None => spark.conf.unset(fbKey)
     }
     (userF, itemF, byUser, byItem)
   }

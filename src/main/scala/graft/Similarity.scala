@@ -108,10 +108,37 @@ object Similarity {
     * per-pair cosine recomputes each norm N times (at N vectors that is
     * O(N²·dim) wasted work; measured 3× slower at sf0.1). The division
     * `dot/(na·nb)` is the same double expression as [[cosine]], so parity
-    * with the oracle is unchanged. */
-  def cosinePairs(emb: DataFrame, minCosScaled: Long): DataFrame = {
-    val withN = emb.select(col("vec_id"), col("embedding"),
-        sqrt(ndot(emb, col("embedding"), col("embedding"))).as("nrm"))
+    * with the oracle is unchanged.
+    *
+    * `maxVectors`: deterministic INPUT cap (VERDICT r9 wrong #2) — when
+    * the corpus exceeds it, the pair join runs over the `maxVectors`
+    * md5-lowest vec_ids (cross-engine-stable order, mirrored verbatim in
+    * the d5b oracle SQL), announced loudly on stderr. An all-pairs
+    * operator is quadratic in its INPUT, so — unlike d3's candidate-pair
+    * cap, which bounds an already-sub-quadratic candidate set — bounding
+    * the input is the only cap that keeps total work (enumeration
+    * included) from growing quadratically with fixture size. Within the
+    * capped set the contract stays EXACT all-pairs; the LSH twin
+    * ([[cosinePairsLsh]], d5) remains the unbounded corpus-scale path. */
+  def cosinePairs(emb: DataFrame, minCosScaled: Long,
+                  maxVectors: Option[Int] = None): DataFrame = {
+    val base = maxVectors match {
+      case Some(mv) =>
+        val capped = emb
+          .orderBy(md5(concat(lit("d5b|"), col("vec_id").cast("string"))),
+            col("vec_id"))
+          .limit(mv).localCheckpoint(true)
+        if (capped.count() == mv.toLong)
+          System.err.println(
+            s"[graft.Similarity] cosinePairs: input cap ENGAGED at $mv " +
+              "vectors (md5-ordered prefix) — pairs outside the capped set " +
+              "are not verified; use the LSH composition (d5) for " +
+              "corpus-scale near-dup detection")
+        capped
+      case None => emb
+    }
+    val withN = base.select(col("vec_id"), col("embedding"),
+        sqrt(ndot(base, col("embedding"), col("embedding"))).as("nrm"))
       .localCheckpoint(true)
     val a = withN.select(col("vec_id").as("x"), col("embedding").as("va"), col("nrm").as("na"))
     val b = withN.select(col("vec_id").as("y"), col("embedding").as("vb"), col("nrm").as("nb"))
@@ -724,8 +751,18 @@ object Similarity {
     def sub(arr: String) =
       expr(s"slice($arr, j * (size($arr) div $m) + 1, size($arr) div $m)")
     // codebook: the j-slice of ksub md5-picked vectors; cid = in-pick rank
-    // (the row_number window sees exactly ksub rows, never the table)
-    val picked = emb
+    // (the row_number window sees exactly ksub rows, never the table).
+    // The pick pool is the 1/8 md5-stratified DETERMINISTIC sample
+    // (t5's threshold-sampler rule; VERDICT r9 next #4) so codebook prep
+    // ranks n/8 rows instead of ordering the full corpus; a pool smaller
+    // than ksub (degenerate corpus) falls back to the full table. Both
+    // the pool rule and the fallback are mirrored in the e12 oracle SQL,
+    // so the pick — and every downstream code/score — stays engine-exact.
+    val pool0 = emb.filter(
+      substring(md5(concat(lit("pqs|"), col("vec_id").cast("string"))), 1, 1)
+        < lit("2"))
+    val pool = if (pool0.count() >= ksub.toLong) pool0 else emb
+    val picked = pool
       .orderBy(md5(concat(lit("pq|"), col("vec_id"))), col("vec_id"))
       .limit(ksub)
       .withColumn("cid", row_number().over(Window.orderBy("vec_id")).cast("int") - 1)

@@ -40,6 +40,14 @@ case class GramProbe(child: Expression, k: Int, bfBytes: Array[Byte])
       new java.io.ByteArrayInputStream(bfBytes))
 
   override def nullSafeEval(input: Any): Any = {
+    // Locale.ROOT here vs SQL lower() on the sketch-build side: for
+    // ASCII the two agree byte-for-byte; outside ASCII UTF8String falls
+    // back to default-locale toLowerCase, where e.g. a tr_TR JVM maps
+    // 'I' differently and a contamination gram could be silently missed
+    // (the md5 verify join only removes false POSITIVES). ASCII-only
+    // corpus contract, the same one [[ShingleArray]] documents — the
+    // benchmark sketch is built from SQL lower() over ASCII text
+    // (ADVICE r9).
     val text = input.asInstanceOf[UTF8String].toString
       .toLowerCase(java.util.Locale.ROOT)
     val tokens = sep.split(text).filter(_.nonEmpty)
@@ -70,18 +78,21 @@ case class GramProbe(child: Expression, k: Int, bfBytes: Array[Byte])
 
 object GramProbe {
   val FnName = "graft_gram_probe"
+  private val regSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Register-and-call with (k, sketch bytes) captured in the builder
     * (the [[NormalEqAgg]] pattern — non-Column operands have no
-    * call_function slot; the consuming query materializes before any
-    * re-registration). */
+    * call_function slot), under a UNIQUE per-invocation name (ADVICE
+    * r9) so no later registration's sketch can ever be resolved by an
+    * earlier, lazily-composed query. */
   def of(spark: SparkSession, text: Column, k: Int,
          bfBytes: Array[Byte]): Column = {
+    val fn = s"${FnName}_${regSeq.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => {
-        require(exprs.length == 1, s"$FnName expects (text)")
+      fn, exprs => {
+        require(exprs.length == 1, s"$fn expects (text)")
         GramProbe(exprs.head, k, bfBytes)
       }, "built-in")
-    org.apache.spark.sql.functions.call_function(FnName, text)
+    org.apache.spark.sql.functions.call_function(fn, text)
   }
 }

@@ -172,21 +172,24 @@ case class NormalEqAgg(
 
 object NormalEqAgg {
   val FnName = "graft_normal_eq"
+  private val regSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** `(givenId int, rating double)` → solved factor vector for the
     * grouping key, against the broadcast packed factors. The registry
     * builder captures the broadcast (a non-Column operand has no
-    * call_function slot); re-registering per sweep is cheap and each
-    * sweep materializes eagerly, so the binding can't go stale. The
-    * caller must hand a DOUBLE rating (no implicit casts through the
-    * registry path). */
+    * call_function slot), so each invocation registers under a UNIQUE
+    * suffixed name (ADVICE r9): a fixed name would let a lazily-composed
+    * or concurrent query resolve against a LATER sweep's broadcast. The
+    * per-call registry rows are metadata-sized. The caller must hand a
+    * DOUBLE rating (no implicit casts through the registry path). */
   def of(spark: SparkSession, givenId: Column, rating: Column,
          factors: Broadcast[PackedFactors], d: Int, lambda: Double): Column = {
+    val fn = s"${FnName}_${regSeq.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => {
-        require(exprs.length == 2, s"$FnName expects (givenId, rating)")
+      fn, exprs => {
+        require(exprs.length == 2, s"$fn expects (givenId, rating)")
         NormalEqAgg(exprs.head, exprs(1), factors, d, lambda)
       }, "built-in")
-    org.apache.spark.sql.functions.call_function(FnName, givenId, rating)
+    org.apache.spark.sql.functions.call_function(fn, givenId, rating)
   }
 }

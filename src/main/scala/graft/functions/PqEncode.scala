@@ -34,6 +34,13 @@ case class PqEncode(child: Expression, cb: Array[Double], m: Int, ksub: Int)
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val dim = v.numElements()
+    // a ragged row (dim ≠ training dim) would silently misindex the
+    // packed codebook stride and argmin against garbage distances —
+    // fail loud instead (ADVICE r9)
+    if (cb.length != ksub * dim)
+      throw new IllegalStateException(
+        s"PqEncode: row dim $dim does not match codebook " +
+          s"(${cb.length} = ksub $ksub × training dim ${cb.length / ksub})")
     val sub = dim / m
     val codes = new Array[Int](m)
     var j = 0
@@ -73,6 +80,9 @@ case class PqEncode(child: Expression, cb: Array[Double], m: Int, ksub: Int)
       val d = ctx.freshName("d")
       s"""
          |int $dim = $a.numElements();
+         |if ($cbRef.length != $ksub * $dim)
+         |  throw new IllegalStateException("PqEncode: row dim " + $dim
+         |    + " does not match codebook length " + $cbRef.length);
          |int $sub = $dim / $m;
          |int[] $codes = new int[$m];
          |for (int $j = 0; $j < $m; $j++) {
@@ -99,17 +109,23 @@ case class PqEncode(child: Expression, cb: Array[Double], m: Int, ksub: Int)
 
 object PqEncode {
   val FnName = "graft_pq_encode"
+  private val regSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Register-and-call with the codebook captured in the builder (like
-    * [[NormalEqAgg]]: a non-Column operand has no call_function slot;
-    * the consuming query materializes before any re-registration). */
+    * [[NormalEqAgg]]: a non-Column operand has no call_function slot).
+    * Registered under a UNIQUE per-invocation name (ADVICE r9): the
+    * builder captures STATE, so a fixed name would let a lazily-composed
+    * or concurrent query resolve against a LATER registration's
+    * codebook. A fresh suffix makes stale resolution impossible; temp-
+    * function entries are name→builder map rows, metadata-sized. */
   def of(spark: SparkSession, embedding: Column, cb: Array[Double],
          m: Int, ksub: Int): Column = {
+    val fn = s"${FnName}_${regSeq.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => {
-        require(exprs.length == 1, s"$FnName expects (embedding)")
+      fn, exprs => {
+        require(exprs.length == 1, s"$fn expects (embedding)")
         PqEncode(exprs.head, cb, m, ksub)
       }, "built-in")
-    org.apache.spark.sql.functions.call_function(FnName, embedding)
+    org.apache.spark.sql.functions.call_function(fn, embedding)
   }
 }

@@ -70,21 +70,22 @@ object StreamingQueries {
     * 38 s at sf0.1 vs 19 s at sf1 — triggers, not rows). The batch data
     * per trigger is fixture-sized, so 4 partitions lose no parallelism
     * while cutting the state-store count 8×. Partition count is pinned
-    * at query START (checkpoint-fixed), so this must wrap `.start()`;
-    * the prior session value is restored in `finally` so no batch entry
-    * timed afterwards sees it. Sentinel/boundary coverage is untouched —
-    * file-per-trigger replay order is unchanged.
+    * at query START (checkpoint-fixed), so this must wrap `.start()`.
+    * Sentinel/boundary coverage is untouched — file-per-trigger replay
+    * order is unchanged.
     *
-    * SEQUENTIAL-ONLY (ADVICE r8): this mutates session-global shuffle
-    * partitions with a try/finally restore, which is safe only because
-    * replays run strictly sequentially (entry builds are one-at-a-time in
-    * Verify/Bench and memoized in `cache`). A future concurrent entry
-    * runner must scope the setting via a cloned session
-    * (`spark.newSession()` shares state stores but not conf) instead. */
-  private def withReplayShuffle[T](s: SparkSession)(f: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    * The override is scoped to a CLONED session (`spark.newSession()`:
+    * shared SparkContext, block manager and state-store machinery, fresh
+    * SQLConf) handed to the build block, which must run its readStream —
+    * and any static side it composes in — through it. Nothing
+    * session-global mutates, so a concurrent entry runner can never
+    * observe the replay's 4 partitions (VERDICT r9 next #7; the prior
+    * try/finally-restore form was sequential-only by documented
+    * contract). */
+  private def withReplayShuffle[T](s: SparkSession)(f: SparkSession => T): T = {
+    val rs = s.newSession()
+    rs.conf.set("spark.sql.shuffle.partitions", "4")
+    f(rs)
   }
 
   /** Unload every loaded state-store provider and stop the maintenance
@@ -134,11 +135,11 @@ object StreamingQueries {
     * .sessionize]] and return the closed sessions as a batch DataFrame. */
   private def sessionizedPath(s: SparkSession, d: String): String = {
     val watch = sessionizeFixture(s, d)
-    cache.computeIfAbsent(key(s, d, "s8"), _ => withReplayShuffle(s) {
+    cache.computeIfAbsent(key(s, d, "s8"), _ => withReplayShuffle(s) { rs =>
       val out = java.nio.file.Files.createTempDirectory("graft-s8-out").toString
       val sch = StructType(Seq(StructField("user_id", LongType),
         StructField("ts", LongType), StructField("value", DoubleType)))
-      val stream = s.readStream.schema(sch)
+      val stream = rs.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
       graft.streaming.OnlineIngest.sessionize(stream, gapUs = GapUs)
         .writeStream.outputMode("append")
@@ -188,11 +189,11 @@ object StreamingQueries {
     * horizon at every tested SF — no state eviction mid-replay. */
   private def dedupedPath(s: SparkSession, d: String): String = {
     val watch = docsReplayFixture(s, d)
-    cache.computeIfAbsent(key(s, d, "s9"), _ => withReplayShuffle(s) {
+    cache.computeIfAbsent(key(s, d, "s9"), _ => withReplayShuffle(s) { rs =>
       val out = java.nio.file.Files.createTempDirectory("graft-s9-out").toString
       val sch = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType), StructField("ts", LongType)))
-      val stream = s.readStream.schema(sch)
+      val stream = rs.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
       graft.streaming.OnlineIngest.streamingDedup(stream)
         // WHICH doc survives a same-batch duplicate group is partition-
@@ -227,25 +228,28 @@ object StreamingQueries {
       }
       val mid = lo + (hi - lo) / 2
       writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
-      // the sentinel KEEPS its own third trigger (unlike the s8/s13/s14
-      // merged feeds): a watermarked agg in append mode finalizes windows
-      // against the watermark set at the END of the PREVIOUS trigger, so
-      // real windows can only flush in the trigger AFTER the sentinel
-      // arrives — riding it in b1 would leave every window un-emitted
-      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
-      writeBatch(ev.limit(1).select(col("event_id"),
+      // the sentinel RIDES IN the final data batch (the s8/s13/s14
+      // merged-feed discipline): append-mode windows finalize against
+      // the watermark of the PREVIOUS trigger, but the engine's trailing
+      // NO-DATA batch (noDataMicroBatches, default on) re-evaluates
+      // state against the watermark b1's sentinel advanced, flushing
+      // every real window without a third data trigger — pinned in
+      // StreamingSpec's trailing-no-data-batch test (VERDICT r9 next #3).
+      // The sentinel's own window never finalizes, exactly as before.
+      writeBatch(ev.filter(col("ts") >= mid)
+        .unionByName(ev.limit(1).select(col("event_id"),
           lit(hi + 30L * 24 * 3600 * 1000000000L).as("ts"), col("user_id"),
-          lit("__sentinel").as("event_type"), col("value"), col("props")),
-        s"$watch/b2.parquet")
+          lit("__sentinel").as("event_type"), col("value"), col("props"))),
+        s"$watch/b1.parquet")
       ev.unpersist()
       watch
     })
 
   private def windowedPath(s: SparkSession, d: String): String = {
     val watch = windowedFixture(s, d)
-    cache.computeIfAbsent(key(s, d, "s10"), _ => withReplayShuffle(s) {
+    cache.computeIfAbsent(key(s, d, "s10"), _ => withReplayShuffle(s) { rs =>
       val out = java.nio.file.Files.createTempDirectory("graft-s10-out").toString
-      val stream = s.readStream.schema(StructType(Seq(
+      val stream = rs.readStream.schema(StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
@@ -269,11 +273,11 @@ object StreamingQueries {
     * state), with the same cross-batch re-sends as the s9 replay. */
   private def corpusGatePath(s: SparkSession, d: String): String = {
     val watch = docsReplayFixture(s, d) // shared with s9
-    cache.computeIfAbsent(key(s, d, "s11"), _ => withReplayShuffle(s) {
+    cache.computeIfAbsent(key(s, d, "s11"), _ => withReplayShuffle(s) { rs =>
       val out = java.nio.file.Files.createTempDirectory("graft-s11-out").toString
       val sch = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType), StructField("ts", LongType)))
-      val stream = s.readStream.schema(sch)
+      val stream = rs.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
       graft.streaming.OnlineIngest.corpusIngest(stream)
         // which duplicate ROW survives is partition-order-dependent; the
@@ -328,12 +332,12 @@ object StreamingQueries {
 
   private def latestPath(s: SparkSession, d: String): String = {
     val watch = eventsSentinelFixture(s, d)
-    cache.computeIfAbsent(key(s, d, "s13"), _ => withReplayShuffle(s) {
+    cache.computeIfAbsent(key(s, d, "s13"), _ => withReplayShuffle(s) { rs =>
       val out = java.nio.file.Files.createTempDirectory("graft-s13-out").toString
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("ts", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
-      val stream = s.readStream.schema(sch)
+      val stream = rs.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
       graft.streaming.OnlineIngest.latestPerKey(stream)
         .writeStream.outputMode("append")
@@ -356,12 +360,12 @@ object StreamingQueries {
     * must chain through carried GroupState). */
   private def funnelPath(s: SparkSession, d: String): String = {
     val watch = eventsSentinelFixture(s, d) // shared with s13
-    cache.computeIfAbsent(key(s, d, "s14"), _ => withReplayShuffle(s) {
+    cache.computeIfAbsent(key(s, d, "s14"), _ => withReplayShuffle(s) { rs =>
       val out = java.nio.file.Files.createTempDirectory("graft-s14-out").toString
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("ts", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
-      val stream = s.readStream.schema(sch)
+      val stream = rs.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
       graft.streaming.OnlineIngest.funnelProgress(stream)
         .writeStream.outputMode("append")
@@ -407,12 +411,12 @@ object StreamingQueries {
 
   private def attributionPath(s: SparkSession, d: String): String = {
     val watch = attributionFixture(s, d)
-    cache.computeIfAbsent(key(s, d, "s12"), _ => withReplayShuffle(s) {
+    cache.computeIfAbsent(key(s, d, "s12"), _ => withReplayShuffle(s) { rs =>
       val out = java.nio.file.Files.createTempDirectory("graft-s12-out").toString
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("ts", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType)))
-      def side(t: String): DataFrame = s.readStream.schema(sch)
+      def side(t: String): DataFrame = rs.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(s"$watch/$t/*")
       graft.streaming.OnlineIngest.clickAttribution(side("click"), side("purchase"))
         .writeStream.outputMode("append")
@@ -433,14 +437,15 @@ object StreamingQueries {
     * unmatched clicks finalize with null purchase columns before the
     * AvailableNow run terminates. */
   /** s15's fixture: per-side feeds like s12's, each side carrying ITS OWN
-    * sentinels (a deployment's heartbeat rows arrive on their own topic).
-    * The FIRST sentinel rides in each side's second data batch (the s8
-    * merged-feed discipline, VERDICT r8 #5) — after that trigger the
-    * watermark is already far past every real join window. Watermark
-    * updates at the END of a trigger and state eviction runs in the NEXT
-    * one, so unmatched clicks cannot flush in the same trigger — the LAST
-    * sentinel keeps its own trigger per side, whose eviction pass runs
-    * with the post-b1 watermark and finalizes every null match. */
+    * sentinel (a deployment's heartbeat rows arrive on their own topic),
+    * riding in that side's second data batch (the s8 merged-feed
+    * discipline, VERDICT r8 #5) — after both b1 triggers the watermark is
+    * far past every real join window. Watermark updates at the END of a
+    * trigger and state eviction runs in the NEXT one; that next one is
+    * the engine's trailing NO-DATA batch (noDataMicroBatches, the same
+    * mechanism the s10/s17 windowed aggs lean on, pinned in
+    * StreamingSpec), whose eviction pass finalizes every null match —
+    * no sentinel-only trigger left on either side. */
   private def attributionOuterFixture(s: SparkSession, d: String): String =
     cache.computeIfAbsent(key(s, d, "s15.fix"), _ => {
       val watch = java.nio.file.Files.createTempDirectory("graft-s15-in").toString
@@ -461,8 +466,6 @@ object StreamingQueries {
         writeBatch(sd.filter(col("ts") < mid), s"$watch/$t/b0.parquet")
         writeBatch(sd.filter(col("ts") >= mid)
           .unionByName(sentinel(t, far, sid)), s"$watch/$t/b1.parquet")
-        writeBatch(sentinel(t, far + 24L * 3600 * 1000000000L, sid - 2L),
-          s"$watch/$t/b2.parquet")
       }
       ev.unpersist()
       watch
@@ -470,12 +473,12 @@ object StreamingQueries {
 
   private def attributionOuterPath(s: SparkSession, d: String): String = {
     val watch = attributionOuterFixture(s, d)
-    cache.computeIfAbsent(key(s, d, "s15"), _ => withReplayShuffle(s) {
+    cache.computeIfAbsent(key(s, d, "s15"), _ => withReplayShuffle(s) { rs =>
       val out = java.nio.file.Files.createTempDirectory("graft-s15-out").toString
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("ts", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType)))
-      def side(t: String): DataFrame = s.readStream.schema(sch)
+      def side(t: String): DataFrame = rs.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(s"$watch/$t/*")
       graft.streaming.OnlineIngest.clickAttributionOuter(side("click"), side("purchase"))
         .writeStream.outputMode("append")
@@ -512,11 +515,11 @@ object StreamingQueries {
 
   private def ragStreamPath(s: SparkSession, d: String): String = {
     val watch = ragStreamFixture(s, d)
-    cache.computeIfAbsent(key(s, d, "s19"), _ => withReplayShuffle(s) {
+    cache.computeIfAbsent(key(s, d, "s19"), _ => withReplayShuffle(s) { rs =>
       val store = java.nio.file.Files.createTempDirectory("graft-s19-store").toString
       val sch = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType)))
-      s.readStream.schema(sch)
+      rs.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
         .writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -558,13 +561,13 @@ object StreamingQueries {
 
   private def ivfStreamPath(s: SparkSession, d: String): String = {
     val fix = ivfStreamFixture(s, d)
-    cache.computeIfAbsent(key(s, d, "s16"), _ => withReplayShuffle(s) {
+    cache.computeIfAbsent(key(s, d, "s16"), _ => withReplayShuffle(s) { rs =>
       val store = java.nio.file.Files.createTempDirectory("graft-s16-store").toString
-      val cent = s.read.parquet(s"$fix/centroids").localCheckpoint(true)
+      val cent = rs.read.parquet(s"$fix/centroids").localCheckpoint(true)
       cent.write.parquet(s"$store/centroids")
       val sch = StructType(Seq(StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType))))
-      s.readStream.schema(sch)
+      rs.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(s"$fix/in/*")
         .writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -820,9 +823,9 @@ object StreamingQueries {
 
   private def runningCountsPath(s: SparkSession, d: String): String = {
     val watch = runningCountsFixture(s, d)
-    cache.computeIfAbsent(key(s, d, "s18"), _ => withReplayShuffle(s) {
+    cache.computeIfAbsent(key(s, d, "s18"), _ => withReplayShuffle(s) { rs =>
       val out = java.nio.file.Files.createTempDirectory("graft-s18-out").toString
-      val stream = s.readStream.schema(StructType(Seq(
+      val stream = rs.readStream.schema(StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),
           StructField("event_type", StringType), StructField("value", DoubleType)))
         ).option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
@@ -854,27 +857,28 @@ object StreamingQueries {
       }
       val mid = lo + (hi - lo) / 2
       writeBatch(ev.filter(col("ts") < mid), s"$watch/b0.parquet")
-      writeBatch(ev.filter(col("ts") >= mid), s"$watch/b1.parquet")
-      // the sentinel keeps its own trigger for the same append-mode
-      // window-finalization reason as s10 (see windowedFixture)
-      writeBatch(ev.limit(1).select(col("event_id"),
+      // sentinel rides in the final data batch; the trailing no-data
+      // batch flushes the real windows (see windowedFixture / the
+      // StreamingSpec trailing-no-data-batch pin)
+      writeBatch(ev.filter(col("ts") >= mid)
+        .unionByName(ev.limit(1).select(col("event_id"),
           lit(hi + 30L * 24 * 3600 * 1000000000L).as("ts"),
-          col("user_id"), col("value")),
-        s"$watch/b2.parquet")
+          col("user_id"), col("value"))),
+        s"$watch/b1.parquet")
       ev.unpersist()
       watch
     })
 
   private def enrichedPath(s: SparkSession, d: String): String = {
     val watch = enrichedFixture(s, d)
-    cache.computeIfAbsent(key(s, d, "s17"), _ => withReplayShuffle(s) {
+    cache.computeIfAbsent(key(s, d, "s17"), _ => withReplayShuffle(s) { rs =>
       val out = java.nio.file.Files.createTempDirectory("graft-s17-out").toString
-      val stream = s.readStream.schema(StructType(Seq(
+      val stream = rs.readStream.schema(StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),
           StructField("user_id", LongType), StructField("value", DoubleType)))
         ).option("maxFilesPerTrigger", "1").parquet(s"$watch/*")
       graft.streaming.OnlineIngest
-        .enrichedSegmentCounts(stream, Tables.customer(s, d))
+        .enrichedSegmentCounts(stream, Tables.customer(rs, d))
         .writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$out/_ckpt")

@@ -106,8 +106,9 @@ object VectorQueries {
 
   // E12 product-quantization shape, shared by the Scala call and the
   // oracle SQL below so a parameter change re-derives both sides
-  // pinned from examples.PqProbe's recall sweep: recall@10 = 7/10
-  // (sf0.001, deliberately-weak planted pairs) and 9/10 (sf0.01)
+  // pinned from examples.PqProbe's recall sweep (re-run after the r10
+  // sampled-pool codebook): recall@10 = 10/10 (sf0.001,
+  // deliberately-weak planted pairs) and 7/10 (sf0.01)
   private[registry] val PqM = 8
   private[registry] val PqKsub = 32
   private[registry] val PqCand = 100
@@ -123,9 +124,16 @@ object VectorQueries {
          |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
          |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))), (s, v) -> s + v)""".stripMargin
     s"""WITH $Q,
+       |pool AS (SELECT * FROM embeddings
+       |         WHERE substr(md5('pqs|' || vec_id), 1, 1) < '2'),
+       |poolf AS (SELECT * FROM pool
+       |          WHERE (SELECT count(*) FROM pool) >= $PqKsub
+       |          UNION ALL
+       |          SELECT * FROM embeddings
+       |          WHERE (SELECT count(*) FROM pool) < $PqKsub),
        |picked AS (SELECT vec_id, embedding,
        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
-       |  FROM (SELECT * FROM embeddings ORDER BY md5('pq|' || vec_id), vec_id LIMIT $PqKsub)),
+       |  FROM (SELECT * FROM poolf ORDER BY md5('pq|' || vec_id), vec_id LIMIT $PqKsub)),
        |cent AS (SELECT CAST(u.j AS INTEGER) AS j, p.cid,
        |    p.embedding[CAST(u.j AS BIGINT) * (len(p.embedding) // $PqM) + 1 :
        |                (CAST(u.j AS BIGINT) + 1) * (len(p.embedding) // $PqM)] AS cv

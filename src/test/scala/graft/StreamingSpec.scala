@@ -406,4 +406,44 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == Map((0L, "a") -> 2L, (0L, "b") -> 1L, (3600000L, "a") -> 1L))
   }
+
+  test("APPEND-mode windows finalize in the trailing NO-DATA batch (sentinel rides the last data file)") {
+    // The s10/s17 replay protocol (VERDICT r9 next #3): append-mode
+    // windows finalize against the watermark of the PREVIOUS trigger, so
+    // a sentinel in its own file used to cost a third data trigger. With
+    // noDataMicroBatches (default ON) the engine runs one empty batch
+    // after the last data trigger, re-evaluating state against the
+    // watermark that data trigger advanced — so a sentinel UNIONED INTO
+    // the final data file still flushes every real window, one data
+    // trigger cheaper. This pins the engine behavior the fixture
+    // protocol relies on; if a Spark upgrade stopped running the
+    // trailing no-data batch under AvailableNow, this fails before the
+    // registry entries do.
+    val dir = Files.createTempDirectory("graft-nodata").toString
+    val s = spark; import s.implicits._
+    val h = 3600L * 1000 * 1000 * 1000
+    Seq((0L * h + 5, "a", 1.0), (0L * h + 6, "b", 2.0))
+      .toDF("ts", "event_type", "value").write.parquet(s"$dir/in/b0.parquet")
+    // final data file: second real window PLUS the far-future sentinel
+    Seq((1L * h + 1, "a", 5.0), (1000L * h, "__sentinel", 0.0))
+      .toDF("ts", "event_type", "value").write.parquet(s"$dir/in/b1.parquet")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("ts", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    OnlineIngest.windowedEventCounts(stream)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$dir/out"); ()
+      }
+      .start().awaitTermination()
+    val got = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every REAL window emitted; the sentinel's own window never
+    // finalizes (nothing later advances the watermark past it)
+    assert(got == Map((0L, "a") -> 1L, (0L, "b") -> 1L, (3600000L, "a") -> 1L),
+      s"append windows after trailing no-data batch: $got")
+  }
 }
