@@ -112,15 +112,39 @@ class DurableStore(val spark: SparkSession, val root: String,
     * the routing work is manifest-sized. Single-key lookups only — scans
     * and joins stay on the distributed read paths. */
   def pointReadLocal(v: Int, srcKey: Long): Seq[Seq[Any]] = {
+    val m = manifest(v)
+    localPointRead(m.files.filter(f => srcKey >= f.srcMin && srcKey <= f.srcMax),
+      "src", srcKey)
+  }
+
+  /** The dst-keyed twin of [[pointReadLocal]], served by the in-edge
+    * mirror's dst-tight file stats plus covering deltas — the same
+    * sub-100 ms class for single-DESTINATION lookups. Requires the
+    * in-edge index (callers fall back to the distributed
+    * [[readForDst]] on unindexed stores, where a driver-side read
+    * would degenerate to a local full scan). */
+  def pointReadLocalDst(v: Int, dstKey: Long): Seq[Seq[Any]] = {
+    val m = manifest(v)
+    require(m.mbounds.nonEmpty,
+      "pointReadLocalDst needs the in-edge mirror (buildInEdgeIndex)")
+    localPointRead((m.mirror ++ m.files.filterNot(_.sorted))
+      .filter(f => dstKey >= f.dstMin && dstKey <= f.dstMax), "dst", dstKey)
+  }
+
+  /** Driver-side parquet-mr read of `hit` files with `column = key`
+    * pushed as a record/row-group filter (footer min/max skip, then
+    * dictionary + record filtering). Rows come back in the file
+    * schema's column order. Delta entries are DIRECTORIES of part
+    * files; parquet-mr's reader walks them natively. */
+  private def localPointRead(hit: Seq[StoreFile], column: String,
+                             key: Long): Seq[Seq[Any]] = {
     import org.apache.parquet.filter2.compat.FilterCompat
     import org.apache.parquet.filter2.predicate.FilterApi
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.example.GroupReadSupport
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val m = manifest(v)
-    val hit = m.files.filter(f => srcKey >= f.srcMin && srcKey <= f.srcMax)
     val pred = FilterCompat.get(
-      FilterApi.eq(FilterApi.longColumn("src"), java.lang.Long.valueOf(srcKey)))
+      FilterApi.eq(FilterApi.longColumn(column), java.lang.Long.valueOf(key)))
     val conf = spark.sessionState.newHadoopConf()
     val out = Seq.newBuilder[Seq[Any]]
     hit.foreach { f =>
@@ -225,15 +249,34 @@ class DurableStore(val spark: SparkSession, val root: String,
     * files, so the pruning holds on real graphs where dst scatters across
     * every primary file. Row-equal to
     * [[Queries.friendsOfFriendsExclTop20]] over `read(v) ∪ reverse` —
-    * property- and plan-pinned (PropertySpec / PlanShapeSpec). */
+    * property- and plan-pinned (PropertySpec / PlanShapeSpec).
+    *
+    * Hop 1 is a SINGLE-key neighborhood read, so on an indexed store it
+    * is answered on the DRIVER through [[pointReadLocal]] /
+    * [[pointReadLocalDst]] (manifest-routed parquet-mr reads, no Spark
+    * job, the reference's mmap-lookup latency class) — the whole serving
+    * path then runs ONE job: the hop-2 aggregate. Unindexed stores keep
+    * the two-job form (a driver-side dst read would degenerate to a
+    * local full scan there). */
   def servedFof(v: Int, v0: Long, topK: Int = 20,
-                maxFanout: Int = 1 << 16): DataFrame =
+                maxFanout: Int = 1 << 16): DataFrame = {
+    val m = manifest(v)
+    val localHop1 =
+      if (m.mbounds.isEmpty || m.schemaDDL.isEmpty) None
+      else {
+        val sch = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL)
+        val si = sch.fieldIndex("src")
+        val di = sch.fieldIndex("dst")
+        Some((pointReadLocal(v, v0).map(_(di).asInstanceOf[Long]) ++
+          pointReadLocalDst(v, v0).map(_(si).asInstanceOf[Long])).distinct)
+      }
     Queries.servedFofFrom(
       out = keys => readForSrcs(v, keys)
         .filter(col("src").isin(keys: _*)).select("src", "dst"),
       in = keys => readForDsts(v, keys)
         .filter(col("dst").isin(keys: _*)).select("src", "dst"),
-      v0 = v0, topK = topK, maxFanout = maxFanout)
+      v0 = v0, topK = topK, maxFanout = maxFanout, hop1 = localHop1)
+  }
 
   /** In-edge range sweep via the mirror's file stats (dst side of
     * [[readForSrcRange]]). */

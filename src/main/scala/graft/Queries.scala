@@ -80,10 +80,18 @@ object Queries {
     * and the envelope probes' parquet-directory pair. */
   def servedFofFrom(out: Seq[Long] => DataFrame, in: Seq[Long] => DataFrame,
                     v0: Long, topK: Int = 20,
-                    maxFanout: Int = 1 << 16): DataFrame = {
-    val mids = out(Seq(v0)).select(col("dst").as("id"))
-      .unionByName(in(Seq(v0)).select(col("src").as("id")))
-      .distinct().collect().map(_.getLong(0)).toSeq
+                    maxFanout: Int = 1 << 16,
+                    hop1: Option[Seq[Long]] = None): DataFrame = {
+    // `hop1`: v0's already-looked-up neighbor ids, when the caller can
+    // answer the single-key first round off-engine (the store's
+    // pointReadLocal/pointReadLocalDst driver reads) — the composition
+    // then costs ONE Spark job (the hop-2 aggregate) instead of two.
+    // Must be the same set the readers would return; equality is pinned
+    // by PropertySpec on the store path.
+    val mids = hop1.getOrElse(
+      out(Seq(v0)).select(col("dst").as("id"))
+        .unionByName(in(Seq(v0)).select(col("src").as("id")))
+        .distinct().collect().map(_.getLong(0)).toSeq).distinct
     // a hub query vertex would inflate the literal IN-list (and the plan)
     // past any footer-pruning payoff — that regime belongs to the
     // broadcast-join form, so fail loudly instead of degrading silently

@@ -68,9 +68,18 @@ class PropertySpec extends AnyFunSuite {
       val st = DurableStore.create(spark, edges, root,
         numBuckets = 2, withInEdgeIndex = true)
       val v0 = st.minEndpoint(1).get
+      // indexed store: hop 1 answered DRIVER-LOCALLY (pointReadLocal +
+      // pointReadLocalDst), hop 2 through primary + mirror readers
       val served = st.servedFof(1, v0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      v0 == (es.map(_._1) ++ es.map(_._2)).min && served == scan
+      // unindexed store: the two-job fallback (distributed hop 1, full
+      // -view reverse hop) must produce the same rows
+      val root2 = java.nio.file.Files.createTempDirectory("graft-prop-srv0").toString
+      val st2 = DurableStore.create(spark, edges, root2, numBuckets = 2)
+      val served2 = st2.servedFof(1, v0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      v0 == (es.map(_._1) ++ es.map(_._2)).min &&
+        served == scan && served2 == scan
     })
   }
 
