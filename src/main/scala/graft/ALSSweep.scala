@@ -192,9 +192,13 @@ object ALSSweep {
     // rows before aggregating (ADVICE r9). Raise it for the fit so the
     // half-sweeps aggregate hash-in-place: buffers are ~0.5 KB flat
     // double arrays, so even 1M keys/partition is ~0.5 GB, far under
-    // executor budget. try/finally-scoped; sound here because every
-    // sweep materializes eagerly (solveSide localCheckpoints) before
-    // the restore runs.
+    // executor budget (A/B at sf1: 7.66 s raised vs 8.66 s default).
+    // try/finally-scoped; sound because every sweep materializes
+    // eagerly (solveSide localCheckpoints) before the restore runs —
+    // and SEQUENTIAL-ONLY, like every session-conf mutation: a
+    // concurrent entry runner must re-bind the rating frames under
+    // spark.newSession() (the withReplayShuffle pattern; frames here
+    // are caller-bound, so the clone belongs at the entry layer).
     val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val fbPrev = spark.conf.getOption(fbKey)
     spark.conf.set(fbKey, (1 << 20).toString)

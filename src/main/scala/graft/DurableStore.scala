@@ -78,11 +78,11 @@ class DurableStore(val spark: SparkSession, val root: String,
   /** The full edge table at version `v` — union of all live files. A
     * version whose mutations deleted every row has no files; the
     * manifest's schema keeps it readable. */
-  def read(v: Int): DataFrame = {
-    val m = manifest(v)
+  def read(v: Int): DataFrame = readM(manifest(v))
+
+  private def readM(m: Manifest): DataFrame =
     if (m.files.isEmpty) emptyLike(spark, m.schemaDDL)
     else readFiles(spark, m.files.map(_.path))
-  }
 
   def readLatest(): DataFrame = read(currentVersion)
 
@@ -111,11 +111,12 @@ class DurableStore(val spark: SparkSession, val root: String,
     * to readForSrc(v, key).filter(src = key) by DurableStoreSpec, and
     * the routing work is manifest-sized. Single-key lookups only — scans
     * and joins stay on the distributed read paths. */
-  def pointReadLocal(v: Int, srcKey: Long): Seq[Seq[Any]] = {
-    val m = manifest(v)
+  def pointReadLocal(v: Int, srcKey: Long): Seq[Seq[Any]] =
+    pointReadLocalM(manifest(v), srcKey)
+
+  private def pointReadLocalM(m: Manifest, srcKey: Long): Seq[Seq[Any]] =
     localPointRead(m.files.filter(f => srcKey >= f.srcMin && srcKey <= f.srcMax),
       "src", srcKey)
-  }
 
   /** The dst-keyed twin of [[pointReadLocal]], served by the in-edge
     * mirror's dst-tight file stats plus covering deltas — the same
@@ -123,8 +124,10 @@ class DurableStore(val spark: SparkSession, val root: String,
     * in-edge index (callers fall back to the distributed
     * [[readForDst]] on unindexed stores, where a driver-side read
     * would degenerate to a local full scan). */
-  def pointReadLocalDst(v: Int, dstKey: Long): Seq[Seq[Any]] = {
-    val m = manifest(v)
+  def pointReadLocalDst(v: Int, dstKey: Long): Seq[Seq[Any]] =
+    pointReadLocalDstM(manifest(v), dstKey)
+
+  private def pointReadLocalDstM(m: Manifest, dstKey: Long): Seq[Seq[Any]] = {
     require(m.mbounds.nonEmpty,
       "pointReadLocalDst needs the in-edge mirror (buildInEdgeIndex)")
     localPointRead((m.mirror ++ m.files.filterNot(_.sorted))
@@ -200,21 +203,25 @@ class DurableStore(val spark: SparkSession, val root: String,
     * served multi-source hop (one manifest pass, binary search per file,
     * never keys × files). Callers still filter `src IN keys`; row-group
     * footer stats inside the hit src-sorted files prune the rest. */
-  def readForSrcs(v: Int, keys: Seq[Long]): DataFrame = {
-    val m = manifest(v)
+  def readForSrcs(v: Int, keys: Seq[Long]): DataFrame =
+    readForSrcsM(manifest(v), keys)
+
+  private def readForSrcsM(m: Manifest, keys: Seq[Long]): DataFrame = {
     val hit = m.files.filter(coversAny(keys.toArray.sorted, _.srcMin, _.srcMax))
-    if (hit.isEmpty) read(v).limit(0) else readFiles(spark, hit.map(_.path))
+    if (hit.isEmpty) readM(m).limit(0) else readFiles(spark, hit.map(_.path))
   }
 
   /** Multi-key form of [[readForDst]]: mirror files (dst-tight stats) ∪
     * covering deltas for ANY of `keys`. Unindexed stores fall back to the
     * full (correct, unpruned) view — the scan-form regime. */
-  def readForDsts(v: Int, keys: Seq[Long]): DataFrame = {
-    val m = manifest(v)
-    if (m.mbounds.isEmpty) return read(v)
+  def readForDsts(v: Int, keys: Seq[Long]): DataFrame =
+    readForDstsM(manifest(v), keys)
+
+  private def readForDstsM(m: Manifest, keys: Seq[Long]): DataFrame = {
+    if (m.mbounds.isEmpty) return readM(m)
     val hit = (m.mirror ++ m.files.filterNot(_.sorted))
       .filter(coversAny(keys.toArray.sorted, _.dstMin, _.dstMax))
-    if (hit.isEmpty) read(v).limit(0) else readFiles(spark, hit.map(_.path))
+    if (hit.isEmpty) readM(m).limit(0) else readFiles(spark, hit.map(_.path))
   }
 
   /** Does a file's [min, max] contain any of the (sorted) keys? Binary
@@ -260,6 +267,10 @@ class DurableStore(val spark: SparkSession, val root: String,
     * local full scan there). */
   def servedFof(v: Int, v0: Long, topK: Int = 20,
                 maxFanout: Int = 1 << 16): DataFrame = {
+    // ONE manifest load per serving call, threaded through every hop
+    // (manifests are immutable per version; re-parsing the file per
+    // reader would put file-count-proportional driver I/O on the
+    // serving path — review r10)
     val m = manifest(v)
     val localHop1 =
       if (m.mbounds.isEmpty || m.schemaDDL.isEmpty) None
@@ -267,13 +278,13 @@ class DurableStore(val spark: SparkSession, val root: String,
         val sch = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL)
         val si = sch.fieldIndex("src")
         val di = sch.fieldIndex("dst")
-        Some((pointReadLocal(v, v0).map(_(di).asInstanceOf[Long]) ++
-          pointReadLocalDst(v, v0).map(_(si).asInstanceOf[Long])).distinct)
+        Some((pointReadLocalM(m, v0).map(_(di).asInstanceOf[Long]) ++
+          pointReadLocalDstM(m, v0).map(_(si).asInstanceOf[Long])).distinct)
       }
     Queries.servedFofFrom(
-      out = keys => readForSrcs(v, keys)
+      out = keys => readForSrcsM(m, keys)
         .filter(col("src").isin(keys: _*)).select("src", "dst"),
-      in = keys => readForDsts(v, keys)
+      in = keys => readForDstsM(m, keys)
         .filter(col("dst").isin(keys: _*)).select("src", "dst"),
       v0 = v0, topK = topK, maxFanout = maxFanout, hop1 = localHop1)
   }
@@ -306,8 +317,11 @@ class DurableStore(val spark: SparkSession, val root: String,
     commitOpt(fromV) { (m, nv) =>
       if (m.mbounds.nonEmpty) None
       else {
-        val all = read(fromV).localCheckpoint(true)
-        val mb = boundsFor(all, "dst", numBuckets)
+        // boundsFor is the checkpoint-free single consumer of this read
+        // (the mirror write below re-reads the sorted files directly) —
+        // a localCheckpoint here would pin a corpus-sized block set in
+        // the shared session for its lifetime (review r10)
+        val mb = boundsFor(read(fromV), "dst", numBuckets)
         val sortedF = m.files.filter(_.sorted)
         val mf =
           if (sortedF.isEmpty) Nil

@@ -123,19 +123,21 @@ object Similarity {
   def cosinePairs(emb: DataFrame, minCosScaled: Long,
                   maxVectors: Option[Int] = None): DataFrame = {
     val base = maxVectors match {
-      case Some(mv) =>
-        val capped = emb
-          .orderBy(md5(concat(lit("d5b|"), col("vec_id").cast("string"))),
+      // count first: under the cap (every oracle-gated fixture) the cap
+      // is a no-op and must cost one cheap count, not an always-on
+      // md5 TakeOrdered + checkpoint; and engagement is detected against
+      // the UNCAPPED count, so n == mv exactly cannot false-alarm
+      // (review r10)
+      case Some(mv) if emb.count() > mv =>
+        System.err.println(
+          s"[graft.Similarity] cosinePairs: input cap ENGAGED at $mv " +
+            "vectors (md5-ordered prefix) — pairs outside the capped set " +
+            "are not verified; use the LSH composition (d5) for " +
+            "corpus-scale near-dup detection")
+        emb.orderBy(md5(concat(lit("d5b|"), col("vec_id").cast("string"))),
             col("vec_id"))
-          .limit(mv).localCheckpoint(true)
-        if (capped.count() == mv.toLong)
-          System.err.println(
-            s"[graft.Similarity] cosinePairs: input cap ENGAGED at $mv " +
-              "vectors (md5-ordered prefix) — pairs outside the capped set " +
-              "are not verified; use the LSH composition (d5) for " +
-              "corpus-scale near-dup detection")
-        capped
-      case None => emb
+          .limit(mv)
+      case _ => emb
     }
     val withN = base.select(col("vec_id"), col("embedding"),
         sqrt(ndot(base, col("embedding"), col("embedding"))).as("nrm"))

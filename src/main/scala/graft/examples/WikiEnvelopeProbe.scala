@@ -122,7 +122,12 @@ object WikiEnvelopeProbe {
     // src-sorted file (the prior probe leaned on the disjoint-copy
     // fixture's dst locality, which a real graph doesn't have).
     val mirrorDir = s"$store/medges"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(mirrorDir))) {
+    // reuse is gated on the _SUCCESS marker, not bare existence: a
+    // crashed prior run can leave a PARTIAL medges dir, and serving the
+    // reversed hop from it would silently drop edges (review r10);
+    // SaveMode.Overwrite below replaces any partial dir wholesale
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(mirrorDir, "_SUCCESS"))) {
       val mSec = timed("build_inedge_mirror") {
         e.repartitionByRange(128, col("dst"))
           .sortWithinPartitions("dst", "src")

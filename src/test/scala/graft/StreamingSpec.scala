@@ -446,4 +446,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map((0L, "a") -> 1L, (0L, "b") -> 1L, (3600000L, "a") -> 1L),
       s"append windows after trailing no-data batch: $got")
   }
+
+  test("OUTER-JOIN unmatched rows flush in the trailing NO-DATA batch (s15 protocol)") {
+    // The s15 fixture has NO sentinel-only trigger left: each side's
+    // sentinel rides in its final data file, and the null-padded
+    // unmatched clicks must be emitted by the symmetric hash join's
+    // state cleanup in the engine's trailing no-data batch — a
+    // DIFFERENT state-finalization path from windowed aggregation
+    // (SymmetricHashJoinStateManager eviction), so it gets its own pin
+    // next to the windowed one (review r10). If a Spark upgrade stopped
+    // running join-state cleanup in no-data batches, this fails before
+    // the s15 oracle does.
+    val dir = Files.createTempDirectory("graft-nodata-oj").toString
+    val s = spark; import s.implicits._
+    val h = 3600L * 1000 * 1000 * 1000 // ns
+    val far = 1000L * h
+    // real events sit at a NON-ZERO base: an event time equal to the
+    // initial watermark (epoch 0) is dropped as late by the join's
+    // state machinery — an epoch-0 artifact, debugged empirically
+    // (review r10), not a protocol property
+    // clicks: c1 (matched), then c2 (never matched) + sentinel in b1
+    Seq((10L, 2L * h, 7L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/click/b0.parquet")
+    Seq((11L, 2L * h + 60L * 1000 * 1000 * 1000, 8L, "click"),
+        (-1L, far, -1L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/click/b1.parquet")
+    // purchases: p1 matches c1 within the lookback; sentinel in b1
+    Seq((20L, 2L * h + 5L * 60 * 1000 * 1000 * 1000, 7L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/purchase/b0.parquet")
+    Seq((-2L, far, -1L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/purchase/b1.parquet")
+    val sch = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    def side(t: String) = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/$t/*")
+    OnlineIngest.clickAttributionOuter(side("click"), side("purchase"))
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.filter(col("c_id") >= 0).write.mode("append").parquet(s"$dir/out"); ()
+      }
+      .start().awaitTermination()
+    val got = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -99L else r.getLong(3))).toSet
+    assert(got == Set((10L, 20L), (11L, -99L)),
+      s"outer-join rows after trailing no-data batch: $got")
+  }
 }
