@@ -93,6 +93,28 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(st.pointReadLocal(1, 999999L).isEmpty)
   }
 
+  test("pointReadLocalDst (driver in-edge serving) == readForDst distributed read, deltas included") {
+    val st = freshMirrored(base: _*)
+    def servedDst(v: Int, k: Long) = st.pointReadLocalDst(v, k)
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(3).asInstanceOf[Long])).toSet
+    assert(servedDst(1, 10L) ==
+      rowSet(st.readForDst(1, 10L).filter(col("dst") === 10L)))
+    assert(servedDst(1, 10L) == rowSet(edges(base: _*)).filter(_._2 == 10L))
+    // an appended (unsorted) DELTA covering the key must be served too —
+    // the mirror ∪ deltas union readForDst reads
+    val v2 = st.append(1, edges((30L, 10L)))
+    assert(servedDst(v2, 10L) ==
+      rowSet(st.readForDst(v2, 10L).filter(col("dst") === 10L)))
+    assert(servedDst(v2, 10L).contains((30L, 10L, 310L)))
+    // outside every mirror/delta range: empty without touching parquet
+    assert(st.pointReadLocalDst(v2, 999999L).isEmpty)
+    // unindexed store: the driver dst read is refused (it would be a
+    // local full scan) — callers fall back to the distributed path
+    val plain = fresh(base: _*)
+    intercept[IllegalArgumentException](plain.pointReadLocalDst(1, 10L))
+  }
+
   test("updateEdges is copy-on-write: only covering files rewritten, old version intact") {
     val st = fresh(base: _*)
     val v2 = st.updateEdges(1, col("src") === 1L, "w", lit(99L), srcKey = Some(1L))
