@@ -122,9 +122,10 @@ object ALSSweep {
     * over the corpus-sized ratings is this aggregation: no join, no
     * per-row encoder, 24-byte input rows. It runs hash-in-place when
     * the ObjectHashAggregate fallback threshold covers the per-
-    * partition key count ([[fitFrames]] raises it for the fit); below
-    * that Spark sort-falls-back — still exchange-free, sorting the
-    * 24-byte rows rather than joined factor rows (ADVICE r9). */
+    * partition key count ([[sweepSession]] raises it on the clone the
+    * entry layer binds the frames under); below that Spark
+    * sort-falls-back — still exchange-free, sorting the 24-byte rows
+    * rather than joined factor rows (ADVICE r9). */
   private[graft] def solveSidePlan(
       ratings: DataFrame,
       given: org.apache.spark.broadcast.Broadcast[graft.functions.PackedFactors],
@@ -153,6 +154,11 @@ object ALSSweep {
     * makes that choice (no hint, AQE decides) because it joins BOTH
     * factor sides. */
   def fit(spark: SparkSession, ratings: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    // `ratings` is caller-bound, so the sweeps run at the CALLER
+    // session's ObjectHashAggregate fallback threshold (sort-fallback at
+    // the 128 default — still exchange-free, just sorted). Callers that
+    // want the hash-in-place fit must bind their rating frames under a
+    // raised-threshold clone, as [[rmse]] does via [[sweepSession]].
     val (userF, itemF, byUser, byItem) = fitFrames(spark, ratings, iters)
     byUser.unpersist()
     byItem.unpersist()
@@ -186,39 +192,44 @@ object ALSSweep {
     typed.unpersist()
     var userF = initFactors(spark, byUser.select("user").distinct(), "u")
     var itemF = initFactors(spark, byItem.select("item").distinct(), "i")
-    // ObjectHashAggregateExec falls back to SORT-based aggregation after
-    // `fallbackThreshold` distinct keys per partition (default 128) — at
-    // ~1e5 solve keys every task would fall back and sort its 24-byte
-    // rows before aggregating (ADVICE r9). Raise it for the fit so the
-    // half-sweeps aggregate hash-in-place: buffers are ~0.5 KB flat
-    // double arrays, so even 1M keys/partition is ~0.5 GB, far under
-    // executor budget (A/B at sf1: 7.66 s raised vs 8.66 s default).
-    // try/finally-scoped; sound because every sweep materializes
-    // eagerly (solveSide localCheckpoints) before the restore runs —
-    // and SEQUENTIAL-ONLY, like every session-conf mutation: a
-    // concurrent entry runner must re-bind the rating frames under
-    // spark.newSession() (the withReplayShuffle pattern; frames here
-    // are caller-bound, so the clone belongs at the entry layer).
-    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val fbPrev = spark.conf.getOption(fbKey)
-    spark.conf.set(fbKey, (1 << 20).toString)
-    try {
-      for (_ <- 1 to iters) {
-        userF = solveSide(byUser, itemF, "user", "item")
-        itemF = solveSide(byItem, userF, "item", "user")
-      }
-    } finally fbPrev match {
-      case Some(v) => spark.conf.set(fbKey, v)
-      case None => spark.conf.unset(fbKey)
+    for (_ <- 1 to iters) {
+      userF = solveSide(byUser, itemF, "user", "item")
+      itemF = solveSide(byItem, userF, "item", "user")
     }
     (userF, itemF, byUser, byItem)
+  }
+
+  /** A CLONED session with the ObjectHashAggregate fallback threshold
+    * raised — the session every sweep's frames must be bound under.
+    * ObjectHashAggregateExec falls back to SORT-based aggregation after
+    * `fallbackThreshold` distinct keys per partition (default 128) — at
+    * ~1e5 solve keys every task would fall back and sort its 24-byte
+    * rows before aggregating (ADVICE r9). Raising it lets the
+    * half-sweeps aggregate hash-in-place: buffers are ~0.5 KB flat
+    * double arrays, so even 1M keys/partition is ~0.5 GB, far under
+    * executor budget (A/B at sf1: 7.66 s raised vs 8.66 s default).
+    * Scoped via `spark.newSession()` (shared SparkContext/caches, fresh
+    * SQLConf — the withReplayShuffle pattern, VERDICT r10 next #3), so
+    * nothing session-global mutates and a concurrently planned aggregate
+    * in the shared session can never observe the raised threshold. */
+  private def sweepSession(spark: SparkSession): SparkSession = {
+    val fs = spark.newSession()
+    fs.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 20).toString)
+    fs
   }
 
   /** Training RMSE of the swept factors (reference computeRMSE,
     * ALSMatrixFactorization.scala:205-216). */
   def rmse(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
-    val r = ALSRec.ratings(spark, dir)
-    val (userF, itemF, byUser, byItem) = fitFrames(spark, r, iters)
+    // the entry layer is where the frames are BORN, so this is where the
+    // raised-threshold clone binds them (VERDICT r10 next #3): every
+    // frame below — ratings, per-side clusterings, factors, the scoring
+    // join — plans under `fs`; the caller's session is never mutated.
+    // Fixture caches are keyed by applicationId, shared with the clone.
+    val fs = sweepSession(spark)
+    val r = ALSRec.ratings(fs, dir)
+    val (userF, itemF, byUser, byItem) = fitFrames(fs, r, iters)
     val dotUD = {
       // No broadcast hint: the factor tables are vertex-sized, and at the
       // 100 TB scale contract a vertex-sized broadcast blows Spark's 8 GB

@@ -85,6 +85,12 @@ object StreamingQueries {
   private def withReplayShuffle[T](s: SparkSession)(f: SparkSession => T): T = {
     val rs = s.newSession()
     rs.conf.set("spark.sql.shuffle.partitions", "4")
+    // the replay protocol relies on the engine's trailing NO-DATA batch
+    // to flush final windows and evict outer-join state (the r10
+    // sentinel-trigger replacement, StreamingSpec protocol pins) — pin
+    // the flag that provides it so an environment that disables it
+    // globally cannot silently drop final windows (ADVICE r10)
+    rs.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     f(rs)
   }
 
