@@ -176,6 +176,80 @@ class DurableStore(val spark: SparkSession, val root: String,
     out.result()
   }
 
+  /** Driver-side MULTI-KEY long-column read for the serving path: rows
+    * with `filterCol ∈ keys` from `hit` files, returning the `outCol`
+    * value of each matching row (repeats kept — 2-hop path multiplicity
+    * is count semantics). Three things keep this in the millisecond
+    * class where [[localPointRead]]'s shape would not:
+    *
+    *  - the key set is pushed as ONE parquet `in` predicate per file —
+    *    row groups, then PAGES (column-index min/max: the files are
+    *    sorted on `filterCol`, so page stats are tight), then records
+    *    are pruned inside parquet-mr, never in this loop;
+    *  - a 2-column PROJECTION + primitive materializer
+    *    ([[DurableStore.LongColumnReadSupport]], projection built from
+    *    each file's OWN schema so repetitions match any writer) — only
+    *    the filter and output columns decode, no Group/box allocation
+    *    per record, the store schema's other columns never materialize;
+    *  - files read CONCURRENTLY on a bounded daemon pool — wall time is
+    *    the slowest file, not the sum of opens.
+    *
+    * Unsorted delta files are served by the same predicate but cannot
+    * page-prune (no sort order) — callers budget them by rows
+    * ([[servedFof]]'s fallback guard). */
+  private def localReadLongs(hit: Seq[StoreFile], filterCol: String,
+                             keys: Array[Long], outCol: String): Seq[Long] =
+    localReadLongsMulti(hit.map((_, filterCol, outCol)), keys)
+
+  /** The general form of [[localReadLongs]]: each task is one (file,
+    * filterCol, outCol) read against the SAME key set — the served
+    * FoF's out direction (primary files, src→dst) and in direction
+    * (mirror + deltas, dst→src) flatten into ONE pool round, so the
+    * wall time of a hop is the slowest single file across BOTH
+    * directions, not out-wall + in-wall. */
+  private[graft] def localReadLongsMulti(tasks: Seq[(StoreFile, String, String)],
+                                  keys: Array[Long]): Seq[Long] = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.hadoop.ParquetReader
+    import scala.concurrent.duration._
+    if (tasks.isEmpty || keys.isEmpty) return Nil
+    val sortedKeys = keys.sorted
+    val keySet = new java.util.HashSet[java.lang.Long](keys.length * 2)
+    keys.foreach(k => keySet.add(java.lang.Long.valueOf(k)))
+    def readOne(t: (StoreFile, String, String)): Array[Long] = {
+      val (f, filterCol, outCol) = t
+      // the `in` predicate prunes row groups, dictionary-filtered pages
+      // and column-index page ranges; RECORD-level filtering is done by
+      // the materializer itself (binary search on the sorted key array —
+      // no per-record boxing, no filtering-wrapper assembly), so
+      // useRecordFilter is off
+      val rs = new LongColumnReadSupport(filterCol, outCol, sortedKeys)
+      val reader = ParquetReader
+        .builder(rs, new org.apache.hadoop.fs.Path(f.path))
+        .withConf(serveConf)
+        .withFilter(FilterCompat.get(
+          FilterApi.in(FilterApi.longColumn(filterCol), keySet)))
+        .useRecordFilter(false)
+        .build()
+      try { while (reader.read() != null) () } finally reader.close()
+      rs.result()
+    }
+    if (tasks.size == 1) readOne(tasks.head).toSeq
+    else {
+      implicit val ec: scala.concurrent.ExecutionContext = serveEc
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(tasks)(t =>
+          scala.concurrent.Future(readOne(t))), 120.seconds)
+        .flatten
+    }
+  }
+
+  /** Hadoop conf built once per store handle — building one per serving
+    * call costs more than the read it configures. Copied (never mutated)
+    * by each [[localReadLongs]] call. */
+  private lazy val serveConf = spark.sessionState.newHadoopConf()
+
   /** W2 on the durable store: a src-range sweep pruned at the FILE level
     * by manifest [srcMin, srcMax] overlap — the dst-interval shard
     * selection of the reference (VertexInterval.java:50-78) applied to
@@ -259,14 +333,22 @@ class DurableStore(val spark: SparkSession, val root: String,
     * property- and plan-pinned (PropertySpec / PlanShapeSpec).
     *
     * Hop 1 is a SINGLE-key neighborhood read, so on an indexed store it
-    * is answered on the DRIVER through [[pointReadLocal]] /
-    * [[pointReadLocalDst]] (manifest-routed parquet-mr reads, no Spark
-    * job, the reference's mmap-lookup latency class) — the whole serving
-    * path then runs ONE job: the hop-2 aggregate. Unindexed stores keep
-    * the two-job form (a driver-side dst read would degenerate to a
-    * local full scan there). */
+    * is answered on the DRIVER (manifest-routed parquet-mr reads, no
+    * Spark job, the reference's mmap-lookup latency class). Hop 2
+    * follows the same discipline for low-fanout vertices (VERDICT r10
+    * next #1): the mids push as one `in` predicate into the routed
+    * primary + mirror file sets ([[localReadLongs]] — page-pruned by
+    * sort order, 2-column projection, concurrent per-file reads) and
+    * the count/top-k runs in a driver hash map — the WHOLE query then
+    * runs ZERO Spark jobs, end to end in the reference's native
+    * latency class (QueryShard.java:207-253). Past the file/delta-row
+    * budgets the hop-2 aggregate falls back to the one-job form, which
+    * that regime belongs to. Unindexed stores keep the two-job form (a
+    * driver-side dst read would degenerate to a local full scan). */
   def servedFof(v: Int, v0: Long, topK: Int = 20,
-                maxFanout: Int = 1 << 16): DataFrame = {
+                maxFanout: Int = 1 << 16,
+                localFileBudget: Int = ServeLocalFileBudget,
+                localDeltaRowBudget: Long = ServeLocalDeltaRowBudget): DataFrame = {
     // ONE manifest load per serving call, threaded through every hop
     // (manifests are immutable per version; re-parsing the file per
     // reader would put file-count-proportional driver I/O on the
@@ -275,18 +357,62 @@ class DurableStore(val spark: SparkSession, val root: String,
     val localHop1 =
       if (m.mbounds.isEmpty || m.schemaDDL.isEmpty) None
       else {
-        val sch = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL)
-        val si = sch.fieldIndex("src")
-        val di = sch.fieldIndex("dst")
-        Some((pointReadLocalM(m, v0).map(_(di).asInstanceOf[Long]) ++
-          pointReadLocalDstM(m, v0).map(_(si).asInstanceOf[Long])).distinct)
+        val v0a = Array(v0)
+        val outHit = m.files.filter(f => v0 >= f.srcMin && v0 <= f.srcMax)
+        val inHit = (m.mirror ++ m.files.filterNot(_.sorted))
+          .filter(f => v0 >= f.dstMin && v0 <= f.dstMax)
+        Some(localReadLongsMulti(
+          outHit.map((_, "src", "dst")) ++ inHit.map((_, "dst", "src")),
+          v0a).distinct)
       }
-    Queries.servedFofFrom(
-      out = keys => readForSrcsM(m, keys)
-        .filter(col("src").isin(keys: _*)).select("src", "dst"),
-      in = keys => readForDstsM(m, keys)
-        .filter(col("dst").isin(keys: _*)).select("src", "dst"),
-      v0 = v0, topK = topK, maxFanout = maxFanout, hop1 = localHop1)
+    // hop 2 DRIVER-LOCAL (VERDICT r10 next #1) — the last Spark job on
+    // the serving path, removed for low-fanout vertices: push the mids
+    // as one parquet `in` predicate into the manifest-routed primary
+    // (src side) and mirror (dst side) file sets, count and top-k on
+    // the driver. Engaged only when the routed read is provably in the
+    // millisecond class: sorted hit files ≤ localFileBudget (each file
+    // costs an open + the key-covering pages; pages are tight by sort
+    // order) and covering DELTA rows ≤ localDeltaRowBudget (unsorted —
+    // a delta decodes in full). Past either budget, fall through to the
+    // one-job aggregate, which that regime belongs to. Row-equal to the
+    // job form by construction ([[Queries.fofTopKLocal]] is the same
+    // aggregate), property-pinned in PropertySpec.
+    val localTopK = localHop1.filter(_.size <= maxFanout).flatMap { mids =>
+      if (mids.isEmpty) Some(Nil)
+      else {
+        val keys = mids.toArray.sorted
+        val outHit = m.files.filter(coversAny(keys, _.srcMin, _.srcMax))
+        val inHit = (m.mirror ++ m.files.filterNot(_.sorted))
+          .filter(coversAny(keys, _.dstMin, _.dstMax))
+        val sortedFiles = (outHit ++ inHit).count(_.sorted)
+        val deltaRows = (outHit ++ inHit).filterNot(_.sorted).map(_.rows).sum
+        if (sortedFiles > localFileBudget || deltaRows > localDeltaRowBudget) None
+        else Some(Queries.fofTopKLocal(
+          localReadLongsMulti(
+            outHit.map((_, "src", "dst")) ++ inHit.map((_, "dst", "src")),
+            keys),
+          v0, topK))
+      }
+    }
+    localTopK match {
+      case Some(top) =>
+        // LocalRelation result — ZERO Spark jobs on this serving path
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          top.map { case (id, n) => org.apache.spark.sql.Row(id, n) }.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("paths",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      case None =>
+        Queries.servedFofFrom(
+          out = keys => readForSrcsM(m, keys)
+            .filter(col("src").isin(keys: _*)).select("src", "dst"),
+          in = keys => readForDstsM(m, keys)
+            .filter(col("dst").isin(keys: _*)).select("src", "dst"),
+          v0 = v0, topK = topK, maxFanout = maxFanout, hop1 = localHop1)
+    }
   }
 
   /** In-edge range sweep via the mirror's file stats (dst side of
@@ -342,7 +468,18 @@ class DurableStore(val spark: SparkSession, val root: String,
     commitOpt(fromV) { (m, nv) =>
       if (batchId >= 0 && m.lastBatch >= batchId) None
       else {
-        val b = batch.localCheckpoint(true)
+        // normalize the batch to MANIFEST column order before writing
+        // the delta (ADVICE r10): distributed parquet reads are by-name,
+        // but the driver-local serving reads ([[localPointRead]]) decode
+        // rows positionally per file — a same-typed reordered batch
+        // (dst, src) would silently swap endpoints on that path. A batch
+        // missing a manifest column fails loudly here (AnalysisException)
+        // instead of surfacing as a read-time decode error.
+        val ordered =
+          if (m.schemaDDL.isEmpty) batch
+          else batch.select(org.apache.spark.sql.types.StructType
+            .fromDDL(m.schemaDDL).fieldNames.map(col).toSeq: _*)
+        val b = ordered.localCheckpoint(true)
         val f = writeDelta(b, s"$root/v$nv/delta")
         Some(m.copy(files = m.files ++ f,
           lastBatch = math.max(m.lastBatch, batchId)))
@@ -641,6 +778,100 @@ object DurableStore {
   val DefaultMaxBucketRows: Long = 4L << 20
   /** Target rows per written file: rewrite parallelism = rows / this. */
   val DefaultTargetFileRows: Long = 1L << 20
+
+  /** Driver-local hop-2 budgets ([[DurableStore.servedFof]]): a local
+    * read costs one open per hit file plus the key-covering PAGES
+    * (sorted files page-prune by column index), so the honest budget is
+    * the file count — not rows, which page pruning makes irrelevant on
+    * sorted files. Unsorted deltas can't page-prune and decode in full,
+    * so they budget by rows. 256 files ≈ a few hundred ms worst case on
+    * the bounded pool; past that the one-job form wins. */
+  val ServeLocalFileBudget: Int = 256
+  val ServeLocalDeltaRowBudget: Long = 1L << 20
+
+  /** Serving-read materializer: projects (filterCol, outCol) — each
+    * field with the repetition the FILE declares (store files mix
+    * writers: create() writes non-nullable columns `required`, delta
+    * appends from nullable frames write `optional`; a fixed projection
+    * string fails parquet's containment check on one or the other) —
+    * and materializes each record as the bare `outCol` long. No Group
+    * allocation, no boxing of dropped rows: the example GroupReadSupport
+    * allocates a SimpleGroup + boxed values for EVERY record in a hit
+    * page, which measured as the bulk of the serving wall time when the
+    * probe keys scatter across all pages (no page left to prune). */
+  private final class LongColumnReadSupport(filterCol: String, outCol: String,
+                                            sortedKeys: Array[Long])
+      extends org.apache.parquet.hadoop.api.ReadSupport[java.lang.Long] {
+    import org.apache.parquet.io.api._
+    require(filterCol != outCol, "serving read needs two distinct columns")
+    // matching outCol values, collected UNBOXED by the materializer —
+    // one instance per reader (per file), so no synchronization
+    private val matches = new scala.collection.mutable.ArrayBuilder.ofLong
+    def result(): Array[Long] = matches.result()
+    override def init(conf: org.apache.hadoop.conf.Configuration,
+        kv: java.util.Map[String, String],
+        fileSchema: org.apache.parquet.schema.MessageType)
+        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext =
+      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
+        new org.apache.parquet.schema.MessageType("graft_serve",
+          Seq(filterCol, outCol)
+            .map(c => fileSchema.getType(fileSchema.getFieldIndex(c))): _*))
+    override def prepareForRead(conf: org.apache.hadoop.conf.Configuration,
+        kv: java.util.Map[String, String],
+        fileSchema: org.apache.parquet.schema.MessageType,
+        ctx: org.apache.parquet.hadoop.api.ReadSupport.ReadContext)
+        : RecordMaterializer[java.lang.Long] =
+      new RecordMaterializer[java.lang.Long] {
+        private var fv = 0L
+        private var ov = 0L
+        private var hasF = false
+        private var hasO = false
+        private val root = new GroupConverter {
+          private val fields = ctx.getRequestedSchema.getFields
+          private val convs = (0 until fields.size).map { i =>
+            if (fields.get(i).getName == outCol)
+              new PrimitiveConverter {
+                override def addLong(v: Long): Unit = { ov = v; hasO = true }
+              }
+            else
+              new PrimitiveConverter {
+                override def addLong(v: Long): Unit = { fv = v; hasF = true }
+              }
+          }
+          def getConverter(i: Int): Converter = convs(i)
+          def start(): Unit = { hasF = false; hasO = false }
+          // the record-level filter, applied where the values land: a
+          // binary search on the sorted key array — no boxed set lookup,
+          // no per-record allocation
+          def end(): Unit =
+            if (hasF && hasO &&
+                java.util.Arrays.binarySearch(sortedKeys, fv) >= 0)
+              matches += ov
+        }
+        // NEVER null (ParquetReader treats null as end-of-input); the
+        // returned record is a dummy — results accumulate in `matches`
+        def getCurrentRecord: java.lang.Long = LongColumnReadSupport.Dummy
+        def getRootConverter: GroupConverter = root
+      }
+  }
+  private object LongColumnReadSupport {
+    private val Dummy = java.lang.Long.valueOf(0L)
+  }
+
+  /** Bounded daemon pool for concurrent per-file serving reads — sized
+    * for I/O-light footer+page reads; shared across stores (serving is
+    * read-only and files are immutable). */
+  private lazy val serveEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(32,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger()
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-serve-${n.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
 
   private def lowerBound(bounds: Seq[Long], b: Int): Long =
     if (b == 0) Long.MinValue else bounds(b - 1)

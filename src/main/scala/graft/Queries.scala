@@ -107,6 +107,22 @@ object Queries {
       .orderBy(col("paths").desc, col("id")).limit(topK)
   }
 
+  /** The hop-2 aggregate of [[servedFofFrom]] computed DRIVER-LOCALLY —
+    * the same contract in one hash map: `hop2` is the multiset of 2-hop
+    * endpoint ids (repeats kept — path multiplicity), the start vertex
+    * is excluded, and the cut is top-k by (paths desc, id). Kept here so
+    * the served FoF's semantics live in ONE place whichever substrate
+    * answers it ([[graft.DurableStore.servedFof]]'s zero-job local path
+    * is the caller); row-equality to the job form is property-pinned. */
+  private[graft] def fofTopKLocal(hop2: Seq[Long], v0: Long,
+                                  topK: Int): Seq[(Long, Long)] = {
+    val counts = new scala.collection.mutable.HashMap[Long, Long]()
+    hop2.foreach { id =>
+      if (id != v0) counts.update(id, counts.getOrElse(id, 0L) + 1L)
+    }
+    counts.toSeq.sortBy { case (id, n) => (-n, id) }.take(topK)
+  }
+
   /** Q3 friendsOfFriends: plain distinct 2-hop reachable set (reference
     * Queries.scala:72-76). */
   def friendsOfFriends(edges: DataFrame): DataFrame = {

@@ -1,0 +1,97 @@
+package graft.examples
+
+import graft._
+import org.apache.spark.sql.SparkSession
+
+/** Phase-level latency breakdown of the driver-local served FoF
+  * ([[DurableStore.servedFof]]'s zero-job path) — the measurement loop
+  * behind the serving-budget choices (VERDICT r10 next #1: ≤100 ms at
+  * sf0.1/sf1). Times each phase over N iterations and prints medians:
+  *
+  *   manifest   manifest file read + parse
+  *   hop1       single-key primary+mirror driver read (both directions,
+  *              one pool round)
+  *   hop2       multi-key IN-pred driver read (both directions)
+  *   topk       driver hash-map count + top-k
+  *   result     LocalRelation createDataFrame + collect
+  *   total      one whole servedFof call
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.examples.ServeLatencyProbe [iters]
+  */
+object ServeLatencyProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val iters = args.headOption.map(_.toInt).getOrElse(30)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val st = registry.DurableQueries.baseStore(spark, dir)
+    val vm = registry.DurableQueries.mirrorVersion(spark, dir)
+    val v0 = st.minEndpoint(vm).get
+    st.servedFof(vm, v0).collect() // warm: classloading, footer cache
+
+    def medianMs(ns: Seq[Long]): Double = {
+      val s = ns.sorted; s(s.size / 2) / 1e6
+    }
+    val (tMan, tH1, tH2, tTopk, tRes, tTot) =
+      (Array.ofDim[Long](iters), Array.ofDim[Long](iters), Array.ofDim[Long](iters),
+        Array.ofDim[Long](iters), Array.ofDim[Long](iters), Array.ofDim[Long](iters))
+    var checksum = 0L
+    for (i <- 0 until iters) {
+      var t0 = System.nanoTime()
+      val m = st.manifest(vm)
+      tMan(i) = System.nanoTime() - t0
+
+      t0 = System.nanoTime()
+      val v0a = Array(v0)
+      val out1 = m.files.filter(f => v0 >= f.srcMin && v0 <= f.srcMax)
+      val in1 = (m.mirror ++ m.files.filterNot(_.sorted))
+        .filter(f => v0 >= f.dstMin && v0 <= f.dstMax)
+      val mids = st.localReadLongsMulti(
+        out1.map((_, "src", "dst")) ++ in1.map((_, "dst", "src")), v0a).distinct
+      tH1(i) = System.nanoTime() - t0
+
+      t0 = System.nanoTime()
+      val keys = mids.toArray.sorted
+      val out2 = m.files.filter(f => keys.exists(k => k >= f.srcMin && k <= f.srcMax))
+      val in2 = (m.mirror ++ m.files.filterNot(_.sorted))
+        .filter(f => keys.exists(k => k >= f.dstMin && k <= f.dstMax))
+      val hop2 = st.localReadLongsMulti(
+        out2.map((_, "src", "dst")) ++ in2.map((_, "dst", "src")), keys)
+      tH2(i) = System.nanoTime() - t0
+
+      t0 = System.nanoTime()
+      val top = Queries.fofTopKLocal(hop2, v0, 20)
+      tTopk(i) = System.nanoTime() - t0
+
+      t0 = System.nanoTime()
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(
+        top.map { case (id, n) => org.apache.spark.sql.Row(id, n) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("paths",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      checksum += df.collect().length
+      tRes(i) = System.nanoTime() - t0
+
+      t0 = System.nanoTime()
+      checksum += st.servedFof(vm, v0).collect().length
+      tTot(i) = System.nanoTime() - t0
+    }
+    require(checksum > 0, "probe produced no rows")
+    println(f"[serve] manifest ${medianMs(tMan.toSeq)}%8.2f ms")
+    println(f"[serve] hop1     ${medianMs(tH1.toSeq)}%8.2f ms")
+    println(f"[serve] hop2     ${medianMs(tH2.toSeq)}%8.2f ms")
+    println(f"[serve] topk     ${medianMs(tTopk.toSeq)}%8.2f ms")
+    println(f"[serve] result   ${medianMs(tRes.toSeq)}%8.2f ms")
+    println(f"[serve] total    ${medianMs(tTot.toSeq)}%8.2f ms  (servedFof end-to-end)")
+    spark.stop()
+  }
+}

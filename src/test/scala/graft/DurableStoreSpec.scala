@@ -115,6 +115,46 @@ class DurableStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](plain.pointReadLocalDst(1, 10L))
   }
 
+  test("servedFof driver-local hop 2 serves appended DELTAS in both hops, row-equal to the scan form") {
+    // the zero-job serving path must see unsorted delta files on BOTH
+    // directions (they can't page-prune, so they ride the delta-row
+    // budget): (1,20) adds an out-neighbor via delta, (21,1) adds an
+    // IN-neighbor via delta, (20,22) adds a hop-2 edge via delta
+    val st = freshMirrored(base: _*)
+    val v2 = st.append(1, edges((1L, 20L), (21L, 1L), (20L, 22L)))
+    val e = st.read(v2).select("src", "dst")
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val scan = Queries.friendsOfFriendsExclTop20(sym)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val served = st.servedFof(v2, st.minEndpoint(v2).get)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == scan)
+  }
+
+  test("append normalizes batch column order to the manifest schema (driver reads stay positional-safe)") {
+    // ADVICE r10: distributed parquet reads are by-name, but the driver
+    // serving path (localPointRead) decodes positionally per file — a
+    // same-typed batch with (dst, src) swapped in column ORDER must not
+    // swap endpoints there. Append a reordered batch, then read it back
+    // through BOTH paths.
+    val st = freshMirrored(base: _*)
+    val reordered = edges((41L, 10L)).select("w", "dst", "etype", "src")
+    val v2 = st.append(1, reordered)
+    // distributed read: by-name, correct either way
+    assert(rowSet(st.read(v2)) == rowSet(edges(base: _*)) + ((41L, 10L, 420L)))
+    // driver-local reads decode the delta positionally — endpoints must
+    // NOT be swapped (pre-fix this returned (10, 41))
+    val served = st.pointReadLocal(v2, 41L)
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+    assert(served == Set((41L, 10L)))
+    val servedDst = st.pointReadLocalDst(v2, 10L)
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+    assert(servedDst.contains((41L, 10L)))
+    // a batch missing a manifest column fails loudly at append time
+    intercept[org.apache.spark.sql.AnalysisException](
+      st.append(v2, edges((42L, 10L)).drop("w")))
+  }
+
   test("updateEdges is copy-on-write: only covering files rewritten, old version intact") {
     val st = fresh(base: _*)
     val v2 = st.updateEdges(1, col("src") === 1L, "w", lit(99L), srcKey = Some(1L))
