@@ -507,9 +507,26 @@ object Dedup {
     * bounded, never all-pairs; the exact bit_count rerank runs on
     * candidates only and is one codegen'd integer instruction per pair. */
   def hammingNearDupPairs(docs: DataFrame, radius: Int = 3,
-                          nBands: Int = 4): DataFrame =
-    hammingPairsFrom(simhash(docs).select(col("doc_id"), col("simhash")),
-      radius, nBands)
+                          nBands: Int = 4,
+                          collapse: Boolean = true): DataFrame = {
+    // COLLAPSE-FIRST output contract (the d3b discipline applied to the
+    // pair set itself, VERDICT r10 next #5): near-dup structure is a
+    // property of DISTINCT signatures, and identical fingerprints are
+    // exact-dup territory (d1/d4 enumerate those groups) — so the
+    // default emits one representative (min doc_id) per distinct
+    // simhash and pairs BETWEEN representatives only. Output is then
+    // ∝ cross-signature structure, never C(cluster, 2) inside a dup
+    // cluster (measured on the 10×-replicated sf1 fixture: identical
+    // simhashes made e9 output-bound, 9× its sf0.1 time — PERF.md r10).
+    // `collapse = false` keeps the all-member-pairs form (ham-0 pairs
+    // within clusters included) for callers that need every pair.
+    val sh = simhash(docs).select(col("doc_id"), col("simhash"))
+    val base =
+      if (!collapse) sh
+      else sh.groupBy("simhash").agg(min("doc_id").as("doc_id"))
+        .select("doc_id", "simhash")
+    hammingPairsFrom(base, radius, nBands)
+  }
 
   /** The e9 band join generalized over any (doc_id, simhash) 60-bit
     * fingerprint frame — shared by e9 (text simhash) and m5 (media

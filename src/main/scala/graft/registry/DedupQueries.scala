@@ -132,14 +132,21 @@ object DedupQueries {
     // ---- E9: Hamming-radius near-dup pairs over 60-bit simhash via
     //      bit-sampling LSH — EXACT by pigeonhole (4 bands × 15 bits
     //      cover radius 3: a pair within radius differs in ≤3 bands, so
-    //      ≥1 band matches). The band equi-join is the only corpus-sized
-    //      exchange; bit_count rerank runs on candidates only ----
+    //      ≥1 band matches). COLLAPSE-FIRST contract (VERDICT r10 next
+    //      #5): one representative (min doc_id) per DISTINCT simhash,
+    //      pairs between representatives only — identical-fingerprint
+    //      groups are d1/d4's exact-dup territory, and emitting their
+    //      C(cluster,2) member pairs made the entry output-bound on
+    //      dup-heavy corpora. Oracle mirrors the same collapse (shr).
+    //      The band equi-join is the only corpus-sized exchange;
+    //      bit_count rerank runs on candidates only ----
     ("e9_hamming_neardup",
       (s: SparkSession, d: String) =>
         Dedup.hammingNearDupPairs(Tables.documents(s, d)),
       Some(Oracle.withSql(SIMHASH,
-        """, hbd AS (SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS key
-          |          FROM sh, (SELECT unnest(range(0, 4)) AS band) bands),
+        """, shr AS (SELECT min(doc_id) AS doc_id, simhash FROM sh GROUP BY simhash)
+          |, hbd AS (SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS key
+          |          FROM shr, (SELECT unnest(range(0, 4)) AS band) bands),
           |hcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
           |                 x.simhash AS ha, y.simhash AS hb
           |          FROM hbd x JOIN hbd y

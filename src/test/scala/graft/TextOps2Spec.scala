@@ -54,22 +54,37 @@ class TextOps2Spec extends AnyFunSuite {
     assert(single.isEmpty)
   }
 
-  test("hammingNearDupPairs finds identical docs at distance 0 and is exact by pigeonhole") {
+  test("hammingNearDupPairs: collapse-first default pairs representatives; allPairs opt-out keeps ham-0 members") {
     val c = docs(
       1L -> "the quick brown fox jumps over the lazy dog",
       2L -> "the quick brown fox jumps over the lazy dog",
       3L -> "an utterly different document concerning catalyst internals optimization")
+    val sh = Dedup.simhash(c).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // DEFAULT (collapse-first, the e9 contract): one representative
+    // (min doc_id) per distinct simhash, pairs between representatives
+    // only — exact by pigeonhole over the distinct signatures
     val r = Dedup.hammingNearDupPairs(c).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
-    assert(r.contains((1L, 2L, 0L)))
-    assert(!r.exists { case (a, b, _) => b == 3L || a == 3L })
-    // brute-force cross-check: every pair within radius 3 is found
-    val sh = Dedup.simhash(c).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val reps = sh.groupBy(_._2).map { case (h, xs) => (xs.keys.min, h) }
+    val bruteReps = for {
+      (a, ha) <- reps; (b, hb) <- reps if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)
+    assert(r == bruteReps.toSet)
+    // identical docs 1 and 2 share a signature: NO (1,2,0) member pair
+    // in the collapsed output (that group is d1/d4 exact-dup territory)
+    assert(!r.contains((1L, 2L, 0L)))
+    // OPT-OUT (collapse = false): every member pair within radius,
+    // including the within-cluster ham-0 pairs
+    val rAll = Dedup.hammingNearDupPairs(c, collapse = false).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
     val brute = for {
       a <- sh.keys; b <- sh.keys if a < b
       d = java.lang.Long.bitCount(sh(a) ^ sh(b)) if d <= 3
     } yield (a, b, d.toLong)
-    assert(r == brute.toSet)
+    assert(rAll.contains((1L, 2L, 0L)))
+    assert(rAll == brute.toSet)
+    assert(!rAll.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
   test("bpeMergePairs counts adjacent char pairs across token instances") {
