@@ -275,6 +275,21 @@ object SparkEntry {
           |  SELECT w.id, n.dst FROM reach w JOIN nsym n ON w.r = n.src)
           |SELECT id, min(r) AS label FROM reach GROUP BY id""".stripMargin))),
 
+    // ---- C4s: the OUT-OF-CORE CC variant (edges streamed from storage
+    //      per superstep, only vertex labels resident — the reference's
+    //      PSW discipline; runs the 1B-edge envelope's full-graph leg).
+    //      Same fixpoint, same oracle as c4. ----
+    ("c4s_cc_labels_scan",
+      (s: SparkSession, d: String) =>
+        Traversals.connectedComponentsScan(Tables.nationEdgesSym(s, d)),
+      Some(withSql(Oracle.NEDGES_SYM,
+        """, verts AS (SELECT src AS id FROM nsym UNION SELECT dst FROM nsym),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM verts
+          |  UNION
+          |  SELECT w.id, n.dst FROM reach w JOIN nsym n ON w.r = n.src)
+          |SELECT id, min(r) AS label FROM reach GROUP BY id""".stripMargin))),
+
     ("q13_cc_histogram",
       (s: SparkSession, d: String) =>
         Traversals.componentHistogramTop20(Tables.nationEdgesSym(s, d)),

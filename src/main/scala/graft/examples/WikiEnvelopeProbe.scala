@@ -47,11 +47,13 @@ import org.apache.spark.sql.functions._
   * (a `/`-prefixed arg reuses a prior run's store, skipping the ingest
   * leg; `servedOnly` stops after the serving leg; `noscan` skips the
   * full-scan q1 — its 2·k·600k-pair checkpoint is the one working set
-  * that outgrows this box's DISK first at the 1B class; `cchalf` runs
-  * the CC fixpoint on the first k/2 copies for the same reason — CC
-  * persists ~60 GB of frame at 1B edges. Copies are disjoint, so the
-  * half-graph CC exercises the identical per-copy fixpoint at half the
-  * footprint; PERF.md records which legs ran at which k.)
+  * that outgrows this box's DISK first at the 1B class. The CC leg runs
+  * FULL-GRAPH by default via the out-of-core
+  * [[graft.Traversals.connectedComponentsScan]] (r11: edges streamed
+  * from the store per superstep, labels resident — nothing edge-sized
+  * persists, closing the r10 `cchalf` disk bound); pass `cchalf` to run
+  * the RESIDENT connectedComponents on the first k/2 copies instead,
+  * as the comparison leg. PERF.md records which legs ran at which k.)
   */
 object WikiEnvelopeProbe {
   def main(args: Array[String]): Unit = {
@@ -177,19 +179,26 @@ object WikiEnvelopeProbe {
     // persists its own loop invariants (deg, ed) hashed on src
     timed("c3_pagerank_3iter") { PageRank.top20(e, 3).count() }
     System.gc()
-    // c4 gets the UNION VIEW: connectedComponents repartitions and
-    // persists the edge frame itself, so a second resident copy here
-    // would only double the footprint. `cchalf` confines the fixpoint to
-    // the first k/2 copies (disjoint — same per-copy structure, half the
-    // ~60 GB-at-1B persisted frame this box's disk can't hold twice).
-    val (ccView, ccLabel) =
-      if (args.contains("cchalf")) {
-        val cut = (k / 2) * 10000000L
-        (symView.filter(col("src") < cut && col("dst") < cut),
-          s"c4_cc_labelprop_half(k=${k / 2})")
-      } else (symView, "c4_cc_labelprop")
-    timed(ccLabel) {
-      Traversals.connectedComponents(ccView).count()
+    // c4 gets the UNION VIEW — as PARQUET SCANS, never persisted: the
+    // full-graph leg runs the OUT-OF-CORE variant
+    // (Traversals.connectedComponentsScan, VERDICT r10 next #4), which
+    // streams the 2·k·600k-row symmetric frame from the store per
+    // superstep and keeps only the ~k·16k-row label table resident
+    // (broadcast-hinted under its measured vertex gate) — the ~60 GB
+    // persisted frame that disk-bounded the r10 run never exists.
+    // `cchalf` keeps the RESIDENT connectedComponents on the first k/2
+    // copies as the comparison leg (the r10 shape).
+    if (args.contains("cchalf")) {
+      val cut = (k / 2) * 10000000L
+      timed(s"c4_cc_labelprop_half(k=${k / 2})") {
+        Traversals.connectedComponents(
+          symView.filter(col("src") < cut && col("dst") < cut)).count()
+      }
+    } else {
+      timed("c4_cc_scan_full") {
+        Traversals.connectedComponentsScan(symView,
+          broadcastLabelsUpTo = 1L << 27).count()
+      }
     }
     spark.stop()
   }

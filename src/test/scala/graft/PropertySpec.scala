@@ -68,9 +68,14 @@ class PropertySpec extends AnyFunSuite {
       val st = DurableStore.create(spark, edges, root,
         numBuckets = 2, withInEdgeIndex = true)
       val v0 = st.minEndpoint(1).get
-      // indexed store: hop 1 answered DRIVER-LOCALLY (pointReadLocal +
-      // pointReadLocalDst), hop 2 through primary + mirror readers
+      // indexed store: BOTH hops answered DRIVER-LOCALLY (the zero-job
+      // serving path — localReadLongs + fofTopKLocal)
       val served = st.servedFof(1, v0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // budgets forced to zero: the one-job hop-2 FALLBACK must produce
+      // the same rows (the local path is a pure physical variant)
+      val servedJob = st.servedFof(1, v0,
+          localFileBudget = 0, localDeltaRowBudget = 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       // unindexed store: the two-job fallback (distributed hop 1, full
       // -view reverse hop) must produce the same rows
@@ -79,7 +84,25 @@ class PropertySpec extends AnyFunSuite {
       val served2 = st2.servedFof(1, v0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       v0 == (es.map(_._1) ++ es.map(_._2)).min &&
-        served == scan && served2 == scan
+        served == scan && servedJob == scan && served2 == scan
+    })
+  }
+
+  test("out-of-core scan CC equals resident CC on random symmetric graphs") {
+    // connectedComponentsScan streams the edge frame per superstep and
+    // broadcast-hints the label side under the vertex gate; its fixpoint
+    // must be IDENTICAL to connectedComponents' — and with the gate
+    // forced to 0 (no broadcast hint, AQE-planned join) identical again
+    check(Prop.forAll(genEdges) { es =>
+      import org.apache.spark.sql.functions.col
+      val edges = TestSpark.edgesDF(es.map { case (s, d) => (s, d, 0) })
+      val e = edges.select("src", "dst")
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val resident = m(Traversals.connectedComponents(sym))
+      m(Traversals.connectedComponentsScan(sym)) == resident &&
+        m(Traversals.connectedComponentsScan(sym, broadcastLabelsUpTo = 0)) == resident
     })
   }
 
