@@ -745,6 +745,11 @@ object Similarity {
     * the `cand`-row rerank touches full-precision vectors. At 100 TB the
     * code column is the only corpus-sized scan — the 32× IO/memory cut is
     * the entire point of the operator. */
+  /** Below this corpus size [[pqTopK]] picks its codebook from the FULL
+    * table (prep is trivial there and codebook quality is recall);
+    * above it, from the 1/8 md5 stratum. Mirrored in the e12 oracle. */
+  val PqFullPickBelow: Long = 16384L
+
   def pqTopK(emb: DataFrame, k: Int = 10, cand: Int = 50,
              m: Int = 8, ksub: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -754,16 +759,24 @@ object Similarity {
       expr(s"slice($arr, j * (size($arr) div $m) + 1, size($arr) div $m)")
     // codebook: the j-slice of ksub md5-picked vectors; cid = in-pick rank
     // (the row_number window sees exactly ksub rows, never the table).
-    // The pick pool is the 1/8 md5-stratified DETERMINISTIC sample
-    // (t5's threshold-sampler rule; VERDICT r9 next #4) so codebook prep
-    // ranks n/8 rows instead of ordering the full corpus; a pool smaller
-    // than ksub (degenerate corpus) falls back to the full table. Both
-    // the pool rule and the fallback are mirrored in the e12 oracle SQL,
-    // so the pick — and every downstream code/score — stays engine-exact.
-    val pool0 = emb.filter(
-      substring(md5(concat(lit("pqs|"), col("vec_id").cast("string"))), 1, 1)
-        < lit("2"))
-    val pool = if (pool0.count() >= ksub.toLong) pool0 else emb
+    // The pick pool: FULL corpus below [[PqFullPickBelow]] rows (where
+    // ranking it costs nothing and codebook quality is recall — ADVICE
+    // r10 #4: the r10 1/8 stratum cost 2 of 10 recall on the sf0.01
+    // planted-pair fixture), the 1/8 md5-stratified DETERMINISTIC
+    // sample above it (t5's threshold-sampler rule; VERDICT r9 next #4:
+    // prep ranks n/8 rows instead of ordering the corpus). A stratum
+    // smaller than ksub (degenerate) falls back to the full table. The
+    // size gate, the pool rule and the fallback are ALL mirrored in the
+    // e12 oracle SQL, so the pick — and every downstream code/score —
+    // stays engine-exact.
+    val n = emb.count()
+    val pool0 =
+      if (n < PqFullPickBelow) emb
+      else emb.filter(
+        substring(md5(concat(lit("pqs|"), col("vec_id").cast("string"))), 1, 1)
+          < lit("2"))
+    val pool =
+      if (n < PqFullPickBelow || pool0.count() >= ksub.toLong) pool0 else emb
     val picked = pool
       .orderBy(md5(concat(lit("pq|"), col("vec_id"))), col("vec_id"))
       .limit(ksub)

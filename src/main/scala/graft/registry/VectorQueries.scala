@@ -106,9 +106,12 @@ object VectorQueries {
 
   // E12 product-quantization shape, shared by the Scala call and the
   // oracle SQL below so a parameter change re-derives both sides
-  // pinned from examples.PqProbe's recall sweep (re-run after the r10
-  // sampled-pool codebook): recall@10 = 10/10 (sf0.001,
-  // deliberately-weak planted pairs) and 7/10 (sf0.01)
+  // pinned from examples.PqProbe's recall sweep (re-run after the r11
+  // size-gated pool — full-corpus pick under PqFullPickBelow, 1/8
+  // stratum above, ADVICE r10 #4): recall@10 = 7/10 (sf0.001,
+  // deliberately-weak planted pairs — tiny-fixture codebook lottery;
+  // the r10 stratum happened to draw 10/10 there) and 9/10 (sf0.01,
+  // the driver's gate fixture — r10's stratum had dropped it to 7/10)
   private[registry] val PqM = 8
   private[registry] val PqKsub = 32
   private[registry] val PqCand = 100
@@ -125,7 +128,8 @@ object VectorQueries {
          |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))), (s, v) -> s + v)""".stripMargin
     s"""WITH $Q,
        |pool AS (SELECT * FROM embeddings
-       |         WHERE substr(md5('pqs|' || vec_id), 1, 1) < '2'),
+       |         WHERE (SELECT count(*) FROM embeddings) < ${Similarity.PqFullPickBelow}
+       |            OR substr(md5('pqs|' || vec_id), 1, 1) < '2'),
        |poolf AS (SELECT * FROM pool
        |          WHERE (SELECT count(*) FROM pool) >= $PqKsub
        |          UNION ALL
