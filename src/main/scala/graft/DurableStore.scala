@@ -198,7 +198,7 @@ class DurableStore(val spark: SparkSession, val root: String,
     * page-prune (no sort order) — callers budget them by rows
     * ([[servedFof]]'s fallback guard). */
   private def localReadLongs(hit: Seq[StoreFile], filterCol: String,
-                             keys: Array[Long], outCol: String): Seq[Long] =
+                             keys: Array[Long], outCol: String): Array[Long] =
     localReadLongsMulti(hit.map((_, filterCol, outCol)), keys)
 
   /** The general form of [[localReadLongs]]: each task is one (file,
@@ -208,12 +208,12 @@ class DurableStore(val spark: SparkSession, val root: String,
     * wall time of a hop is the slowest single file across BOTH
     * directions, not out-wall + in-wall. */
   private[graft] def localReadLongsMulti(tasks: Seq[(StoreFile, String, String)],
-                                  keys: Array[Long]): Seq[Long] = {
+                                  keys: Array[Long]): Array[Long] = {
     import org.apache.parquet.filter2.compat.FilterCompat
     import org.apache.parquet.filter2.predicate.FilterApi
     import org.apache.parquet.hadoop.ParquetReader
     import scala.concurrent.duration._
-    if (tasks.isEmpty || keys.isEmpty) return Nil
+    if (tasks.isEmpty || keys.isEmpty) return Array.emptyLongArray
     val sortedKeys = keys.sorted
     val keySet = new java.util.HashSet[java.lang.Long](keys.length * 2)
     keys.foreach(k => keySet.add(java.lang.Long.valueOf(k)))
@@ -235,13 +235,14 @@ class DurableStore(val spark: SparkSession, val root: String,
       try { while (reader.read() != null) () } finally reader.close()
       rs.result()
     }
-    if (tasks.size == 1) readOne(tasks.head).toSeq
+    if (tasks.size == 1) readOne(tasks.head)
     else {
       implicit val ec: scala.concurrent.ExecutionContext = serveEc
-      scala.concurrent.Await.result(
+      // concat keeps the values UNBOXED end to end (a Seq flatten would
+      // box every long on the serving path)
+      Array.concat(scala.concurrent.Await.result(
         scala.concurrent.Future.traverse(tasks)(t =>
-          scala.concurrent.Future(readOne(t))), 120.seconds)
-        .flatten
+          scala.concurrent.Future(readOne(t))), 120.seconds): _*)
     }
   }
 
@@ -377,10 +378,10 @@ class DurableStore(val spark: SparkSession, val root: String,
     // one-job aggregate, which that regime belongs to. Row-equal to the
     // job form by construction ([[Queries.fofTopKLocal]] is the same
     // aggregate), property-pinned in PropertySpec.
-    val localTopK = localHop1.filter(_.size <= maxFanout).flatMap { mids =>
+    val localTopK = localHop1.filter(_.length <= maxFanout).flatMap { mids =>
       if (mids.isEmpty) Some(Nil)
       else {
-        val keys = mids.toArray.sorted
+        val keys = mids.sorted
         val outHit = m.files.filter(coversAny(keys, _.srcMin, _.srcMax))
         val inHit = (m.mirror ++ m.files.filterNot(_.sorted))
           .filter(coversAny(keys, _.dstMin, _.dstMax))
@@ -411,7 +412,8 @@ class DurableStore(val spark: SparkSession, val root: String,
             .filter(col("src").isin(keys: _*)).select("src", "dst"),
           in = keys => readForDstsM(m, keys)
             .filter(col("dst").isin(keys: _*)).select("src", "dst"),
-          v0 = v0, topK = topK, maxFanout = maxFanout, hop1 = localHop1)
+          v0 = v0, topK = topK, maxFanout = maxFanout,
+          hop1 = localHop1.map(_.toSeq))
     }
   }
 

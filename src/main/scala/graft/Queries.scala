@@ -114,13 +114,57 @@ object Queries {
     * the served FoF's semantics live in ONE place whichever substrate
     * answers it ([[graft.DurableStore.servedFof]]'s zero-job local path
     * is the caller); row-equality to the job form is property-pinned. */
-  private[graft] def fofTopKLocal(hop2: Seq[Long], v0: Long,
+  private[graft] def fofTopKLocal(hop2: Array[Long], v0: Long,
                                   topK: Int): Seq[(Long, Long)] = {
-    val counts = new scala.collection.mutable.HashMap[Long, Long]()
-    hop2.foreach { id =>
-      if (id != v0) counts.update(id, counts.getOrElse(id, 0L) + 1L)
+    // open-addressed long→long counter (power-of-two capacity, linear
+    // probing, fibonacci hash; an empty slot is count == 0 — a present
+    // key always counts ≥ 1), allocation-free per value. Sized by the
+    // DISTINCT-key count (it starts small and doubles past 50% load):
+    // the hop-2 multiset is millions of values but its distinct 2-hop
+    // neighborhood is vertex-sized, and a table sized by the multiset
+    // spent more time zeroing 64 MB than a boxed HashMap spent boxing.
+    var cap = 1 << 12
+    var mask = cap - 1
+    var ids = new Array[Long](cap)
+    var cnt = new Array[Long](cap)
+    var distinct = 0
+    def grow(): Unit = {
+      val (oi, oc, ocap) = (ids, cnt, cap)
+      cap <<= 1; mask = cap - 1
+      ids = new Array[Long](cap); cnt = new Array[Long](cap)
+      var i = 0
+      while (i < ocap) {
+        if (oc(i) != 0L) {
+          var idx = ((oi(i) * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
+          while (cnt(idx) != 0L) idx = (idx + 1) & mask
+          ids(idx) = oi(i); cnt(idx) = oc(i)
+        }
+        i += 1
+      }
     }
-    counts.toSeq.sortBy { case (id, n) => (-n, id) }.take(topK)
+    var i = 0
+    while (i < hop2.length) {
+      val k = hop2(i)
+      if (k != v0) {
+        // grow BEFORE probing so a fresh key is never inserted into a
+        // table that is about to rehash (it would be dropped: rehash
+        // carries cnt != 0 entries only)
+        if ((distinct + 1) * 2 > cap) grow()
+        var idx = ((k * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
+        while (cnt(idx) != 0L && ids(idx) != k) idx = (idx + 1) & mask
+        if (cnt(idx) == 0L) { ids(idx) = k; distinct += 1 }
+        cnt(idx) += 1L
+      }
+      i += 1
+    }
+    val out = new Array[(Long, Long)](distinct)
+    var j = 0
+    i = 0
+    while (i < cap) {
+      if (cnt(i) != 0L) { out(j) = (ids(i), cnt(i)); j += 1 }
+      i += 1
+    }
+    out.toSeq.sortBy { case (id, n) => (-n, id) }.take(topK)
   }
 
   /** Q3 friendsOfFriends: plain distinct 2-hop reachable set (reference
