@@ -86,12 +86,16 @@ object ServeLatencyProbe {
       tTot(i) = System.nanoTime() - t0
     }
     require(checksum > 0, "probe produced no rows")
+    def p99Ms(ns: Seq[Long]): Double = {
+      val s = ns.sorted; s(math.min(s.size - 1, (s.size * 99) / 100)) / 1e6
+    }
     println(f"[serve] manifest ${medianMs(tMan.toSeq)}%8.2f ms")
     println(f"[serve] hop1     ${medianMs(tH1.toSeq)}%8.2f ms")
     println(f"[serve] hop2     ${medianMs(tH2.toSeq)}%8.2f ms")
     println(f"[serve] topk     ${medianMs(tTopk.toSeq)}%8.2f ms")
     println(f"[serve] result   ${medianMs(tRes.toSeq)}%8.2f ms")
-    println(f"[serve] total    ${medianMs(tTot.toSeq)}%8.2f ms  (servedFof end-to-end)")
+    println(f"[serve] total    ${medianMs(tTot.toSeq)}%8.2f ms  (servedFof end-to-end; " +
+      f"p99 ${p99Ms(tTot.toSeq)}%.2f ms over $iters iters)")
     spark.stop()
   }
 }

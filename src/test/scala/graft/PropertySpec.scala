@@ -88,6 +88,22 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("fofTopKLocal equals a naive count on large random multisets (table-growth path)") {
+    // the serving top-k's open-addressed counter starts at 4096 slots
+    // and doubles past 50% load — fixture graphs never push it there,
+    // so pin the growth path directly: ~19k distinct keys force
+    // multiple rehashes; negative keys exercise the hash's sign handling
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 100, 50000)) {
+      val v0 = 5L
+      val hop2 = Array.fill(n)(rnd.between(-1000L, 19000L))
+      val expect = hop2.filter(_ != v0)
+        .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+        .toSeq.sortBy { case (id, c) => (-c, id) }.take(20)
+      assert(Queries.fofTopKLocal(hop2, v0, 20) == expect)
+    }
+  }
+
   test("out-of-core scan CC equals resident CC on random symmetric graphs") {
     // connectedComponentsScan streams the edge frame per superstep and
     // broadcast-hints the label side under the vertex gate; its fixpoint
