@@ -96,6 +96,51 @@ object ServeLatencyProbe {
     println(f"[serve] result   ${medianMs(tRes.toSeq)}%8.2f ms")
     println(f"[serve] total    ${medianMs(tTot.toSeq)}%8.2f ms  (servedFof end-to-end; " +
       f"p99 ${p99Ms(tTot.toSeq)}%.2f ms over $iters iters)")
+
+    // ---- concurrent-serving soak: the reference is an ONLINE database,
+    // so multi-client throughput is part of the envelope. N client
+    // threads each serve `perClient` FoF queries over a rotating set of
+    // REAL query vertices (sampled once from the store — setup, not
+    // serving); the serving path itself launches no Spark job, so
+    // clients contend only on the driver pool + page cache. Every
+    // result is sanity-checked non-degenerate (the store's fixture
+    // graph gives every sampled vertex a non-empty 2-hop set).
+    val clients = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val perClient = 50
+    val v0s = st.read(vm).select("src").distinct().limit(64)
+      .collect().map(_.getLong(0))
+    val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val bad = new java.util.concurrent.atomic.AtomicInteger()
+    val t0 = System.nanoTime()
+    val threads = (0 until clients).map { c =>
+      val t = new Thread(() => {
+        var i = 0
+        while (i < perClient) {
+          val v = v0s((c * perClient + i) % v0s.length)
+          val s0 = System.nanoTime()
+          val n = st.servedFof(vm, v).collect().length
+          lat.add(System.nanoTime() - s0)
+          if (n == 0) bad.incrementAndGet()
+          i += 1
+        }
+      }, s"serve-client-$c")
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val wallS = (System.nanoTime() - t0) / 1e9
+    val all = lat.iterator().asScalaSeqLongs
+    val qps = clients * perClient / wallS
+    println(f"[serve] concurrent $clients%d clients x $perClient: " +
+      f"${qps}%.1f qps, median ${medianMs(all)}%.1f ms, " +
+      f"p99 ${p99Ms(all)}%.1f ms, empty=${bad.get()}")
     spark.stop()
+  }
+
+  private implicit class QIter(it: java.util.Iterator[java.lang.Long]) {
+    def asScalaSeqLongs: Seq[Long] = {
+      val b = Seq.newBuilder[Long]
+      while (it.hasNext) b += it.next().longValue()
+      b.result()
+    }
   }
 }
