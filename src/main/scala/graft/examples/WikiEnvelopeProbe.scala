@@ -43,11 +43,21 @@ import org.apache.spark.sql.functions._
   * Results go to PERF.md next to the LiveJournal table.
   *
   * Usage: SPARK_DRIVER_MEM=96g runMain graft.examples.WikiEnvelopeProbe \
-  *          [k=667] [existing-store-dir] [servedOnly] [noscan] [cchalf]
+  *          [k=667] [existing-store-dir] [servedOnly] [noscan] [scanview]
+  *          [noiter] [cchalf]
   * (a `/`-prefixed arg reuses a prior run's store, skipping the ingest
   * leg; `servedOnly` stops after the serving leg; `noscan` skips the
   * full-scan q1 — its 2·k·600k-pair checkpoint is the one working set
-  * that outgrows this box's DISK first at the 1B class. The CC leg runs
+  * that outgrows this box's DISK first at the 1B class; `scanview`
+  * instead runs q1 directly over the UN-materialized symmetric view
+  * (store + reversed store as parquet scans — ~3 passes over the
+  * 2-column projection, ZERO bytes materialized), the form that closes
+  * the 1B full-scan leg on a disk that cannot hold the pair
+  * checkpoint, and the plan a cluster would run when the query is a
+  * ONE-OFF (a checkpoint only pays for itself when the working set is
+  * reused across a query family); `noiter` skips the c3/c4 iterative
+  * legs when a run only needs the ingest/index/query samples. The CC
+  * leg runs
   * FULL-GRAPH by default via the out-of-core
   * [[graft.Traversals.connectedComponentsScan]] (r11: edges streamed
   * from the store per superstep, labels resident — nothing edge-sized
@@ -168,12 +178,22 @@ object WikiEnvelopeProbe {
     // pressure shape that OOD-failed the first rerun of this probe.
     val symView = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
 
-    if (!args.contains("noscan")) {
+    if (args.contains("scanview")) {
+      // q1 over the view itself: hop 1 is a broadcast of the one-row
+      // min(src) aggregate, hop 2 re-joins the (AQE-broadcast, ~degree²
+      // rows) mid list against the scan — every pass is the pruned
+      // 2-column projection, nothing edge-sized is ever materialized.
+      // This is the disk-honest full-scan form at the 1B class.
+      timed("q1_fof_top20_scanview") {
+        Queries.friendsOfFriendsExclTop20(symView).count()
+      }
+    } else if (!args.contains("noscan")) {
       val sym = symView.localCheckpoint(true)
       System.gc()
       timed("q1_fof_top20") { Queries.friendsOfFriendsExclTop20(sym).count() }
       sym.unpersist()
     }
+    if (args.contains("noiter")) { spark.stop(); return }
     System.gc()
     // c3 runs on the DIRECTED store scan: PageRank.top20 projects and
     // persists its own loop invariants (deg, ed) hashed on src
