@@ -135,41 +135,60 @@ class DurableStore(val spark: SparkSession, val root: String,
   }
 
   /** Driver-side parquet-mr read of `hit` files with `column = key`
-    * pushed as a record/row-group filter (footer min/max skip, then
-    * dictionary + record filtering). Rows come back in the file
-    * schema's column order. Delta entries are DIRECTORIES of part
-    * files; parquet-mr's reader walks them natively. */
+    * pushed as a row-group/page filter against the CACHED footer
+    * ([[DurableStore.cachedFooter]] — min/max + dictionary skip, then
+    * column-index page pruning), the record-level equality applied on
+    * the assembled row (covering pages may hold non-matching rows).
+    * Rows come back in the file schema's column order. Delta entries
+    * are DIRECTORIES of part files, expanded via
+    * [[DurableStore.partPaths]]. */
   private def localPointRead(hit: Seq[StoreFile], column: String,
                              key: Long): Seq[Seq[Any]] = {
     import org.apache.parquet.filter2.compat.FilterCompat
     import org.apache.parquet.filter2.predicate.FilterApi
-    import org.apache.parquet.hadoop.ParquetReader
-    import org.apache.parquet.hadoop.example.GroupReadSupport
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val pred = FilterCompat.get(
       FilterApi.eq(FilterApi.longColumn(column), java.lang.Long.valueOf(key)))
-    val conf = spark.sessionState.newHadoopConf()
     val out = Seq.newBuilder[Seq[Any]]
-    hit.foreach { f =>
-      val reader = ParquetReader
-        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f.path))
-        .withConf(conf).withFilter(pred).build()
+    hit.flatMap(f => partPaths(f.path)).foreach { fPath =>
+      val path = new org.apache.hadoop.fs.Path(fPath)
+      val footer = cachedFooter(serveConf, path)
+      val schema = footer.getFileMetaData.getSchema
+      val options = org.apache.parquet.HadoopReadOptions
+        .builder(serveConf, path).withRecordFilter(pred).build()
+      val reader = new org.apache.parquet.hadoop.ParquetFileReader(
+        serveConf, path, footer, options)
       try {
-        var g = reader.read()
-        while (g != null) {
-          val t = g.getType
-          out += (0 until t.getFieldCount).map { i =>
-            if (g.getFieldRepetitionCount(i) == 0) null
-            else t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
-              case INT64   => g.getLong(i, 0)
-              case INT32   => g.getInteger(i, 0)
-              case DOUBLE  => g.getDouble(i, 0)
-              case FLOAT   => g.getFloat(i, 0)
-              case BOOLEAN => g.getBoolean(i, 0)
-              case _       => g.getValueToString(i, 0)
+        val cio = new org.apache.parquet.io.ColumnIOFactory()
+          .getColumnIO(schema)
+        val mat = new org.apache.parquet.example.data.simple.convert
+          .GroupRecordConverter(schema)
+        val keyIdx = schema.getFieldIndex(column)
+        var pages = reader.readNextFilteredRowGroup()
+        while (pages != null) {
+          val rr = cio.getRecordReader(pages, mat)
+          val n = pages.getRowCount
+          var i = 0L
+          while (i < n) {
+            val g = rr.read()
+            if (g != null && g.getFieldRepetitionCount(keyIdx) > 0 &&
+                g.getLong(keyIdx, 0) == key) {
+              val t = g.getType
+              out += (0 until t.getFieldCount).map { j =>
+                if (g.getFieldRepetitionCount(j) == 0) null
+                else t.getType(j).asPrimitiveType().getPrimitiveTypeName match {
+                  case INT64   => g.getLong(j, 0)
+                  case INT32   => g.getInteger(j, 0)
+                  case DOUBLE  => g.getDouble(j, 0)
+                  case FLOAT   => g.getFloat(j, 0)
+                  case BOOLEAN => g.getBoolean(j, 0)
+                  case _       => g.getValueToString(j, 0)
+                }
+              }
             }
+            i += 1
           }
-          g = reader.read()
+          pages = reader.readNextFilteredRowGroup()
         }
       } finally reader.close()
     }
@@ -211,37 +230,72 @@ class DurableStore(val spark: SparkSession, val root: String,
                                   keys: Array[Long]): Array[Long] = {
     import org.apache.parquet.filter2.compat.FilterCompat
     import org.apache.parquet.filter2.predicate.FilterApi
-    import org.apache.parquet.hadoop.ParquetReader
     import scala.concurrent.duration._
     if (tasks.isEmpty || keys.isEmpty) return Array.emptyLongArray
     val sortedKeys = keys.sorted
     val keySet = new java.util.HashSet[java.lang.Long](keys.length * 2)
     keys.foreach(k => keySet.add(java.lang.Long.valueOf(k)))
-    def readOne(t: (StoreFile, String, String)): Array[Long] = {
-      val (f, filterCol, outCol) = t
-      // the `in` predicate prunes row groups, dictionary-filtered pages
-      // and column-index page ranges; RECORD-level filtering is done by
-      // the materializer itself (binary search on the sorted key array —
-      // no per-record boxing, no filtering-wrapper assembly), so
-      // useRecordFilter is off
-      val rs = new LongColumnReadSupport(filterCol, outCol, sortedKeys)
-      val reader = ParquetReader
-        .builder(rs, new org.apache.hadoop.fs.Path(f.path))
-        .withConf(serveConf)
-        .withFilter(FilterCompat.get(
-          FilterApi.in(FilterApi.longColumn(filterCol), keySet)))
-        .useRecordFilter(false)
-        .build()
-      try { while (reader.read() != null) () } finally reader.close()
-      rs.result()
+    // a delta StoreFile's path is a DIRECTORY (one flushed micro-batch,
+    // possibly several part files); expand to part files BEFORE the pool
+    // round so each file is its own concurrent task, and so the footer
+    // cache keys on real files (one readdir per delta task per call —
+    // delta dirs are small and the listing is a metadata op)
+    val fileTasks: Seq[(String, String, String)] = tasks.flatMap {
+      case (f, fc, oc) => partPaths(f.path).map((_, fc, oc))
     }
-    if (tasks.size == 1) readOne(tasks.head)
+    def readOne(t: (String, String, String)): Array[Long] = {
+      val (fPath, filterCol, outCol) = t
+      val path = new org.apache.hadoop.fs.Path(fPath)
+      // footer from the shared cache (files are immutable — see
+      // [[DurableStore.cachedFooter]]): the reader below starts at the
+      // first page read instead of re-reading + thrift-parsing the
+      // footer per call. The `in` predicate still prunes row groups
+      // (stats + dictionary, applied against the cached footer in the
+      // reader constructor) and column-index page ranges; RECORD-level
+      // filtering is done by the materializer itself (binary search on
+      // the sorted key array — no per-record boxing, no
+      // filtering-wrapper assembly), so no assembly-level filter is
+      // passed to the record reader — the same useRecordFilter(false)
+      // discipline the previous ParquetReader-based path had.
+      val footer = cachedFooter(serveConf, path)
+      val fileSchema = footer.getFileMetaData.getSchema
+      // projection from the file's OWN schema: create() writes columns
+      // `required`, delta appends from nullable frames write `optional` —
+      // a fixed projection string fails parquet's containment check on
+      // one or the other
+      val requested = new org.apache.parquet.schema.MessageType("graft_serve",
+        Seq(filterCol, outCol)
+          .map(c => fileSchema.getType(fileSchema.getFieldIndex(c))): _*)
+      val options = org.apache.parquet.HadoopReadOptions.builder(serveConf, path)
+        .withRecordFilter(FilterCompat.get(
+          FilterApi.in(FilterApi.longColumn(filterCol), keySet)))
+        .build()
+      val reader = new org.apache.parquet.hadoop.ParquetFileReader(
+        serveConf, path, footer, options)
+      val mat = new LongsMaterializer(requested, outCol, sortedKeys)
+      try {
+        reader.setRequestedSchema(requested)
+        val cio = new org.apache.parquet.io.ColumnIOFactory()
+          .getColumnIO(requested, fileSchema)
+        var pages = reader.readNextFilteredRowGroup()
+        while (pages != null) {
+          val rr = cio.getRecordReader(pages, mat)
+          val n = pages.getRowCount
+          var i = 0L
+          while (i < n) { rr.read(); i += 1 }
+          pages = reader.readNextFilteredRowGroup()
+        }
+      } finally reader.close()
+      mat.result()
+    }
+    if (fileTasks.isEmpty) Array.emptyLongArray
+    else if (fileTasks.size == 1) readOne(fileTasks.head)
     else {
       implicit val ec: scala.concurrent.ExecutionContext = serveEc
       // concat keeps the values UNBOXED end to end (a Seq flatten would
       // box every long on the serving path)
       Array.concat(scala.concurrent.Await.result(
-        scala.concurrent.Future.traverse(tasks)(t =>
+        scala.concurrent.Future.traverse(fileTasks)(t =>
           scala.concurrent.Future(readOne(t))), 120.seconds): _*)
     }
   }
@@ -355,6 +409,50 @@ class DurableStore(val spark: SparkSession, val root: String,
     // reader would put file-count-proportional driver I/O on the
     // serving path — review r10)
     val m = manifest(v)
+    val (localHop1, localTopK) =
+      servedFofLocalM(m, v0, topK, maxFanout, localFileBudget,
+        localDeltaRowBudget)
+    localTopK match {
+      case Some(top) =>
+        // LocalRelation result — ZERO Spark jobs on this serving path
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          top.map { case (id, n) => org.apache.spark.sql.Row(id, n) }.asJava,
+          FofResultSchema)
+      case None =>
+        Queries.servedFofFrom(
+          out = keys => readForSrcsM(m, keys)
+            .filter(col("src").isin(keys: _*)).select("src", "dst"),
+          in = keys => readForDstsM(m, keys)
+            .filter(col("dst").isin(keys: _*)).select("src", "dst"),
+          v0 = v0, topK = topK, maxFanout = maxFanout,
+          hop1 = localHop1.map(_.toSeq))
+    }
+  }
+
+  /** [[servedFof]]'s zero-job path as a plain Scala result — (id, paths)
+    * pairs, no DataFrame, no Spark involvement at all: THE online-client
+    * entry (the reference's query API returns vertex ids, not frames —
+    * VertexQuery.java wraps long arrays). `None` when the store is
+    * unindexed or the routed read exceeds the local budgets — that
+    * regime belongs to the one-job form, i.e. collect [[servedFof]]. */
+  def servedFofRows(v: Int, v0: Long, topK: Int = 20,
+                    maxFanout: Int = 1 << 16,
+                    localFileBudget: Int = ServeLocalFileBudget,
+                    localDeltaRowBudget: Long = ServeLocalDeltaRowBudget)
+      : Option[Seq[(Long, Long)]] =
+    servedFofLocalM(manifest(v), v0, topK, maxFanout, localFileBudget,
+      localDeltaRowBudget)._2
+
+  /** The driver-local legs of the served FoF: hop 1's neighbor ids (when
+    * the store is indexed) and, when the hop-2 routed read fits the
+    * local budgets, the full driver-computed top-k. Shared by
+    * [[servedFof]] (wraps as a LocalRelation / falls back to the one-job
+    * form) and [[servedFofRows]] (returns the rows bare). */
+  private def servedFofLocalM(m: Manifest, v0: Long, topK: Int,
+                              maxFanout: Int, localFileBudget: Int,
+                              localDeltaRowBudget: Long)
+      : (Option[Array[Long]], Option[Seq[(Long, Long)]]) = {
     val localHop1 =
       if (m.mbounds.isEmpty || m.schemaDDL.isEmpty) None
       else {
@@ -395,26 +493,7 @@ class DurableStore(val spark: SparkSession, val root: String,
           v0, topK))
       }
     }
-    localTopK match {
-      case Some(top) =>
-        // LocalRelation result — ZERO Spark jobs on this serving path
-        import scala.jdk.CollectionConverters._
-        spark.createDataFrame(
-          top.map { case (id, n) => org.apache.spark.sql.Row(id, n) }.asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("paths",
-              org.apache.spark.sql.types.LongType, nullable = false))))
-      case None =>
-        Queries.servedFofFrom(
-          out = keys => readForSrcsM(m, keys)
-            .filter(col("src").isin(keys: _*)).select("src", "dst"),
-          in = keys => readForDstsM(m, keys)
-            .filter(col("dst").isin(keys: _*)).select("src", "dst"),
-          v0 = v0, topK = topK, maxFanout = maxFanout,
-          hop1 = localHop1.map(_.toSeq))
-    }
+    (localHop1, localTopK)
   }
 
   /** In-edge range sweep via the mirror's file stats (dst side of
@@ -791,6 +870,14 @@ object DurableStore {
   val ServeLocalFileBudget: Int = 256
   val ServeLocalDeltaRowBudget: Long = 1L << 20
 
+  /** Result schema of the served FoF — built once; schema construction
+    * per serving call is measurable at the millisecond class. */
+  private val FofResultSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("paths",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
   /** Serving-read materializer: projects (filterCol, outCol) — each
     * field with the repetition the FILE declares (store files mix
     * writers: create() writes non-nullable columns `required`, delta
@@ -800,64 +887,181 @@ object DurableStore {
     * allocation, no boxing of dropped rows: the example GroupReadSupport
     * allocates a SimpleGroup + boxed values for EVERY record in a hit
     * page, which measured as the bulk of the serving wall time when the
-    * probe keys scatter across all pages (no page left to prune). */
-  private final class LongColumnReadSupport(filterCol: String, outCol: String,
-                                            sortedKeys: Array[Long])
-      extends org.apache.parquet.hadoop.api.ReadSupport[java.lang.Long] {
+    * probe keys scatter across all pages (no page left to prune).
+    * Driven directly over [[org.apache.parquet.hadoop.ParquetFileReader]]
+    * page stores (one instance per file read, so no synchronization). */
+  private final class LongsMaterializer(
+      requested: org.apache.parquet.schema.MessageType,
+      outCol: String, sortedKeys: Array[Long])
+      extends org.apache.parquet.io.api.RecordMaterializer[java.lang.Long] {
     import org.apache.parquet.io.api._
-    require(filterCol != outCol, "serving read needs two distinct columns")
-    // matching outCol values, collected UNBOXED by the materializer —
-    // one instance per reader (per file), so no synchronization
+    // matching outCol values, collected UNBOXED
     private val matches = new scala.collection.mutable.ArrayBuilder.ofLong
     def result(): Array[Long] = matches.result()
-    override def init(conf: org.apache.hadoop.conf.Configuration,
-        kv: java.util.Map[String, String],
-        fileSchema: org.apache.parquet.schema.MessageType)
-        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext =
-      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
-        new org.apache.parquet.schema.MessageType("graft_serve",
-          Seq(filterCol, outCol)
-            .map(c => fileSchema.getType(fileSchema.getFieldIndex(c))): _*))
-    override def prepareForRead(conf: org.apache.hadoop.conf.Configuration,
-        kv: java.util.Map[String, String],
-        fileSchema: org.apache.parquet.schema.MessageType,
-        ctx: org.apache.parquet.hadoop.api.ReadSupport.ReadContext)
-        : RecordMaterializer[java.lang.Long] =
-      new RecordMaterializer[java.lang.Long] {
-        private var fv = 0L
-        private var ov = 0L
-        private var hasF = false
-        private var hasO = false
-        private val root = new GroupConverter {
-          private val fields = ctx.getRequestedSchema.getFields
-          private val convs = (0 until fields.size).map { i =>
-            if (fields.get(i).getName == outCol)
-              new PrimitiveConverter {
-                override def addLong(v: Long): Unit = { ov = v; hasO = true }
-              }
-            else
-              new PrimitiveConverter {
-                override def addLong(v: Long): Unit = { fv = v; hasF = true }
-              }
+    private var fv = 0L
+    private var ov = 0L
+    private var hasF = false
+    private var hasO = false
+    private val root = new GroupConverter {
+      private val convs = (0 until requested.getFieldCount).map { i =>
+        if (requested.getType(i).getName == outCol)
+          new PrimitiveConverter {
+            override def addLong(v: Long): Unit = { ov = v; hasO = true }
           }
-          def getConverter(i: Int): Converter = convs(i)
-          def start(): Unit = { hasF = false; hasO = false }
-          // the record-level filter, applied where the values land: a
-          // binary search on the sorted key array — no boxed set lookup,
-          // no per-record allocation
-          def end(): Unit =
-            if (hasF && hasO &&
-                java.util.Arrays.binarySearch(sortedKeys, fv) >= 0)
-              matches += ov
-        }
-        // NEVER null (ParquetReader treats null as end-of-input); the
-        // returned record is a dummy — results accumulate in `matches`
-        def getCurrentRecord: java.lang.Long = LongColumnReadSupport.Dummy
-        def getRootConverter: GroupConverter = root
+        else
+          new PrimitiveConverter {
+            override def addLong(v: Long): Unit = { fv = v; hasF = true }
+          }
       }
+      def getConverter(i: Int): Converter = convs(i)
+      def start(): Unit = { hasF = false; hasO = false }
+      // the record-level filter, applied where the values land: a
+      // binary search on the sorted key array — no boxed set lookup,
+      // no per-record allocation
+      def end(): Unit =
+        if (hasF && hasO &&
+            java.util.Arrays.binarySearch(sortedKeys, fv) >= 0)
+          matches += ov
+    }
+    // NEVER null (a null record means end-of-input to callers); the
+    // returned record is a dummy — results accumulate in `matches`
+    def getCurrentRecord: java.lang.Long = LongsMaterializer.Dummy
+    def getRootConverter: GroupConverter = root
   }
-  private object LongColumnReadSupport {
+  private object LongsMaterializer {
     private val Dummy = java.lang.Long.valueOf(0L)
+  }
+
+  /** Footer cache for driver-local serving reads, shared across stores:
+    * store files are IMMUTABLE (every mutation is copy-on-write into
+    * fresh UUID part names, vacuum only deletes), so a path's footer
+    * never changes once written. The reference keeps its shards open /
+    * memory-mapped for the life of the process (QueryShard.java:84-130)
+    * — re-reading and thrift-parsing every hit file's footer on every
+    * serving call was the parquet analogue of re-mmapping per query,
+    * and with pages OS-cached that fixed cost IS most of a hop's wall.
+    * Bounded: cleared wholesale past FooterCacheMax paths (entries for
+    * vacuumed files linger harmlessly until then — they are simply
+    * never routed to again). */
+  private val FooterCacheMax = 8192
+  private val footerCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.parquet.hadoop.metadata.ParquetMetadata]()
+
+  /** Adopt EXISTING sorted parquet as a store — METADATA ONLY, zero
+    * data movement, zero data reads: per-file (src, dst) stats come
+    * from the parquet FOOTERS (read concurrently on the serving pool,
+    * populating the footer cache the serving reads then hit warm), the
+    * bucket bounds are derived on file boundaries, and commit is one
+    * manifest + pointer write. The caller asserts each file is a
+    * (src, dst)-sorted run (any `repartitionByRange(src) +
+    * sortWithinPartitions(src, dst)` write qualifies); a mis-declared
+    * file degrades only PRUNING (column-index page stats are true
+    * statistics whether or not the file is sorted, and the record-level
+    * filter is exact), never correctness. `mirrorDir`, when given, is
+    * the same rows (dst, src)-sorted — the in-edge index — and must
+    * carry the same schema. At 100 TB this is the difference between
+    * indexing a data lake IN PLACE and rewriting it; the adopted store
+    * is a full citizen (append/compact/mutations/serving all work —
+    * copy-on-write never touches the adopted files in place). NOTE:
+    * adoption transfers OWNERSHIP — [[DurableStore.vacuum]] deletes
+    * adopted files like any other once no kept version references
+    * them; adopt a copy if the source must outlive the store. */
+  def adopt(spark: SparkSession, edgesDir: String, root: String,
+            mirrorDir: Option[String] = None, numBuckets: Int = 8,
+            commit: CommitProtocol = LocalFsCommit): DurableStore = {
+    import scala.concurrent.duration._
+    val conf = spark.sessionState.newHadoopConf()
+    def stats(dir: String): Seq[StoreFile] = {
+      val parts = partPaths(dir)
+      require(parts.nonEmpty, s"adopt: no parquet files under $dir")
+      implicit val ec: scala.concurrent.ExecutionContext = serveEc
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(parts) { p =>
+          scala.concurrent.Future {
+            val footer = cachedFooter(conf, new org.apache.hadoop.fs.Path(p))
+            var (s0, s1) = (Long.MaxValue, Long.MinValue)
+            var (d0, d1) = (Long.MaxValue, Long.MinValue)
+            var n = 0L
+            footer.getBlocks.forEach { b =>
+              n += b.getRowCount
+              b.getColumns.forEach { c =>
+                val name = c.getPath.toDotString
+                if (name == "src" || name == "dst") {
+                  val st = c.getStatistics
+                  require(st != null && st.hasNonNullValue,
+                    s"adopt: $p has no $name column statistics")
+                  val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+                  val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+                  if (name == "src") { s0 = math.min(s0, lo); s1 = math.max(s1, hi) }
+                  else { d0 = math.min(d0, lo); d1 = math.max(d1, hi) }
+                }
+              }
+            }
+            require(s0 != Long.MaxValue && d0 != Long.MaxValue,
+              s"adopt: $p lacks src/dst columns")
+            StoreFile(0, p, s0, s1, d0, d1, sorted = true, n)
+          }
+        }, 600.seconds)
+    }
+    // bounds on FILE boundaries (files arrive range-partitioned, so the
+    // boundary of every numBuckets-th file is a natural bucket edge);
+    // file → bucket via the same `key > bound` rule bucketCol uses
+    def boundsOn(fs: Seq[StoreFile], lo: StoreFile => Long,
+                 hi: StoreFile => Long): (Seq[Long], Seq[StoreFile]) = {
+      val sortedF = fs.sortBy(f => (lo(f), hi(f)))
+      val per = math.max(1, math.ceil(sortedF.size.toDouble / numBuckets).toInt)
+      val bs = (sortedF.grouped(per).map(g => g.map(hi).max).toSeq
+        .dropRight(1) :+ Long.MaxValue).distinct.sorted
+      (bs, sortedF.map(f =>
+        f.copy(bucket = bs.dropRight(1).count(b => lo(f) > b))))
+    }
+    val (bounds, files) = boundsOn(stats(edgesDir), _.srcMin, _.srcMax)
+    val ddl = spark.read.parquet(edgesDir).schema.toDDL
+    val (mb, mf) = mirrorDir match {
+      case None => (Seq.empty[Long], Seq.empty[StoreFile])
+      case Some(md) =>
+        require(spark.read.parquet(md).schema.toDDL == ddl,
+          "adopt: mirror must carry the same schema as the edge files " +
+            "(it serves full-row in-edge reads, not just the endpoints)")
+        boundsOn(stats(md), _.dstMin, _.dstMax)
+    }
+    Files.createDirectories(Paths.get(root, "manifest"))
+    writeManifest(root, Manifest(1, bounds, files, schemaDDL = ddl,
+      mbounds = mb, mirror = mf))
+    DurableStore.synchronized { commit.casPointer(root, 0, 1) }
+    new DurableStore(spark, root, commit)
+  }
+
+  /** Expand a StoreFile path to its parquet part files: bucket entries
+    * are single files, delta entries are per-version DIRECTORIES of
+    * part files (skip markers like _SUCCESS and hidden files). */
+  private def partPaths(path: String): Seq[String] = {
+    val p = Paths.get(path)
+    if (!Files.isDirectory(p)) Seq(path)
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.toString)
+        .filter { n =>
+          val base = n.substring(n.lastIndexOf('/') + 1)
+          base.endsWith(".parquet") && !base.startsWith("_") &&
+            !base.startsWith(".")
+        }
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+  private def cachedFooter(conf: org.apache.hadoop.conf.Configuration,
+                           path: org.apache.hadoop.fs.Path)
+      : org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val key = path.toString
+    val hit = footerCache.get(key)
+    if (hit != null) return hit
+    if (footerCache.size >= FooterCacheMax) footerCache.clear()
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    val f = try r.getFooter finally r.close()
+    footerCache.putIfAbsent(key, f)
+    f
   }
 
   /** Bounded daemon pool for concurrent per-file serving reads — sized

@@ -15,6 +15,8 @@ import org.apache.spark.sql.SparkSession
   *   topk       driver hash-map count + top-k
   *   result     LocalRelation createDataFrame + collect
   *   total      one whole servedFof call
+  *   rows       one whole servedFofRows call (the online-client entry —
+  *              same legs as total minus the DataFrame wrap/collect)
   *
   * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.examples.ServeLatencyProbe [iters]
   */
@@ -41,6 +43,7 @@ object ServeLatencyProbe {
     val (tMan, tH1, tH2, tTopk, tRes, tTot) =
       (Array.ofDim[Long](iters), Array.ofDim[Long](iters), Array.ofDim[Long](iters),
         Array.ofDim[Long](iters), Array.ofDim[Long](iters), Array.ofDim[Long](iters))
+    val tRows = Array.ofDim[Long](iters)
     var checksum = 0L
     for (i <- 0 until iters) {
       var t0 = System.nanoTime()
@@ -84,6 +87,10 @@ object ServeLatencyProbe {
       t0 = System.nanoTime()
       checksum += st.servedFof(vm, v0).collect().length
       tTot(i) = System.nanoTime() - t0
+
+      t0 = System.nanoTime()
+      checksum += st.servedFofRows(vm, v0).map(_.length).getOrElse(0)
+      tRows(i) = System.nanoTime() - t0
     }
     require(checksum > 0, "probe produced no rows")
     def p99Ms(ns: Seq[Long]): Double = {
@@ -96,6 +103,8 @@ object ServeLatencyProbe {
     println(f"[serve] result   ${medianMs(tRes.toSeq)}%8.2f ms")
     println(f"[serve] total    ${medianMs(tTot.toSeq)}%8.2f ms  (servedFof end-to-end; " +
       f"p99 ${p99Ms(tTot.toSeq)}%.2f ms over $iters iters)")
+    println(f"[serve] rows     ${medianMs(tRows.toSeq)}%8.2f ms  (servedFofRows — the " +
+      f"online-client call, no DataFrame; p99 ${p99Ms(tRows.toSeq)}%.2f ms)")
 
     // ---- concurrent-serving soak: the reference is an ONLINE database,
     // so multi-client throughput is part of the envelope. N client

@@ -129,6 +129,51 @@ class DurableStoreSpec extends AnyFunSuite {
     val served = st.servedFof(v2, st.minEndpoint(v2).get)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(served == scan)
+    // the rows-only online-client entry answers on an indexed store and
+    // is the SAME result bare (no DataFrame) — and a second call (now
+    // footer-cache warm) returns it again
+    val rows = st.servedFofRows(v2, st.minEndpoint(v2).get)
+    assert(rows.contains(scan))
+    assert(st.servedFofRows(v2, st.minEndpoint(v2).get) == rows)
+  }
+
+  test("adopt indexes existing sorted parquet in place: metadata-only, full-citizen store") {
+    // write the fixture the way any range-partitioned sorted job would —
+    // these files are the "data lake" being adopted, never rewritten
+    val dir = Files.createTempDirectory("graft-adopt").toString
+    val e = edges(base: _*)
+    e.repartitionByRange(2, col("src")).sortWithinPartitions("src", "dst")
+      .write.parquet(s"$dir/edges")
+    e.repartitionByRange(2, col("dst")).sortWithinPartitions("dst", "src")
+      .write.parquet(s"$dir/medges")
+    val st = DurableStore.adopt(spark, s"$dir/edges",
+      Files.createTempDirectory("graft-adopted").toString,
+      mirrorDir = Some(s"$dir/medges"), numBuckets = 2)
+    // reads equal the source rows; the mirror serves the same multiset
+    assert(rowSet(st.read(1)) == rowSet(e))
+    assert(rowSet(st.readMirror(1)) == rowSet(e))
+    // the adopted files were NOT copied: manifest paths point into dir
+    assert(st.manifest(1).files.forall(_.path.startsWith(s"$dir/edges")))
+    // zero-job serving works off the adopted footers
+    val sym = st.read(1).select("src", "dst")
+    val symAll = sym.unionByName(
+      sym.select(col("dst").as("src"), col("src").as("dst")))
+    val scan = Queries.friendsOfFriendsExclTop20(symAll)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(st.servedFofRows(1, st.minEndpoint(1).get).contains(scan))
+    // full citizen: append + compact work; the source files stay intact
+    val v2 = st.append(1, edges((21L, 10L)))
+    assert(rowSet(st.read(v2)) == rowSet(e) + ((21L, 10L, 220L)))
+    val v3 = st.compact(v2)
+    assert(rowSet(st.read(v3)) == rowSet(e) + ((21L, 10L, 220L)))
+    assert(rowSet(spark.read.parquet(s"$dir/edges")) == rowSet(e))
+    // a projection mirror (endpoints only) is rejected loudly
+    e.select("src", "dst").repartitionByRange(2, col("dst"))
+      .sortWithinPartitions("dst", "src").write.parquet(s"$dir/mproj")
+    intercept[IllegalArgumentException](DurableStore.adopt(
+      spark, s"$dir/edges",
+      Files.createTempDirectory("graft-adopted2").toString,
+      mirrorDir = Some(s"$dir/mproj")))
   }
 
   test("append normalizes batch column order to the manifest schema (driver reads stay positional-safe)") {
