@@ -37,6 +37,7 @@ object Bench {
     registry.DurableQueries.baseStore(spark, sfDir) // durable bulk load
     registry.DurableQueries.ingestedStoreRoot(spark, sfDir) // s6 streaming ingest fixture
     registry.DurableQueries.mirrorVersion(spark, sfDir) // n2's in-edge mirror index
+    registry.DurableQueries.adoptedStore(spark, sfDir) // q1a's in-place-indexed lake
     registry.VectorQueries.ivfStorePath(spark, sfDir) // IVF cell partitions
     ALSRec.warmOracleDump(spark, sfDir) // q11's oracle-only factor dump
     registry.EventQueries.warmWikiStore(spark, sfDir) // s2c dump→store ingest

@@ -962,12 +962,17 @@ object DurableStore {
     * carry the same schema. At 100 TB this is the difference between
     * indexing a data lake IN PLACE and rewriting it; the adopted store
     * is a full citizen (append/compact/mutations/serving all work —
-    * copy-on-write never touches the adopted files in place). NOTE:
-    * adoption transfers OWNERSHIP — [[DurableStore.vacuum]] deletes
-    * adopted files like any other once no kept version references
-    * them; adopt a copy if the source must outlive the store. */
+    * copy-on-write never touches the adopted files in place).
+    * `assumeSorted = false` adopts ARBITRARY parquet: the files enter
+    * as unsorted DELTA entries (correct reads + serving immediately,
+    * delta-budgeted), and the first [[DurableStore.compact]] is the
+    * index build. NOTE: adoption transfers OWNERSHIP —
+    * [[DurableStore.vacuum]] deletes adopted files like any other once
+    * no kept version references them; adopt a copy if the source must
+    * outlive the store. */
   def adopt(spark: SparkSession, edgesDir: String, root: String,
             mirrorDir: Option[String] = None, numBuckets: Int = 8,
+            assumeSorted: Boolean = true,
             commit: CommitProtocol = LocalFsCommit): DurableStore = {
     import scala.concurrent.duration._
     val conf = spark.sessionState.newHadoopConf()
@@ -999,7 +1004,7 @@ object DurableStore {
             }
             require(s0 != Long.MaxValue && d0 != Long.MaxValue,
               s"adopt: $p lacks src/dst columns")
-            StoreFile(0, p, s0, s1, d0, d1, sorted = true, n)
+            StoreFile(0, p, s0, s1, d0, d1, sorted = assumeSorted, n)
           }
         }, 600.seconds)
     }
@@ -1015,7 +1020,19 @@ object DurableStore {
       (bs, sortedF.map(f =>
         f.copy(bucket = bs.dropRight(1).count(b => lo(f) > b))))
     }
-    val (bounds, files) = boundsOn(stats(edgesDir), _.srcMin, _.srcMax)
+    // unsorted adoption (`assumeSorted = false`): the files enter as
+    // DELTA entries — reads and serving are correct immediately (deltas
+    // serve both directions, budgeted by rows), and the first compact()
+    // is the index build (one shuffled sorted write, the LSM treatment
+    // any unsorted micro-batch gets). A mirror makes no sense there:
+    // deltas already serve the in side, and adopting a second copy of
+    // the same rows would double the multiset.
+    require(assumeSorted || mirrorDir.isEmpty,
+      "adopt: a mirror needs sorted adoption (unsorted files already " +
+        "serve both directions as deltas; compact() to index them)")
+    val (bounds, files0) = boundsOn(stats(edgesDir), _.srcMin, _.srcMax)
+    // delta entries carry bucket = -1 (writeDelta's convention)
+    val files = if (assumeSorted) files0 else files0.map(_.copy(bucket = -1))
     val ddl = spark.read.parquet(edgesDir).schema.toDDL
     val (mb, mf) = mirrorDir match {
       case None => (Seq.empty[Long], Seq.empty[StoreFile])

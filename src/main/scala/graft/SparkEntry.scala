@@ -150,6 +150,28 @@ object SparkEntry {
           |GROUP BY u.dst
           |ORDER BY paths DESC, id LIMIT 20""".stripMargin))),
 
+    // ---- Q1 SERVED off an ADOPTED store ([[DurableStore.adopt]]): the
+    //      same online FoF, but the store was built by INDEXING existing
+    //      sorted parquet IN PLACE — a metadata-only manifest over the
+    //      file footers, zero rows moved or rewritten (the 100 TB
+    //      data-lake onboarding path: index, don't rewrite). Exercises
+    //      serving reads whose footers/pages were written by a foreign
+    //      job, not by the store's own writer. Same oracle as q1/q1b/q1s:
+    //      identical rows by construction. ----
+    ("q1a_fof_served_adopted",
+      (s: SparkSession, d: String) => {
+        val st = registry.DurableQueries.adoptedStore(s, d)
+        st.servedFof(1, st.minEndpoint(1).get)
+      },
+      Some(withSql(Oracle.UEDGES,
+        """, qv AS (SELECT min(src) AS v FROM uedges),
+          |hop1 AS (SELECT DISTINCT u.dst AS mid FROM uedges u, qv WHERE u.src = qv.v)
+          |SELECT u.dst AS id, count(*) AS paths
+          |FROM hop1 h JOIN uedges u ON u.src = h.mid, qv
+          |WHERE u.dst <> qv.v
+          |GROUP BY u.dst
+          |ORDER BY paths DESC, id LIMIT 20""".stripMargin))),
+
     // ---- Q3: plain 2-hop reachable set ----
     ("q3_fof",
       (s: SparkSession, d: String) => Queries.friendsOfFriends(Tables.socialEdges(s, d)),

@@ -1,0 +1,120 @@
+package graft.examples
+
+import graft._
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Millisecond serving AT THE BILLION-EDGE ENVELOPE, off an ADOPTED
+  * store: takes the 1B-edge parquet a [[WikiEnvelopeProbe]] run left
+  * behind (its `edges` dir — 1,696 foreign-written src-sorted files),
+  * indexes it IN PLACE with [[DurableStore.adopt]] (metadata-only: the
+  * manifest is built from the file footers, zero rows moved), and runs
+  * the zero-job served-FoF latency loop against it — the reference's
+  * native serving shape (mmap shard lookups, QueryShard.java:207-253)
+  * at the reference's headline scale ("billions of edges",
+  * README.md:6), measured as medians + a concurrent-client soak.
+  *
+  * The dst-sorted mirror is one shuffled write of the same rows (the
+  * in-edge INDEX cost any indexing scheme pays — FastSharder pays it
+  * at shard-write time); adoption itself is the part that costs
+  * metadata only, and its wall time is printed separately to make that
+  * claim checkable.
+  *
+  * Usage: SPARK_DRIVER_MEM=96g runMain graft.examples.WikiAdoptServeProbe \
+  *          <wiki-store-dir> [iters=30] [clients=8]
+  */
+object WikiAdoptServeProbe {
+  def main(args: Array[String]): Unit = {
+    val store = args.headOption.getOrElse(
+      sys.error("usage: WikiAdoptServeProbe <wiki-store-dir> [iters] [clients]"))
+    val iters = args.drop(1).headOption.map(_.toInt).getOrElse(30)
+    val clients = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "128")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val edgesDir = s"$store/edges"
+    // in-edge mirror with the FULL schema (adopt requires it: the
+    // mirror serves full-row in-edge reads, not just endpoints) — one
+    // shuffled dst-sorted write, gated on _SUCCESS for re-runs
+    val mirrorDir = s"$store/amedges"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(mirrorDir, "_SUCCESS"))) {
+      val t0 = System.nanoTime()
+      spark.read.parquet(edgesDir)
+        .repartitionByRange(128, col("dst"))
+        .sortWithinPartitions("dst", "src")
+        .write.mode(SaveMode.Overwrite).parquet(mirrorDir)
+      println(f"[adopt] build_mirror_full  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    val t0 = System.nanoTime()
+    val st = DurableStore.adopt(spark, edgesDir,
+      java.nio.file.Files.createTempDirectory("graft-wiki-adopted").toString,
+      mirrorDir = Some(mirrorDir), numBuckets = 32)
+    val m = st.manifest(1)
+    println(f"[adopt] adopt_metadata_only ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+      f"   (${m.files.size} primary + ${m.mirror.size} mirror files, " +
+      f"${m.files.map(_.rows).sum} rows)")
+
+    val v0 = st.minEndpoint(1).get
+    val warm = st.servedFofRows(1, v0)
+    require(warm.exists(_.nonEmpty), "adopted store served an empty FoF")
+
+    def medMs(ns: Seq[Long]): Double = { val s = ns.sorted; s(s.size / 2) / 1e6 }
+    def p99Ms(ns: Seq[Long]): Double = {
+      val s = ns.sorted; s(math.min(s.size - 1, (s.size * 99) / 100)) / 1e6
+    }
+    val (tRows, tDf) = (Array.ofDim[Long](iters), Array.ofDim[Long](iters))
+    var checksum = 0
+    for (i <- 0 until iters) {
+      var t = System.nanoTime()
+      checksum += st.servedFofRows(1, v0).map(_.length).getOrElse(0)
+      tRows(i) = System.nanoTime() - t
+      t = System.nanoTime()
+      checksum += st.servedFof(1, v0).collect().length
+      tDf(i) = System.nanoTime() - t
+    }
+    require(checksum > 0)
+    println(f"[adopt] fof_rows_ms  ${medMs(tRows.toSeq)}%8.2f ms  (p99 ${p99Ms(tRows.toSeq)}%.2f)")
+    println(f"[adopt] fof_df_ms    ${medMs(tDf.toSeq)}%8.2f ms  (p99 ${p99Ms(tDf.toSeq)}%.2f)")
+
+    // concurrent soak over REAL vertices (sampled once — setup, not
+    // serving): every client call is zero Spark jobs
+    val v0s = st.read(1).select("src").distinct().limit(64)
+      .collect().map(_.getLong(0))
+    val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val bad = new java.util.concurrent.atomic.AtomicInteger()
+    val perClient = 50
+    val w0 = System.nanoTime()
+    val threads = (0 until clients).map { c =>
+      val t = new Thread(() => {
+        var i = 0
+        while (i < perClient) {
+          val v = v0s((c * perClient + i) % v0s.length)
+          val s0 = System.nanoTime()
+          val n = st.servedFofRows(1, v).map(_.length).getOrElse(-1)
+          lat.add(System.nanoTime() - s0)
+          if (n < 0) bad.incrementAndGet()
+          i += 1
+        }
+      }, s"adopt-client-$c")
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val wallS = (System.nanoTime() - w0) / 1e9
+    val all = {
+      val b = Seq.newBuilder[Long]
+      val it = lat.iterator(); while (it.hasNext) b += it.next().longValue()
+      b.result()
+    }
+    println(f"[adopt] concurrent $clients%d x $perClient: " +
+      f"${clients * perClient / wallS}%.1f qps, median ${medMs(all)}%.1f ms, " +
+      f"p99 ${p99Ms(all)}%.1f ms, fellback=${bad.get()}")
+    spark.stop()
+  }
+}

@@ -51,6 +51,30 @@ object DurableQueries {
       DurableStore.create(s, Tables.orderEdges(s, d), root)
     })
 
+  /** ADOPTED store ([[DurableStore.adopt]]): the order edges written
+    * once as plain range-partitioned sorted parquet — the "existing
+    * data lake" fixture — then indexed IN PLACE: the manifest is
+    * metadata-only (per-file stats from the footers, zero data reads,
+    * zero data movement). The dst-sorted mirror is a second sorted
+    * write of the same rows — the price of the in-edge INDEX, paid by
+    * any indexing scheme, not of adoption. Built once per (session,
+    * fixture); public so Bench warms it with the other stores. */
+  private val adopted =
+    new java.util.concurrent.ConcurrentHashMap[String, DurableStore]()
+
+  def adoptedStore(s: SparkSession, d: String): DurableStore =
+    adopted.computeIfAbsent(s"${s.sparkContext.applicationId}|$d", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake").toString
+      val e = Tables.orderEdges(s, d)
+      e.repartitionByRange(8, col("src")).sortWithinPartitions("src", "dst")
+        .write.parquet(s"$dir/edges")
+      e.repartitionByRange(8, col("dst")).sortWithinPartitions("dst", "src")
+        .write.parquet(s"$dir/medges")
+      DurableStore.adopt(s, s"$dir/edges",
+        java.nio.file.Files.createTempDirectory("graft-adopted").toString,
+        mirrorDir = Some(s"$dir/medges"))
+    })
+
   /** Reopen from disk — drops every in-memory handle the mutation held. */
   private def reopen(s: SparkSession, st: DurableStore): DurableStore =
     new DurableStore(s, st.root)

@@ -176,6 +176,28 @@ class DurableStoreSpec extends AnyFunSuite {
       mirrorDir = Some(s"$dir/mproj")))
   }
 
+  test("adopt(assumeSorted = false) takes arbitrary parquet as deltas; compact indexes it") {
+    // unsorted files — shuffled row order, overlapping ranges
+    val dir = Files.createTempDirectory("graft-adopt-u").toString
+    val e = edges(base: _*)
+    e.orderBy(col("dst")).repartition(3).write.parquet(s"$dir/raw")
+    // a mirror over unsorted adoption must be rejected (deltas already
+    // serve both directions; a second copy would double the multiset)
+    intercept[IllegalArgumentException](DurableStore.adopt(
+      spark, s"$dir/raw", Files.createTempDirectory("graft-au0").toString,
+      mirrorDir = Some(s"$dir/raw"), assumeSorted = false))
+    val st = DurableStore.adopt(spark, s"$dir/raw",
+      Files.createTempDirectory("graft-au").toString, assumeSorted = false)
+    // reads and point serving are correct immediately (delta-budgeted)
+    assert(rowSet(st.read(1)) == rowSet(e))
+    assert(st.manifest(1).files.forall(f => !f.sorted && f.bucket == -1))
+    assert(st.pointReadLocal(1, 1L).map(_.head.asInstanceOf[Long]).toSet == Set(1L))
+    // the first compact IS the index build: everything lands sorted
+    val v2 = st.compact(1)
+    assert(rowSet(st.read(v2)) == rowSet(e))
+    assert(st.manifest(v2).files.forall(_.sorted))
+  }
+
   test("append normalizes batch column order to the manifest schema (driver reads stay positional-safe)") {
     // ADVICE r10: distributed parquet reads are by-name, but the driver
     // serving path (localPointRead) decodes positionally per file — a
