@@ -620,4 +620,54 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(polls >= 10, s"readers only sampled $polls snapshots")
     assert(rowSet(st.readLatest()) == rowSet(edges(base ++ appended: _*)))
   }
+
+  test("serving-while-write soak: zero-job FoF stays version-consistent under ingest") {
+    // the SERVING-path analogue of the soak above: concurrent clients on
+    // the driver-local servedFofRows path (manifest-pinned reads, no
+    // Spark jobs) while a writer appends edges that CHANGE the answer
+    // (new out-edges of the query vertex's neighbors) and compacts
+    // mid-soak. Each poll pins one version and requires the zero-job
+    // answer row-equal to the scan form AT THAT VERSION — a serving read
+    // that mixed file sets across versions, missed a fresh delta, or
+    // read a half-committed manifest would mismatch.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val st = freshMirrored(base: _*)
+    @volatile var done = false
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readers = (0 until 2).map { rid =>
+      Future {
+        var polls = 0
+        while (!done) {
+          val v = st.currentVersion
+          val v0 = st.minEndpoint(v).get
+          st.servedFofRows(v, v0) match {
+            case None => violations.add(s"reader$rid: budget fallback at v$v")
+            case Some(local) =>
+              val e = st.read(v).select("src", "dst")
+              val sym = e.unionByName(
+                e.select(col("dst").as("src"), col("src").as("dst")))
+              val scan = Queries.friendsOfFriendsExclTop20(sym)
+                .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+              if (local != scan)
+                violations.add(s"reader$rid: v$v served $local != scan $scan")
+          }
+          polls += 1
+        }
+        polls
+      }
+    }
+    var v = 1
+    (0 until 12).foreach { i =>
+      // (10, 100+i): vertex 10 is a direct neighbor of the query vertex
+      // (1), so each append grows the 2-hop answer through a DELTA file
+      v = st.append(v, edges(Seq((10L, 100L + i)): _*), batchId = i.toLong)
+      if (i == 6) v = st.compact(v)
+    }
+    done = true
+    val polls = readers.map(Await.result(_, 120.seconds)).sum
+    assert(violations.isEmpty, violations.toArray.mkString("; "))
+    assert(polls >= 4, s"serving readers only sampled $polls snapshots")
+  }
 }
