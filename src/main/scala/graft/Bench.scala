@@ -201,6 +201,20 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"BENCH_LOCAL_$sfTag.json")
 
+    // fixture provenance stamp (written by MakeScale): recorded verbatim
+    // in the artifact so numbers can never be separated from the fixture
+    // build that produced them — a stale untagged fixture once shipped
+    // three rounds of sf1 artifacts whose dedup/text entries measured
+    // collapsed distinct content (PERF.md round-11 continuation).
+    // Driver-generated sf dirs carry no stamp -> "unstamped".
+    val fixtureStamp: String =
+      try {
+        val p = java.nio.file.Paths.get(sfDir, "_fixture.json")
+        if (java.nio.file.Files.exists(p))
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+        else "\"unstamped\""
+      } catch { case _: Throwable => "\"unstamped\"" }
+
     // ---- per-entry regression gate (VERDICT r10 next #2): two rounds
     // of official-total drift were adjudicated by narrative; this makes
     // the comparison part of the artifact. The baseline is the PREVIOUS
@@ -254,7 +268,7 @@ object Bench {
     val retimedJson = retimed
       .map { case (k, (a, b)) => "\"" + k + "\":[" + f"$a%.3f,$b%.3f" + "]" }
       .mkString("{", ",", "}")
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(confirmed)},"retimed":$retimedJson,"failed":${failed.mkString("[", ",", "]")},"prev_total":$prevJson,"median_vs_prev":$medianRatio%.3f,"regressions":$regJson,"sf":"$sfDir","ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f,"point_read_served_ms":${servedSec * 1000}%.2f,"point_read_served_rows":$nServed,"fof_served_ms":${fofSec * 1000}%.2f,"fof_served_rows":$nFof}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(confirmed)},"retimed":$retimedJson,"failed":${failed.mkString("[", ",", "]")},"prev_total":$prevJson,"median_vs_prev":$medianRatio%.3f,"regressions":$regJson,"sf":"$sfDir","fixture":$fixtureStamp,"ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f,"point_read_served_ms":${servedSec * 1000}%.2f,"point_read_served_rows":$nServed,"fof_served_ms":${fofSec * 1000}%.2f,"fof_served_rows":$nFof}"""
     // Persist the FULL structured artifact first: the driver captures only
     // a 2000-char truncated log tail, which once hid 33 of 107 entries'
     // timings (VERDICT r4 missing #3) — a file at HEAD can't be truncated.
@@ -285,7 +299,7 @@ object Bench {
     val worstSuspect = regs
       .find { case (_, _, _, r) => r > 1.5 * medianRatio }
       .map { case (k, _, _, r) => f""""$k:${r}%.2fx"""" }.getOrElse("null")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(headline)},"n_queries":${confirmed.size},"n_ok":$nOk,"failed":${failed.mkString("[", ",", "]")},"prev_total":$prevJson,"median_vs_prev":$medianRatio%.3f,"n_regressions":${regs.size},"worst_suspect":$worstSuspect,"full":"$outPath","sf":"$sfDir","ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f,"point_read_served_ms":${servedSec * 1000}%.2f,"fof_served_ms":${fofSec * 1000}%.2f}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(headline)},"n_queries":${confirmed.size},"n_ok":$nOk,"failed":${failed.mkString("[", ",", "]")},"prev_total":$prevJson,"median_vs_prev":$medianRatio%.3f,"n_regressions":${regs.size},"worst_suspect":$worstSuspect,"full":"$outPath","sf":"$sfDir","fixture":$fixtureStamp,"ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f,"point_read_served_ms":${servedSec * 1000}%.2f,"fof_served_ms":${fofSec * 1000}%.2f}"""
     println(compact)
     spark.stop()
   }

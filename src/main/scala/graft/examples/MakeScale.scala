@@ -87,6 +87,18 @@ object MakeScale {
       spark.read.parquet(s"$src/$n.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$n.parquet")
     }
+    // provenance stamp: a stale fixture (built by older code, or with
+    // different args) once shipped three rounds of sf1 artifacts whose
+    // dedup/text entries measured collapsed sf0.1-sized distinct content
+    // — Bench records this stamp in every artifact so a fixture and the
+    // numbers measured on it can never be separated again
+    val stamp =
+      s"""{"generator":"makescale-v2-contentdisjoint","k":$k,""" +
+        s""""scaleOnly":${scaleOnly.map(_.toSeq.sorted.mkString("\"", ",", "\"")).getOrElse("null")},""" +
+        s""""src":"$src","doc_tagging":true,"embedding_signflip":true}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out, "_fixture.json"),
+      stamp.getBytes("UTF-8"))
+    println(s"[makescale] stamped $out/_fixture.json")
     spark.stop()
   }
 }
