@@ -155,4 +155,27 @@ class PlanShapeSpec extends AnyFunSuite {
         s"driver-local served FoF launched ${jobs.get()} Spark job(s)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("ADOPTED-store served FoF also runs ZERO Spark jobs (foreign-written footers)") {
+    // the q1a path: the store was built by DurableStore.adopt over
+    // parquet another job wrote — the driver-local serving discipline
+    // must hold on foreign footers/pages exactly as on the store's own
+    val st = registry.DurableQueries.adoptedStore(spark, dir)
+    val v0 = st.minEndpoint(1).get
+    st.servedFof(1, v0).collect() // warm classloading/footers untracked
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = st.servedFof(1, v0).collect()
+      Thread.sleep(1000)
+      assert(rows.nonEmpty, "adopted served FoF returned no rows")
+      assert(jobs.get() == 0,
+        s"adopted-store served FoF launched ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
