@@ -115,6 +115,70 @@ object WikiAdoptServeProbe {
     println(f"[adopt] concurrent $clients%d x $perClient: " +
       f"${clients * perClient / wallS}%.1f qps, median ${medMs(all)}%.1f ms, " +
       f"p99 ${p99Ms(all)}%.1f ms, fellback=${bad.get()}")
+
+    // ---- online mutation at 1B: the reference's core claim is queries
+    // DURING updates (README.md:226-229). Append a micro-batch that
+    // extends the served vertex's 2-hop set, require read-your-writes
+    // THROUGH THE SERVING PATH (the delta must ride both hops), then a
+    // copy-on-write point delete (rewrites the covering multi-million-
+    // row primary + mirror files into a new version) and require the id
+    // gone — with the PRIOR version still serving it (time travel). ----
+    // correctness reads use an uncapped top-k (the fresh 2-hop id has
+    // path count 1 and never cracks the top 20); timed reads keep the
+    // serving default
+    val bigK = 1 << 20
+    val before = st.servedFofRows(1, v0, topK = bigK).get
+    val mid = {
+      // v0's first out-neighbor — appending (mid, fresh) grows the FoF
+      val hop1 = st.pointReadLocal(1, v0)
+      require(hop1.nonEmpty, "query vertex has no out-edges")
+      hop1.head(1).asInstanceOf[Long]
+    }
+    val fresh = m.files.map(_.srcMax).max + 1000000L
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(
+      st.manifest(1).schemaDDL)
+    val batch = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(
+        sch.fields.map { f =>
+          f.name match {
+            case "src" => mid
+            case "dst" => fresh
+            case _ => f.dataType match {
+              case org.apache.spark.sql.types.LongType => 0L
+              case org.apache.spark.sql.types.IntegerType => 0
+              case org.apache.spark.sql.types.DoubleType => 0.0
+              case org.apache.spark.sql.types.FloatType => 0.0f
+              case _ => null
+            }
+          }
+        }.toSeq)), sch)
+    var t1 = System.nanoTime()
+    val v2 = st.append(1, batch)
+    println(f"[adopt] append_1row_commit ${(System.nanoTime() - t1) / 1e9}%8.2f s   (v$v2)")
+    t1 = System.nanoTime()
+    st.servedFofRows(v2, v0).get
+    println(f"[adopt] fof_rows_after_append ${(System.nanoTime() - t1) / 1e6}%6.1f ms")
+    val after = st.servedFofRows(v2, v0, topK = bigK).get
+    require(after.exists(_._1 == fresh),
+      s"appended 2-hop id $fresh not served (read-your-writes broken)")
+    require(before.forall { case (id, _) => id != fresh })
+    // delete `mid` itself — an id INSIDE the adopted ranges, so the
+    // copy-on-write rewrite touches the covering (multi-million-row)
+    // primary + mirror files, the honest point-delete cost at 1B; the
+    // ADOPTED lake files are never modified (old versions reference
+    // them; the rewrite lands under the store root)
+    t1 = System.nanoTime()
+    val v3 = st.deleteVertex(v2, mid)
+    println(f"[adopt] delete_vertex_cow   ${(System.nanoTime() - t1) / 1e9}%8.2f s   (v$v3)")
+    t1 = System.nanoTime()
+    st.servedFofRows(v3, v0).get
+    println(f"[adopt] fof_rows_after_delete ${(System.nanoTime() - t1) / 1e6}%6.1f ms")
+    val afterDel = st.servedFofRows(v3, v0, topK = bigK).get
+    require(!afterDel.exists(_._1 == fresh),
+      "2-hop id reachable only through the deleted vertex still served")
+    // old versions stay readable (time travel): v2 still serves `fresh`
+    require(st.servedFofRows(v2, v0, topK = bigK).get.exists(_._1 == fresh),
+      "time travel broken: v2 lost the appended edge after v3's delete")
     spark.stop()
   }
 }
