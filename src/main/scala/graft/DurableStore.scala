@@ -977,6 +977,27 @@ object DurableStore {
     import scala.concurrent.duration._
     val conf = spark.sessionState.newHadoopConf()
     def stats(dir: String): Seq[StoreFile] = {
+      // loud, not lossy: adoption must index the WHOLE lake or refuse.
+      // partPaths silently skips markers/hidden files (right for the
+      // store's own delta dirs), but a foreign dir with nested
+      // subdirectories (hive partitioning) or suffix-less part files
+      // (bare part-00000 names from other writers) would be silently
+      // SUBSET-indexed — wrong query results with no error — so
+      // anything partPaths would drop beyond known markers fails
+      // adoption by name here (review, round-11 continuation)
+      val dropped = {
+        val s = Files.list(Paths.get(dir))
+        try s.iterator().asScala.map(_.toString).filter { n =>
+          val base = n.substring(n.lastIndexOf('/') + 1)
+          val marker = base.startsWith("_") || base.startsWith(".")
+          !marker &&
+            (Files.isDirectory(Paths.get(n)) || !base.endsWith(".parquet"))
+        }.toSeq finally s.close()
+      }
+      require(dropped.isEmpty,
+        s"adopt: $dir holds entries adoption would silently skip " +
+          s"(nested dirs / non-.parquet files): ${dropped.take(5).mkString(", ")}" +
+          " — flatten the layout or adopt each leaf dir")
       val parts = partPaths(dir)
       require(parts.nonEmpty, s"adopt: no parquet files under $dir")
       implicit val ec: scala.concurrent.ExecutionContext = serveEc
@@ -984,6 +1005,19 @@ object DurableStore {
         scala.concurrent.Future.traverse(parts) { p =>
           scala.concurrent.Future {
             val footer = cachedFooter(conf, new org.apache.hadoop.fs.Path(p))
+            val schema = footer.getFileMetaData.getSchema
+            // the serving reads decode long endpoints (FilterApi
+            // .longColumn + addLong) — a non-INT64 src/dst must fail
+            // HERE with the file named, not as a ClassCastException off
+            // the stats pool (review, round-11 continuation)
+            Seq("src", "dst").foreach { c =>
+              def t = schema.getType(schema.getFieldIndex(c))
+              require(schema.containsField(c) && t.isPrimitive &&
+                  t.asPrimitiveType().getPrimitiveTypeName ==
+                    org.apache.parquet.schema.PrimitiveType
+                      .PrimitiveTypeName.INT64,
+                s"adopt: $p needs an INT64 $c column")
+            }
             var (s0, s1) = (Long.MaxValue, Long.MinValue)
             var (d0, d1) = (Long.MaxValue, Long.MinValue)
             var n = 0L

@@ -719,6 +719,11 @@ object Similarity {
       .orderBy(col("rrf_scaled").desc, col("vec_id")).limit(k)
   }
 
+  /** Below this corpus size [[pqTopK]] picks its codebook from the FULL
+    * table (prep is trivial there and codebook quality is recall);
+    * above it, from the 1/8 md5 stratum. Mirrored in the e12 oracle. */
+  val PqFullPickBelow: Long = 16384L
+
   /** E12: product-quantization ANN (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", PAMI '11) — the memory-compression end
     * of the quantization family: where e8's scalar grid stores 1 byte PER
@@ -745,11 +750,6 @@ object Similarity {
     * the `cand`-row rerank touches full-precision vectors. At 100 TB the
     * code column is the only corpus-sized scan — the 32× IO/memory cut is
     * the entire point of the operator. */
-  /** Below this corpus size [[pqTopK]] picks its codebook from the FULL
-    * table (prep is trivial there and codebook quality is recall);
-    * above it, from the 1/8 md5 stratum. Mirrored in the e12 oracle. */
-  val PqFullPickBelow: Long = 16384L
-
   def pqTopK(emb: DataFrame, k: Int = 10, cand: Int = 50,
              m: Int = 8, ksub: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -769,14 +769,21 @@ object Similarity {
     // size gate, the pool rule and the fallback are ALL mirrored in the
     // e12 oracle SQL, so the pick — and every downstream code/score —
     // stays engine-exact.
-    val n = emb.count()
+    // the size gate needs only "n < PqFullPickBelow", so probe with a
+    // bounded count (limit stops the scan at the threshold) instead of
+    // a full-corpus count — at the contract scale counting the corpus
+    // just to learn "n is large" was a second corpus-sized job on the
+    // exact path the stratum exists to cheapen (review, round-11
+    // continuation); limit(t).count() < t ⇔ count() < t, so the gate
+    // value — and the oracle mirror — are unchanged
+    val small = emb.limit(PqFullPickBelow.toInt).count() < PqFullPickBelow
     val pool0 =
-      if (n < PqFullPickBelow) emb
+      if (small) emb
       else emb.filter(
         substring(md5(concat(lit("pqs|"), col("vec_id").cast("string"))), 1, 1)
           < lit("2"))
     val pool =
-      if (n < PqFullPickBelow || pool0.count() >= ksub.toLong) pool0 else emb
+      if (small || pool0.count() >= ksub.toLong) pool0 else emb
     val picked = pool
       .orderBy(md5(concat(lit("pq|"), col("vec_id"))), col("vec_id"))
       .limit(ksub)

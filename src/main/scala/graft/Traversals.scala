@@ -317,17 +317,39 @@ object Traversals {
     // it needs the small side's partitioning.
     val e = edges.select("src", "dst").repartition(col("src")).persist()
     e.count()
-    var labels = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    val labels0 = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().withColumn("label", col("id")).localCheckpoint(true)
+    ccFixpoint(e, labels0, maxIter, identity, gcEvery = 0)
+  }
+
+  /** The min-label fixpoint shared by [[connectedComponents]] (resident
+    * edge frame) and [[connectedComponentsScan]] (edges re-scanned per
+    * superstep): join labels onto the edge frame through `joinSide` (the
+    * scan form broadcast-hints the vertex-sized side there), min-combine
+    * per dst, and fold the convergence signal into the superstep result
+    * as a flag column — the count is then a scan of the checkpointed
+    * rows instead of a second labels⋈next join per superstep. One loop
+    * body: a fix to the aggregate or the convergence folding cannot
+    * silently diverge the two variants (review, round-11 continuation).
+    *
+    * `gcEvery` > 0 nudges collection every that-many supersteps: each
+    * round's superseded label checkpoint is unreachable but its RDD
+    * blocks are freed only by the ContextCleaner after GC, so a long
+    * fixpoint over a LARGE label table would otherwise accumulate a
+    * vertex-sized block set per superstep — exactly the residency the
+    * out-of-core variant exists to bound. Envelope-scale callers pass
+    * 5; sf-scale timed entries pass 0 (a full GC on a big heap costs
+    * more than the kilobyte-class generations it would free). */
+  private def ccFixpoint(e: DataFrame, labels0: DataFrame, maxIter: Int,
+                         joinSide: DataFrame => DataFrame,
+                         gcEvery: Int): DataFrame = {
+    var labels = labels0
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       iter += 1
-      val nbMin = e.join(labels.withColumnRenamed("id", "src"), "src")
+      val nbMin = e.join(joinSide(labels.withColumnRenamed("id", "src")), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nblabel"))
-      // fold the convergence signal into the superstep result as a flag
-      // column: the count is then a scan of the checkpointed rows instead
-      // of a second labels⋈next join per superstep
       val next = labels.join(nbMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nblabel"), col("label"))).as("label"),
@@ -335,6 +357,7 @@ object Traversals {
         .localCheckpoint(true)
       changed = next.filter(col("_chg")).count()
       labels = next.select("id", "label")
+      if (gcEvery > 0 && iter % gcEvery == 0) System.gc()
     }
     labels
   }
@@ -366,26 +389,17 @@ object Traversals {
   def connectedComponentsScan(sym: DataFrame, maxIter: Int = 50,
                               broadcastLabelsUpTo: Long = 1L << 26): DataFrame = {
     val e = sym.select("src", "dst")
-    var labels = e.select(col("src").as("id"))
+    val labels0 = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct().withColumn("label", col("id")).localCheckpoint(true)
-    val useBroadcast = labels.count() <= broadcastLabelsUpTo
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      iter += 1
-      val lsrc = labels.withColumnRenamed("id", "src")
-      val nbMin = e.join(if (useBroadcast) broadcast(lsrc) else lsrc, "src")
-        .groupBy(col("dst").as("id")).agg(min("label").as("nblabel"))
-      val next = labels.join(nbMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nblabel"), col("label"))).as("label"),
-          coalesce(col("nblabel") < col("label"), lit(false)).as("_chg"))
-        .localCheckpoint(true)
-      changed = next.filter(col("_chg")).count()
-      labels = next.select("id", "label")
-    }
-    labels
+    val nV = labels0.count()
+    ccFixpoint(e, labels0, maxIter,
+      joinSide = l => if (nV <= broadcastLabelsUpTo) broadcast(l) else l,
+      // envelope-scale label tables get the periodic GC nudge that
+      // actually frees superseded checkpoint generations (ccFixpoint
+      // doc); small fixtures skip it — a full GC per 5 supersteps
+      // costs more than the tiny generations it frees
+      gcEvery = if (nV > (1L << 22)) 5 else 0)
   }
 
   /** C10: connected components by alternating LARGE-STAR / SMALL-STAR
