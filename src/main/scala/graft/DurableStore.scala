@@ -80,9 +80,60 @@ class DurableStore(val spark: SparkSession, val root: String,
     * manifest's schema keeps it readable. */
   def read(v: Int): DataFrame = readM(manifest(v))
 
-  private def readM(m: Manifest): DataFrame =
-    if (m.files.isEmpty) emptyLike(spark, m.schemaDDL)
-    else readFiles(spark, m.files.map(_.path))
+  private def readM(m: Manifest): DataFrame = readStore(m, m.files)
+
+  /** Does tombstone `t` possibly delete rows from file `f`? Conservative
+    * (stats bounding boxes), so a `false` PROVES no row of `f` matches
+    * any of `t`'s entries — the routing rule compaction relies on to
+    * leave unaffected files physically untouched while dropping the
+    * tombstones. A tombstone never applies to files at or above its own
+    * seq (later appends / rewrites resurrect legitimately). */
+  private def tombHits(t: TombFile, f: StoreFile): Boolean =
+    f.seq < t.seq && {
+      if (t.vertex)
+        (t.srcMin <= f.srcMax && t.srcMax >= f.srcMin) ||
+          (t.srcMin <= f.dstMax && t.srcMax >= f.dstMin)
+      else
+        t.srcMin <= f.srcMax && t.srcMax >= f.srcMin &&
+          t.dstMin <= f.dstMax && t.dstMax >= f.dstMin
+    }
+
+  /** THE distributed read of a routed file set: union the files, then
+    * anti-join every applicable tombstone (edge tombstones on (src, dst)
+    * equality, vertex tombstones on either endpoint — both broadcast:
+    * tombstones are point-delete sized by construction). Seq scoping:
+    * when the routed files span several seqs, rows are tagged with their
+    * file set's seq so each tombstone only deletes from strictly older
+    * rows — an edge re-added after its delete survives. The common case
+    * (no tombstones, or none applicable) is byte-identical to the plain
+    * multi-path parquet scan. */
+  private def readStore(m: Manifest, files: Seq[StoreFile]): DataFrame = {
+    if (files.isEmpty) return emptyLike(spark, m.schemaDDL)
+    val applicable = m.tombs.filter(t => files.exists(tombHits(t, _)))
+    if (applicable.isEmpty) return readFiles(spark, files.map(_.path))
+    val seqs = files.map(_.seq).distinct
+    val uniform = seqs.size == 1
+    val base =
+      if (uniform) readFiles(spark, files.map(_.path))
+      else files.groupBy(_.seq).toSeq.sortBy(_._1).map { case (sq, fs) =>
+        readFiles(spark, fs.map(_.path)).withColumn("_seq", lit(sq))
+      }.reduce(_ unionByName _)
+    val cleaned = applicable.foldLeft(base) { (df, t) =>
+      val scope = if (uniform) lit(true) else col("_seq") < lit(t.seq)
+      if (t.vertex) {
+        val tv = broadcast(readFiles(spark, partPaths(t.path))
+          .select(col("v").as("_tv")))
+        df.join(tv, (col("src") === col("_tv") || col("dst") === col("_tv"))
+          && scope, "left_anti")
+      } else {
+        val tp = broadcast(readFiles(spark, partPaths(t.path))
+          .select(col("src").as("_tsrc"), col("dst").as("_tdst")))
+        df.join(tp, col("src") === col("_tsrc") && col("dst") === col("_tdst")
+          && scope, "left_anti")
+      }
+    }
+    if (uniform) cleaned else cleaned.drop("_seq")
+  }
 
   def readLatest(): DataFrame = read(currentVersion)
 
@@ -91,8 +142,7 @@ class DurableStore(val spark: SparkSession, val root: String,
     * row-group stats inside the chosen files prune further. */
   def readForSrc(v: Int, src: Long): DataFrame = {
     val m = manifest(v)
-    val hit = m.files.filter(f => src >= f.srcMin && src <= f.srcMax)
-    if (hit.isEmpty) read(v).limit(0) else readFiles(spark, hit.map(_.path))
+    readStore(m, m.files.filter(f => src >= f.srcMin && src <= f.srcMax))
   }
 
   /** Sub-100 ms SERVING path for single-source point reads — the latency
@@ -116,7 +166,7 @@ class DurableStore(val spark: SparkSession, val root: String,
 
   private def pointReadLocalM(m: Manifest, srcKey: Long): Seq[Seq[Any]] =
     localPointRead(m.files.filter(f => srcKey >= f.srcMin && srcKey <= f.srcMax),
-      "src", srcKey)
+      "src", srcKey, cachedTombIndexM(m))
 
   /** The dst-keyed twin of [[pointReadLocal]], served by the in-edge
     * mirror's dst-tight file stats plus covering deltas — the same
@@ -131,7 +181,8 @@ class DurableStore(val spark: SparkSession, val root: String,
     require(m.mbounds.nonEmpty,
       "pointReadLocalDst needs the in-edge mirror (buildInEdgeIndex)")
     localPointRead((m.mirror ++ m.files.filterNot(_.sorted))
-      .filter(f => dstKey >= f.dstMin && dstKey <= f.dstMax), "dst", dstKey)
+      .filter(f => dstKey >= f.dstMin && dstKey <= f.dstMax), "dst", dstKey,
+      cachedTombIndexM(m))
   }
 
   /** Driver-side parquet-mr read of `hit` files with `column = key`
@@ -141,16 +192,20 @@ class DurableStore(val spark: SparkSession, val root: String,
     * the assembled row (covering pages may hold non-matching rows).
     * Rows come back in the file schema's column order. Delta entries
     * are DIRECTORIES of part files, expanded via
-    * [[DurableStore.partPaths]]. */
+    * [[DurableStore.partPaths]]. Rows deleted by a tombstone newer than
+    * the row's file are excluded record-level — the served form of the
+    * [[readStore]] anti-join. */
   private def localPointRead(hit: Seq[StoreFile], column: String,
-                             key: Long): Seq[Seq[Any]] = {
+                             key: Long, tombs: Seq[TombEntry]): Seq[Seq[Any]] = {
     import org.apache.parquet.filter2.compat.FilterCompat
     import org.apache.parquet.filter2.predicate.FilterApi
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val pred = FilterCompat.get(
       FilterApi.eq(FilterApi.longColumn(column), java.lang.Long.valueOf(key)))
     val out = Seq.newBuilder[Seq[Any]]
-    hit.flatMap(f => partPaths(f.path)).foreach { fPath =>
+    hit.foreach { f =>
+      val excl = tombChecker(tombs, f.seq)
+      partPaths(f.path).foreach { fPath =>
       val path = new org.apache.hadoop.fs.Path(fPath)
       val footer = cachedFooter(serveConf, path)
       val schema = footer.getFileMetaData.getSchema
@@ -164,6 +219,8 @@ class DurableStore(val spark: SparkSession, val root: String,
         val mat = new org.apache.parquet.example.data.simple.convert
           .GroupRecordConverter(schema)
         val keyIdx = schema.getFieldIndex(column)
+        val srcIdx = schema.getFieldIndex("src")
+        val dstIdx = schema.getFieldIndex("dst")
         var pages = reader.readNextFilteredRowGroup()
         while (pages != null) {
           val rr = cio.getRecordReader(pages, mat)
@@ -172,7 +229,9 @@ class DurableStore(val spark: SparkSession, val root: String,
           while (i < n) {
             val g = rr.read()
             if (g != null && g.getFieldRepetitionCount(keyIdx) > 0 &&
-                g.getLong(keyIdx, 0) == key) {
+                g.getLong(keyIdx, 0) == key &&
+                (excl == null ||
+                  !excl(g.getLong(srcIdx, 0), g.getLong(dstIdx, 0)))) {
               val t = g.getType
               out += (0 until t.getFieldCount).map { j =>
                 if (g.getFieldRepetitionCount(j) == 0) null
@@ -191,8 +250,63 @@ class DurableStore(val spark: SparkSession, val root: String,
           pages = reader.readNextFilteredRowGroup()
         }
       } finally reader.close()
+      }
     }
     out.result()
+  }
+
+  /** Driver-resident tombstone index of version `m` — loaded once per
+    * (root, version) into [[DurableStore.tombIndexCache]] (manifests are
+    * immutable). Tombstone files are point-delete sized; callers that
+    * must stay in the millisecond class gate on
+    * [[DurableStore.ServeTombRowBudget]] BEFORE loading. */
+  private def cachedTombIndexM(m: Manifest): Seq[TombEntry] = {
+    if (m.tombs.isEmpty) return Nil
+    val key = s"$root@${m.version}"
+    val hit = tombIndexCache.get(key)
+    if (hit != null) return hit
+    val entries = m.tombs.map { t =>
+      val pairs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      partPaths(t.path).foreach { fPath =>
+        val path = new org.apache.hadoop.fs.Path(fPath)
+        val footer = cachedFooter(serveConf, path)
+        val schema = footer.getFileMetaData.getSchema
+        val options = org.apache.parquet.HadoopReadOptions
+          .builder(serveConf, path).build()
+        val reader = new org.apache.parquet.hadoop.ParquetFileReader(
+          serveConf, path, footer, options)
+        try {
+          val cio = new org.apache.parquet.io.ColumnIOFactory().getColumnIO(schema)
+          val mat = new org.apache.parquet.example.data.simple.convert
+            .GroupRecordConverter(schema)
+          val si = if (t.vertex) schema.getFieldIndex("v") else schema.getFieldIndex("src")
+          val di = if (t.vertex) si else schema.getFieldIndex("dst")
+          var pages = reader.readNextRowGroup()
+          while (pages != null) {
+            val rr = cio.getRecordReader(pages, mat)
+            val n = pages.getRowCount
+            var i = 0L
+            while (i < n) {
+              val g = rr.read()
+              pairs += ((g.getLong(si, 0), g.getLong(di, 0)))
+              i += 1
+            }
+            pages = reader.readNextRowGroup()
+          }
+        } finally reader.close()
+      }
+      if (t.vertex)
+        TombEntry(t.seq, vertex = true, pairs.map(_._1).toArray.sorted, null)
+      else {
+        val by = new java.util.HashMap[java.lang.Long, Array[Long]]()
+        pairs.groupBy(_._1).foreach { case (s, ps) =>
+          by.put(s, ps.map(_._2).toArray.sorted)
+        }
+        TombEntry(t.seq, vertex = false, null, by)
+      }
+    }
+    tombIndexCache.put(key, entries)
+    entries
   }
 
   /** Driver-side MULTI-KEY long-column read for the serving path: rows
@@ -218,7 +332,7 @@ class DurableStore(val spark: SparkSession, val root: String,
     * ([[servedFof]]'s fallback guard). */
   private def localReadLongs(hit: Seq[StoreFile], filterCol: String,
                              keys: Array[Long], outCol: String): Array[Long] =
-    localReadLongsMulti(hit.map((_, filterCol, outCol)), keys)
+    localReadLongsMulti(hit.map((_, filterCol, outCol)), keys, Nil)
 
   /** The general form of [[localReadLongs]]: each task is one (file,
     * filterCol, outCol) read against the SAME key set — the served
@@ -227,7 +341,8 @@ class DurableStore(val spark: SparkSession, val root: String,
     * wall time of a hop is the slowest single file across BOTH
     * directions, not out-wall + in-wall. */
   private[graft] def localReadLongsMulti(tasks: Seq[(StoreFile, String, String)],
-                                  keys: Array[Long]): Array[Long] = {
+                                  keys: Array[Long],
+                                  tombs: Seq[TombEntry] = Nil): Array[Long] = {
     import org.apache.parquet.filter2.compat.FilterCompat
     import org.apache.parquet.filter2.predicate.FilterApi
     import scala.concurrent.duration._
@@ -239,12 +354,21 @@ class DurableStore(val spark: SparkSession, val root: String,
     // possibly several part files); expand to part files BEFORE the pool
     // round so each file is its own concurrent task, and so the footer
     // cache keys on real files (one readdir per delta task per call —
-    // delta dirs are small and the listing is a metadata op)
-    val fileTasks: Seq[(String, String, String)] = tasks.flatMap {
-      case (f, fc, oc) => partPaths(f.path).map((_, fc, oc))
-    }
-    def readOne(t: (String, String, String)): Array[Long] = {
-      val (fPath, filterCol, outCol) = t
+    // delta dirs are small and the listing is a metadata op).
+    // Each task carries its file's tombstone exclusion checker,
+    // DIRECTION-ADJUSTED so the materializer probes (src, dst) whichever
+    // column is the filter side; null (the common case) costs nothing.
+    val fileTasks: Seq[(String, String, String, (Long, Long) => Boolean)] =
+      tasks.flatMap { case (f, fc, oc) =>
+        val chk = tombChecker(tombs, f.seq)
+        val excl: (Long, Long) => Boolean =
+          if (chk == null) null
+          else if (fc == "src") chk
+          else (fv, ov) => chk(ov, fv)
+        partPaths(f.path).map((_, fc, oc, excl))
+      }
+    def readOne(t: (String, String, String, (Long, Long) => Boolean)): Array[Long] = {
+      val (fPath, filterCol, outCol, excl) = t
       val path = new org.apache.hadoop.fs.Path(fPath)
       // footer from the shared cache (files are immutable — see
       // [[DurableStore.cachedFooter]]): the reader below starts at the
@@ -272,7 +396,7 @@ class DurableStore(val spark: SparkSession, val root: String,
         .build()
       val reader = new org.apache.parquet.hadoop.ParquetFileReader(
         serveConf, path, footer, options)
-      val mat = new LongsMaterializer(requested, outCol, sortedKeys)
+      val mat = new LongsMaterializer(requested, outCol, sortedKeys, excl)
       try {
         reader.setRequestedSchema(requested)
         val cio = new org.apache.parquet.io.ColumnIOFactory()
@@ -311,8 +435,7 @@ class DurableStore(val spark: SparkSession, val root: String,
     * the mutable store; row-group stats prune further inside hit files. */
   def readForSrcRange(v: Int, lo: Long, hi: Long): DataFrame = {
     val m = manifest(v)
-    val hit = m.files.filter(f => f.srcMax >= lo && f.srcMin <= hi)
-    if (hit.isEmpty) read(v).limit(0) else readFiles(spark, hit.map(_.path))
+    readStore(m, m.files.filter(f => f.srcMax >= lo && f.srcMin <= hi))
   }
 
   /** N2 on the durable store: in-neighbor point read served by the
@@ -322,9 +445,8 @@ class DurableStore(val spark: SparkSession, val root: String,
   def readForDst(v: Int, dst: Long): DataFrame = {
     val m = manifest(v)
     if (m.mbounds.isEmpty) return read(v)
-    val hit = (m.mirror ++ m.files.filterNot(_.sorted))
-      .filter(f => dst >= f.dstMin && dst <= f.dstMax)
-    if (hit.isEmpty) read(v).limit(0) else readFiles(spark, hit.map(_.path))
+    readStore(m, (m.mirror ++ m.files.filterNot(_.sorted))
+      .filter(f => dst >= f.dstMin && dst <= f.dstMax))
   }
 
   /** Multi-key form of [[readForSrc]]: the union of files whose
@@ -335,10 +457,8 @@ class DurableStore(val spark: SparkSession, val root: String,
   def readForSrcs(v: Int, keys: Seq[Long]): DataFrame =
     readForSrcsM(manifest(v), keys)
 
-  private def readForSrcsM(m: Manifest, keys: Seq[Long]): DataFrame = {
-    val hit = m.files.filter(coversAny(keys.toArray.sorted, _.srcMin, _.srcMax))
-    if (hit.isEmpty) readM(m).limit(0) else readFiles(spark, hit.map(_.path))
-  }
+  private def readForSrcsM(m: Manifest, keys: Seq[Long]): DataFrame =
+    readStore(m, m.files.filter(coversAny(keys.toArray.sorted, _.srcMin, _.srcMax)))
 
   /** Multi-key form of [[readForDst]]: mirror files (dst-tight stats) ∪
     * covering deltas for ANY of `keys`. Unindexed stores fall back to the
@@ -348,9 +468,8 @@ class DurableStore(val spark: SparkSession, val root: String,
 
   private def readForDstsM(m: Manifest, keys: Seq[Long]): DataFrame = {
     if (m.mbounds.isEmpty) return readM(m)
-    val hit = (m.mirror ++ m.files.filterNot(_.sorted))
-      .filter(coversAny(keys.toArray.sorted, _.dstMin, _.dstMax))
-    if (hit.isEmpty) readM(m).limit(0) else readFiles(spark, hit.map(_.path))
+    readStore(m, (m.mirror ++ m.files.filterNot(_.sorted))
+      .filter(coversAny(keys.toArray.sorted, _.dstMin, _.dstMax)))
   }
 
   /** Does a file's [min, max] contain any of the (sorted) keys? Binary
@@ -365,7 +484,9 @@ class DurableStore(val spark: SparkSession, val root: String,
   /** Smallest vertex id on either endpoint at version `v`, from manifest
     * stats alone — a driver-side arithmetic answer (no job), exact because
     * per-file stats are computed from the data at write time. None when
-    * the version holds no rows. */
+    * the version holds no rows. Live tombstones can make this a LOWER
+    * bound (a deleted extreme row still counts in file stats until
+    * [[compact]] reclaims it). */
   def minEndpoint(v: Int): Option[Long] = {
     val m = manifest(v)
     if (m.files.isEmpty) None
@@ -444,6 +565,131 @@ class DurableStore(val spark: SparkSession, val root: String,
     servedFofLocalM(manifest(v), v0, topK, maxFanout, localFileBudget,
       localDeltaRowBudget)._2
 
+  /** N3 SERVED (VERDICT r11 next #7): the multi-key driver read behind
+    * [[servedFof]]'s hop 2, exposed as a public frontier-hop primitive —
+    * dst values of every row with src ∈ `keys`, ZERO Spark jobs. Routed
+    * by manifest stats, pushed as ONE parquet `in` predicate per file
+    * (page-pruned by sort order), 2-column projection, concurrent
+    * per-file reads, tombstones excluded record-level. Repeats kept —
+    * path-multiplicity semantics, row-equal to
+    * `readForSrcs(v, keys).filter(src isin keys).select(dst)`
+    * (spec-pinned). `None` past the local budgets (that regime belongs
+    * to the distributed read) — never wrong, only refused. */
+  def servedOutNeighbors(v: Int, keys: Array[Long],
+                         localFileBudget: Int = ServeLocalFileBudget,
+                         localDeltaRowBudget: Long = ServeLocalDeltaRowBudget)
+      : Option[Array[Long]] =
+    servedHopM(manifest(v), keys, out = true, in = false,
+      localFileBudget, localDeltaRowBudget)
+
+  /** The in-direction twin of [[servedOutNeighbors]]: src values of every
+    * row with dst ∈ `keys`, served by the mirror + covering deltas.
+    * `None` on unindexed stores or past the budgets. */
+  def servedInNeighbors(v: Int, keys: Array[Long],
+                        localFileBudget: Int = ServeLocalFileBudget,
+                        localDeltaRowBudget: Long = ServeLocalDeltaRowBudget)
+      : Option[Array[Long]] =
+    servedHopM(manifest(v), keys, out = false, in = true,
+      localFileBudget, localDeltaRowBudget)
+
+  /** Both directions in ONE pool round (the symmetric-view frontier hop:
+    * out-neighbors ∪ in-neighbors, repeats kept). */
+  def servedNeighbors(v: Int, keys: Array[Long],
+                      localFileBudget: Int = ServeLocalFileBudget,
+                      localDeltaRowBudget: Long = ServeLocalDeltaRowBudget)
+      : Option[Array[Long]] =
+    servedHopM(manifest(v), keys, out = true, in = true,
+      localFileBudget, localDeltaRowBudget)
+
+  /** Shared core of the served hop family: route `keys` into the primary
+    * (src side) and/or mirror + deltas (dst side), budget-gate, read with
+    * one pushed `in` predicate per file. The wall time of a hop is the
+    * slowest single file across both directions. */
+  private def servedHopM(m: Manifest, keys: Array[Long], out: Boolean, in: Boolean,
+                         localFileBudget: Int, localDeltaRowBudget: Long)
+      : Option[Array[Long]] = {
+    if (keys.isEmpty) return Some(Array.emptyLongArray)
+    if (m.schemaDDL.isEmpty) return None
+    if (m.tombs.map(_.rows).sum > ServeTombRowBudget) return None
+    val sorted = keys.sorted
+    val outHit =
+      if (out) m.files.filter(coversAny(sorted, _.srcMin, _.srcMax)) else Nil
+    val inHit =
+      if (!in) Nil
+      else if (m.mbounds.isEmpty) return None
+      else (m.mirror ++ m.files.filterNot(_.sorted))
+        .filter(coversAny(sorted, _.dstMin, _.dstMax))
+    val all = outHit ++ inHit
+    if (all.count(_.sorted) > localFileBudget ||
+        all.filterNot(_.sorted).map(_.rows).sum > localDeltaRowBudget) None
+    else Some(localReadLongsMulti(
+      outHit.map((_, "src", "dst")) ++ inHit.map((_, "dst", "src")),
+      sorted, cachedTombIndexM(m)))
+  }
+
+  /** Q5 SERVED: bidirectional BFS distance between two vertices, driver
+    * local, ZERO Spark jobs — the reference's native shortest-path shape
+    * (Queries.scala:107-194: two frontiers, the smaller side expands, min
+    * meet over the completed level) run entirely on [[servedHopM]] hops.
+    * `symmetric = true` walks the undirected view on both sides (each hop
+    * is out ∪ in); `false` walks directed: forward side out-edges,
+    * backward side in-edges (same semantics as
+    * [[Traversals.bidirectionalDist]], property-pinned equal).
+    *
+    * Outer None = REFUSED, not unreachable: unindexed store, a hop past
+    * the file/delta/tombstone budgets, or a frontier outgrowing
+    * `frontierGate` (the pushed-IN key list and driver maps must stay
+    * serving-sized — a hub-scale frontier belongs to the distributed
+    * [[Traversals.bidirectionalDist]], the documented fallback). Inner
+    * Some(d) = exact distance; inner None = no path within `maxDepth`. */
+  def servedShortestPath(v: Int, from: Long, to: Long, maxDepth: Int = 6,
+                         symmetric: Boolean = true,
+                         frontierGate: Int = 1 << 16,
+                         localFileBudget: Int = ServeLocalFileBudget,
+                         localDeltaRowBudget: Long = ServeLocalDeltaRowBudget)
+      : Option[Option[Long]] = {
+    val m = manifest(v)
+    if (m.mbounds.isEmpty) return None // backward / symmetric hops need the mirror
+    if (from == to) return Some(Some(0L))
+    val visA = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val visB = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    visA.put(from, 0L); visB.put(to, 0L)
+    var frA = Array(from)
+    var frB = Array(to)
+    var dA = 0L
+    var dB = 0L
+    var met: Option[Long] = None
+    while (met.isEmpty && dA + dB < maxDepth && (frA.nonEmpty || frB.nonEmpty)) {
+      val expandA = frB.isEmpty || (frA.nonEmpty && frA.length <= frB.length)
+      val (fr, vis, other, d) =
+        if (expandA) { dA += 1; (frA, visA, visB, dA) }
+        else { dB += 1; (frB, visB, visA, dB) }
+      val raw = servedHopM(m, fr,
+        out = symmetric || expandA, in = symmetric || !expandA,
+        localFileBudget, localDeltaRowBudget) match {
+        case None => return None // budget refusal → distributed fallback
+        case Some(a) => a
+      }
+      // complete-level expansion: dedupe, drop already-visited, take the
+      // MIN meet across the whole new level (first level with any meet
+      // yields the exact distance — same argument as bidirectionalDist)
+      val next = raw.distinct.filterNot(vis.containsKey(_))
+      if (next.length > frontierGate) return None
+      var best = Long.MaxValue
+      next.foreach { n =>
+        vis.put(n, java.lang.Long.valueOf(d))
+        val bd = other.get(n) // boxed; null when absent
+        if (bd ne null) {
+          val cand = d + bd.longValue()
+          if (cand < best) best = cand
+        }
+      }
+      if (best != Long.MaxValue) met = Some(best)
+      if (expandA) frA = next else frB = next
+    }
+    Some(met)
+  }
+
   /** The driver-local legs of the served FoF: hop 1's neighbor ids (when
     * the store is indexed) and, when the hop-2 routed read fits the
     * local budgets, the full driver-computed top-k. Shared by
@@ -453,6 +699,12 @@ class DurableStore(val spark: SparkSession, val root: String,
                               maxFanout: Int, localFileBudget: Int,
                               localDeltaRowBudget: Long)
       : (Option[Array[Long]], Option[Seq[(Long, Long)]]) = {
+    // tombstone gate: driver-resident exclusion stays in the millisecond
+    // class only while the live tombstone set is point-delete sized; a
+    // store carrying more un-compacted deletes than the budget falls back
+    // to the one-job form, whose readStore anti-joins at scale
+    if (m.tombs.map(_.rows).sum > ServeTombRowBudget) return (None, None)
+    val tombs = cachedTombIndexM(m)
     val localHop1 =
       if (m.mbounds.isEmpty || m.schemaDDL.isEmpty) None
       else {
@@ -462,7 +714,7 @@ class DurableStore(val spark: SparkSession, val root: String,
           .filter(f => v0 >= f.dstMin && v0 <= f.dstMax)
         Some(localReadLongsMulti(
           outHit.map((_, "src", "dst")) ++ inHit.map((_, "dst", "src")),
-          v0a).distinct)
+          v0a, tombs).distinct)
       }
     // hop 2 DRIVER-LOCAL (VERDICT r10 next #1) — the last Spark job on
     // the serving path, removed for low-fanout vertices: push the mids
@@ -489,7 +741,7 @@ class DurableStore(val spark: SparkSession, val root: String,
         else Some(Queries.fofTopKLocal(
           localReadLongsMulti(
             outHit.map((_, "src", "dst")) ++ inHit.map((_, "dst", "src")),
-            keys),
+            keys, tombs),
           v0, topK))
       }
     }
@@ -501,9 +753,8 @@ class DurableStore(val spark: SparkSession, val root: String,
   def readForDstRange(v: Int, lo: Long, hi: Long): DataFrame = {
     val m = manifest(v)
     if (m.mbounds.isEmpty) return read(v)
-    val hit = (m.mirror ++ m.files.filterNot(_.sorted))
-      .filter(f => f.dstMax >= lo && f.dstMin <= hi)
-    if (hit.isEmpty) read(v).limit(0) else readFiles(spark, hit.map(_.path))
+    readStore(m, (m.mirror ++ m.files.filterNot(_.sorted))
+      .filter(f => f.dstMax >= lo && f.dstMin <= hi))
   }
 
   /** The full table as served by the in-edge side: mirror files ∪ deltas.
@@ -512,8 +763,7 @@ class DurableStore(val spark: SparkSession, val root: String,
   def readMirror(v: Int): DataFrame = {
     val m = manifest(v)
     if (m.mbounds.isEmpty) return read(v)
-    val paths = (m.mirror ++ m.files.filterNot(_.sorted)).map(_.path)
-    if (paths.isEmpty) emptyLike(spark, m.schemaDDL) else readFiles(spark, paths)
+    readStore(m, m.mirror ++ m.files.filterNot(_.sorted))
   }
 
   /** Index an existing store online: one shuffled write of the current
@@ -530,11 +780,15 @@ class DurableStore(val spark: SparkSession, val root: String,
         // the shared session for its lifetime (review r10)
         val mb = boundsFor(read(fromV), "dst", numBuckets)
         val sortedF = m.files.filter(_.sorted)
+        // tombstone-applied at read, stamped maxSeq: the mirror is born
+        // clean of every live tombstone, so none re-applies to it and
+        // both views stay one logical multiset
         val mf =
           if (sortedF.isEmpty) Nil
           else writeBuckets(spark,
-            readFiles(spark, sortedF.map(_.path)).withColumn("_b", bucketCol("dst", mb)),
+            readStore(m, sortedF).withColumn("_b", bucketCol("dst", mb)),
             s"$root/v$nv/m", targetFileRows, key = "dst", sec = "src")
+            .map(_.copy(seq = m.maxSeq))
         Some(m.copy(mbounds = mb, mirror = mf))
       }
     }
@@ -561,7 +815,10 @@ class DurableStore(val spark: SparkSession, val root: String,
           else batch.select(org.apache.spark.sql.types.StructType
             .fromDDL(m.schemaDDL).fieldNames.map(col).toSeq: _*)
         val b = ordered.localCheckpoint(true)
-        val f = writeDelta(b, s"$root/v$nv/delta")
+        // appended rows sit ABOVE every live tombstone in mutation order:
+        // a delete-then-re-add sequence keeps the re-added edge
+        val sq = m.maxSeq + 1
+        val f = writeDelta(b, s"$root/v$nv/delta").map(_.copy(seq = sq))
         Some(m.copy(files = m.files ++ f,
           lastBatch = math.max(m.lastBatch, batchId)))
       }
@@ -589,6 +846,56 @@ class DurableStore(val spark: SparkSession, val root: String,
       f => (v >= f.srcMin && v <= f.srcMax) || (v >= f.dstMin && v <= f.dstMax),
       _.filter(col("src") =!= v && col("dst") =!= v))
 
+  /** P4 in the reference's latency class: an O(1) TOMBSTONE delete
+    * (reference GraphChiDatabase.scala:1273-1305 — `DELETED_TYPE` marker
+    * + lazy cleanup at merge, VertexIdTranslate.java:148-177). Each
+    * (src, dst) pair deletes EVERY currently-visible row with those
+    * endpoints; the tombstone is one tiny parquet file written ON THE
+    * DRIVER (zero Spark jobs — a point delete costs what a point read
+    * costs) plus the manifest commit. Reads anti-join it
+    * ([[readStore]]), the serving paths exclude it record-level, and
+    * [[compact]] physically drops the matched rows together with the
+    * tombstone. An edge re-added by a LATER [[append]] is NOT deleted
+    * (sequence-number scoping) — delete-then-re-add behaves as online
+    * stores must. Use [[deleteEdges]] for arbitrary-predicate deletes;
+    * this is the point form. */
+  def deleteEdgesTombstone(fromV: Int, pairs: Seq[(Long, Long)]): Int = {
+    require(pairs.nonEmpty, "deleteEdgesTombstone needs at least one (src, dst) pair")
+    commitOpt(fromV) { (m, nv) =>
+      val sq = m.maxSeq + 1
+      val dir = Paths.get(root, s"v$nv")
+      Files.createDirectories(dir)
+      val p = dir.resolve("tomb-edges.parquet").toString
+      writeTombParquet(serveConf, p, vertex = false, pairs)
+      Some(m.copy(tombs = m.tombs :+ TombFile(sq, vertex = false, p,
+        pairs.map(_._1).min, pairs.map(_._1).max,
+        pairs.map(_._2).min, pairs.map(_._2).max, pairs.size)))
+    }
+  }
+
+  /** Single-pair convenience of [[deleteEdgesTombstone]]. */
+  def deleteEdgeTombstone(fromV: Int, src: Long, dst: Long): Int =
+    deleteEdgesTombstone(fromV, Seq((src, dst)))
+
+  /** P5 as a tombstone: delete every edge touching any of `vs` on either
+    * endpoint, O(1) like [[deleteEdgesTombstone]]. */
+  def deleteVerticesTombstone(fromV: Int, vs: Seq[Long]): Int = {
+    require(vs.nonEmpty, "deleteVerticesTombstone needs at least one vertex")
+    commitOpt(fromV) { (m, nv) =>
+      val sq = m.maxSeq + 1
+      val dir = Paths.get(root, s"v$nv")
+      Files.createDirectories(dir)
+      val p = dir.resolve("tomb-verts.parquet").toString
+      writeTombParquet(serveConf, p, vertex = true, vs.map(v => (v, v)))
+      Some(m.copy(tombs = m.tombs :+ TombFile(sq, vertex = true, p,
+        vs.min, vs.max, vs.min, vs.max, vs.size)))
+    }
+  }
+
+  /** Single-vertex convenience of [[deleteVerticesTombstone]]. */
+  def deleteVertexTombstone(fromV: Int, v: Long): Int =
+    deleteVerticesTombstone(fromV, Seq(v))
+
   /** LSM compaction: route delta rows to their buckets, merge each hit
     * bucket's files with its delta rows into fresh (src, dst)-sorted
     * files, drop all deltas. Buckets with no delta rows are reused by
@@ -606,10 +913,11 @@ class DurableStore(val spark: SparkSession, val root: String,
               maxBucketRows: Long = DefaultMaxBucketRows,
               targetFileRows: Long = DefaultTargetFileRows): Int = {
     val m0 = manifest(fromV)
-    // nothing to do only when there are no deltas AND no side has an
-    // underfull adjacent run to merge (delete-heavy stores have no deltas
-    // but still need the downward re-shard)
-    if (!m0.files.exists(!_.sorted) &&
+    // nothing to do only when there are no deltas, no live tombstones to
+    // reclaim, AND no side has an underfull adjacent run to merge
+    // (delete-heavy stores have no deltas but still need the downward
+    // re-shard)
+    if (m0.tombs.isEmpty && !m0.files.exists(!_.sorted) &&
         mergeGroups(bucketRows(m0.files, m0.bounds.size), Set.empty,
           m0.bounds.size, maxBucketRows).isEmpty &&
         (m0.mbounds.isEmpty ||
@@ -618,15 +926,28 @@ class DurableStore(val spark: SparkSession, val root: String,
       return fromV
     commitOpt(fromV) { (m, nv) =>
       val (keep, deltas) = m.files.partition(_.sorted)
-      val dRaw =
-        (if (deltas.isEmpty) emptyLike(spark, m.schemaDDL)
-         else readFiles(spark, deltas.map(_.path))).localCheckpoint(true)
+      // deltas enter tombstone-APPLIED; every bucket a tombstone can
+      // still touch is FORCED into the rewrite so its matched rows are
+      // physically dropped — then the tombstones themselves are removed
+      // from the new manifest (the reference's lazy cleanup at merge,
+      // GraphChiDatabase.scala:622-795). Buckets no tombstone overlaps
+      // are untouched (tombHits is conservative: no overlap proves no
+      // matching row).
+      val dRaw = readStore(m, deltas).localCheckpoint(true)
+      val readClean = (fs: Seq[StoreFile]) => readStore(m, fs)
+      val sq = m.maxSeq
+      val forcedP = keep.filter(f => m.tombs.exists(tombHits(_, f)))
+        .map(_.bucket).toSet
       val (bounds, outFiles) = mergeSide(dRaw, keep, m.bounds, "src", "dst",
-        s"$root/v$nv", maxBucketRows, targetFileRows)
+        s"$root/v$nv", maxBucketRows, targetFileRows, forcedP, readClean, sq)
       val (mb, mf) =
         if (m.mbounds.isEmpty) (m.mbounds, m.mirror)
-        else mergeSide(dRaw, m.mirror, m.mbounds, "dst", "src",
-          s"$root/v$nv/m", maxBucketRows, targetFileRows)
+        else {
+          val forcedM = m.mirror.filter(f => m.tombs.exists(tombHits(_, f)))
+            .map(_.bucket).toSet
+          mergeSide(dRaw, m.mirror, m.mbounds, "dst", "src",
+            s"$root/v$nv/m", maxBucketRows, targetFileRows, forcedM, readClean, sq)
+        }
       Some(Manifest(nv, bounds, outFiles, m.lastBatch, m.schemaDDL, mb, mf))
     }
   }
@@ -643,12 +964,18 @@ class DurableStore(val spark: SparkSession, val root: String,
     * set). */
   private def mergeSide(delta: DataFrame, sortedFiles: Seq[StoreFile],
                         bounds0: Seq[Long], key: String, sec: String, dir: String,
-                        maxBucketRows: Long, targetFileRows: Long): (Seq[Long], Seq[StoreFile]) = {
+                        maxBucketRows: Long, targetFileRows: Long,
+                        forced: Set[Int] = Set.empty,
+                        readClean: Seq[StoreFile] => DataFrame = null,
+                        outSeq: Long = 0L): (Seq[Long], Seq[StoreFile]) = {
+    val rd: Seq[StoreFile] => DataFrame =
+      if (readClean == null) fs => readFiles(spark, fs.map(_.path)) else readClean
     val d = delta.withColumn("_b", bucketCol(key, bounds0)).localCheckpoint(true)
-    val hitBuckets = d.select("_b").distinct().collect().map(_.getInt(0)).toSet
+    val hitBuckets =
+      d.select("_b").distinct().collect().map(_.getInt(0)).toSet ++ forced
     val (hit, untouched0) = sortedFiles.partition(f => hitBuckets.contains(f.bucket))
     val merged = (if (hit.isEmpty) d
-      else readFiles(spark, hit.map(_.path))
+      else rd(hit)
         .withColumn("_b", bucketCol(key, bounds0)).unionByName(d))
       .localCheckpoint(true)
     val perBucket = merged.groupBy("_b")
@@ -679,12 +1006,12 @@ class DurableStore(val spark: SparkSession, val root: String,
     val reIdx = untouched.map(f =>
       f.copy(bucket = bounds.count(_ < bounds0(f.bucket))))
     val rewrite = (if (pulled.isEmpty) merged
-      else merged.unionByName(readFiles(spark, pulled.map(_.path))
+      else merged.unionByName(rd(pulled)
         .withColumn("_b", bucketCol(key, bounds0))))
     val out = writeBuckets(spark,
       (if (splits.isEmpty && removed.isEmpty) rewrite
        else rewrite.drop("_b").withColumn("_b", bucketCol(key, bounds))),
-      dir, targetFileRows, key = key, sec = sec)
+      dir, targetFileRows, key = key, sec = sec).map(_.copy(seq = outSeq))
     (bounds, reIdx ++ out)
   }
 
@@ -700,14 +1027,16 @@ class DurableStore(val spark: SparkSession, val root: String,
     val all = manifestVersions(root)
     val (drop, kept) = all.partition(_ < keepFrom)
     val keepPaths = kept.flatMap { v =>
-      val m = manifest(v); (m.files ++ m.mirror).map(_.path)
+      val m = manifest(v)
+      (m.files ++ m.mirror).map(_.path) ++ m.tombs.map(_.path)
     }.toSet
     var removed = 0
     drop.foreach { v =>
       val m = manifest(v)
-      (m.files ++ m.mirror).map(_.path).distinct.foreach { p =>
-        if (!keepPaths.contains(p)) { deletePath(p); removed += 1 }
-      }
+      ((m.files ++ m.mirror).map(_.path) ++ m.tombs.map(_.path))
+        .distinct.foreach { p =>
+          if (!keepPaths.contains(p)) { deletePath(p); removed += 1 }
+        }
       Files.deleteIfExists(manifestPath(root, v))
     }
     removed
@@ -734,21 +1063,27 @@ class DurableStore(val spark: SparkSession, val root: String,
                       f: DataFrame => DataFrame): Int = commitOpt(fromV) { (m, nv) =>
     val (hit, keep) = m.files.partition(touch)
     val (hitSorted, hitDelta) = hit.partition(_.sorted)
+    // hit files are read TOMBSTONE-APPLIED (per-seq anti-join) and the
+    // rewritten output stamped at maxSeq: every applicable tombstone is
+    // already folded into the new rows, so none re-applies to them, and
+    // tombstones stay live for the untouched files they still cover
+    val sq = m.maxSeq
     val outSorted =
       if (hitSorted.isEmpty) Nil
       else writeBuckets(spark,
-        f(readFiles(spark, hitSorted.map(_.path))).withColumn("_b", bucketCol("src", m.bounds)),
-        s"$root/v$nv", DefaultTargetFileRows)
+        f(readStore(m, hitSorted)).withColumn("_b", bucketCol("src", m.bounds)),
+        s"$root/v$nv", DefaultTargetFileRows).map(_.copy(seq = sq))
     val outDelta =
       if (hitDelta.isEmpty) Nil
-      else writeDelta(f(readFiles(spark, hitDelta.map(_.path))).localCheckpoint(true),
-        s"$root/v$nv/delta")
+      else writeDelta(f(readStore(m, hitDelta)).localCheckpoint(true),
+        s"$root/v$nv/delta").map(_.copy(seq = sq))
     val (mHit, mKeep) = m.mirror.partition(touch)
     val outMirror =
       if (mHit.isEmpty) Nil
       else writeBuckets(spark,
-        f(readFiles(spark, mHit.map(_.path))).withColumn("_b", bucketCol("dst", m.mbounds)),
+        f(readStore(m, mHit)).withColumn("_b", bucketCol("dst", m.mbounds)),
         s"$root/v$nv/m", DefaultTargetFileRows, key = "dst", sec = "src")
+        .map(_.copy(seq = sq))
     Some(m.copy(files = keep ++ outSorted ++ outDelta, mirror = mKeep ++ outMirror))
   }
 
@@ -839,17 +1174,44 @@ object DurableStore {
   }
 
   /** One immutable parquet file (or delta file set) plus the stats that
-    * route mutations and prune point reads. */
+    * route mutations and prune point reads. `seq` is the file's position
+    * in the store's mutation order: a tombstone deletes only from files
+    * with a STRICTLY SMALLER seq, so an edge re-added after a tombstone
+    * delete (larger seq) survives — the LSM sequence-number rule the
+    * reference gets from buffer ordering. */
   final case class StoreFile(bucket: Int, path: String, srcMin: Long, srcMax: Long,
-                             dstMin: Long, dstMax: Long, sorted: Boolean, rows: Long)
+                             dstMin: Long, dstMax: Long, sorted: Boolean, rows: Long,
+                             seq: Long = 0L)
+
+  /** A tombstone delta: the O(1) point-delete record (reference
+    * GraphChiDatabase.scala:1273-1305 — `DELETED_TYPE` marker edges,
+    * physically reclaimed at merge). `vertex = false` → the file holds
+    * (src, dst) endpoint pairs, each deleting EVERY matching row in
+    * files with seq < this.seq; `vertex = true` → the file holds vertex
+    * ids `v`, each deleting every row touching v on either endpoint.
+    * For vertex tombstones the src* stats carry the id range (dst*
+    * mirrors it). Written DRIVER-SIDE (no Spark job) — a point delete
+    * is in the serving latency class, not the job class. */
+  final case class TombFile(seq: Long, vertex: Boolean, path: String,
+                            srcMin: Long, srcMax: Long, dstMin: Long, dstMax: Long,
+                            rows: Long)
+
   /** `bounds(i)` is bucket i's inclusive upper src bound (last =
     * Long.MaxValue); `lastBatch` is the highest committed streaming batch
     * id (idempotent append watermark); `schemaDDL` keeps an all-rows-
     * deleted version readable. `mbounds`/`mirror` are the dst-bucketed
-    * in-edge index (empty = unindexed store). */
+    * in-edge index (empty = unindexed store). `tombs` are live tombstone
+    * deltas, applied at read (anti-join / serving-side exclusion) and
+    * physically reclaimed — rows dropped, tombstones removed — by
+    * [[DurableStore.compact]]. */
   final case class Manifest(version: Int, bounds: Seq[Long], files: Seq[StoreFile],
                             lastBatch: Long = -1L, schemaDDL: String = "",
-                            mbounds: Seq[Long] = Nil, mirror: Seq[StoreFile] = Nil)
+                            mbounds: Seq[Long] = Nil, mirror: Seq[StoreFile] = Nil,
+                            tombs: Seq[TombFile] = Nil) {
+    /** Highest sequence number any file or tombstone carries. */
+    def maxSeq: Long =
+      ((files.map(_.seq) ++ mirror.map(_.seq) ++ tombs.map(_.seq)) :+ 0L).max
+  }
 
   /** Default split threshold: a compacted bucket above this many rows is
     * split at its median src. The local default is sized so sf-scale
@@ -892,7 +1254,8 @@ object DurableStore {
     * page stores (one instance per file read, so no synchronization). */
   private final class LongsMaterializer(
       requested: org.apache.parquet.schema.MessageType,
-      outCol: String, sortedKeys: Array[Long])
+      outCol: String, sortedKeys: Array[Long],
+      excl: (Long, Long) => Boolean = null)
       extends org.apache.parquet.io.api.RecordMaterializer[java.lang.Long] {
     import org.apache.parquet.io.api._
     // matching outCol values, collected UNBOXED
@@ -920,7 +1283,8 @@ object DurableStore {
       // no per-record allocation
       def end(): Unit =
         if (hasF && hasO &&
-            java.util.Arrays.binarySearch(sortedKeys, fv) >= 0)
+            java.util.Arrays.binarySearch(sortedKeys, fv) >= 0 &&
+            (excl == null || !excl(fv, ov)))
           matches += ov
     }
     // NEVER null (a null record means end-of-input to callers); the
@@ -932,6 +1296,22 @@ object DurableStore {
     private val Dummy = java.lang.Long.valueOf(0L)
   }
 
+  /** Size-bounded access-ordered (LRU) cache for driver serving state.
+    * Eviction is ONE eldest entry per insert past the cap — never a
+    * wholesale clear (VERDICT r11 wrong #3: a fleet hovering at the cap
+    * would otherwise re-pay every footer parse at once, a p99 latency
+    * sawtooth). Values are immutable; a racing duplicate load is
+    * harmless, so the lock is only held for the map operation itself. */
+  private final class LruCache[V](cap: Int) {
+    private val m = new java.util.LinkedHashMap[String, V](
+        cap * 4 / 3 + 1, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+        size() > cap
+    }
+    def get(k: String): V = m.synchronized(m.get(k))
+    def put(k: String, v: V): Unit = m.synchronized { m.put(k, v); () }
+  }
+
   /** Footer cache for driver-local serving reads, shared across stores:
     * store files are IMMUTABLE (every mutation is copy-on-write into
     * fresh UUID part names, vacuum only deletes), so a path's footer
@@ -940,12 +1320,68 @@ object DurableStore {
     * — re-reading and thrift-parsing every hit file's footer on every
     * serving call was the parquet analogue of re-mmapping per query,
     * and with pages OS-cached that fixed cost IS most of a hop's wall.
-    * Bounded: cleared wholesale past FooterCacheMax paths (entries for
-    * vacuumed files linger harmlessly until then — they are simply
-    * never routed to again). */
+    * Entries for vacuumed files age out of the LRU naturally — they are
+    * simply never routed to again. */
   private val FooterCacheMax = 8192
-  private val footerCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.parquet.hadoop.metadata.ParquetMetadata]()
+  private val footerCache =
+    new LruCache[org.apache.parquet.hadoop.metadata.ParquetMetadata](FooterCacheMax)
+
+  /** Serving-side budget for driver-resident tombstones: past this many
+    * live tombstone rows the zero-job serving paths fall back to the
+    * distributed form (which anti-joins at scale) — a store carrying a
+    * million un-compacted point deletes has earned a job. */
+  val ServeTombRowBudget: Long = 1L << 20
+
+  /** One tombstone, loaded driver-side for record-level serving
+    * exclusion: vertex tombstones as a sorted id array, edge tombstones
+    * as src → sorted-dst-array (both directions of a hop reconstruct
+    * (src, dst) and probe the same map). */
+  private[graft] final case class TombEntry(seq: Long, vertex: Boolean,
+      verts: Array[Long], bySrc: java.util.HashMap[java.lang.Long, Array[Long]])
+
+  /** (s, d) exclusion checker for a file at `fileSeq`, or null when no
+    * tombstone applies — the null path costs nothing per record. */
+  private def tombChecker(tombs: Seq[TombEntry], fileSeq: Long): (Long, Long) => Boolean = {
+    val app = tombs.filter(_.seq > fileSeq)
+    if (app.isEmpty) null
+    else (s: Long, d: Long) => app.exists { t =>
+      if (t.vertex)
+        java.util.Arrays.binarySearch(t.verts, s) >= 0 ||
+          java.util.Arrays.binarySearch(t.verts, d) >= 0
+      else {
+        val a = t.bySrc.get(s)
+        a != null && java.util.Arrays.binarySearch(a, d) >= 0
+      }
+    }
+  }
+
+  /** Driver-side tombstone index per (root, version) — manifests are
+    * immutable, so the load happens once per version and every serving
+    * call after it is a map hit. */
+  private val tombIndexCache = new LruCache[Seq[TombEntry]](256)
+
+  /** Write a tombstone parquet file ON THE DRIVER (no Spark job): edge
+    * tombstones as (src, dst) INT64 pairs, vertex tombstones as single
+    * INT64 `v` ids (rows carry (v, v) in that case). */
+  private[graft] def writeTombParquet(conf: org.apache.hadoop.conf.Configuration,
+      path: String, vertex: Boolean, rows: Seq[(Long, Long)]): Unit = {
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      if (vertex) "message tomb { required int64 v; }"
+      else "message tomb { required int64 src; required int64 dst; }")
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    // the builder sets the schema INTO the conf (GroupWriteSupport
+    // contract) — copy so the caller's shared serving conf stays immutable
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(path))
+      .withConf(new org.apache.hadoop.conf.Configuration(conf))
+      .withType(schema).build()
+    try rows.foreach { case (a, b) =>
+      val g = gf.newGroup()
+      if (vertex) g.append("v", a) else { g.append("src", a); g.append("dst", b) }
+      w.write(g)
+    } finally w.close()
+  }
 
   /** Adopt EXISTING sorted parquet as a store — METADATA ONLY, zero
     * data movement, zero data reads: per-file (src, dst) stats come
@@ -1074,7 +1510,24 @@ object DurableStore {
         require(spark.read.parquet(md).schema.toDDL == ddl,
           "adopt: mirror must carry the same schema as the edge files " +
             "(it serves full-row in-edge reads, not just the endpoints)")
-        boundsOn(stats(md), _.dstMin, _.dstMax)
+        val mstats = stats(md)
+        // content sanity, metadata-only (ADVICE r11): a wrong / stale /
+        // subset mirrorDir would silently corrupt every in-edge read —
+        // require the footer-derived row totals and BOTH endpoint
+        // envelopes to agree with the primary before trusting it as the
+        // same multiset (the invariant the spec pins)
+        val eRows = files0.map(_.rows).sum
+        val mRows = mstats.map(_.rows).sum
+        require(mRows == eRows,
+          s"adopt: mirror row count $mRows != edge row count $eRows — " +
+            s"wrong or stale mirrorDir $md?")
+        def env(fs: Seq[StoreFile]) =
+          (fs.map(_.srcMin).min, fs.map(_.srcMax).max,
+            fs.map(_.dstMin).min, fs.map(_.dstMax).max)
+        require(env(mstats) == env(files0),
+          s"adopt: mirror endpoint envelope ${env(mstats)} != edge " +
+            s"envelope ${env(files0)} — mirrorDir holds different rows")
+        boundsOn(mstats, _.dstMin, _.dstMax)
     }
     Files.createDirectories(Paths.get(root, "manifest"))
     writeManifest(root, Manifest(1, bounds, files, schemaDDL = ddl,
@@ -1107,11 +1560,10 @@ object DurableStore {
     val key = path.toString
     val hit = footerCache.get(key)
     if (hit != null) return hit
-    if (footerCache.size >= FooterCacheMax) footerCache.clear()
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
     val f = try r.getFooter finally r.close()
-    footerCache.putIfAbsent(key, f)
+    footerCache.put(key, f)
     f
   }
 
@@ -1279,8 +1731,13 @@ object DurableStore {
 
   private def writeManifest(root: String, m: Manifest): Unit = {
     Files.createDirectories(Paths.get(root, "manifest"))
+    // seq rides as a TRAILING column (path holds no tabs) so pre-seq
+    // manifests parse unchanged with seq = 0 — and a seq-0 store with no
+    // tomb lines behaves exactly as before the tombstone feature
     def fileLine(tag: String)(f: StoreFile) =
-      s"$tag\t${f.bucket}\t${f.sorted}\t${f.srcMin}\t${f.srcMax}\t${f.dstMin}\t${f.dstMax}\t${f.rows}\t${f.path}"
+      s"$tag\t${f.bucket}\t${f.sorted}\t${f.srcMin}\t${f.srcMax}\t${f.dstMin}\t${f.dstMax}\t${f.rows}\t${f.path}\t${f.seq}"
+    def tombLine(t: TombFile) =
+      s"tomb\t${t.seq}\t${t.vertex}\t${t.srcMin}\t${t.srcMax}\t${t.dstMin}\t${t.dstMax}\t${t.rows}\t${t.path}"
     val lines =
       (s"version\t${m.version}" +:
       s"bounds\t${m.bounds.mkString(",")}" +:
@@ -1288,7 +1745,8 @@ object DurableStore {
       s"schema\t${m.schemaDDL}" +:
       m.files.map(fileLine("file"))) ++
       (if (m.mbounds.isEmpty) Nil else s"mbounds\t${m.mbounds.mkString(",")}" +:
-        m.mirror.map(fileLine("mfile")))
+        m.mirror.map(fileLine("mfile"))) ++
+      m.tombs.map(tombLine)
     // TRUNCATE (not CREATE_NEW): a manifest at this version can only be a
     // crash orphan — the pointer has never referenced it — so overwrite
     Files.write(manifestPath(root, m.version), lines.mkString("\n").getBytes,
@@ -1301,7 +1759,12 @@ object DurableStore {
     def parseFile(l: String): StoreFile = {
       val p = l.split("\t")
       StoreFile(p(1).toInt, p(8), p(3).toLong, p(4).toLong, p(5).toLong, p(6).toLong,
-        p(2).toBoolean, p(7).toLong)
+        p(2).toBoolean, p(7).toLong, if (p.length > 9) p(9).toLong else 0L)
+    }
+    def parseTomb(l: String): TombFile = {
+      val p = l.split("\t")
+      TombFile(p(1).toLong, p(2).toBoolean, p(8), p(3).toLong, p(4).toLong,
+        p(5).toLong, p(6).toLong, p(7).toLong)
     }
     val bounds = lines.collectFirst { case l if l.startsWith("bounds\t") =>
       l.split("\t")(1).split(",").map(_.toLong).toSeq }.get
@@ -1313,7 +1776,8 @@ object DurableStore {
       l.split("\t")(1).split(",").map(_.toLong).toSeq }.getOrElse(Nil)
     val files = lines.toSeq.filter(_.startsWith("file\t")).map(parseFile)
     val mirror = lines.toSeq.filter(_.startsWith("mfile\t")).map(parseFile)
-    Manifest(v, bounds, files, lastBatch, schemaDDL, mbounds, mirror)
+    val tombs = lines.toSeq.filter(_.startsWith("tomb\t")).map(parseTomb)
+    Manifest(v, bounds, files, lastBatch, schemaDDL, mbounds, mirror, tombs)
   }
 
   /** Delete one manifest-listed path: a single parquet file (sorted

@@ -18,12 +18,38 @@ import graft.Oracle.withSql
   * runs are deterministic. */
 object DurableQueries {
 
+  /** Every /tmp fixture root this object creates, deleted at JVM exit
+    * (ADVICE r11: repeated bench/test sessions were accumulating
+    * corpus-sized store + lake copies in /tmp with no cleanup). */
+  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    tempRoots.forEach { p =>
+      val path = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(path)) {
+        val walk = java.nio.file.Files.walk(path)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        catch { case _: java.io.IOException => () }
+        finally walk.close()
+      }
+    }))
+
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempRoots.add(p)
+    p
+  }
+
   private val stores =
     new java.util.concurrent.ConcurrentHashMap[String, DurableStore]()
 
   /** s7's once-per-(session, fixture) observed lifecycle values. */
   private val s7Results =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long, Long, Boolean)]()
+
+  /** p4b's once-per-(session, fixture) tombstone→compact lifecycle values. */
+  private val tombCompactResults =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Boolean)]()
 
   /** Version carrying the retrofitted in-edge mirror on [[baseStore]] —
     * built once per (session, fixture) so repeat runs (Bench warm+timed)
@@ -47,7 +73,7 @@ object DurableQueries {
   /** Base store (version 1) for a fixture dir, created once per JVM. */
   def baseStore(s: SparkSession, d: String): DurableStore =
     stores.computeIfAbsent(s"${s.sparkContext.applicationId}|$d", _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft-durable").toString
+      val root = tempDir("graft-durable")
       DurableStore.create(s, Tables.orderEdges(s, d), root)
     })
 
@@ -64,14 +90,14 @@ object DurableQueries {
 
   def adoptedStore(s: SparkSession, d: String): DurableStore =
     adopted.computeIfAbsent(s"${s.sparkContext.applicationId}|$d", _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-lake").toString
+      val dir = tempDir("graft-lake")
       val e = Tables.orderEdges(s, d)
       e.repartitionByRange(8, col("src")).sortWithinPartitions("src", "dst")
         .write.parquet(s"$dir/edges")
       e.repartitionByRange(8, col("dst")).sortWithinPartitions("dst", "src")
         .write.parquet(s"$dir/medges")
       DurableStore.adopt(s, s"$dir/edges",
-        java.nio.file.Files.createTempDirectory("graft-adopted").toString,
+        tempDir("graft-adopted"),
         mirrorDir = Some(s"$dir/medges"))
     })
 
@@ -94,8 +120,8 @@ object DurableQueries {
 
   def ingestedStoreRoot(s: SparkSession, d: String): String =
     ingested.computeIfAbsent(s"${s.sparkContext.applicationId}|$d", _ => {
-      val watch = java.nio.file.Files.createTempDirectory("graft-c2-in").toString
-      val root = java.nio.file.Files.createTempDirectory("graft-c2-store").toString
+      val watch = tempDir("graft-c2-in")
+      val root = tempDir("graft-c2-store")
       val e = Tables.orderEdges(s, d)
         .withColumn("_s", pmod(col("src"), lit(4))).localCheckpoint(true)
       val base = e.filter(col("_s") === 0).drop("_s")
@@ -144,6 +170,57 @@ object DurableQueries {
         """SELECT src, dst, etype, ets, weight, rating FROM edges
           |WHERE dst = (SELECT min(dst) FROM edges)""".stripMargin))),
 
+    // ---- N3 SERVED (VERDICT r11 next #7): the multi-key frontier hop
+    //      as a ZERO-JOB driver read — dst values of every src in the
+    //      key set, pushed as one parquet `in` predicate per routed
+    //      file, row-equal to the distributed readForSrcs form ----
+    ("n3s_query_out_multiple_served",
+      (s: SparkSession, d: String) => {
+        val st = baseStore(s, d)
+        val keys = Tables.orderEdges(s, d).select("src").distinct()
+          .orderBy("src").limit(2).collect().map(_.getLong(0))
+        val dsts = st.servedOutNeighbors(1, keys).getOrElse(
+          sys.error("served multi-key hop refused on the base store"))
+        import s.implicits._
+        dsts.toSeq.toDF("dst")
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT dst FROM edges WHERE src IN (
+          |  SELECT src FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 2))""".stripMargin))),
+
+    // ---- Q5 SERVED (VERDICT r11 next #3 mechanism): bidirectional BFS
+    //      distance entirely on the driver — frontier hops as pushed-IN
+    //      served reads against primary + mirror, min meet over the
+    //      completed level (reference Queries.scala:107-194). The oracle
+    //      is the same recursive walk the q5 family uses, over the
+    //      symmetric order-graph view ----
+    ("q5s_shortest_path_served",
+      (s: SparkSession, d: String) => {
+        val st = baseStore(s, d)
+        val vm = mirrorVersion(s, d)
+        val from = minSrcVal(s, d)
+        // target: the LARGEST customer id — on the bipartite order graph
+        // the walk must cross at least one supplier (≥ 2 hops), and the
+        // endpoint exists at every scale factor
+        val to = Tables.orderEdges(s, d).agg(max("src")).head().getLong(0)
+        val dist = st.servedShortestPath(vm, from, to, maxDepth = 4)
+          .getOrElse(sys.error("served bidi BFS refused"))
+        s.range(1).select(
+          (dist match {
+            case Some(x) => lit(x)
+            case None => lit(null)
+          }).cast("long").as("dist"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """, f AS (SELECT min(src) AS s FROM edges),
+          |t AS (SELECT max(src) AS tid FROM edges),
+          |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+          |walk(id, dist) AS (
+          |  SELECT s, 0 FROM f
+          |  UNION
+          |  SELECT n.dst, w.dist + 1 FROM walk w JOIN sym n ON w.id = n.src WHERE w.dist < 4)
+          |SELECT CAST(min(dist) AS BIGINT) AS dist FROM walk WHERE id IN (SELECT tid FROM t)""".stripMargin))),
+
     // ---- P3 durable: updateEdge persisted by bucket rewrite ----
     ("p3_update_edge_store",
       (s: SparkSession, d: String) => {
@@ -159,14 +236,18 @@ object DurableQueries {
           |       count(*) AS n
           |FROM edges""".stripMargin))),
 
-    // ---- P4 durable: deleteEdges persisted ----
+    // ---- P4 durable: point delete persisted as an O(1) TOMBSTONE
+    //      (reference GraphChiDatabase.scala:1273-1305 — DELETED_TYPE
+    //      marker, reclaimed at merge): the commit writes one tiny
+    //      tombstone file ON THE DRIVER (zero Spark jobs, append-class
+    //      latency), and the read-back path anti-joins it — the oracle
+    //      checks the LOGICAL view the instant the delete lands ----
     ("p4_delete_edge_store",
       (s: SparkSession, d: String) => {
         val st = baseStore(s, d)
         val v = minSrcVal(s, d)
         val w = st.read(1).filter(col("src") === v).agg(min("dst")).head().getLong(0)
-        val nv = st.deleteEdges(1, col("src") === v && col("dst") === w,
-          srcKey = Some(v), dstKey = Some(w))
+        val nv = st.deleteEdgeTombstone(1, v, w)
         reopen(s, st).read(nv)
           .agg(count(lit(1)).as("n"), sum(cents(col("weight"))).as("wsum_cents"))
       },
@@ -177,12 +258,13 @@ object DurableQueries {
           |WHERE NOT (src = (SELECT min(src) FROM edges)
           |       AND dst = (SELECT min(dst) FROM edges WHERE src = (SELECT min(src) FROM edges)))""".stripMargin))),
 
-    // ---- P5 durable: deleteVertex persisted (both endpoint sides) ----
+    // ---- P5 durable: deleteVertex persisted as an O(1) vertex
+    //      TOMBSTONE (both endpoint sides excluded at read) ----
     ("p5_delete_vertex_store",
       (s: SparkSession, d: String) => {
         val st = baseStore(s, d)
         val v = minSrcVal(s, d)
-        val nv = st.deleteVertex(1, v)
+        val nv = st.deleteVertexTombstone(1, v)
         reopen(s, st).read(nv)
           .agg(count(lit(1)).as("n"), sum(cents(col("weight"))).as("wsum_cents"))
       },
@@ -191,6 +273,42 @@ object DurableQueries {
           |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS wsum_cents
           |FROM edges
           |WHERE src <> (SELECT min(src) FROM edges) AND dst <> (SELECT min(src) FROM edges)""".stripMargin))),
+
+    // ---- P4 lifecycle: tombstone delete → compact physically reclaims
+    //      (rows dropped from the data files, tombstone removed from the
+    //      manifest) with the logical view unchanged — the reference's
+    //      lazy cleanup at merge (GraphChiDatabase.scala:622-795),
+    //      value-checked end-to-end. Cached per (session, fixture): the
+    //      lifecycle mutates a fresh store once; repeats replay values ----
+    ("p4b_delete_tombstone_compact",
+      (s: SparkSession, d: String) => {
+        val vals = tombCompactResults.computeIfAbsent(
+          s"${s.sparkContext.applicationId}|$d", _ => {
+            val root = tempDir("graft-p4b")
+            val st = DurableStore.create(s, Tables.orderEdges(s, d), root)
+            val v = minSrcVal(s, d)
+            val w = st.read(1).filter(col("src") === v)
+              .agg(min("dst")).head().getLong(0)
+            val v2 = st.deleteEdgeTombstone(1, v, w)
+            val v3 = st.compact(v2)
+            val m3 = reopen(s, st).manifest(v3)
+            val physicallyGone = m3.tombs.isEmpty &&
+              s.read.parquet(m3.files.map(_.path): _*)
+                .filter(col("src") === v && col("dst") === w).isEmpty
+            val r = reopen(s, st).read(v3)
+              .agg(count(lit(1)), sum(cents(col("weight")))).head()
+            (r.getLong(0), r.getLong(1), physicallyGone)
+          })
+        s.range(1).select(lit(vals._1).as("n"),
+          lit(vals._2).as("wsum_cents"), lit(vals._3).as("reclaimed"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT count(*) AS n,
+          |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS wsum_cents,
+          |       TRUE AS reclaimed
+          |FROM edges
+          |WHERE NOT (src = (SELECT min(src) FROM edges)
+          |       AND dst = (SELECT min(dst) FROM edges WHERE src = (SELECT min(src) FROM edges)))""".stripMargin))),
 
     // ---- S5 durable log + compaction: append a micro-batch as a delta
     //      file, compact it into the sorted buckets, read back the merged
@@ -258,7 +376,7 @@ object DurableQueries {
         // whose v1 is already vacuumed (review r4)
         val vals = s7Results.computeIfAbsent(
           s"${s.sparkContext.applicationId}|$d", _ => {
-            val root = java.nio.file.Files.createTempDirectory("graft-s7").toString
+            val root = tempDir("graft-s7")
             val st = DurableStore.create(s, Tables.nationEdges(s, d), root)
             val v1 = st.currentVersion
             val k = Tables.nationEdges(s, d).agg(min("src")).head().getLong(0)

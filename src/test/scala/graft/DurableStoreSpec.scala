@@ -374,13 +374,13 @@ class DurableStoreSpec extends AnyFunSuite {
                else freshMirrored(model.map(t => (t._1, t._2)): _*)
       var v = 1
       val history = scala.collection.mutable.ArrayBuffer((v, model))
-      for (step <- 0 until 6) {
-        r.nextInt(4) match {
+      for (step <- 0 until 8) {
+        r.nextInt(6) match {
           case 0 if model.nonEmpty => // point update of one existing src
             val k = model(r.nextInt(model.size))._1
             v = st.updateEdges(v, col("src") === k, "w", lit(-1L), srcKey = Some(k))
             model = model.map { case (s, d, w) => (s, d, if (s == k) -1L else w) }
-          case 1 if model.nonEmpty => // delete one vertex
+          case 1 if model.nonEmpty => // delete one vertex (COW form)
             val k = model(r.nextInt(model.size))._2
             v = st.deleteVertex(v, k)
             model = model.filterNot(t => t._1 == k || t._2 == k)
@@ -391,6 +391,16 @@ class DurableStoreSpec extends AnyFunSuite {
             })
             v = st.append(v, edges(b.map(t => (t._1, t._2)): _*))
             model = model ++ b
+          case 3 if model.nonEmpty => // TOMBSTONE edge delete of an
+            // existing pair — interleaved with appends/compactions, this
+            // pins the seq-scoping rule (later re-adds must survive)
+            val (a, b, _) = model(r.nextInt(model.size))
+            v = st.deleteEdgesTombstone(v, Seq((a, b)))
+            model = model.filterNot(t => t._1 == a && t._2 == b)
+          case 4 if model.nonEmpty => // TOMBSTONE vertex delete
+            val k = model(r.nextInt(model.size))._2
+            v = st.deleteVertexTombstone(v, k)
+            model = model.filterNot(t => t._1 == k || t._2 == k)
           case _ => // compact (also the empty-model fallback); every other
             // one runs with a tiny split threshold so the random sequence
             // also exercises bucket splits + manifest re-indexing
@@ -482,6 +492,175 @@ class DurableStoreSpec extends AnyFunSuite {
     val dst = 100L + (10 % 7)
     assert(rowSet(st.readForDst(vC, dst).filter(col("dst") === dst)) ==
       rowSet(edges(survivors: _*)).filter(_._2 == dst).map(identity))
+  }
+
+  test("tombstone delete excludes the edge on scan AND served paths pre-compaction; compact reclaims") {
+    // VERDICT r11 next #1: the O(1) tombstone delete must be logically
+    // complete the instant it commits — distributed scan, driver point
+    // reads (both directions), and the zero-job FoF all exclude the
+    // edge — and the first compaction must physically drop the rows AND
+    // the tombstone itself
+    val st = freshMirrored(base: _*)
+    val v2 = st.deleteEdgeTombstone(1, 1L, 10L)
+    val m2 = st.manifest(v2)
+    assert(m2.tombs.size == 1 && !m2.tombs.head.vertex)
+    // O(1): every DATA file of v1 is reused by reference — no rewrite
+    assert(st.manifest(1).files.forall(f => m2.files.exists(_.path == f.path)))
+    assert(st.manifest(1).mirror.forall(f => m2.mirror.exists(_.path == f.path)))
+    val expect = rowSet(edges(base.filterNot(_ == (1L, 10L)): _*))
+    // distributed scan + mirror view
+    assert(rowSet(st.read(v2)) == expect)
+    assert(rowSet(st.readMirror(v2)) == expect)
+    // driver serving paths, both directions
+    assert(st.pointReadLocal(v2, 1L)
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet ==
+      Set((1L, 11L)))
+    assert(st.pointReadLocalDst(v2, 10L)
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet ==
+      Set((5L, 10L), (13L, 10L)))
+    // zero-job FoF row-equal to the scan form at v2
+    val e = st.read(v2).select("src", "dst")
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val scan = Queries.friendsOfFriendsExclTop20(sym)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(st.servedFofRows(v2, 1L).contains(scan))
+    // time travel: v1 still holds the edge
+    assert(rowSet(st.read(1)) == rowSet(edges(base: _*)))
+    // compaction physically reclaims: rows dropped from the files, the
+    // tombstone removed, reads unchanged
+    val v3 = st.compact(v2)
+    assert(v3 != v2, "a store holding live tombstones must compact")
+    val m3 = new DurableStore(spark, st.root).manifest(v3)
+    assert(m3.tombs.isEmpty, "compaction must drop applied tombstones")
+    assert(rowSet(st.read(v3)) == expect)
+    assert(rowSet(st.readMirror(v3)) == expect)
+    // physically gone: the raw union of v3 data files holds no (1, 10)
+    assert(spark.read.parquet(m3.files.map(_.path): _*)
+      .filter(col("src") === 1L && col("dst") === 10L).count() == 0)
+    // nothing left to reclaim
+    assert(st.compact(v3) == v3)
+  }
+
+  test("tombstone seq scoping: an edge re-added AFTER its delete survives reads and compaction") {
+    val st = freshMirrored(base: _*)
+    val v2 = st.deleteEdgeTombstone(1, 1L, 10L)
+    val v3 = st.append(v2, edges((1L, 10L)))
+    val expect = rowSet(edges(base: _*)) // deleted once, re-added once
+    assert(rowSet(st.read(v3)) == expect)
+    // driver point read sees the re-added copy (delta seq > tomb seq)
+    assert(st.pointReadLocal(v3, 1L)
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet ==
+      Set((1L, 10L), (1L, 11L)))
+    // compaction keeps exactly the re-added copy and drops the tombstone
+    val v4 = st.compact(v3)
+    val m4 = st.manifest(v4)
+    assert(m4.tombs.isEmpty && m4.files.forall(_.sorted))
+    assert(rowSet(st.read(v4)) == expect)
+    assert(rowSet(st.readMirror(v4)) == expect)
+  }
+
+  test("vertex tombstone deletes both endpoint sides O(1); compact reclaims across primary and mirror") {
+    val st = freshMirrored(base: _*)
+    val v2 = st.deleteVertexTombstone(1, 10L)
+    assert(st.manifest(1).files.forall(f =>
+      st.manifest(v2).files.exists(_.path == f.path)), "vertex tombstone must not rewrite")
+    val expect = rowSet(edges(base.filterNot(_._2 == 10L): _*))
+    assert(rowSet(st.read(v2)) == expect)
+    assert(rowSet(st.readMirror(v2)) == expect)
+    assert(st.pointReadLocalDst(v2, 10L).isEmpty)
+    val v3 = st.compact(v2)
+    val m3 = st.manifest(v3)
+    assert(m3.tombs.isEmpty)
+    assert(rowSet(st.read(v3)) == expect)
+    assert(rowSet(st.readMirror(v3)) == expect)
+    assert(spark.read.parquet(m3.files.map(_.path): _*)
+      .filter(col("src") === 10L || col("dst") === 10L).count() == 0)
+  }
+
+  test("served multi-key hops == routed distributed reads (deltas + tombstones crossed)") {
+    // VERDICT r11 next #7: the N3-class zero-job frontier hop. The store
+    // state crosses every file kind: sorted buckets, an appended delta,
+    // and a live tombstone — the served reads must agree with the
+    // distributed routed reads as MULTISETS (repeats kept)
+    val st = freshMirrored(base: _*)
+    val v2 = st.append(1, edges((10L, 17L), (11L, 30L)))
+    val v3 = st.deleteEdgeTombstone(v2, 1L, 10L)
+    val keys = Array(1L, 10L, 13L)
+    def multiset(a: Seq[Long]) = a.groupBy(identity).view.mapValues(_.size).toMap
+    val outs = st.servedOutNeighbors(v3, keys).get
+    val expOut = st.readForSrcs(v3, keys).filter(col("src").isin(keys.toSeq: _*))
+      .select("dst").collect().map(_.getLong(0)).toSeq
+    assert(multiset(outs.toSeq) == multiset(expOut))
+    val ins = st.servedInNeighbors(v3, keys).get
+    val expIn = st.readForDsts(v3, keys).filter(col("dst").isin(keys.toSeq: _*))
+      .select("src").collect().map(_.getLong(0)).toSeq
+    assert(multiset(ins.toSeq) == multiset(expIn))
+    val both = st.servedNeighbors(v3, keys).get
+    assert(multiset(both.toSeq) == multiset(outs.toSeq ++ ins.toSeq))
+    // unindexed stores refuse the in/symmetric directions (a driver dst
+    // read would degenerate to a local full scan); out still serves
+    val plain = fresh(base: _*)
+    assert(plain.servedInNeighbors(1, keys).isEmpty)
+    assert(plain.servedOutNeighbors(1, keys).nonEmpty)
+  }
+
+  test("servedShortestPath == BFS model over the symmetric (and directed) view") {
+    val st = freshMirrored(base: _*)
+    val v2 = st.append(1, edges((10L, 17L), (11L, 30L)))
+    val v3 = st.deleteEdgeTombstone(v2, 1L, 10L)
+    // model BFS on the collected edge list at v3
+    val pairs = st.read(v3).select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def bfs(adj: Map[Long, Seq[Long]], from: Long, to: Long, maxD: Int): Option[Long] = {
+      var vis = Map(from -> 0L); var fr = Seq(from); var d = 0L
+      while (fr.nonEmpty && d < maxD && !vis.contains(to)) {
+        d += 1
+        val nxt = fr.flatMap(adj.getOrElse(_, Nil)).distinct.filterNot(vis.contains)
+        nxt.foreach(n => vis += n -> d); fr = nxt
+      }
+      vis.get(to)
+    }
+    val symAdj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dirAdj = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val verts = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+    for (f <- verts; t <- verts) {
+      val served = st.servedShortestPath(v3, f, t, maxDepth = 6)
+      assert(served.isDefined, s"served BFS refused on a tiny store ($f -> $t)")
+      assert(served.get == bfs(symAdj, f, t, 6), s"sym $f -> $t")
+      val servedDir = st.servedShortestPath(v3, f, t, maxDepth = 6, symmetric = false)
+      assert(servedDir.get == bfs(dirAdj, f, t, 6), s"directed $f -> $t")
+    }
+    // unreachable within depth → inner None; unindexed store → outer None
+    assert(st.servedShortestPath(v3, verts.head, 999999L, maxDepth = 3)
+      .contains(None))
+    assert(fresh(base: _*).servedShortestPath(1, 1L, 5L).isEmpty)
+  }
+
+  test("adopt rejects a wrong/stale mirrorDir by metadata alone") {
+    // ADVICE r11: a subset/stale mirror silently corrupts every in-edge
+    // read — adoption must refuse it from footer stats (rows + envelope)
+    val dir = Files.createTempDirectory("graft-adopt-v").toString
+    val e = edges(base: _*)
+    e.repartitionByRange(2, col("src")).sortWithinPartitions("src", "dst")
+      .write.parquet(s"$dir/edges")
+    // stale mirror: one row missing (same schema, same sort order)
+    e.filter(!(col("src") === 1L && col("dst") === 10L))
+      .repartitionByRange(2, col("dst")).sortWithinPartitions("dst", "src")
+      .write.parquet(s"$dir/mstale")
+    val ex = intercept[IllegalArgumentException](DurableStore.adopt(
+      spark, s"$dir/edges",
+      Files.createTempDirectory("graft-adopted-v").toString,
+      mirrorDir = Some(s"$dir/mstale"), numBuckets = 2))
+    assert(ex.getMessage.contains("row count"))
+    // different rows, same count: envelope check catches it
+    e.withColumn("dst", col("dst") + 1000L)
+      .repartitionByRange(2, col("dst")).sortWithinPartitions("dst", "src")
+      .write.parquet(s"$dir/mwrong")
+    val ex2 = intercept[IllegalArgumentException](DurableStore.adopt(
+      spark, s"$dir/edges",
+      Files.createTempDirectory("graft-adopted-w").toString,
+      mirrorDir = Some(s"$dir/mwrong"), numBuckets = 2))
+    assert(ex2.getMessage.contains("envelope"))
   }
 
   test("commit protocol: a lost pointer CAS raises CommitConflict and commits nothing") {
