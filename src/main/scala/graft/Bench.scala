@@ -206,13 +206,42 @@ object Bench {
     // build that produced them — a stale untagged fixture once shipped
     // three rounds of sf1 artifacts whose dedup/text entries measured
     // collapsed distinct content (PERF.md round-11 continuation).
-    // Driver-generated sf dirs carry no stamp -> "unstamped".
+    // Unstamped dirs (driver-generated) get a CONTENT FINGERPRINT instead
+    // (VERDICT r11 next #5): an md5 of the sorted (relative-path, size)
+    // listing — enough to class "same fixture vs different fixture"
+    // across rounds without reading a row. A stamp that fails to PARSE
+    // as JSON (truncated / hand-edited, ADVICE r11) also falls back to
+    // the fingerprint rather than corrupting the artifact.
+    val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def fixtureFingerprint: String =
+      try {
+        val root = java.nio.file.Paths.get(sfDir)
+        val stream = java.nio.file.Files.walk(root)
+        val listing =
+          try {
+            import scala.jdk.CollectionConverters._
+            stream.iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}")
+              .toSeq.sorted
+          } finally stream.close()
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(listing.mkString("\n").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        s"""{"unstamped_fingerprint":"$h","n_files":${listing.size}}"""
+      } catch { case _: Throwable => "\"unstamped\"" }
     val fixtureStamp: String =
       try {
         val p = java.nio.file.Paths.get(sfDir, "_fixture.json")
-        if (java.nio.file.Files.exists(p))
-          new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-        else "\"unstamped\""
+        if (java.nio.file.Files.exists(p)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+          try { jsonMapper.readTree(txt); txt }
+          catch { case _: Throwable =>
+            System.err.println(s"[bench] malformed _fixture.json ignored; " +
+              "using content fingerprint")
+            fixtureFingerprint
+          }
+        } else fixtureFingerprint
       } catch { case _: Throwable => "\"unstamped\"" }
 
     // ---- per-entry regression gate (VERDICT r10 next #2): two rounds
@@ -240,6 +269,22 @@ object Bench {
         "\"metric\":\"total\",\"value\":(-?[0-9.]+)".r
           .findFirstMatchIn(txt).map(_.group(1).toDouble)
       } catch { case _: Throwable => None }
+    // fixture-provenance comparison (VERDICT r11 next #5): with stamps
+    // AND fingerprints every artifact now carries fixture identity, so
+    // the gate can say whether a total moved on the SAME data — a drift
+    // here reclassifies every "regression" below as fixture change
+    val prevFixture: Option[String] =
+      try {
+        val node = jsonMapper.readTree(new String(java.nio.file.Files
+          .readAllBytes(java.nio.file.Paths.get(outPath)))).get("fixture")
+        Option(node).map(_.toString)
+      } catch { case _: Throwable => None }
+    val fixtureChanged: Boolean =
+      prevFixture.exists(_ != jsonMapper.readTree(fixtureStamp).toString)
+    if (fixtureChanged)
+      System.err.println(s"[bench] FIXTURE CHANGED since previous artifact " +
+        s"(${prevFixture.get.take(120)} -> ${fixtureStamp.take(120)}) — " +
+        "per-entry ratios below compare different data")
     val ratios = confirmed.collect {
       case (k, v) if v > 0 && prevQueries.get(k).exists(_ > 0) =>
         (k, prevQueries(k), v, v / prevQueries(k))
@@ -268,7 +313,7 @@ object Bench {
     val retimedJson = retimed
       .map { case (k, (a, b)) => "\"" + k + "\":[" + f"$a%.3f,$b%.3f" + "]" }
       .mkString("{", ",", "}")
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(confirmed)},"retimed":$retimedJson,"failed":${failed.mkString("[", ",", "]")},"prev_total":$prevJson,"median_vs_prev":$medianRatio%.3f,"regressions":$regJson,"sf":"$sfDir","fixture":$fixtureStamp,"ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f,"point_read_served_ms":${servedSec * 1000}%.2f,"point_read_served_rows":$nServed,"fof_served_ms":${fofSec * 1000}%.2f,"fof_served_rows":$nFof}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(confirmed)},"retimed":$retimedJson,"failed":${failed.mkString("[", ",", "]")},"prev_total":$prevJson,"median_vs_prev":$medianRatio%.3f,"regressions":$regJson,"fixture_changed":$fixtureChanged,"sf":"$sfDir","fixture":$fixtureStamp,"ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f,"point_read_served_ms":${servedSec * 1000}%.2f,"point_read_served_rows":$nServed,"fof_served_ms":${fofSec * 1000}%.2f,"fof_served_rows":$nFof}"""
     // Persist the FULL structured artifact first: the driver captures only
     // a 2000-char truncated log tail, which once hid 33 of 107 entries'
     // timings (VERDICT r4 missing #3) — a file at HEAD can't be truncated.
@@ -299,7 +344,7 @@ object Bench {
     val worstSuspect = regs
       .find { case (_, _, _, r) => r > 1.5 * medianRatio }
       .map { case (k, _, _, r) => f""""$k:${r}%.2fx"""" }.getOrElse("null")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(headline)},"n_queries":${confirmed.size},"n_ok":$nOk,"failed":${failed.mkString("[", ",", "]")},"prev_total":$prevJson,"median_vs_prev":$medianRatio%.3f,"n_regressions":${regs.size},"worst_suspect":$worstSuspect,"full":"$outPath","sf":"$sfDir","fixture":$fixtureStamp,"ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f,"point_read_served_ms":${servedSec * 1000}%.2f,"fof_served_ms":${fofSec * 1000}%.2f}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(headline)},"n_queries":${confirmed.size},"n_ok":$nOk,"failed":${failed.mkString("[", ",", "]")},"prev_total":$prevJson,"median_vs_prev":$medianRatio%.3f,"n_regressions":${regs.size},"worst_suspect":$worstSuspect,"fixture_changed":$fixtureChanged,"full":"$outPath","sf":"$sfDir","fixture":$fixtureStamp,"ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f,"point_read_served_ms":${servedSec * 1000}%.2f,"fof_served_ms":${fofSec * 1000}%.2f}"""
     println(compact)
     spark.stop()
   }
