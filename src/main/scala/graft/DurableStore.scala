@@ -896,6 +896,64 @@ class DurableStore(val spark: SparkSession, val root: String,
   def deleteVertexTombstone(fromV: Int, v: Long): Int =
     deleteVerticesTombstone(fromV, Seq(v))
 
+  /** P3 in the reference's latency class: point UPDATE as tombstone +
+    * re-append in ONE atomic commit (the reference's setEdgeValue writes
+    * the shard in place, GraphChiDatabase.scala:1245-1271 — this is the
+    * immutable-file equivalent at the same O(rows-touched) cost). The
+    * current rows of the (src, dst) pair are read on the DRIVER
+    * (manifest-routed point read, serving class), `value` is applied to
+    * `column` on that tiny LocalRelation, and the commit lands BOTH a
+    * tombstone for the pair AND a delta holding the updated rows at the
+    * SAME sequence number — the tombstone deletes strictly-older rows
+    * only, so the re-appended copies survive and no intermediate version
+    * ever shows the edge missing. No base file is rewritten: at 1B this
+    * is the append class (~1 s), where the COW [[updateEdges]] rewrites
+    * multi-million-row files. Returns `fromV` unchanged when the pair
+    * has no rows. Arbitrary-predicate updates stay on [[updateEdges]]. */
+  def updateEdgeDelta(fromV: Int, src: Long, dst: Long,
+                      column: String, value: Column): Int =
+    commitOpt(fromV) { (m, nv) =>
+      require(m.schemaDDL.nonEmpty, "updateEdgeDelta needs a manifest schema")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL)
+      // the driver point read decodes primitive leaves only — a schema
+      // with decimals/timestamps/arrays must take the COW path (loud,
+      // not a silent mis-decode)
+      locally {
+        import org.apache.spark.sql.types._
+        val bad = schema.fields.filterNot(f => f.dataType match {
+          case LongType | IntegerType | DoubleType | FloatType |
+               BooleanType | StringType => true
+          case _ => false
+        })
+        require(bad.isEmpty, "updateEdgeDelta supports primitive " +
+          s"long/int/double/float/boolean/string columns; unsupported: " +
+          s"${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}" +
+          " — use the copy-on-write updateEdges for this schema")
+      }
+      val rows = pointReadLocalM(m, src)
+      val dstIdx = schema.fieldNames.indexOf("dst")
+      val hit = rows.filter(r => r(dstIdx).asInstanceOf[Long] == dst)
+      if (hit.isEmpty) None
+      else {
+        import scala.jdk.CollectionConverters._
+        val updated = spark.createDataFrame(
+          hit.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+          .withColumn(column, value)
+          .select(schema.fieldNames.map(col).toSeq: _*)
+        val sq = m.maxSeq + 1
+        val dir = Paths.get(root, s"v$nv")
+        Files.createDirectories(dir)
+        val tp = dir.resolve("tomb-edges.parquet").toString
+        writeTombParquet(serveConf, tp, vertex = false, Seq((src, dst)))
+        val delta = writeDelta(updated.localCheckpoint(true), s"$root/v$nv/delta")
+          .map(_.copy(seq = sq))
+        Some(m.copy(
+          files = m.files ++ delta,
+          tombs = m.tombs :+ TombFile(sq, vertex = false, tp,
+            src, src, dst, dst, 1)))
+      }
+    }
+
   /** LSM compaction: route delta rows to their buckets, merge each hit
     * bucket's files with its delta rows into fresh (src, dst)-sorted
     * files, drop all deltas. Buckets with no delta rows are reused by
@@ -1322,7 +1380,11 @@ object DurableStore {
     * and with pages OS-cached that fixed cost IS most of a hop's wall.
     * Entries for vacuumed files age out of the LRU naturally — they are
     * simply never routed to again. */
-  private val FooterCacheMax = 8192
+  /** Sized via `-Dgraft.footerCacheMax` so the overflow probe
+    * (ServeLatencyProbe `overflow`) can force eviction pressure without
+    * an 8k-file fixture; production default 8192. */
+  private val FooterCacheMax: Int =
+    Integer.getInteger("graft.footerCacheMax", 8192)
   private val footerCache =
     new LruCache[org.apache.parquet.hadoop.metadata.ParquetMetadata](FooterCacheMax)
 

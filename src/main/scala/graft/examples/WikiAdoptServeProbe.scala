@@ -162,14 +162,19 @@ object WikiAdoptServeProbe {
     require(after.exists(_._1 == fresh),
       s"appended 2-hop id $fresh not served (read-your-writes broken)")
     require(before.forall { case (id, _) => id != fresh })
-    // delete `mid` itself — an id INSIDE the adopted ranges, so the
-    // copy-on-write rewrite touches the covering (multi-million-row)
-    // primary + mirror files, the honest point-delete cost at 1B; the
-    // ADOPTED lake files are never modified (old versions reference
-    // them; the rewrite lands under the store root)
+    // delete `mid` itself — an id INSIDE the adopted ranges. r11 measured
+    // the copy-on-write form at 19.0 s here (it rewrote the covering
+    // multi-million-row primary + mirror files); the TOMBSTONE form
+    // (VERDICT r11 next #1) commits one driver-written tombstone file —
+    // the point delete joins the append latency class, and the serving
+    // paths exclude the vertex record-level from the cached driver index.
+    // Pass `cow` to run the old copy-on-write leg for comparison.
     t1 = System.nanoTime()
-    val v3 = st.deleteVertex(v2, mid)
-    println(f"[adopt] delete_vertex_cow   ${(System.nanoTime() - t1) / 1e9}%8.2f s   (v$v3)")
+    val v3 =
+      if (args.contains("cow")) st.deleteVertex(v2, mid)
+      else st.deleteVertexTombstone(v2, mid)
+    val delLabel = if (args.contains("cow")) "delete_vertex_cow " else "delete_vertex_tomb"
+    println(f"[adopt] $delLabel  ${(System.nanoTime() - t1) / 1e9}%8.2f s   (v$v3)")
     t1 = System.nanoTime()
     st.servedFofRows(v3, v0).get
     println(f"[adopt] fof_rows_after_delete ${(System.nanoTime() - t1) / 1e6}%6.1f ms")
@@ -179,6 +184,93 @@ object WikiAdoptServeProbe {
     // old versions stay readable (time travel): v2 still serves `fresh`
     require(st.servedFofRows(v2, v0, topK = bigK).get.exists(_._1 == fresh),
       "time travel broken: v2 lost the appended edge after v3's delete")
+
+    // ---- P3 at 1B: point UPDATE as tombstone + re-append in one
+    // commit (updateEdgeDelta) — the append class, where the COW
+    // updateEdges would rewrite the covering multi-million-row files ----
+    val upDst = {
+      val hop1 = st.pointReadLocal(v3, v0)
+      require(hop1.nonEmpty, "query vertex lost its out-edges")
+      hop1.head(1).asInstanceOf[Long]
+    }
+    t1 = System.nanoTime()
+    val v3u = st.updateEdgeDelta(v3, v0, upDst, "weight", lit(0.5))
+    println(f"[adopt] update_edge_delta   ${(System.nanoTime() - t1) / 1e9}%8.2f s   (v$v3u)")
+    t1 = System.nanoTime()
+    val wIdx = org.apache.spark.sql.types.StructType.fromDDL(
+      st.manifest(v3u).schemaDDL).fieldNames.indexOf("weight")
+    val upRows = st.pointReadLocal(v3u, v0).filter(_(1) == upDst)
+    println(f"[adopt] point_read_after_update ${(System.nanoTime() - t1) / 1e6}%6.1f ms")
+    require(upRows.nonEmpty && upRows.forall(_(wIdx) == 0.5),
+      "updated weight not served")
+    require(st.pointReadLocal(v3, v0).filter(_(1) == upDst)
+      .exists(_(wIdx) != 0.5), "time travel broken: v3 shows the update")
+
+    // ---- SERVED TRAVERSAL at 1B (VERDICT r11 next #3): bidirectional
+    // BFS entirely on the driver — frontier hops as pushed-IN reads
+    // against the adopted primary + mirror (the servedFof mechanism
+    // generalized one level, reference Queries.scala:107-194). Three
+    // legs: a 2-hop meet, a same-copy far vertex, and a CROSS-COPY pair
+    // (the fixture's copies are disjoint, so the correct answer is
+    // "no path" after both spheres exhaust their copy). ----
+    val twoHop = afterDel.head._1
+    for ((label, target) <- Seq(
+        ("bfs_2hop", twoHop),
+        ("bfs_far_same_copy", mid + 1),
+        ("bfs_cross_copy_unreach", v0 + 10000000L))) {
+      t1 = System.nanoTime()
+      val r = st.servedShortestPath(v3, v0, target, maxDepth = 4)
+      val ms = (System.nanoTime() - t1) / 1e6
+      println(f"[adopt] $label%-24s $ms%8.1f ms   -> ${
+        r.map(_.map(_.toString).getOrElse("unreachable")).getOrElse("REFUSED")}")
+      require(r.isDefined, s"served BFS refused at 1B ($label)")
+      if (label == "bfs_2hop") require(r.get.contains(2L), s"2-hop dist ${r.get}")
+      if (label == "bfs_cross_copy_unreach") require(r.get.isEmpty,
+        "cross-copy path found on a disjoint-copy fixture")
+    }
+
+    // ---- READ-WHILE-COMPACT soak (VERDICT r11 next #6): compact v3 —
+    // the first compaction this adopted store has seen, with a live
+    // delta AND a live tombstone to reclaim — while concurrent clients
+    // keep serving v3 (version-pinned reads: compaction writes NEW
+    // files, never touches v3's). qps/p99 during the window is the
+    // claim; post-compact the new version serves the same answer with
+    // the tombstone physically applied. ----
+    val stopSoak = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val soakLat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val soakBad = new java.util.concurrent.atomic.AtomicInteger()
+    val expect3 = st.servedFofRows(v3, v0).get
+    val soakers = (0 until 4).map { c =>
+      val t = new Thread(() => {
+        while (!stopSoak.get()) {
+          val s0 = System.nanoTime()
+          val r = st.servedFofRows(v3, v0)
+          soakLat.add(System.nanoTime() - s0)
+          if (!r.contains(expect3)) soakBad.incrementAndGet()
+        }
+      }, s"soak-$c")
+      t.start(); t
+    }
+    t1 = System.nanoTime()
+    val v4 = st.compact(v3)
+    val compactS = (System.nanoTime() - t1) / 1e9
+    stopSoak.set(true)
+    soakers.foreach(_.join())
+    val soak = {
+      val b = Seq.newBuilder[Long]
+      val it = soakLat.iterator(); while (it.hasNext) b += it.next().longValue()
+      b.result()
+    }
+    println(f"[adopt] compact_reclaim     $compactS%8.2f s   (v$v4, " +
+      f"${soak.size / compactS}%.1f qps during compact, " +
+      f"median ${medMs(soak)}%.1f ms, p99 ${p99Ms(soak)}%.1f ms, " +
+      f"mismatches=${soakBad.get()})")
+    require(soakBad.get() == 0, "serving diverged during compaction")
+    val m4 = st.manifest(v4)
+    require(m4.tombs.isEmpty, "compaction left tombstones behind")
+    require(st.servedFofRows(v4, v0, topK = bigK).get ==
+      st.servedFofRows(v3, v0, topK = bigK).get,
+      "compaction changed the served answer")
     spark.stop()
   }
 }

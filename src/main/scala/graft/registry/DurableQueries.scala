@@ -236,6 +236,28 @@ object DurableQueries {
           |       count(*) AS n
           |FROM edges""".stripMargin))),
 
+    // ---- P3 in the APPEND class: point update as tombstone +
+    //      re-append in one atomic commit (updateEdgeDelta) — the
+    //      reference's in-place setEdgeValue
+    //      (GraphChiDatabase.scala:1245-1271) re-expressed over
+    //      immutable files: no base rewrite, O(rows touched) ----
+    ("p3b_update_edge_delta",
+      (s: SparkSession, d: String) => {
+        val st = baseStore(s, d)
+        val v = minSrcVal(s, d)
+        val w = st.read(1).filter(col("src") === v).agg(min("dst")).head().getLong(0)
+        val nv = st.updateEdgeDelta(1, v, w, "rating", lit(9))
+        reopen(s, st).read(nv)
+          .agg(sum(col("rating")).cast("long").as("rating_sum"),
+               count(lit(1)).as("n"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """SELECT CAST(sum(CASE WHEN src = (SELECT min(src) FROM edges)
+          |                      AND dst = (SELECT min(dst) FROM edges WHERE src = (SELECT min(src) FROM edges))
+          |                     THEN 9 ELSE rating END) AS BIGINT) AS rating_sum,
+          |       count(*) AS n
+          |FROM edges""".stripMargin))),
+
     // ---- P4 durable: point delete persisted as an O(1) TOMBSTONE
     //      (reference GraphChiDatabase.scala:1273-1305 — DELETED_TYPE
     //      marker, reclaimed at merge): the commit writes one tiny
