@@ -342,7 +342,8 @@ class DurableStore(val spark: SparkSession, val root: String,
     * directions, not out-wall + in-wall. */
   private[graft] def localReadLongsMulti(tasks: Seq[(StoreFile, String, String)],
                                   keys: Array[Long],
-                                  tombs: Seq[TombEntry] = Nil): Array[Long] = {
+                                  tombs: Seq[TombEntry] = Nil,
+                                  pairs: Boolean = false): Array[Long] = {
     import org.apache.parquet.filter2.compat.FilterCompat
     import org.apache.parquet.filter2.predicate.FilterApi
     import scala.concurrent.duration._
@@ -396,7 +397,7 @@ class DurableStore(val spark: SparkSession, val root: String,
         .build()
       val reader = new org.apache.parquet.hadoop.ParquetFileReader(
         serveConf, path, footer, options)
-      val mat = new LongsMaterializer(requested, outCol, sortedKeys, excl)
+      val mat = new LongsMaterializer(requested, outCol, sortedKeys, excl, pairs)
       try {
         reader.setRequestedSchema(requested)
         val cio = new org.apache.parquet.io.ColumnIOFactory()
@@ -625,6 +626,101 @@ class DurableStore(val spark: SparkSession, val root: String,
     else Some(localReadLongsMulti(
       outHit.map((_, "src", "dst")) ++ inHit.map((_, "dst", "src")),
       sorted, cachedTombIndexM(m)))
+  }
+
+  /** Q6 SERVED: the single-source shortest-path TREE (dist + parent per
+    * reached vertex, reference Queries.scala:198-243) computed entirely
+    * on the driver — each BFS level is one [[localReadPairsMulti]] round
+    * (pushed-IN reads returning (parent, child) pairs), the parent rule
+    * is MIN predecessor at dist-1, exactly [[Traversals.ssspTree]]'s
+    * deterministic tree (level-synchronous expansion makes the per-level
+    * min equal the global min over dist-1 predecessors; property-pinned
+    * equal). Returns (id, dist, parent) rows, source parent = itself.
+    * `None` = refused (unindexed store for symmetric/in hops, budgets,
+    * or a frontier past `frontierGate`) — fall back to the distributed
+    * [[Traversals.ssspTree]]. */
+  def servedSsspTree(v: Int, src: Long, maxDepth: Int,
+                     symmetric: Boolean = true,
+                     frontierGate: Int = 1 << 16,
+                     localFileBudget: Int = ServeLocalFileBudget,
+                     localDeltaRowBudget: Long = ServeLocalDeltaRowBudget)
+      : Option[Seq[(Long, Long, Long)]] = {
+    val m = manifest(v)
+    if (m.schemaDDL.isEmpty) return None
+    if (symmetric && m.mbounds.isEmpty) return None
+    if (m.tombs.map(_.rows).sum > ServeTombRowBudget) return None
+    val tombs = cachedTombIndexM(m)
+    val dist = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    dist.put(src, 0L); parent.put(src, src)
+    var fr = Array(src)
+    var d = 0L
+    while (fr.nonEmpty && d < maxDepth) {
+      d += 1
+      val keys = fr.sorted
+      val outHit = m.files.filter(coversAny(keys, _.srcMin, _.srcMax))
+      val inHit =
+        if (!symmetric) Nil
+        else (m.mirror ++ m.files.filterNot(_.sorted))
+          .filter(coversAny(keys, _.dstMin, _.dstMax))
+      val all = outHit ++ inHit
+      if (all.count(_.sorted) > localFileBudget ||
+          all.filterNot(_.sorted).map(_.rows).sum > localDeltaRowBudget)
+        return None
+      // both directions map the FILTER side to the parent: out tasks
+      // filter src (parent) and emit dst (child); in tasks filter dst
+      // (parent, a frontier vertex) and emit src (child)
+      val (pv, cv) = localReadPairsMulti(
+        outHit.map((_, "src", "dst")) ++ inHit.map((_, "dst", "src")),
+        keys, tombs)
+      val levelPar = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      var i = 0
+      while (i < cv.length) {
+        val c = cv(i); val p = pv(i)
+        if (!dist.containsKey(c)) {
+          val cur = levelPar.get(c)
+          if ((cur eq null) || p < cur.longValue())
+            levelPar.put(c, java.lang.Long.valueOf(p))
+        }
+        i += 1
+      }
+      if (levelPar.size > frontierGate) return None
+      val next = new Array[Long](levelPar.size)
+      var j = 0
+      val it = levelPar.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        dist.put(e.getKey, d)
+        parent.put(e.getKey, e.getValue)
+        next(j) = e.getKey.longValue()
+        j += 1
+      }
+      fr = next
+    }
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    val it = dist.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out += ((e.getKey.longValue(), e.getValue.longValue(),
+        parent.get(e.getKey).longValue()))
+    }
+    Some(out.result())
+  }
+
+  /** (parent, child) pair form of [[localReadLongsMulti]]: same routing,
+    * pushed `in` predicate, page pruning and tombstone exclusion, but
+    * each matching record contributes BOTH sides — the filter-column
+    * value and the out-column value — as parallel arrays. The served
+    * SSSP tree needs the edge, not just the endpoint. */
+  private def localReadPairsMulti(tasks: Seq[(StoreFile, String, String)],
+                                  keys: Array[Long],
+                                  tombs: Seq[TombEntry]): (Array[Long], Array[Long]) = {
+    val packed = localReadLongsMulti(tasks, keys, tombs, pairs = true)
+    val n = packed.length / 2
+    val fv = new Array[Long](n); val ov = new Array[Long](n)
+    var i = 0
+    while (i < n) { fv(i) = packed(2 * i); ov(i) = packed(2 * i + 1); i += 1 }
+    (fv, ov)
   }
 
   /** Q5 SERVED: bidirectional BFS distance between two vertices, driver
@@ -895,6 +991,56 @@ class DurableStore(val spark: SparkSession, val root: String,
   /** Single-vertex convenience of [[deleteVerticesTombstone]]. */
   def deleteVertexTombstone(fromV: Int, v: Long): Int =
     deleteVerticesTombstone(fromV, Seq(v))
+
+  /** One CDC micro-batch — `inserts` appended as a delta AND
+    * `deletePairs` tombstoned — in ONE idempotent commit (the streaming
+    * change-feed form of the reference's online mutation surface:
+    * buffered inserts GraphChiDatabase.scala:913-938 + tombstone deletes
+    * :1273-1305, arriving as a single ordered feed). Semantics: deletes
+    * apply to the rows visible BEFORE this batch (tombstone and delta
+    * share one sequence number, so a pair deleted AND re-inserted in the
+    * same batch ends present — change feeds collapse to last-state per
+    * key upstream); a non-negative `batchId` at or below the manifest
+    * watermark makes the WHOLE batch a no-op, so streaming replays
+    * cannot double-append or re-kill a later re-insert. Delete sets are
+    * driver-resident point ops — loudly gated, not silently spilled. */
+  def applyCdc(fromV: Int, inserts: DataFrame, deletePairs: Seq[(Long, Long)],
+               batchId: Long = -1L): Int = {
+    require(deletePairs.size <= (1 << 20),
+      s"applyCdc: ${deletePairs.size} deletes in one batch — a bulk delete " +
+        "belongs on deleteEdges (copy-on-write), not the CDC point path")
+    commitOpt(fromV) { (m, nv) =>
+      if (batchId >= 0 && m.lastBatch >= batchId) None
+      else {
+        val sq = m.maxSeq + 1
+        val tombs =
+          if (deletePairs.isEmpty) Nil
+          else {
+            val dir = Paths.get(root, s"v$nv")
+            Files.createDirectories(dir)
+            val p = dir.resolve("tomb-edges.parquet").toString
+            writeTombParquet(serveConf, p, vertex = false, deletePairs)
+            Seq(TombFile(sq, vertex = false, p,
+              deletePairs.map(_._1).min, deletePairs.map(_._1).max,
+              deletePairs.map(_._2).min, deletePairs.map(_._2).max,
+              deletePairs.size))
+          }
+        val delta =
+          if (inserts.isEmpty) Nil
+          else {
+            val ordered =
+              if (m.schemaDDL.isEmpty) inserts
+              else inserts.select(org.apache.spark.sql.types.StructType
+                .fromDDL(m.schemaDDL).fieldNames.map(col).toSeq: _*)
+            writeDelta(ordered.localCheckpoint(true), s"$root/v$nv/delta")
+              .map(_.copy(seq = sq))
+          }
+        if (tombs.isEmpty && delta.isEmpty) None
+        else Some(m.copy(files = m.files ++ delta, tombs = m.tombs ++ tombs,
+          lastBatch = math.max(m.lastBatch, batchId)))
+      }
+    }
+  }
 
   /** P3 in the reference's latency class: point UPDATE as tombstone +
     * re-append in ONE atomic commit (the reference's setEdgeValue writes
@@ -1313,7 +1459,8 @@ object DurableStore {
   private final class LongsMaterializer(
       requested: org.apache.parquet.schema.MessageType,
       outCol: String, sortedKeys: Array[Long],
-      excl: (Long, Long) => Boolean = null)
+      excl: (Long, Long) => Boolean = null,
+      pairs: Boolean = false)
       extends org.apache.parquet.io.api.RecordMaterializer[java.lang.Long] {
     import org.apache.parquet.io.api._
     // matching outCol values, collected UNBOXED
@@ -1342,8 +1489,10 @@ object DurableStore {
       def end(): Unit =
         if (hasF && hasO &&
             java.util.Arrays.binarySearch(sortedKeys, fv) >= 0 &&
-            (excl == null || !excl(fv, ov)))
+            (excl == null || !excl(fv, ov))) {
+          if (pairs) matches += fv
           matches += ov
+        }
     }
     // NEVER null (a null record means end-of-input to callers); the
     // returned record is a dummy — results accumulate in `matches`

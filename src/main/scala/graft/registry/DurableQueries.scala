@@ -136,7 +136,63 @@ object DurableQueries {
       root
     })
 
+  /** S20 substrate: a CHANGE-DATA-CAPTURE feed replayed through a REAL
+    * Structured Streaming query ([[graft.streaming.OnlineIngest
+    * .ingestCdc]]): the full order graph bulk-loads a store, then batch 1
+    * DELETES every out-edge of the min customer (op "d" rows → one
+    * tombstone commit) and batch 2 RE-INSERTS its min-dst edge (op "i"
+    * rows → delta at a later sequence number, surviving the tombstone),
+    * with compaction folding both into the sorted buckets. Built once
+    * per (session, fixture). */
+  private val cdcStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def cdcStoreRoot(s: SparkSession, d: String): String =
+    cdcStores.computeIfAbsent(s"${s.sparkContext.applicationId}|$d", _ => {
+      val watch = tempDir("graft-cdc-in")
+      val root = tempDir("graft-cdc-store")
+      val e = Tables.orderEdges(s, d).localCheckpoint(true)
+      val st = DurableStore.create(s, e, root)
+      val v = e.agg(min("src")).head().getLong(0)
+      val w = e.filter(col("src") === v).agg(min("dst")).head().getLong(0)
+      e.filter(col("src") === v).withColumn("_op", lit("d"))
+        .coalesce(1).write.parquet(s"$watch/b1.parquet")
+      e.filter(col("src") === v && col("dst") === w).withColumn("_op", lit("i"))
+        .coalesce(1).write.parquet(s"$watch/b2.parquet")
+      val schema = s.read.parquet(s"$watch/b1.parquet").schema
+      graft.streaming.OnlineIngest
+        .ingestCdc(s, schema, s"$watch/*", st, compactEvery = 2)
+        .awaitTermination()
+      root
+    })
+
   val entries: Seq[QueryEntry] = Seq(
+
+    // ---- S20: streaming CDC ingest — deletes arrive as tombstone
+    //      commits, inserts as deltas, replay-idempotent, physically
+    //      folded by in-stream compaction; the oracle checks the exact
+    //      final state (delete-all-then-re-insert-one across batches is
+    //      the sequence-scoping proof under a real stream) ----
+    ("s20_streaming_cdc",
+      (s: SparkSession, d: String) => {
+        val root = cdcStoreRoot(s, d)
+        val st = new DurableStore(s, root)
+        val m = st.manifest(st.currentVersion)
+        require(m.tombs.isEmpty && m.files.forall(_.sorted),
+          "in-stream compaction must fold CDC tombstones and deltas")
+        st.readLatest()
+          .agg(count(lit(1)).as("n"), sum(cents(col("weight"))).as("wsum_cents"))
+      },
+      Some(withSql(Oracle.EDGES,
+        """, fin AS (
+          |  SELECT * FROM edges WHERE src <> (SELECT min(src) FROM edges)
+          |  UNION ALL
+          |  SELECT * FROM edges
+          |  WHERE src = (SELECT min(src) FROM edges)
+          |    AND dst = (SELECT min(dst) FROM edges WHERE src = (SELECT min(src) FROM edges)))
+          |SELECT count(*) AS n,
+          |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS wsum_cents
+          |FROM fin""".stripMargin))),
 
     // ---- N1 served from the durable store's manifest-pruned point-read
     //      path (readForSrc: only files whose [srcMin, srcMax] cover the
@@ -220,6 +276,43 @@ object DurableQueries {
           |  UNION
           |  SELECT n.dst, w.dist + 1 FROM walk w JOIN sym n ON w.id = n.src WHERE w.dist < 4)
           |SELECT CAST(min(dist) AS BIGINT) AS dist FROM walk WHERE id IN (SELECT tid FROM t)""".stripMargin))),
+
+    // ---- Q6 SERVED: the single-source shortest-path TREE (dist +
+    //      min-parent, reference Queries.scala:198-243) computed on the
+    //      driver — one pushed-IN pair read per BFS level, zero Spark
+    //      jobs at serving scale; past the frontier gate it falls back
+    //      to the distributed Traversals.ssspTree (same tree — the
+    //      min-parent rule is level-order-independent) ----
+    ("q6s_sssp_served",
+      (s: SparkSession, d: String) => {
+        val st = baseStore(s, d)
+        val vm = mirrorVersion(s, d)
+        val from = minSrcVal(s, d)
+        st.servedSsspTree(vm, from, maxDepth = 3) match {
+          case Some(rows) =>
+            import s.implicits._
+            rows.toDF("id", "dist", "parent")
+          case None =>
+            val e = Tables.orderEdges(s, d).select("src", "dst")
+            val sym = e.unionByName(
+              e.select(col("dst").as("src"), col("src").as("dst")))
+            Traversals.ssspTree(sym,
+              s.range(1).select(lit(from).as("id")), maxDepth = 3)
+        }
+      },
+      Some(withSql(Oracle.EDGES,
+        """, f AS (SELECT min(src) AS s FROM edges),
+          |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+          |walk(id, dist) AS (
+          |  SELECT s, 0 FROM f
+          |  UNION
+          |  SELECT n.dst, w.dist + 1 FROM walk w JOIN sym n ON w.id = n.src WHERE w.dist < 3),
+          |dd AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY id),
+          |par AS (SELECT n.dst AS id, min(n.src) AS parent
+          |        FROM sym n JOIN dd p ON n.src = p.id JOIN dd c ON n.dst = c.id
+          |        WHERE c.dist = p.dist + 1 GROUP BY n.dst)
+          |SELECT d.id, d.dist, COALESCE(par.parent, d.id) AS parent
+          |FROM dd d LEFT JOIN par ON d.id = par.id""".stripMargin))),
 
     // ---- P3 durable: updateEdge persisted by bucket rewrite ----
     ("p3_update_edge_store",

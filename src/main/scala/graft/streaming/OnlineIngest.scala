@@ -73,6 +73,31 @@ object OnlineIngest {
       }
       .start()
 
+  /** CDC ingest: the stream's rows carry an `_op` column — "i" rows are
+    * edge inserts, "d" rows name (src, dst) pairs to delete. Each
+    * micro-batch lands as ONE idempotent [[graft.DurableStore.applyCdc]]
+    * commit: inserts become a delta, deletes become a tombstone at the
+    * same sequence number (deletes apply to pre-batch state; a replayed
+    * batch is a no-op via the manifest watermark, so a restart cannot
+    * re-kill a later re-insert). Every `compactEvery` batches the
+    * tombstones and deltas are physically folded into the sorted buckets
+    * — the LSM cycle under a change feed, end to end. */
+  def ingestCdc(spark: SparkSession, schema: StructType, dir: String,
+                store: graft.DurableStore, compactEvery: Int = 4): StreamingQuery =
+    edgeStream(spark, schema, dir).writeStream
+      .option("checkpointLocation", s"${store.root}/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        val dels = b.filter(col("_op") === "d").select("src", "dst")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val ins = b.filter(col("_op") === "i").drop("_op")
+        val v = store.applyCdc(store.currentVersion, ins, dels, batchId)
+        if ((batchId + 1) % compactEvery == 0) store.compact(v)
+        ()
+      }
+      .start()
+
   case class Ev(user_id: Long, ts_us: Long, cents: Long)
   case class SessionState(start: Long, last: Long, n: Long, cents: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long,

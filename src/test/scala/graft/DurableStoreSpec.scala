@@ -613,6 +613,35 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(rowSet(st.read(v2)) == exp77)
   }
 
+  test("applyCdc: delete+insert in one commit; replay is a no-op; cross-batch re-insert survives") {
+    val st = freshMirrored(base: _*)
+    // batch 0: delete (1,10) and (5,10), insert (21,10) — one commit
+    val v2 = st.applyCdc(1, edges((21L, 10L)),
+      Seq((1L, 10L), (5L, 10L)), batchId = 0L)
+    val exp2 = rowSet(edges(base.filterNot(t => t == (1L, 10L) || t == (5L, 10L))
+      :+ (21L, 10L): _*))
+    assert(rowSet(st.read(v2)) == exp2)
+    assert(rowSet(st.readMirror(v2)) == exp2)
+    // REPLAY of batch 0 (streaming restart): whole batch is a no-op —
+    // neither a duplicate insert nor a re-fired tombstone
+    assert(st.applyCdc(v2, edges((21L, 10L)), Seq((1L, 10L)), batchId = 0L) == v2)
+    // batch 1 re-inserts a pair batch 0 deleted: the later sequence
+    // number survives batch 0's tombstone
+    val v3 = st.applyCdc(v2, edges((1L, 10L)), Nil, batchId = 1L)
+    val exp3 = rowSet(edges(base.filterNot(_ == (5L, 10L)) :+ (21L, 10L): _*))
+    assert(rowSet(st.read(v3)) == exp3)
+    // same-batch delete+re-insert of one pair: deletes apply to
+    // PRE-batch state, the batch's own insert lands (change-feed
+    // last-state semantics)
+    val v4 = st.applyCdc(v3, edges((9L, 12L)), Seq((9L, 12L)), batchId = 2L)
+    assert(rowSet(st.read(v4)) == exp3) // same multiset: one (9,12) out, one in
+    // compaction folds everything; values unchanged
+    val v5 = st.compact(v4)
+    assert(st.manifest(v5).tombs.isEmpty)
+    assert(rowSet(st.read(v5)) == exp3)
+    assert(rowSet(st.readMirror(v5)) == exp3)
+  }
+
   test("served multi-key hops == routed distributed reads (deltas + tombstones crossed)") {
     // VERDICT r11 next #7: the N3-class zero-job frontier hop. The store
     // state crosses every file kind: sorted buckets, an appended delta,
@@ -670,6 +699,23 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(st.servedShortestPath(v3, verts.head, 999999L, maxDepth = 3)
       .contains(None))
     assert(fresh(base: _*).servedShortestPath(1, 1L, 5L).isEmpty)
+  }
+
+  test("servedSsspTree == Traversals.ssspTree (min-parent), deltas + tombstones crossed") {
+    val st = freshMirrored(base: _*)
+    val v2 = st.append(1, edges((10L, 17L), (11L, 30L)))
+    val v3 = st.deleteEdgeTombstone(v2, 1L, 10L)
+    val e = st.read(v3).select("src", "dst")
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    for (srcV <- Seq(1L, 9L, 30L); depth <- Seq(1, 3, 6)) {
+      val served = st.servedSsspTree(v3, srcV, depth).get.toSet
+      val from = spark.range(1).select(lit(srcV).as("id"))
+      val expect = Traversals.ssspTree(sym, from, depth)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(served == expect, s"src=$srcV depth=$depth")
+    }
+    // unindexed stores refuse the symmetric walk (needs the mirror)
+    assert(fresh(base: _*).servedSsspTree(1, 1L, 3).isEmpty)
   }
 
   test("adopt rejects a wrong/stale mirrorDir by metadata alone") {
