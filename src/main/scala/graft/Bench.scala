@@ -36,6 +36,7 @@ object Bench {
     Tables.edgeStoreZPath(spark, sfDir)
     registry.DurableQueries.baseStore(spark, sfDir) // durable bulk load
     registry.DurableQueries.ingestedStoreRoot(spark, sfDir) // s6 streaming ingest fixture
+    registry.DurableQueries.cdcStoreRoot(spark, sfDir) // s20 CDC replay fixture
     registry.DurableQueries.mirrorVersion(spark, sfDir) // n2's in-edge mirror index
     registry.DurableQueries.adoptedStore(spark, sfDir) // q1a's in-place-indexed lake
     registry.VectorQueries.ivfStorePath(spark, sfDir) // IVF cell partitions
