@@ -121,10 +121,16 @@ class DurableStore(val spark: SparkSession, val root: String,
     val cleaned = applicable.foldLeft(base) { (df, t) =>
       val scope = if (uniform) lit(true) else col("_seq") < lit(t.seq)
       if (t.vertex) {
+        // TWO chained equi anti-joins, not one OR condition: removing
+        // rows matching (src ∈ V) ∪ (dst ∈ V) is remove-src-matches
+        // then remove-dst-matches, and each equi form stays a
+        // BroadcastHashJoin where the OR would plan a
+        // BroadcastNestedLoopJoin — O(rows × tombstone-ids) on every
+        // read and compaction (review r12)
         val tv = broadcast(readFiles(spark, partPaths(t.path))
           .select(col("v").as("_tv")))
-        df.join(tv, (col("src") === col("_tv") || col("dst") === col("_tv"))
-          && scope, "left_anti")
+        df.join(tv, col("src") === col("_tv") && scope, "left_anti")
+          .join(tv, col("dst") === col("_tv") && scope, "left_anti")
       } else {
         val tp = broadcast(readFiles(spark, partPaths(t.path))
           .select(col("src").as("_tsrc"), col("dst").as("_tdst")))
@@ -262,6 +268,15 @@ class DurableStore(val spark: SparkSession, val root: String,
     * [[DurableStore.ServeTombRowBudget]] BEFORE loading. */
   private def cachedTombIndexM(m: Manifest): Seq[TombEntry] = {
     if (m.tombs.isEmpty) return Nil
+    // loud, not slow (review r12): the driver point paths return rows,
+    // not Option, so they cannot fall back — past the budget the store
+    // has earned a compact() (which reclaims the tombstones) or the
+    // distributed read, and silently loading millions of tombstone rows
+    // here would break the sub-100 ms serving contract instead
+    require(m.tombs.map(_.rows).sum <= ServeTombRowBudget,
+      s"$root v${m.version}: ${m.tombs.map(_.rows).sum} live tombstone rows " +
+        s"exceed the driver serving budget ($ServeTombRowBudget) — " +
+        "compact() to reclaim them, or read through the distributed paths")
     val key = s"$root@${m.version}"
     val hit = tombIndexCache.get(key)
     if (hit != null) return hit
@@ -755,8 +770,12 @@ class DurableStore(val spark: SparkSession, val root: String,
     var dA = 0L
     var dB = 0L
     var met: Option[Long] = None
-    while (met.isEmpty && dA + dB < maxDepth && (frA.nonEmpty || frB.nonEmpty)) {
-      val expandA = frB.isEmpty || (frA.nonEmpty && frA.length <= frB.length)
+    // AND, not OR (review r12): a side exhausting its frontier without a
+    // meet has fully explored its component — had the other endpoint been
+    // in it, the expansion would have discovered it (bd = 0 meet) — so
+    // continuing to drain the surviving side is pure wasted serving I/O
+    while (met.isEmpty && dA + dB < maxDepth && frA.nonEmpty && frB.nonEmpty) {
+      val expandA = frA.length <= frB.length
       val (fr, vis, other, d) =
         if (expandA) { dA += 1; (frA, visA, visB, dA) }
         else { dB += 1; (frB, visB, visA, dB) }
@@ -1082,9 +1101,16 @@ class DurableStore(val spark: SparkSession, val root: String,
       if (hit.isEmpty) None
       else {
         import scala.jdk.CollectionConverters._
+        // CAST to the column's declared type (the COW path coerces via
+        // when/otherwise the same way): a bare lit(9) on a LongType
+        // column would otherwise write an INT32 delta into an INT64
+        // store — mixed-footer reads throw or silently flip the column
+        // type at the next compaction (review r12)
+        require(schema.fieldNames.contains(column),
+          s"updateEdgeDelta: no column '$column' in ${schema.fieldNames.mkString(", ")}")
         val updated = spark.createDataFrame(
           hit.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
-          .withColumn(column, value)
+          .withColumn(column, value.cast(schema(column).dataType))
           .select(schema.fieldNames.map(col).toSeq: _*)
         val sq = m.maxSeq + 1
         val dir = Paths.get(root, s"v$nv")
@@ -1510,13 +1536,23 @@ object DurableStore {
     * sawtooth). Values are immutable; a racing duplicate load is
     * harmless, so the lock is only held for the map operation itself. */
   private final class LruCache[V](cap: Int) {
-    private val m = new java.util.LinkedHashMap[String, V](
+    // STRIPED 16 ways (review r12): access-ordered gets mutate LRU state,
+    // so even cache hits need the stripe lock — one global lock would
+    // serialize every concurrent serving client on the hottest path.
+    // Each stripe is its own bounded LRU; aggregate capacity = cap.
+    private val Stripes = 16
+    private def seg(cap: Int) = new java.util.LinkedHashMap[String, V](
         cap * 4 / 3 + 1, 0.75f, /* accessOrder = */ true) {
       override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
         size() > cap
     }
-    def get(k: String): V = m.synchronized(m.get(k))
-    def put(k: String, v: V): Unit = m.synchronized { m.put(k, v); () }
+    private val m = Array.fill(Stripes)(seg(math.max(1, cap / Stripes)))
+    private def stripe(k: String) =
+      m((k.hashCode & Int.MaxValue) % Stripes)
+    def get(k: String): V = { val s = stripe(k); s.synchronized(s.get(k)) }
+    def put(k: String, v: V): Unit = {
+      val s = stripe(k); s.synchronized { s.put(k, v); () }
+    }
   }
 
   /** Footer cache for driver-local serving reads, shared across stores:
@@ -1582,10 +1618,16 @@ object DurableStore {
       else "message tomb { required int64 src; required int64 dst; }")
     val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
     // the builder sets the schema INTO the conf (GroupWriteSupport
-    // contract) — copy so the caller's shared serving conf stays immutable
+    // contract) — copy so the caller's shared serving conf stays immutable.
+    // OVERWRITE, like writeManifest's TRUNCATE and writeDelta's
+    // SaveMode.Overwrite: the path is deterministic (v$nv/tomb-*.parquet),
+    // so a file already there can only be a crash orphan whose version was
+    // never committed — CREATE mode would wedge every retry of the delete
+    // on FileAlreadyExists (review r12)
     val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
       .builder(new org.apache.hadoop.fs.Path(path))
       .withConf(new org.apache.hadoop.conf.Configuration(conf))
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
       .withType(schema).build()
     try rows.foreach { case (a, b) =>
       val g = gf.newGroup()

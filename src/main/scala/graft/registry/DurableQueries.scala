@@ -27,9 +27,12 @@ object DurableQueries {
       val path = java.nio.file.Paths.get(p)
       if (java.nio.file.Files.exists(path)) {
         val walk = java.nio.file.Files.walk(path)
+        // NonFatal, not IOException: the walk's iterator throws
+        // UncheckedIOException, which would otherwise kill the hook
+        // thread and leak every remaining queued root (review r12)
         try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-        catch { case _: java.io.IOException => () }
+        catch { case scala.util.control.NonFatal(_) => () }
         finally walk.close()
       }
     }))
