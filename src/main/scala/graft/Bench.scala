@@ -39,6 +39,7 @@ object Bench {
     registry.DurableQueries.cdcStoreRoot(spark, sfDir) // s20 CDC replay fixture
     registry.DurableQueries.mirrorVersion(spark, sfDir) // n2's in-edge mirror index
     registry.DurableQueries.adoptedStore(spark, sfDir) // q1a's in-place-indexed lake
+    registry.DurableQueries.vertexVersionPair(spark, sfDir) // p6b/p9b's vertex side-table lifecycle
     registry.VectorQueries.ivfStorePath(spark, sfDir) // IVF cell partitions
     ALSRec.warmOracleDump(spark, sfDir) // q11's oracle-only factor dump
     registry.EventQueries.warmWikiStore(spark, sfDir) // s2c dump→store ingest

