@@ -271,6 +271,104 @@ object WikiAdoptServeProbe {
     require(st.servedFofRows(v4, v0, topK = bigK).get ==
       st.servedFofRows(v3, v0, topK = bigK).get,
       "compaction changed the served answer")
+
+    // ---- DURABLE VERTEX COLUMNS at 1B (VERDICT r12 missing #2): attach
+    // a property side-table over every distinct src (one id-sorted bulk
+    // write), then the ONLINE cycle the reference runs on its mmap
+    // columns (Column.scala:48-78): point SET in the append class,
+    // zero-job served point GET + getMany, read-your-writes, time
+    // travel. ----
+    t1 = System.nanoTime()
+    val vprops = st.read(v4).select(col("src").as("id")).distinct()
+      .withColumn("label", lit("v"))
+      .withColumn("score", pmod(col("id"), lit(100L)))
+    val vv1 = st.setVertexTable(v4, vprops,
+      defaults = Map("label" -> "'auto'", "score" -> "0"))
+    val nVerts = st.manifest(vv1).vfiles.map(_.rows).sum
+    println(f"[adopt] vertex_table_bulk   ${(System.nanoTime() - t1) / 1e9}%8.2f s" +
+      f"   ($nVerts%d vertices, v$vv1)")
+    t1 = System.nanoTime()
+    val vv2 = st.setVertexProp(vv1, v0, "score", lit(4242L))
+    println(f"[adopt] vertex_point_set    ${(System.nanoTime() - t1) / 1e9}%8.2f s   (v$vv2)")
+    t1 = System.nanoTime()
+    val got = st.servedVertexRow(vv2, v0).get
+    println(f"[adopt] vertex_point_get    ${(System.nanoTime() - t1) / 1e6}%6.1f ms   -> $got")
+    require(got(2) == 4242L, s"updated vertex score not served: $got")
+    require(st.servedVertexRow(vv1, v0).get.apply(2) != 4242L,
+      "time travel broken: vv1 shows the vertex update")
+    // first-touch auto-fill: an id with no row materializes the defaults
+    val freshVid = m.files.map(_.srcMax).max + 2000000L
+    t1 = System.nanoTime()
+    val vv3 = st.setVertexProp(vv2, freshVid, "score", lit(7L))
+    println(f"[adopt] vertex_first_touch  ${(System.nanoTime() - t1) / 1e9}%8.2f s   (v$vv3)")
+    require(st.servedVertexRow(vv3, freshVid).get == Seq(freshVid, "auto", 7L))
+    // served getMany over the sampled real ids (minus `mid`, whose rows
+    // the earlier vertex-delete leg physically reclaimed)
+    val manyIds = v0s.filter(_ != mid)
+    t1 = System.nanoTime()
+    val many = st.servedVertexRows(vv3, manyIds).get
+    println(f"[adopt] vertex_get_many_64  ${(System.nanoTime() - t1) / 1e6}%6.1f ms" +
+      f"   (${many.size} rows)")
+    require(many.size == manyIds.distinct.length, "getMany missed vertices")
+
+    // ---- AUTO-COMPACTION UNDER PRESSURE at 1B (VERDICT r12 next #1):
+    // reopen with autoCompact = true and a deliberately low tombstone
+    // trigger, drive CDC delete batches — NO manual compact — while
+    // serving clients hammer the zero-job FoF. The pressure hook must
+    // compact on its own (extra version), live tombstones must stay at
+    // or under trigger + one batch, and no serve may refuse. Deletes
+    // come from one contiguous src range, so the triggered compaction
+    // rewrites the covering buckets, not the store. ----
+    val ast = new DurableStore(spark, st.root, autoCompact = true,
+      autoTombRowTrigger = 2000)
+    val delSrcs = st.read(vv3)
+      .filter(col("src") > v0 + 100 && col("src") <= v0 + 220)
+      .select("src", "dst").limit(3000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.distinct
+    require(delSrcs.size >= 2400, s"fixture too sparse: ${delSrcs.size} pairs")
+    val stopAc = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val acLat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val acRefused = new java.util.concurrent.atomic.AtomicInteger()
+    val acClients = (0 until 4).map { c =>
+      val t = new Thread(() => {
+        while (!stopAc.get()) {
+          val s0 = System.nanoTime()
+          val r = ast.servedFofRows(ast.currentVersion, v0)
+          acLat.add(System.nanoTime() - s0)
+          if (r.isEmpty) acRefused.incrementAndGet()
+        }
+      }, s"ac-client-$c")
+      t.start(); t
+    }
+    val batches = delSrcs.grouped(1200).toSeq.take(2)
+    t1 = System.nanoTime()
+    var acv = ast.currentVersion
+    val vBeforeAc = acv
+    batches.zipWithIndex.foreach { case (dels, i) =>
+      val b0 = System.nanoTime()
+      acv = ast.applyCdc(acv, st.read(vv3).limit(0), dels, batchId = 100L + i)
+      val live = ast.manifest(acv).tombs.map(_.rows).sum
+      println(f"[adopt] cdc_batch_${i}%d        ${(System.nanoTime() - b0) / 1e9}%8.2f s" +
+        f"   (v$acv, ${dels.size} deletes, live tombstone rows $live)")
+      require(live <= 2000 + dels.size,
+        s"pressure hook let tombstones accumulate: $live")
+    }
+    val acWallS = (System.nanoTime() - t1) / 1e9
+    stopAc.set(true)
+    acClients.foreach(_.join())
+    val acAll = {
+      val b = Seq.newBuilder[Long]
+      val it = acLat.iterator(); while (it.hasNext) b += it.next().longValue()
+      b.result()
+    }
+    // the hook committed its own compaction: more versions than batches
+    require(acv > vBeforeAc + batches.size,
+      s"auto-compaction never triggered (v$vBeforeAc -> v$acv over ${batches.size} batches)")
+    require(acRefused.get() == 0,
+      s"${acRefused.get()} serves refused under delete pressure")
+    println(f"[adopt] auto_compact_window $acWallS%8.2f s   " +
+      f"(v$vBeforeAc -> v$acv, ${acAll.size / acWallS}%.1f qps during, " +
+      f"median ${medMs(acAll)}%.1f ms, p99 ${p99Ms(acAll)}%.1f ms, refused=0)")
     spark.stop()
   }
 }
