@@ -171,7 +171,10 @@ object Bench {
     // one-time cost from the published total. These report their FIRST
     // sample, like streaming replays.
     val NoRetime = Set("s5_durable_append_compact", "s7_time_travel_vacuum",
-      "d3_dedup_jaccard_verify", "c6_als_rmse", "q11_recommend_topk")
+      "d3_dedup_jaccard_verify", "c6_als_rmse", "q11_recommend_topk",
+      // s21 memoizes its auto-compaction lifecycle (computeIfAbsent) —
+      // a retime would measure the map hit, not the lifecycle
+      "s21_auto_compact")
     val retimed = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val queryFns = SparkEntry.queries
     // a renamed registry entry must not silently fall out of this set and

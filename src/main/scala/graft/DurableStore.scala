@@ -746,6 +746,49 @@ class DurableStore(val spark: SparkSession, val root: String,
       cachedTombIndexM(m)))
   }
 
+  /** N6 SERVED: (out-degree, in-degree) per requested id, ZERO Spark
+    * jobs — the reference maintains a degree COLUMN for O(1) degree
+    * reads (GraphChiDatabase.scala:1759-1833 degree bookkeeping, zeroed
+    * on deleteVertex :1331, served by `degree(v)`); here the degrees
+    * are COUNTED at serve time from the manifest-routed files (pushed-IN
+    * reads of the key column only), so they are transactional with every
+    * mutation for free — read-your-writes through deltas, tombstones
+    * excluded record-level, no counter to keep consistent with the
+    * tombstone/delta machinery. An id with no edges reports (0, 0) (the
+    * reference's untouched-vertex degree). Returns (id, outDeg, inDeg)
+    * ascending by id, one row per requested id; `None` past the serving
+    * budgets or on stores without the in-edge mirror — never wrong,
+    * only refused. */
+  def servedDegrees(v: Int, keys: Array[Long],
+                    localFileBudget: Int = ServeLocalFileBudget,
+                    localDeltaRowBudget: Long = ServeLocalDeltaRowBudget)
+      : Option[Seq[(Long, Long, Long)]] = {
+    val m = manifest(v)
+    if (keys.isEmpty) return Some(Nil)
+    if (m.schemaDDL.isEmpty) return None
+    if (m.tombs.map(_.rows).sum > ServeTombRowBudget) return None
+    if (m.mbounds.isEmpty) return None
+    val sorted = keys.distinct.sorted
+    val outHit = m.files.filter(coversAny(sorted, _.srcMin, _.srcMax))
+    val inHit = (m.mirror ++ m.files.filterNot(_.sorted))
+      .filter(coversAny(sorted, _.dstMin, _.dstMax))
+    val all = outHit ++ inHit
+    if (all.count(_.sorted) > localFileBudget ||
+        all.filterNot(_.sorted).map(_.rows).sum > localDeltaRowBudget)
+      return None
+    val tombs = cachedTombIndexM(m)
+    // one pool round per direction, PAIR form: each matching record
+    // contributes its FILTER-column value, so counting those values per
+    // key is the degree (the projection needs two DISTINCT columns —
+    // filter + out — which the pair reader already carries)
+    val (outs, _) = localReadPairsMulti(outHit.map((_, "src", "dst")), sorted, tombs)
+    val (ins, _) = localReadPairsMulti(inHit.map((_, "dst", "src")), sorted, tombs)
+    def countPer(vals: Array[Long]): Map[Long, Long] =
+      vals.groupBy(identity).map { case (k, a) => k -> a.length.toLong }
+    val oc = countPer(outs); val ic = countPer(ins)
+    Some(sorted.toSeq.map(k => (k, oc.getOrElse(k, 0L), ic.getOrElse(k, 0L))))
+  }
+
   /** Q6 SERVED: the single-source shortest-path TREE (dist + parent per
     * reached vertex, reference Queries.scala:198-243) computed entirely
     * on the driver — each BFS level is one [[localReadPairsMulti]] round
@@ -1088,19 +1131,33 @@ class DurableStore(val spark: SparkSession, val root: String,
     * next vertex sequence number — the append class (no base rewrite;
     * [[compact]] folds). One row per id per batch (latest-wins inside a
     * single commit is undefined, exactly as two same-millisecond writes
-    * to the reference's mmap column would be). */
-  def upsertVertices(fromV: Int, rows: DataFrame): Int =
+    * to the reference's mmap column would be). A non-negative `batchId`
+    * makes the upsert IDEMPOTENT: replaying an already-applied vertex
+    * batch is a no-op (returns `fromV`) — the vertex twin of [[append]]'s
+    * streaming-replay guard, tracked separately ([[Manifest.vLastBatch]])
+    * so an edge stream and a vertex stream on the same store never
+    * suppress each other's batches. */
+  def upsertVertices(fromV: Int, rows: DataFrame, batchId: Long = -1L): Int =
     maybeAutoCompact(commitOpt(fromV) { (m, nv) =>
       require(m.vschemaDDL.nonEmpty,
         s"$root: no vertex side-table (setVertexTable first)")
-      val ordered = rows.select(org.apache.spark.sql.types.StructType
-        .fromDDL(m.vschemaDDL).fieldNames.map(col).toSeq: _*)
-      val b = ordered.localCheckpoint(true)
-      if (b.isEmpty) None
+      if (batchId >= 0 && m.vLastBatch >= batchId) None
       else {
-        val vsq = m.vMaxSeq + 1
-        val f = writeVertexDelta(b, s"$root/v$nv/vdelta").map(_.copy(seq = vsq))
-        Some(m.copy(vfiles = m.vfiles ++ f))
+        // normalize to manifest column ORDER and TYPES: the driver-local
+        // served reads decode positionally per file, and a same-named
+        // differently-typed batch column would fork the parquet schema
+        // across delta files (same discipline as the edge delta paths)
+        val ordered = rows.select(org.apache.spark.sql.types.StructType
+          .fromDDL(m.vschemaDDL).fields
+          .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        val b = ordered.localCheckpoint(true)
+        if (b.isEmpty) None
+        else {
+          val vsq = m.vMaxSeq + 1
+          val f = writeVertexDelta(b, s"$root/v$nv/vdelta").map(_.copy(seq = vsq))
+          Some(m.copy(vfiles = m.vfiles ++ f,
+            vLastBatch = math.max(m.vLastBatch, batchId)))
+        }
       }
     })
 
@@ -1277,11 +1334,15 @@ class DurableStore(val spark: SparkSession, val root: String,
         // rows positionally per file — a same-typed reordered batch
         // (dst, src) would silently swap endpoints on that path. A batch
         // missing a manifest column fails loudly here (AnalysisException)
-        // instead of surfacing as a read-time decode error.
+        // instead of surfacing as a read-time decode error. CAST to the
+        // manifest types too: a same-named narrower column (int where the
+        // store says long) would otherwise fork the parquet schema across
+        // delta files and crash the positional driver-local decode.
         val ordered =
           if (m.schemaDDL.isEmpty) batch
           else batch.select(org.apache.spark.sql.types.StructType
-            .fromDDL(m.schemaDDL).fieldNames.map(col).toSeq: _*)
+            .fromDDL(m.schemaDDL).fields
+            .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
         val b = ordered.localCheckpoint(true)
         // appended rows sit ABOVE every live tombstone in mutation order:
         // a delete-then-re-add sequence keeps the re-added edge
@@ -1403,7 +1464,8 @@ class DurableStore(val spark: SparkSession, val root: String,
             val ordered =
               if (m.schemaDDL.isEmpty) inserts
               else inserts.select(org.apache.spark.sql.types.StructType
-                .fromDDL(m.schemaDDL).fieldNames.map(col).toSeq: _*)
+                .fromDDL(m.schemaDDL).fields
+                .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
             writeDelta(ordered.localCheckpoint(true), s"$root/v$nv/delta")
               .map(_.copy(seq = sq))
           }
@@ -1540,7 +1602,7 @@ class DurableStore(val spark: SparkSession, val root: String,
         else writeVertexSide(readVerticesResolved(m), s"$root/v$nv/vp",
           m.vbounds, targetFileRows, m.vMaxSeq)
       Some(Manifest(nv, bounds, outFiles, m.lastBatch, m.schemaDDL, mb, mf,
-        Nil, vb, vf, m.vschemaDDL, m.vdefaults))
+        Nil, vb, vf, m.vschemaDDL, m.vdefaults, m.vLastBatch))
     }
   }
 
@@ -1850,7 +1912,8 @@ object DurableStore {
                             tombs: Seq[TombFile] = Nil,
                             vbounds: Seq[Long] = Nil, vfiles: Seq[StoreFile] = Nil,
                             vschemaDDL: String = "",
-                            vdefaults: Seq[(String, String)] = Nil) {
+                            vdefaults: Seq[(String, String)] = Nil,
+                            vLastBatch: Long = -1L) {
     /** Highest sequence number any EDGE file or tombstone carries. */
     def maxSeq: Long =
       ((files.map(_.seq) ++ mirror.map(_.seq) ++ tombs.map(_.seq)) :+ 0L).max
@@ -2437,6 +2500,7 @@ object DurableStore {
       (if (m.vschemaDDL.isEmpty) Nil
        else s"vschema\t${m.vschemaDDL}" +:
          s"vbounds\t${m.vbounds.mkString(",")}" +:
+         s"vlastBatch\t${m.vLastBatch}" +:
          (m.vfiles.map(fileLine("vfile")) ++
           m.vdefaults.map { case (c, e) => s"vdefault\t$c\t$e" }))
     // TRUNCATE (not CREATE_NEW): a manifest at this version can only be a
@@ -2477,8 +2541,10 @@ object DurableStore {
     val vdefaults = lines.toSeq.filter(_.startsWith("vdefault\t")).map { l =>
       val p = l.split("\t", 3); (p(1), p(2))
     }
+    val vLastBatch = lines.collectFirst { case l if l.startsWith("vlastBatch\t") =>
+      l.split("\t")(1).toLong }.getOrElse(-1L)
     Manifest(v, bounds, files, lastBatch, schemaDDL, mbounds, mirror, tombs,
-      vbounds, vfiles, vschemaDDL, vdefaults)
+      vbounds, vfiles, vschemaDDL, vdefaults, vLastBatch)
   }
 
   /** Delete one manifest-listed path: a single parquet file (sorted

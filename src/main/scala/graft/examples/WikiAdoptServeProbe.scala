@@ -311,6 +311,22 @@ object WikiAdoptServeProbe {
       f"   (${many.size} rows)")
     require(many.size == manyIds.distinct.length, "getMany missed vertices")
 
+    // ---- SERVED DEGREES at 1B (r13): the reference's O(1) degree
+    // column (GraphChiDatabase.scala:1759-1833) as a zero-job counted
+    // read over the routed primary + mirror files — transactional with
+    // the tombstone/delta history this probe built up ----
+    t1 = System.nanoTime()
+    val deg1 = st.servedDegrees(vv3, Array(v0)).get.head
+    println(f"[adopt] degrees_1           ${(System.nanoTime() - t1) / 1e6}%6.1f ms   -> $deg1")
+    t1 = System.nanoTime()
+    val degs = st.servedDegrees(vv3, manyIds).get
+    println(f"[adopt] degrees_64          ${(System.nanoTime() - t1) / 1e6}%6.1f ms" +
+      f"   (${degs.size} ids)")
+    val expDeg = (st.read(vv3).filter(col("src") === v0).count(),
+      st.read(vv3).filter(col("dst") === v0).count())
+    require((deg1._2, deg1._3) == expDeg,
+      s"served degree $deg1 != distributed $expDeg")
+
     // ---- AUTO-COMPACTION UNDER PRESSURE at 1B (VERDICT r12 next #1):
     // reopen with autoCompact = true and a deliberately low tombstone
     // trigger, drive CDC delete batches — NO manual compact — while

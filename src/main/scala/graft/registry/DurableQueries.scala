@@ -58,6 +58,10 @@ object DurableQueries {
   private val autoCompactResults =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Boolean)]()
 
+  /** s22's once-per-(session, fixture) streamed vertex-upsert final rows. */
+  private val streamVertexResults =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Any]]]()
+
   /** Version carrying the retrofitted in-edge mirror on [[baseStore]] —
     * built once per (session, fixture) so repeat runs (Bench warm+timed)
     * don't stack redundant index-build commits. Public so Bench can warm
@@ -405,6 +409,38 @@ object DurableQueries {
         """SELECT dst, weight, rating FROM edges WHERE src IN (
           |  SELECT src FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 2))""".stripMargin))),
 
+    // ---- N6 SERVED: zero-job (out, in) degree lookup — the reference
+    //      maintains a degree COLUMN for O(1) degree access
+    //      (GraphChiDatabase.scala:1759-1833); here degrees are COUNTED
+    //      at serve time from the manifest-routed files, transactional
+    //      with every mutation for free. Key set mixes pure-out vertices
+    //      (customers), pure-in vertices (suppliers) and one ABSENT id
+    //      (must report (0, 0) — the reference's untouched vertex) ----
+    ("n6s_degrees_served",
+      (s: SparkSession, d: String) => {
+        val st = baseStore(s, d)
+        val vm = mirrorVersion(s, d)
+        val e = Tables.orderEdges(s, d)
+        val keys = e.select("src").distinct().orderBy("src").limit(3)
+          .collect().map(_.getLong(0)) ++
+          e.select("dst").distinct().orderBy("dst").limit(2)
+          .collect().map(_.getLong(0)) :+ 4999999L
+        val rows = st.servedDegrees(vm, keys).getOrElse(
+          sys.error("served degrees refused on the base store"))
+        import s.implicits._
+        rows.toDF("id", "out_deg", "in_deg")
+      },
+      Some(withSql(Oracle.EDGES,
+        """, ks AS (
+          |  SELECT src AS id FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 3)
+          |  UNION
+          |  SELECT dst AS id FROM (SELECT DISTINCT dst FROM edges ORDER BY dst LIMIT 2)
+          |  UNION SELECT 4999999 AS id)
+          |SELECT k.id,
+          |       (SELECT count(*) FROM edges e WHERE e.src = k.id) AS out_deg,
+          |       (SELECT count(*) FROM edges e WHERE e.dst = k.id) AS in_deg
+          |FROM ks k""".stripMargin))),
+
     // ---- P6 on the DURABLE substrate (VERDICT r12 missing #2): vertex
     //      property columns in the manifest — point SET in the append
     //      class, FIRST-TOUCH auto-fill from declared defaults
@@ -620,6 +656,82 @@ object DurableQueries {
           |       CAST(sum(CAST(CAST(weight AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS wsum_cents,
           |       TRUE AS auto_compacted
           |FROM fin""".stripMargin))),
+
+    // ---- S22: STREAMING vertex-property upserts — the online Column.set
+    //      feed (reference Column.scala:48-57 under the flusher daemon,
+    //      GraphChiDatabase.scala:913-938) as a Structured Streaming
+    //      micro-batch pipeline: each batch is ONE idempotent latest-wins
+    //      upsert commit (vLastBatch watermark, tracked separately from
+    //      the edge batch watermark), compaction folds the deltas back
+    //      into the id-sorted base mid-stream, and the final state is
+    //      read back through the ZERO-JOB served getMany. Batch 2
+    //      overwrites batch 1's row for the min id — the replay pins
+    //      latest-wins ACROSS batches, post-compaction ----
+    ("s22_streaming_vertex_upsert",
+      (s: SparkSession, d: String) => {
+        val rows = streamVertexResults.computeIfAbsent(
+          s"${s.sparkContext.applicationId}|$d", _ => {
+            val root = tempDir("graft-s22")
+            // the vertex table rides a store; the EDGE side is not under
+            // test here, so a single-row edge base keeps the fixture on
+            // the vertex path
+            DurableStore.create(s, Tables.orderEdges(s, d).limit(1), root)
+            val st = new DurableStore(s, root)
+            val props = Tables.vertices(s, d).select(col("id"), col("vtype"),
+              col("name"), cents(col("acctbal")).as("acct_cents"))
+            st.setVertexTable(1, props)
+            val base = Tables.vertices(s, d).select(col("id"), col("vtype"),
+              col("name"))
+            val ids = base.select("id").orderBy("id").limit(3)
+              .collect().map(_.getLong(0))
+            val watch = tempDir("graft-s22-feed")
+            // batch 1: rewrite the 3 smallest ids' balances
+            base.filter(col("id").isin(ids.toSeq: _*))
+              .withColumn("acct_cents", col("id") * 100 + 1)
+              .coalesce(1).write.parquet(s"$watch/b1.parquet")
+            // batch 2: overwrite the min id AGAIN (latest-wins across
+            // batches) + insert a brand-new vertex row
+            base.filter(col("id") === ids.head)
+              .withColumn("acct_cents", lit(55555L))
+              .unionByName(s.range(1).select(lit(9100000L).as("id"),
+                lit("new").as("vtype"), lit("streamed").as("name"),
+                lit(42L).as("acct_cents")))
+              .coalesce(1).write.parquet(s"$watch/b2.parquet")
+            // pin replay order by mtime (the s20 discipline — ADVICE r12)
+            val now = java.nio.file.attribute.FileTime
+              .fromMillis(System.currentTimeMillis)
+            val earlier = java.nio.file.attribute.FileTime
+              .fromMillis(System.currentTimeMillis - 60000)
+            Seq((s"$watch/b1.parquet", earlier), (s"$watch/b2.parquet", now))
+              .foreach { case (dir, t) =>
+                val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+                try walk.forEach(f =>
+                  { java.nio.file.Files.setLastModifiedTime(f, t); () })
+                finally walk.close()
+              }
+            val schema = s.read.parquet(s"$watch/b1.parquet").schema
+            graft.streaming.OnlineIngest
+              .ingestVertexUpserts(s, schema, s"$watch/*", st, compactEvery = 2)
+              .awaitTermination()
+            val st2 = reopen(s, st)
+            val latest = st2.currentVersion
+            st2.servedVertexRows(latest, ids :+ 9100000L).getOrElse(
+              sys.error("served vertex getMany refused after the stream"))
+          })
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, vtype STRING, name STRING, acct_cents BIGINT")
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+      },
+      Some(withSql(Oracle.EDGES + ",\n" + Oracle.VERTICES,
+        """, ks AS (SELECT id FROM (SELECT DISTINCT id FROM vertices ORDER BY id LIMIT 3))
+          |SELECT id, vtype, name,
+          |       CASE WHEN id = (SELECT min(id) FROM ks) THEN 55555
+          |            ELSE id * 100 + 1 END AS acct_cents
+          |FROM vertices WHERE id IN (SELECT id FROM ks)
+          |UNION ALL
+          |SELECT 9100000 AS id, 'new' AS vtype, 'streamed' AS name, 42 AS acct_cents""".stripMargin))),
 
     // ---- S5 durable log + compaction: append a micro-batch as a delta
     //      file, compact it into the sorted buckets, read back the merged

@@ -110,6 +110,32 @@ object OnlineIngest {
       }
       .start()
 
+  /** VERTEX-PROPERTY stream: each micro-batch of full vertex rows lands
+    * as ONE idempotent latest-wins upsert into the store's vertex
+    * side-table ([[graft.DurableStore.upsertVertices]] — the streaming
+    * shape of the reference's online `Column.set` feed,
+    * Column.scala:48-57), with the pressure hook folding deltas back
+    * into the id-sorted base between cadence compactions. The vertex
+    * batch watermark ([[graft.DurableStore.Manifest.vLastBatch]]) is
+    * tracked separately from the edge one, so a vertex stream and an
+    * edge stream can share a store without suppressing each other's
+    * replays. Checkpoints under `<root>/_vcheckpoint` for the same
+    * reason. */
+  def ingestVertexUpserts(spark: SparkSession, schema: StructType, dir: String,
+                          store: graft.DurableStore,
+                          compactEvery: Int = 4): StreamingQuery =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir).writeStream
+      .option("checkpointLocation", s"${store.root}/_vcheckpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val v = store.upsertVertices(store.currentVersion, batch, batchId)
+        if ((batchId + 1) % compactEvery == 0) store.compact(v)
+        else store.compactIfPressured(v)
+        ()
+      }
+      .start()
+
   case class Ev(user_id: Long, ts_us: Long, cents: Long)
   case class SessionState(start: Long, last: Long, n: Long, cents: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long,

@@ -285,4 +285,76 @@ class Round13Spec extends AnyFunSuite {
       base.filter(p => p._1 == 10L || p._1 == 11L || p._2 == 10L || p._2 == 11L)
     assert(pairSet(df) == expect)
   }
+
+  test("servedDegrees == distributed counts across deltas + tombstones, " +
+       "(0,0) for absent ids, refusal past budget") {
+    val base = (1L to 12L).map(i => (i, 200L + i % 3))
+    val st = DurableStore.create(spark, edges(base: _*),
+      Files.createTempDirectory("graft-r13-deg").toString, numBuckets = 2,
+      withInEdgeIndex = true)
+    var v = st.append(1, edges((1L, 205L), (200L, 1L)))
+    v = st.deleteEdgeTombstone(v, 1L, 200L + 1 % 3)
+    val keys = Array(1L, 200L, 201L, 999L)
+    val got = st.servedDegrees(v, keys).get
+    val df = st.read(v)
+    def deg(c: String, k: Long): Long = df.filter(col(c) === k).count()
+    assert(got == keys.sorted.toSeq.map(k => (k, deg("src", k), deg("dst", k))))
+    assert(got.find(_._1 == 999L).get == ((999L, 0L, 0L)))
+    // the deleted edge and the delta rows are both reflected
+    assert(got.find(_._1 == 1L).get == ((1L, 1L, 1L))) // base del'd, delta +1 out, +1 in
+    assert(st.servedDegrees(v, keys, localFileBudget = 0).isEmpty)
+    // unindexed store (no mirror) refuses rather than undercounting in-degree
+    val st2 = DurableStore.create(spark, edges((1L, 2L)),
+      Files.createTempDirectory("graft-r13-deg2").toString, numBuckets = 1)
+    assert(st2.servedDegrees(1, Array(1L)).isEmpty)
+  }
+
+  test("upsertVertices batchId watermark: replay is a no-op, survives " +
+       "compaction, independent of the edge watermark") {
+    val s = spark; import s.implicits._
+    val st = DurableStore.create(spark, edges((1L, 10L)),
+      Files.createTempDirectory("graft-r13-vb").toString, numBuckets = 1)
+    val v1 = st.setVertexTable(1, Seq((1L, 7L)).toDF("id", "score"))
+    val v2 = st.upsertVertices(v1, Seq((1L, 8L)).toDF("id", "score"), batchId = 0L)
+    assert(v2 > v1)
+    // replay of batch 0: no new version
+    assert(st.upsertVertices(v2, Seq((1L, 999L)).toDF("id", "score"),
+      batchId = 0L) == v2)
+    // EDGE batch watermark is separate: edge append with batchId 0 still
+    // lands even though vertex batch 0 was applied (and vice versa)
+    val v3 = st.append(v2, edges((2L, 10L)), batchId = 0L)
+    assert(v3 > v2)
+    assert(st.upsertVertices(v3, Seq((1L, 9L)).toDF("id", "score"),
+      batchId = 1L) > v3)
+    val v4 = st.currentVersion
+    // compaction folds the deltas but PRESERVES the vertex watermark
+    val v5 = st.compact(v4)
+    assert(st.manifest(v5).vLastBatch == 1L)
+    assert(new DurableStore(spark, st.root).upsertVertices(v5,
+      Seq((1L, 999L)).toDF("id", "score"), batchId = 1L) == v5,
+      "replayed vertex batch re-committed after compaction + reopen")
+    assert(st.servedVertexRow(v5, 1L).get == Seq(1L, 9L))
+  }
+
+  test("append/applyCdc/upsertVertices normalize batch TYPES to the " +
+       "manifest schema — no parquet type fork on the served path") {
+    val s = spark; import s.implicits._
+    val st = DurableStore.create(spark, edges((1L, 10L)),
+      Files.createTempDirectory("graft-r13-cast").toString, numBuckets = 1)
+    // an INT-typed weight batch (narrower than the store's LONG w)
+    val intBatch = Seq((2, 10, 0, 77)).toDF("src", "dst", "etype", "w")
+    var v = st.append(1, intBatch)
+    v = st.applyCdc(v, Seq((3, 11, 0, 88)).toDF("src", "dst", "etype", "w"),
+      Nil, batchId = 5L)
+    // the served (positional, per-file-schema) decode reads both deltas
+    // as INT64 — a type fork would crash or misread here
+    assert(st.pointReadLocal(v, 2L).map(_.last) == Seq(77L))
+    assert(st.pointReadLocal(v, 3L).map(_.last) == Seq(88L))
+    assert(st.read(v).filter(col("src") >= 2L).select("w").collect()
+      .map(_.getLong(0)).toSet == Set(77L, 88L))
+    // vertex side: int ids/scores cast up to the LONG vertex schema
+    val v1 = st.setVertexTable(v, Seq((1L, 5L)).toDF("id", "score"))
+    val v2 = st.upsertVertices(v1, Seq((2, 6)).toDF("id", "score"))
+    assert(st.servedVertexRow(v2, 2L).get == Seq(2L, 6L))
+  }
 }
