@@ -1861,17 +1861,34 @@ object DurableStore {
     def casPointer(root: String, expect: Int, v: Int): Unit
   }
 
-  /** Local-filesystem CAS: verify-then-rename under the class-wide JVM
-    * lock (every writer in this process commits under it, so the check
-    * cannot interleave with another local swap). */
+  /** Local-filesystem CAS: verify-then-rename under an exclusive OS file
+    * lock on a sidecar (`VERSION.lock`), so the swap is atomic across
+    * PROCESSES sharing the root, not just across threads (the class-wide
+    * JVM lock in commitOpt covers only this process — two local drivers
+    * on the same path are the degenerate "shared filesystem deployment",
+    * and without the flock both could pass the verify and silently drop
+    * one writer's commit). The lock is held for microseconds (one pointer
+    * read + one atomic move); in-process overlap — which would throw
+    * OverlappingFileLockException — is impossible because every commit
+    * already serializes under the JVM lock before reaching here. */
   object LocalFsCommit extends CommitProtocol {
     def casPointer(root: String, expect: Int, v: Int): Unit = {
-      val p = Paths.get(root, "VERSION")
-      val cur = if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toInt else 0
-      if (cur != expect)
-        throw new CommitConflictException(
-          s"$root: pointer moved to v$cur while committing v$v (expected v$expect)")
-      setPointer(root, v)
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(root, "VERSION.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          val p = Paths.get(root, "VERSION")
+          val cur =
+            if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toInt else 0
+          if (cur != expect)
+            throw new CommitConflictException(
+              s"$root: pointer moved to v$cur while committing v$v (expected v$expect)")
+          setPointer(root, v)
+        } finally lock.release()
+      } finally ch.close()
     }
   }
 
