@@ -493,6 +493,31 @@ class DurableStore(val spark: SparkSession, val root: String,
     * by each [[localReadLongs]] call. */
   private lazy val serveConf = spark.sessionState.newHadoopConf()
 
+  /** Normalize a mutation batch to the manifest schema: manifest column
+    * ORDER (the driver-local served reads decode positionally per file —
+    * a same-typed reordered batch would silently swap columns) and
+    * manifest TYPES (a same-named narrower column would fork the parquet
+    * schema across delta files and crash the positional decode). Only
+    * LOSSLESS casts are applied — a batch whose column cannot up-cast
+    * (long where the store says int, string where it says long) fails
+    * loudly here instead of committing silently wrapped/nulled values
+    * (review r13); a batch missing a manifest column fails on the select
+    * (AnalysisException). */
+  private def normalizeBatch(df: DataFrame, ddl: String, what: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    df.select(schema.fields.map { f =>
+      df.schema.find(_.name == f.name).foreach { in =>
+        require(in.dataType == f.dataType ||
+            org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(in.dataType, f.dataType),
+          s"$what: batch column ${f.name} is ${in.dataType.simpleString} but " +
+            s"the store schema says ${f.dataType.simpleString} — not " +
+            "losslessly castable; fix the batch type")
+      }
+      col(f.name).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+  }
+
   /** W2 on the durable store: a src-range sweep pruned at the FILE level
     * by manifest [srcMin, srcMax] overlap — the dst-interval shard
     * selection of the reference (VertexInterval.java:50-78) applied to
@@ -777,16 +802,36 @@ class DurableStore(val spark: SparkSession, val root: String,
         all.filterNot(_.sorted).map(_.rows).sum > localDeltaRowBudget)
       return None
     val tombs = cachedTombIndexM(m)
-    // one pool round per direction, PAIR form: each matching record
-    // contributes its FILTER-column value, so counting those values per
-    // key is the degree (the projection needs two DISTINCT columns —
-    // filter + out — which the pair reader already carries)
-    val (outs, _) = localReadPairsMulti(outHit.map((_, "src", "dst")), sorted, tombs)
+    // PAIR form per direction: each matching record contributes its
+    // FILTER-column value, so counting those values per key is the
+    // degree (the projection needs two DISTINCT columns — filter + out —
+    // which the pair reader already carries). The out round runs on a
+    // sidecar thread so BOTH directions submit to the shared serving
+    // pool together — wall time is the slowest file across both, not
+    // out-wall + in-wall (the one-round discipline of servedHopM,
+    // review r13).
+    val outF = new java.util.concurrent.FutureTask(
+      new java.util.concurrent.Callable[(Array[Long], Array[Long])] {
+        def call(): (Array[Long], Array[Long]) =
+          localReadPairsMulti(outHit.map((_, "src", "dst")), sorted, tombs)
+      })
+    locally { val t = new Thread(outF, "graft-serve-degrees"); t.setDaemon(true); t.start() }
     val (ins, _) = localReadPairsMulti(inHit.map((_, "dst", "src")), sorted, tombs)
-    def countPer(vals: Array[Long]): Map[Long, Long] =
-      vals.groupBy(identity).map { case (k, a) => k -> a.length.toLong }
+    val (outs, _) = outF.get()
+    // unboxed counting: binary-search each match into the sorted key
+    // array (a groupBy would box every long on the serving path)
+    def countPer(vals: Array[Long]): Array[Long] = {
+      val c = new Array[Long](sorted.length)
+      var i = 0
+      while (i < vals.length) {
+        val j = java.util.Arrays.binarySearch(sorted, vals(i))
+        if (j >= 0) c(j) += 1
+        i += 1
+      }
+      c
+    }
     val oc = countPer(outs); val ic = countPer(ins)
-    Some(sorted.toSeq.map(k => (k, oc.getOrElse(k, 0L), ic.getOrElse(k, 0L))))
+    Some(sorted.toSeq.zipWithIndex.map { case (k, i) => (k, oc(i), ic(i)) })
   }
 
   /** Q6 SERVED: the single-source shortest-path TREE (dist + parent per
@@ -1088,8 +1133,12 @@ class DurableStore(val spark: SparkSession, val root: String,
           "(they serialize into the TSV manifest)")
       val (vb, vf) = writeVertexSide(props, s"$root/v$nv/vp", Nil,
         targetFileRows, 0L, numBuckets)
+      // a REPLACED side-table starts its batch history over: carrying the
+      // old vLastBatch would silently swallow the first batches of a
+      // fresh vertex stream as replays (review r13) — stream checkpoints
+      // under <root>/_vcheckpoint must be cleared by the caller too
       Some(m.copy(vbounds = vb, vfiles = vf, vschemaDDL = schema.toDDL,
-        vdefaults = defaults.toSeq.sortBy(_._1)))
+        vdefaults = defaults.toSeq.sortBy(_._1), vLastBatch = -1L))
     }
 
   /** The resolved vertex table at version `v`: base ∪ upsert deltas,
@@ -1143,13 +1192,9 @@ class DurableStore(val spark: SparkSession, val root: String,
         s"$root: no vertex side-table (setVertexTable first)")
       if (batchId >= 0 && m.vLastBatch >= batchId) None
       else {
-        // normalize to manifest column ORDER and TYPES: the driver-local
-        // served reads decode positionally per file, and a same-named
-        // differently-typed batch column would fork the parquet schema
-        // across delta files (same discipline as the edge delta paths)
-        val ordered = rows.select(org.apache.spark.sql.types.StructType
-          .fromDDL(m.vschemaDDL).fields
-          .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        // normalize to manifest column ORDER and TYPES (lossless-only —
+        // see [[normalizeBatch]]), same discipline as the edge delta paths
+        val ordered = normalizeBatch(rows, m.vschemaDDL, "upsertVertices")
         val b = ordered.localCheckpoint(true)
         if (b.isEmpty) None
         else {
@@ -1332,17 +1377,12 @@ class DurableStore(val spark: SparkSession, val root: String,
         // the delta (ADVICE r10): distributed parquet reads are by-name,
         // but the driver-local serving reads ([[localPointRead]]) decode
         // rows positionally per file — a same-typed reordered batch
-        // (dst, src) would silently swap endpoints on that path. A batch
-        // missing a manifest column fails loudly here (AnalysisException)
-        // instead of surfacing as a read-time decode error. CAST to the
-        // manifest types too: a same-named narrower column (int where the
-        // store says long) would otherwise fork the parquet schema across
-        // delta files and crash the positional driver-local decode.
+        // (dst, src) would silently swap endpoints on that path — and
+        // cast to manifest TYPES with the lossless-only guard (see
+        // [[normalizeBatch]])
         val ordered =
           if (m.schemaDDL.isEmpty) batch
-          else batch.select(org.apache.spark.sql.types.StructType
-            .fromDDL(m.schemaDDL).fields
-            .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+          else normalizeBatch(batch, m.schemaDDL, "append")
         val b = ordered.localCheckpoint(true)
         // appended rows sit ABOVE every live tombstone in mutation order:
         // a delete-then-re-add sequence keeps the re-added edge
@@ -1463,9 +1503,7 @@ class DurableStore(val spark: SparkSession, val root: String,
           else {
             val ordered =
               if (m.schemaDDL.isEmpty) inserts
-              else inserts.select(org.apache.spark.sql.types.StructType
-                .fromDDL(m.schemaDDL).fields
-                .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+              else normalizeBatch(inserts, m.schemaDDL, "applyCdc")
             writeDelta(ordered.localCheckpoint(true), s"$root/v$nv/delta")
               .map(_.copy(seq = sq))
           }
@@ -1819,18 +1857,28 @@ class DurableStore(val spark: SparkSession, val root: String,
     * then demands an explicit non-linear store handle. */
   private def commitOpt(fromV: Int)(build: (Manifest, Int) => Option[Manifest]): Int =
     DurableStore.synchronized {
-      val cur = currentVersion
-      if (linearHistory && cur != fromV)
-        throw new DurableStore.CommitConflictException(
-          s"$root: linearHistory commit built from v$fromV but pointer already at v$cur")
-      val m = manifest(fromV)
-      val nv = nextVersion(root)
-      build(m, nv) match {
-        case None => fromV
-        case Some(built) =>
-          writeManifest(root, built.copy(version = nv))
-          commit.casPointer(root, if (linearHistory) fromV else cur, nv)
-          nv
+      // the WHOLE commit — version allocation, data/manifest writes, CAS —
+      // runs under the protocol's cross-process commit lock (review r13):
+      // locking only the pointer swap would leave nextVersion and the
+      // TRUNCATE manifest write racing a second local PROCESS, which could
+      // allocate the same nv, overwrite the winner's committed manifest,
+      // and only then lose the CAS — corrupting the committed version.
+      // In-process the JVM lock above already serializes, so the held
+      // span costs nothing in the common single-process case.
+      commit.withCommitLock(root) {
+        val cur = currentVersion
+        if (linearHistory && cur != fromV)
+          throw new DurableStore.CommitConflictException(
+            s"$root: linearHistory commit built from v$fromV but pointer already at v$cur")
+        val m = manifest(fromV)
+        val nv = nextVersion(root)
+        build(m, nv) match {
+          case None => fromV
+          case Some(built) =>
+            writeManifest(root, built.copy(version = nv))
+            commit.casPointer(root, if (linearHistory) fromV else cur, nv)
+            nv
+        }
       }
     }
 }
@@ -1859,36 +1907,51 @@ object DurableStore {
     /** CAS the version pointer of `root` from `expect` to `v`.
       * `expect == 0` means "no pointer yet" (store creation). */
     def casPointer(root: String, expect: Int, v: Int): Unit
+
+    /** Hold the deployment-wide commit lock for `root` across an ENTIRE
+      * commit — version allocation, data + manifest writes, and the
+      * pointer CAS (commitOpt wraps itself in this). Version numbers name
+      * data directories and manifest files, so two writers allocating the
+      * same next version race on more than the pointer: the loser's
+      * manifest TRUNCATE would overwrite the winner's committed one
+      * (review r13). Default: no-op — correct for protocols whose
+      * deployments put conditional-write semantics on the manifest
+      * objects themselves (CREATE-if-absent on S3/GCS makes the same-nv
+      * loser fail loudly at manifest write, before any damage). */
+    def withCommitLock[T](root: String)(f: => T): T = f
   }
 
-  /** Local-filesystem CAS: verify-then-rename under an exclusive OS file
-    * lock on a sidecar (`VERSION.lock`), so the swap is atomic across
-    * PROCESSES sharing the root, not just across threads (the class-wide
-    * JVM lock in commitOpt covers only this process — two local drivers
-    * on the same path are the degenerate "shared filesystem deployment",
-    * and without the flock both could pass the verify and silently drop
-    * one writer's commit). The lock is held for microseconds (one pointer
-    * read + one atomic move); in-process overlap — which would throw
+  /** Local-filesystem protocol: [[withCommitLock]] takes an exclusive OS
+    * file lock on a sidecar (`VERSION.lock`), so the whole commit is
+    * atomic across PROCESSES sharing the root, not just across threads
+    * (the class-wide JVM lock in commitOpt covers only this process —
+    * two local drivers on the same path are the degenerate "shared
+    * filesystem deployment", and without the flock both could allocate
+    * the same version, overwrite each other's manifest, and silently
+    * drop one writer's commit). In-process overlap — which would throw
     * OverlappingFileLockException — is impossible because every commit
-    * already serializes under the JVM lock before reaching here. */
+    * already serializes under the JVM lock before reaching here. The
+    * CAS itself stays verify-then-rename; it always runs under the
+    * lock. */
   object LocalFsCommit extends CommitProtocol {
-    def casPointer(root: String, expect: Int, v: Int): Unit = {
+    override def withCommitLock[T](root: String)(f: => T): T = {
       val ch = java.nio.channels.FileChannel.open(
         Paths.get(root, "VERSION.lock"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
         val lock = ch.lock()
-        try {
-          val p = Paths.get(root, "VERSION")
-          val cur =
-            if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toInt else 0
-          if (cur != expect)
-            throw new CommitConflictException(
-              s"$root: pointer moved to v$cur while committing v$v (expected v$expect)")
-          setPointer(root, v)
-        } finally lock.release()
+        try f finally lock.release()
       } finally ch.close()
+    }
+    def casPointer(root: String, expect: Int, v: Int): Unit = {
+      val p = Paths.get(root, "VERSION")
+      val cur =
+        if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toInt else 0
+      if (cur != expect)
+        throw new CommitConflictException(
+          s"$root: pointer moved to v$cur while committing v$v (expected v$expect)")
+      setPointer(root, v)
     }
   }
 
@@ -2297,7 +2360,7 @@ object DurableStore {
     Files.createDirectories(Paths.get(root, "manifest"))
     writeManifest(root, Manifest(1, bounds, files, schemaDDL = ddl,
       mbounds = mb, mirror = mf))
-    DurableStore.synchronized { commit.casPointer(root, 0, 1) }
+    DurableStore.synchronized { commit.withCommitLock(root) { commit.casPointer(root, 0, 1) } }
     new DurableStore(spark, root, commit)
   }
 
@@ -2422,7 +2485,7 @@ object DurableStore {
     Files.createDirectories(Paths.get(root, "manifest"))
     writeManifest(root, Manifest(1, bounds, files, schemaDDL = e.schema.toDDL,
       mbounds = mb, mirror = mf))
-    DurableStore.synchronized { commit.casPointer(root, 0, 1) }
+    DurableStore.synchronized { commit.withCommitLock(root) { commit.casPointer(root, 0, 1) } }
     new DurableStore(spark, root, commit)
   }
 

@@ -22,11 +22,42 @@ import org.apache.spark.sql.types.StructType
   */
 object OnlineIngest {
 
-  /** File-based edge stream: new parquet files in `dir` are micro-batches
-    * (one file per trigger — each file plays the role of one flushed
-    * EdgeBuffer). */
+  /** File-based micro-batch stream: new parquet files in `dir` are
+    * micro-batches (one file per trigger — each file plays the role of
+    * one flushed EdgeBuffer). Rows of any schema — the vertex-property
+    * stream reuses it unchanged. */
   def edgeStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+
+  /** One micro-batch of any durable ingest: run `commitBatch` from the
+    * store's current version, then the compaction cadence — a full
+    * compact every `compactEvery` batches, the pressure hook between
+    * cadence points (the reference's 75%-full buffer trigger,
+    * GraphChiDatabase.scala:852-882 — a burst of large batches must not
+    * push the store past the serving budgets while waiting for the next
+    * cadence slot). Retries on [[graft.DurableStore.CommitConflictException]]:
+    * on a `linearHistory` store a concurrent writer (another stream
+    * sharing the root) surfaces as a conflict, and the retry rebuilds
+    * from the new head — the batch watermarks make a replayed commit a
+    * no-op, so retrying after a post-commit conflict cannot double-apply.
+    * On a DEFAULT (non-linear) store no conflict is ever thrown and a
+    * concurrent writer between the version read and the commit is
+    * last-writer-wins (the store's documented branch semantics) — two
+    * streams sharing one store MUST open it `linearHistory = true`. */
+  private def commitAndCompact(store: graft.DurableStore, batchId: Long,
+                               compactEvery: Int)(commitBatch: Int => Int): Unit = {
+    var done = false
+    while (!done) {
+      try {
+        val v = commitBatch(store.currentVersion)
+        if ((batchId + 1) % compactEvery == 0) store.compact(v)
+        else store.compactIfPressured(v)
+        done = true
+      } catch {
+        case _: graft.DurableStore.CommitConflictException => ()
+      }
+    }
+  }
 
   /** S1 online ingest: fold each micro-batch into an evolving GraphDB and
     * hand the post-batch snapshot to `onSnapshot` (the C2 hook). The
@@ -67,15 +98,8 @@ object OnlineIngest {
       .option("checkpointLocation", s"${store.root}/_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val v = store.append(store.currentVersion, batch, batchId)
-        // batch-count cadence for steady compaction, PLUS the pressure
-        // trigger between cadence points (the reference's 75%-full buffer
-        // trigger, GraphChiDatabase.scala:852-882): a burst of large
-        // batches must not push the store past the serving budgets while
-        // waiting for the next cadence slot (VERDICT r12 next #1)
-        if ((batchId + 1) % compactEvery == 0) store.compact(v)
-        else store.compactIfPressured(v)
-        ()
+        commitAndCompact(store, batchId, compactEvery)(
+          v => store.append(v, batch, batchId))
       }
       .start()
 
@@ -98,15 +122,13 @@ object OnlineIngest {
         val dels = b.filter(col("_op") === "d").select("src", "dst")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         val ins = b.filter(col("_op") === "i").drop("_op")
-        val v = store.applyCdc(store.currentVersion, ins, dels, batchId)
-        // cadence + pressure, as in [[ingestDurable]]: a delete-heavy CDC
-        // feed accumulates TOMBSTONE rows between cadence points, and the
-        // serving paths refuse past ServeTombRowBudget — the pressure
-        // trigger compacts at half that, so attached serving clients
-        // never see a budget refusal (VERDICT r12 next #1)
-        if ((batchId + 1) % compactEvery == 0) store.compact(v)
-        else store.compactIfPressured(v)
-        ()
+        // a delete-heavy CDC feed accumulates TOMBSTONE rows between
+        // cadence points, and the serving paths refuse past
+        // ServeTombRowBudget — the pressure trigger inside
+        // commitAndCompact compacts at half that, so attached serving
+        // clients never see a budget refusal (VERDICT r12 next #1)
+        commitAndCompact(store, batchId, compactEvery)(
+          v => store.applyCdc(v, ins, dels, batchId))
       }
       .start()
 
@@ -117,22 +139,24 @@ object OnlineIngest {
     * Column.scala:48-57), with the pressure hook folding deltas back
     * into the id-sorted base between cadence compactions. The vertex
     * batch watermark ([[graft.DurableStore.Manifest.vLastBatch]]) is
-    * tracked separately from the edge one, so a vertex stream and an
-    * edge stream can share a store without suppressing each other's
-    * replays. Checkpoints under `<root>/_vcheckpoint` for the same
-    * reason. */
+    * tracked separately from the edge one, so replays of a vertex batch
+    * and an edge batch sharing a store never suppress each other;
+    * checkpoints live under `<root>/_vcheckpoint` for the same reason.
+    * CONCURRENT streams on one store are a different matter: open the
+    * store `linearHistory = true` so a racing commit surfaces as a
+    * conflict that [[commitAndCompact]] retries from the new head — on a
+    * default handle a concurrent writer between the version read and the
+    * commit is last-writer-wins (the store's branch semantics) and the
+    * other stream's batch would silently leave the live view. */
   def ingestVertexUpserts(spark: SparkSession, schema: StructType, dir: String,
                           store: graft.DurableStore,
                           compactEvery: Int = 4): StreamingQuery =
-    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-      .parquet(dir).writeStream
+    edgeStream(spark, schema, dir).writeStream
       .option("checkpointLocation", s"${store.root}/_vcheckpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val v = store.upsertVertices(store.currentVersion, batch, batchId)
-        if ((batchId + 1) % compactEvery == 0) store.compact(v)
-        else store.compactIfPressured(v)
-        ()
+        commitAndCompact(store, batchId, compactEvery)(
+          v => store.upsertVertices(v, batch, batchId))
       }
       .start()
 

@@ -356,5 +356,32 @@ class Round13Spec extends AnyFunSuite {
     val v1 = st.setVertexTable(v, Seq((1L, 5L)).toDF("id", "score"))
     val v2 = st.upsertVertices(v1, Seq((2, 6)).toDF("id", "score"))
     assert(st.servedVertexRow(v2, 2L).get == Seq(2L, 6L))
+    // only LOSSLESS casts: a string-typed column where the store says
+    // long must fail loudly, not commit silently nulled values
+    val bad = Seq(("7", 10L, 0L, 1L)).toDF("src", "dst", "etype", "w")
+    assertThrows[IllegalArgumentException] { st.append(v2, bad) }
+    // downcast (long batch into an int store column) refused too
+    val intStore = DurableStore.create(spark,
+      Seq((1L, 2L, 0, 5)).toDF("src", "dst", "etype", "w"),
+      Files.createTempDirectory("graft-r13-int").toString, numBuckets = 1)
+    assertThrows[IllegalArgumentException] {
+      intStore.append(1, Seq((3L, 4L, 0, 3L)).toDF("src", "dst", "etype", "w"))
+    }
+  }
+
+  test("setVertexTable resets the vertex batch watermark: a replaced " +
+       "side-table accepts a fresh stream's batch 0") {
+    val s = spark; import s.implicits._
+    val st = DurableStore.create(spark, edges((1L, 10L)),
+      Files.createTempDirectory("graft-r13-vreset").toString, numBuckets = 1)
+    val v1 = st.setVertexTable(1, Seq((1L, 7L)).toDF("id", "score"))
+    val v2 = st.upsertVertices(v1, Seq((1L, 8L)).toDF("id", "score"), batchId = 3L)
+    assert(st.manifest(v2).vLastBatch == 3L)
+    // REPLACE the side-table: batch history starts over
+    val v3 = st.setVertexTable(v2, Seq((1L, 0L)).toDF("id", "score"))
+    assert(st.manifest(v3).vLastBatch == -1L)
+    val v4 = st.upsertVertices(v3, Seq((1L, 11L)).toDF("id", "score"), batchId = 0L)
+    assert(v4 > v3, "fresh stream's batch 0 swallowed as a replay")
+    assert(st.servedVertexRow(v4, 1L).get == Seq(1L, 11L))
   }
 }
