@@ -834,6 +834,30 @@ class DurableStore(val spark: SparkSession, val root: String,
     Some(sorted.toSeq.zipWithIndex.map { case (k, i) => (k, oc(i), ic(i)) })
   }
 
+  /** Prefetch every manifest-listed file's parquet FOOTER into the shared
+    * serving cache, one concurrent pool round — the cold-start warming
+    * pass for online deployments with a first-call SLA (COVERAGE r12
+    * follow-up: single-client p99 at 1B carried first-touch outliers
+    * because each routed file pays footer read + thrift parse once). All
+    * subsequent served reads on these files start at the first page read.
+    * Metadata-only — no row pages touched, cost is one footer per file
+    * (the adopt path already reads them for stats, so adopted stores are
+    * warm by construction; this is for reopened/restarted serving
+    * processes). Returns the number of part files warmed. */
+  def warmServing(v: Int): Int = {
+    val m = manifest(v)
+    val paths = ((m.files ++ m.mirror ++ m.vfiles).map(_.path).flatMap(partPaths)
+      ++ m.tombs.map(_.path)).distinct
+    if (paths.isEmpty) return 0
+    implicit val ec: scala.concurrent.ExecutionContext = serveEc
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.traverse(paths) { p =>
+        scala.concurrent.Future {
+          cachedFooter(serveConf, new org.apache.hadoop.fs.Path(p)); 1
+        }
+      }, scala.concurrent.duration.Duration(300, "s")).sum
+  }
+
   /** Q6 SERVED: the single-source shortest-path TREE (dist + parent per
     * reached vertex, reference Queries.scala:198-243) computed entirely
     * on the driver — each BFS level is one [[localReadPairsMulti]] round

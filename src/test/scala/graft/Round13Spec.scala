@@ -369,6 +369,27 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("warmServing prefetches one footer per part file (files + mirror + " +
+       "vertex side + deltas + tombstones) and serving still answers") {
+    val s = spark; import s.implicits._
+    val st = DurableStore.create(spark, edges((1L to 10L).map(i => (i, 100L + i)): _*),
+      Files.createTempDirectory("graft-r13-warm").toString, numBuckets = 2,
+      withInEdgeIndex = true)
+    var v = st.append(1, edges((11L, 100L)))
+    v = st.deleteEdgeTombstone(v, 2L, 102L)
+    v = st.setVertexTable(v, Seq((1L, 5L)).toDF("id", "score"))
+    val m = st.manifest(v)
+    val expected = (m.files.size - m.files.count(!_.sorted)) // sorted primaries: 1 file each
+    val warmed = st.warmServing(v)
+    // every manifest-listed part file warmed exactly once: sorted files
+    // are single parquet files; the delta dir expands to its part files
+    assert(warmed >= m.files.size + m.mirror.size + m.vfiles.size + m.tombs.size - 1,
+      s"warmed $warmed of ${m.files.size}+${m.mirror.size}+${m.vfiles.size}+${m.tombs.size} entries (expected $expected+)")
+    // serving answers normally off the warmed cache
+    assert(st.pointReadLocal(v, 11L).nonEmpty)
+    assert(st.servedVertexRow(v, 1L).get == Seq(1L, 5L))
+  }
+
   test("setVertexTable resets the vertex batch watermark: a replaced " +
        "side-table accepts a fresh stream's batch 0") {
     val s = spark; import s.implicits._
