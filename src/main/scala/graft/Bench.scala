@@ -62,6 +62,38 @@ object Bench {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // ---- box-calibration probe (VERDICT r13 next #1): a CONSTANT
+    // synthetic workload timed at artifact start — fixed row counts,
+    // no fixture data, same plan every round — so box-state drift is
+    // mechanically separable from plan regressions. r13's driver run
+    // moved the whole 235-entry board 1.23× on byte-identical code for
+    // most entries (sbt wall-clock itself inflated 474→813 s); with
+    // this field the gate divides every per-entry ratio by the
+    // calibration ratio before classing movers, so a board-wide box
+    // swing stops producing dozens of false "regressions". Three legs
+    // cover the drift surfaces: codegen CPU + a 4096-key shuffle, a
+    // parquet write, and a parquet read-back. Median of 3 runs. ----
+    def calibOnce(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-calib").toString
+      val t0 = System.nanoTime()
+      spark.range(32L << 20)
+        .select(pmod(xxhash64(col("id")), lit(4096)).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n"))).head()
+      spark.range(2L << 20).select(col("id"), xxhash64(col("id")).as("h"))
+        .repartition(8).write.mode(SaveMode.Overwrite).parquet(s"$dir/p")
+      spark.read.parquet(s"$dir/p").agg(sum("h")).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      catch { case scala.util.control.NonFatal(_) => () }
+      finally walk.close()
+      sec
+    }
+    val calibSec = Seq.fill(3)(calibOnce()).sorted.apply(1)
+    System.err.println(f"[bench] box calibration: $calibSec%.3f s (median of 3)")
+
     // ---- ingest benchmark: micro-batched append to the edge store ----
     val store = java.nio.file.Files.createTempDirectory("graft-edges").toString
     val edges = Tables.orderEdges(spark, sfDir)
@@ -274,6 +306,21 @@ object Bench {
         "\"metric\":\"total\",\"value\":(-?[0-9.]+)".r
           .findFirstMatchIn(txt).map(_.group(1).toDouble)
       } catch { case _: Throwable => None }
+    // previous artifact's calibration: the gate divides each per-entry
+    // ratio by cur/prev calibration before classing (1.0 when either
+    // side lacks the field — pre-calibration artifacts gate as before)
+    val prevCalib: Option[Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outPath)))
+        "\"calib_sec\":(-?[0-9.]+)".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      } catch { case _: Throwable => None }
+    val calibRatio: Double =
+      prevCalib.filter(_ > 0).map(calibSec / _).getOrElse(1.0)
+    if (calibRatio != 1.0)
+      System.err.println(f"[bench] calibration ratio vs previous artifact: " +
+        f"$calibRatio%.3f (box drift; per-entry ratios normalized by it)")
     // fixture-provenance comparison (VERDICT r11 next #5): with stamps
     // AND fingerprints every artifact now carries fixture identity, so
     // the gate can say whether a total moved on the SAME data — a drift
@@ -296,17 +343,24 @@ object Bench {
     }
     val medianRatio =
       if (ratios.isEmpty) 1.0 else ratios.map(_._4).sorted.apply(ratios.size / 2)
+    // calibration-normalized gate (VERDICT r13 next #1): an entry only
+    // regresses if it moved beyond what the box itself moved — raw ratio
+    // divided by the calibration ratio. Raw ratios stay in the artifact.
+    val medianAdj = medianRatio / calibRatio
     val regs = ratios
-      .filter { case (_, p, _, r) => r > 1.5 && p >= 0.2 }
+      .filter { case (_, p, _, r) => r / calibRatio > 1.5 && p >= 0.2 }
       .sortBy(-_._4)
     regs.foreach { case (k, p, c, r) =>
-      val cls = if (r > 1.5 * medianRatio) "SUSPECT" else "environment"
+      val cls =
+        if (r / calibRatio > 1.5 * medianAdj) "SUSPECT" else "environment"
       System.err.println(
-        f"[bench] regression $k%-36s $p%7.3f -> $c%7.3f  (${r}%.2fx, $cls)")
+        f"[bench] regression $k%-36s $p%7.3f -> $c%7.3f  " +
+          f"(${r}%.2fx raw, ${r / calibRatio}%.2fx calibrated, $cls)")
     }
     val regJson = regs.take(15).map { case (k, p, c, r) =>
-      val cls = if (r > 1.5 * medianRatio) "suspect" else "environment"
-      f"""{"q":"$k","prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,"class":"$cls"}"""
+      val cls =
+        if (r / calibRatio > 1.5 * medianAdj) "suspect" else "environment"
+      f"""{"q":"$k","prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,"adj":${r / calibRatio}%.2f,"class":"$cls"}"""
     }.mkString("[", ",", "]")
     val prevJson = prevTotal.map(t => f"$t%.3f").getOrElse("null")
     // failed entries (-1 sentinels) are EXCLUDED from total and listed
@@ -318,7 +372,7 @@ object Bench {
     val retimedJson = retimed
       .map { case (k, (a, b)) => "\"" + k + "\":[" + f"$a%.3f,$b%.3f" + "]" }
       .mkString("{", ",", "}")
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(confirmed)},"retimed":$retimedJson,"failed":${failed.mkString("[", ",", "]")},"prev_total":$prevJson,"median_vs_prev":$medianRatio%.3f,"regressions":$regJson,"fixture_changed":$fixtureChanged,"sf":"$sfDir","fixture":$fixtureStamp,"ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f,"point_read_served_ms":${servedSec * 1000}%.2f,"point_read_served_rows":$nServed,"fof_served_ms":${fofSec * 1000}%.2f,"fof_served_rows":$nFof}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(confirmed)},"retimed":$retimedJson,"failed":${failed.mkString("[", ",", "]")},"prev_total":$prevJson,"median_vs_prev":$medianRatio%.3f,"calib_sec":$calibSec%.3f,"calib_ratio":$calibRatio%.3f,"regressions":$regJson,"fixture_changed":$fixtureChanged,"sf":"$sfDir","fixture":$fixtureStamp,"ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f,"point_read_served_ms":${servedSec * 1000}%.2f,"point_read_served_rows":$nServed,"fof_served_ms":${fofSec * 1000}%.2f,"fof_served_rows":$nFof}"""
     // Persist the FULL structured artifact first: the driver captures only
     // a 2000-char truncated log tail, which once hid 33 of 107 entries'
     // timings (VERDICT r4 missing #3) — a file at HEAD can't be truncated.
@@ -347,9 +401,10 @@ object Bench {
     // per-entry ratio (box-state drift indicator), regression count and
     // the worst suspect-classed entry, if any
     val worstSuspect = regs
-      .find { case (_, _, _, r) => r > 1.5 * medianRatio }
-      .map { case (k, _, _, r) => f""""$k:${r}%.2fx"""" }.getOrElse("null")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(headline)},"n_queries":${confirmed.size},"n_ok":$nOk,"failed":${failed.mkString("[", ",", "]")},"prev_total":$prevJson,"median_vs_prev":$medianRatio%.3f,"n_regressions":${regs.size},"worst_suspect":$worstSuspect,"fixture_changed":$fixtureChanged,"full":"$outPath","sf":"$sfDir","fixture":$fixtureStamp,"ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f,"point_read_served_ms":${servedSec * 1000}%.2f,"fof_served_ms":${fofSec * 1000}%.2f}"""
+      .find { case (_, _, _, r) => r / calibRatio > 1.5 * medianAdj }
+      .map { case (k, _, _, r) => f""""$k:${r / calibRatio}%.2fx"""" }
+      .getOrElse("null")
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(headline)},"n_queries":${confirmed.size},"n_ok":$nOk,"failed":${failed.mkString("[", ",", "]")},"prev_total":$prevJson,"median_vs_prev":$medianRatio%.3f,"calib_sec":$calibSec%.3f,"calib_ratio":$calibRatio%.3f,"n_regressions":${regs.size},"worst_suspect":$worstSuspect,"fixture_changed":$fixtureChanged,"full":"$outPath","sf":"$sfDir","fixture":$fixtureStamp,"ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f,"point_read_served_ms":${servedSec * 1000}%.2f,"fof_served_ms":${fofSec * 1000}%.2f}"""
     println(compact)
     spark.stop()
   }

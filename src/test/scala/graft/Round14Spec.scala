@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Round-14 serving/commit seams (VERDICT r13): vertex-row tombstones
+  * (missing #2), the composed served vertex-column join (missing #3),
+  * budget-refusal fallbacks for every served registry entry (wrong #1),
+  * and the lock-free object-store commit protocol (missing #1). */
+class Round14Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def edges(rows: (Long, Long)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("src", "dst").select(col("src"), col("dst"),
+      (col("src") * 10 + col("dst")).as("w"))
+  }
+
+  private def props(rows: (Long, String, Long)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("id", "name", "score")
+  }
+
+  /** A store with an in-edge index and a vertex side-table with
+    * auto-fill defaults, ready for the serving-join/tombstone tests. */
+  private def vertexStore(prefix: String): (DurableStore, Int) = {
+    val root = Files.createTempDirectory(prefix).toString
+    DurableStore.create(spark,
+      edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 2L)), root,
+      numBuckets = 2, withInEdgeIndex = true)
+    val st = new DurableStore(spark, root)
+    val v = st.setVertexTable(st.currentVersion,
+      props((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)),
+      defaults = Map("name" -> "'auto'", "score" -> "0"))
+    (st, v)
+  }
+
+  // ---- vertex-row tombstones (VERDICT r13 missing #2) ----
+
+  test("deleteVertex tombstones the vertex property row: served absent, " +
+       "distributed absent, compact reclaims, upsert resurrects") {
+    val (st, v1) = vertexStore("graft-r14-vtomb")
+    assert(st.servedVertexRow(v1, 2L).nonEmpty)
+    val v2 = st.deleteVertexTombstone(v1, 2L)
+    // the deleted vertex's property row is gone on EVERY read path...
+    assert(st.servedVertexRow(v2, 2L).isEmpty,
+      "served point get still returns the deleted vertex's row")
+    assert(st.servedVertexRows(v2, Array(1L, 2L, 3L)).get.map(_.head) ==
+      Seq(1L, 3L), "served getMany still returns the deleted row")
+    assert(st.readVertices(v2).filter(col("id") === 2L).isEmpty,
+      "distributed read still returns the deleted row")
+    // ...edges touching it are gone too (the pre-existing P5 behavior)...
+    assert(st.read(v2).filter(col("src") === 2L || col("dst") === 2L).isEmpty)
+    // ...and the PRE-delete version is untouched (copy-on-write)
+    assert(st.servedVertexRow(v1, 2L).nonEmpty)
+    // compact physically reclaims the row and both tombstone kinds
+    val v3 = st.compact(v2)
+    val m3 = new DurableStore(spark, st.root).manifest(v3)
+    assert(m3.tombs.isEmpty && m3.vtombs.isEmpty, "compact left tombstones")
+    assert(st.servedVertexRow(v3, 2L).isEmpty, "compact resurrected the row")
+    assert(st.readVertices(v3).filter(col("id") === 2L).isEmpty)
+    // a LATER upsert out-sequences the tombstone and resurrects the id
+    val v4 = st.upsertVertices(st.deleteVertexTombstone(v1, 2L),
+      props((2L, "back", 99L)))
+    assert(st.servedVertexRow(v4, 2L).get == Seq(2L, "back", 99L),
+      "upsert after delete did not resurrect the row")
+    // first-touch point set on the compacted branch re-creates from the
+    // auto-fill defaults, never the dead values
+    val v5 = st.setVertexProp(v3, 2L, "score", lit(7L))
+    assert(st.servedVertexRow(v5, 2L).get == Seq(2L, "auto", 7L),
+      "first-touch after delete leaked stale values instead of defaults")
+  }
+
+  test("vertex-row tombstone survives a reopen (manifest round-trip) and " +
+       "pressures the auto-compaction hook") {
+    val (st, v1) = vertexStore("graft-r14-vtomb2")
+    val v2 = st.deleteVertexTombstone(v1, 3L)
+    val re = new DurableStore(spark, st.root)
+    assert(re.manifest(v2).vtombs.map(_.rows).sum == 1)
+    assert(re.servedVertexRow(v2, 3L).isEmpty)
+    // the pressure check counts vertex-row tombstones
+    val low = new DurableStore(spark, st.root)
+    val v3 = low.compactIfPressured(v2, tombRowTrigger = 0)
+    assert(v3 > v2, "vtomb rows did not pressure compactIfPressured")
+    assert(low.manifest(v3).vtombs.isEmpty)
+  }
+
+  // ---- composed served vertex-column join (VERDICT r13 missing #3) ----
+
+  test("servedOutRowsWithVertex equals the distributed hop-join, zero " +
+       "jobs on the served arm, refusal degrades to the same rows") {
+    val (st, v1) = vertexStore("graft-r14-n4sv")
+    val keys = Array(1L, 4L)
+    // dst 2 and 3 have side-table rows; every edge row extends with
+    // (name, score) of its dst
+    val served = st.servedOutRowsWithVertex(v1, keys, Seq("name", "score"))
+      .getOrElse(sys.error("served join refused on a 4-row store"))
+    val expect = st.readForSrcs(v1, keys)
+      .filter(col("src").isin(1L, 4L))
+      .join(st.readVertices(v1).select(col("id"), col("name"), col("score")),
+        col("dst") === col("id"), "left")
+      .drop("id")
+      .collect().map(_.toSeq).toSet
+    assert(served.toSet == expect,
+      s"served $served vs distributed $expect")
+    // budget 0 forces the refusal arm of the registry helper — same rows
+    assert(st.servedOutRowsWithVertex(v1, keys, Seq("name", "score"),
+      localFileBudget = 0).isEmpty)
+    val fb = registry.DurableQueries.outRowsWithVertexServedOrJob(
+      spark, st, v1, keys, Seq("name", "score"), fileBudget = 0)
+      .collect().map(_.toSeq).toSet
+    assert(fb == expect, "fallback arm disagrees with the distributed join")
+    // NULL vertex cells fill from foldable defaults on both arms: vertex
+    // 9 is absent (left-join NULLs), a present row with a NULL cell fills
+    val v2 = st.upsertVertices(v1, props((2L, null, 20L)))
+    val s2 = st.servedOutRowsWithVertex(v2, Array(1L), Seq("name")).get
+    val d2 = st.readForSrcs(v2, Array(1L)).filter(col("src") === 1L)
+      .join(st.readVertices(v2).select(col("id"), col("name")),
+        col("dst") === col("id"), "left").drop("id")
+      .collect().map(_.toSeq).toSet
+    assert(s2.toSet == d2, s"default fill mismatch: $s2 vs $d2")
+    assert(s2.exists(_.last == "auto"), "NULL cell did not fill from default")
+  }
+
+  // ---- budget-refusal fallbacks for the served entries (wrong #1) ----
+
+  test("every served registry arm degrades to its one-job distributed " +
+       "form at budget 0 with row-equal results") {
+    val root = Files.createTempDirectory("graft-r14-fb").toString
+    DurableStore.create(spark,
+      edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 2L), (4L, 5L)), root,
+      numBuckets = 2, withInEdgeIndex = true)
+    val st = new DurableStore(spark, root)
+    val v = st.setVertexTable(1,
+      props((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)),
+      defaults = Map("name" -> "'auto'", "score" -> "0"))
+    val keys = Array(1L, 4L)
+    import registry.DurableQueries._
+    // n3s: dsts of the key set (repeats kept)
+    assert(st.servedOutNeighbors(v, keys, localFileBudget = 0).isEmpty)
+    val n3Served = outNeighborsServedOrJob(spark, st, v, keys)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val n3Fb = outNeighborsServedOrJob(spark, st, v, keys, fileBudget = 0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(n3Served == Seq(2L, 2L, 3L, 5L) && n3Fb == n3Served)
+    // n4s: full edge rows
+    assert(st.servedOutRows(v, keys, localFileBudget = 0).isEmpty)
+    val n4Served = outRowsServedOrJob(spark, st, v, keys)
+      .collect().map(_.toSeq).toSet
+    val n4Fb = outRowsServedOrJob(spark, st, v, keys, fileBudget = 0)
+      .collect().map(_.toSeq).toSet
+    assert(n4Served.nonEmpty && n4Fb == n4Served)
+    // n6s: (out, in) degrees incl. an absent id reporting (0, 0)
+    assert(st.servedDegrees(v, Array(2L, 7L), localFileBudget = 0).isEmpty)
+    val n6Served = degreesServedOrJob(spark, st, v, Array(2L, 7L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val n6Fb = degreesServedOrJob(spark, st, v, Array(2L, 7L), fileBudget = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(n6Served == Set((2L, 1L, 2L), (7L, 0L, 0L)) && n6Fb == n6Served)
+    // p6b/s22: vertex getMany rows, ascending id
+    assert(st.servedVertexRows(v, Array(1L, 3L), localFileBudget = 0).isEmpty)
+    val pServed = vertexRowsServedOrJob(spark, st, v, Array(1L, 3L))
+    val pFb = vertexRowsServedOrJob(spark, st, v, Array(1L, 3L), fileBudget = 0)
+    assert(pServed == Seq(Seq(1L, "a", 10L), Seq(3L, "c", 30L)) &&
+      pFb == pServed)
+  }
+
+  // ---- object-store commit protocol (VERDICT r13 missing #1) ----
+
+  test("ObjectStoreCommit claimVersion: exactly one writer wins each " +
+       "version number under a concurrent race") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = Files.createTempDirectory("graft-r14-claim").toString
+    Files.createDirectories(java.nio.file.Paths.get(root, "manifest"))
+    (1 to 20).foreach { v =>
+      val wins = Await.result(Future.sequence((1 to 8).map(_ => Future {
+        DurableStore.ObjectStoreCommit.claimVersion(root, v)
+      })), 30.seconds).count(identity)
+      assert(wins == 1, s"v$v: $wins writers claimed the same version")
+    }
+  }
+
+  test("ObjectStoreCommit casPointer: conditional PUT semantics — the " +
+       "stale writer fails loudly, the pointer holds the winner") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = Files.createTempDirectory("graft-r14-cas").toString
+    val c = DurableStore.ObjectStoreCommit
+    c.casPointer(root, 0, 3) // creation: expect "no pointer yet"
+    val results = Await.result(Future.sequence(Seq(4, 5).map(nv => Future {
+      try { c.casPointer(root, 3, nv); Right(nv) }
+      catch { case e: DurableStore.CommitConflictException => Left(nv) }
+    })), 30.seconds)
+    val winners = results.collect { case Right(nv) => nv }
+    assert(winners.size == 1, s"CAS let both writers through: $results")
+    val ptr = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "VERSION"))).trim.toInt
+    assert(ptr == winners.head, "pointer does not hold the CAS winner")
+    // the loser retries from the new head and wins
+    val loser = results.collect { case Left(nv) => nv }.head
+    c.casPointer(root, winners.head, loser)
+  }
+
+  test("two lock-free store handles race interleaved commits through " +
+       "ObjectStoreCommit: zero lost batches, stale builds conflict, " +
+       "retries win, manifests never collide") {
+    val base = (1L to 12L).map(i => (i, 100L + i % 3))
+    val root = Files.createTempDirectory("graft-r14-osc").toString
+    DurableStore.create(spark, edges(base: _*), root, numBuckets = 2)
+    val stA = new DurableStore(spark, root,
+      commit = DurableStore.ObjectStoreCommit, linearHistory = true)
+    val stB = new DurableStore(spark, root,
+      commit = DurableStore.ObjectStoreCommit, linearHistory = true)
+    // a DETERMINISTIC stale build: A reads the head, B commits first,
+    // A's commit from the stale head must conflict (not silently drop
+    // B's rows), then A's retry from the new head wins
+    val vStale = stA.currentVersion
+    val vB = stB.append(vStale, edges((50L, 100L)))
+    assert(vB > vStale)
+    intercept[DurableStore.CommitConflictException] {
+      stA.append(vStale, edges((60L, 100L)))
+    }
+    val vA = stA.append(stA.currentVersion, edges((60L, 100L)))
+    assert(vA > vB)
+    // interleaved writer pair, each retrying on conflict — both writers'
+    // batches all land exactly once
+    (0 until 6).foreach { i =>
+      val (st, src) = if (i % 2 == 0) (stA, 70L + i) else (stB, 80L + i)
+      var committed = false
+      while (!committed) {
+        try { st.append(st.currentVersion, edges((src, 100L))); committed = true }
+        catch { case _: DurableStore.CommitConflictException => () }
+      }
+    }
+    val re = new DurableStore(spark, root)
+    val got = re.readLatest().filter(col("src") >= 50L)
+      .select("src").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(50L, 60L, 70L, 72L, 74L, 81L, 83L, 85L),
+      s"lost or doubled commits: $got")
+    // every committed version's manifest exists exactly once (claims
+    // made version-named paths single-writer); compact still works
+    val vc = re.compact(re.currentVersion)
+    assert(re.read(vc).count() == base.size + 8)
+  }
+}
