@@ -1494,6 +1494,46 @@ class DurableStore(val spark: SparkSession, val root: String,
       Some(m.copy(vbounds = vb, vfiles = vf, vtombs = Nil))
     }
 
+  /** Per-bucket vertex-side compaction fold (round 14): the edge side
+    * merges only delta-hit buckets ([[mergeSide]]); the vertex side used
+    * to rewrite the WHOLE table to fold any delta — at the 1B envelope a
+    * 50k upsert delta cost a 25M-row rewrite, and the serving p99 during
+    * that window showed it (WikiVertexStreamProbe). Now only buckets a
+    * delta row or live vertex tombstone can touch — routed by the id
+    * RANGE stats, the tombHits discipline: no overlap proves no matching
+    * row — are latest-wins-resolved (tomb exclusion included) and
+    * rewritten at the current vMaxSeq; untouched buckets keep their
+    * files byte-identical. Bounds stay fixed (the vertex table does not
+    * churn like the edge log; a full re-shard remains available through
+    * [[setVertexTable]]). A delta whose id range spans every bucket
+    * degrades to the full rewrite — the pre-round-14 behavior. */
+  private def foldVertexSide(m: Manifest, nv: Int, targetFileRows: Long)
+      : (Seq[Long], Seq[StoreFile]) = {
+    val deltas = m.vfiles.filterNot(_.sorted)
+    if (deltas.isEmpty && m.vtombs.isEmpty) return (m.vbounds, m.vfiles)
+    val bounds = m.vbounds
+    if (bounds.isEmpty)
+      return writeVertexSide(readVerticesResolved(m), s"$root/v$nv/vp", Nil,
+        targetFileRows, m.vMaxSeq)
+    def cover(lo: Long, hi: Long): Range =
+      bounds.count(_ < lo) to math.min(bounds.count(_ < hi), bounds.size - 1)
+    val hit = scala.collection.mutable.Set[Int]()
+    deltas.foreach(f => cover(f.srcMin, f.srcMax).foreach(hit += _))
+    m.vtombs.foreach { t =>
+      if (m.vfiles.exists(_.seq < t.seq))
+        cover(t.srcMin, t.srcMax).foreach(hit += _)
+    }
+    val (hitBase, keep) = m.vfiles.filter(_.sorted)
+      .partition(f => hit.contains(f.bucket))
+    // latest-wins + tombstone resolution restricted to the hit buckets'
+    // base files plus every delta (delta rows route inside `hit` by
+    // construction); seq scoping rides the file entries unchanged
+    val resolved = readVerticesResolved(m.copy(vfiles = hitBase ++ deltas))
+    val (_, newFiles) = writeVertexSide(resolved, s"$root/v$nv/vp", bounds,
+      targetFileRows, m.vMaxSeq)
+    (bounds, keep ++ newFiles)
+  }
+
   /** One id-sorted bucketed write of a vertex frame + its per-file id
     * stats (the vertex twin of the edge writeBuckets/statsForDir pair;
     * both StoreFile ranges carry the id envelope). */
@@ -1816,13 +1856,10 @@ class DurableStore(val spark: SparkSession, val root: String,
           mergeSide(dRaw, m.mirror, m.mbounds, "dst", "src",
             s"$root/v$nv/m", maxBucketRows, targetFileRows, forcedM, readClean, sq)
         }
-      // vertex side: fold upsert deltas into fresh id-sorted files
-      // (latest-wins resolved ONCE at the merge, the same lazy cleanup
-      // the edge tombstones get) — untouched when no vertex delta exists
-      val (vb, vf) =
-        if (!m.vfiles.exists(!_.sorted) && m.vtombs.isEmpty) (m.vbounds, m.vfiles)
-        else writeVertexSide(readVerticesResolved(m), s"$root/v$nv/vp",
-          m.vbounds, targetFileRows, m.vMaxSeq)
+      // vertex side: fold upsert deltas / row tombstones into fresh
+      // id-sorted files — PER HIT BUCKET (round 14), the same discipline
+      // as the edge side's mergeSide: untouched buckets keep their files
+      val (vb, vf) = foldVertexSide(m, nv, targetFileRows)
       Some(Manifest(nv, bounds, outFiles, m.lastBatch, m.schemaDDL, mb, mf,
         Nil, vb, vf, m.vschemaDDL, m.vdefaults, m.vLastBatch))
     }
