@@ -344,23 +344,25 @@ object Bench {
     }
     val medianRatio =
       if (ratios.isEmpty) 1.0 else ratios.map(_._4).sorted.apply(ratios.size / 2)
-    // calibration-normalized gate (VERDICT r13 next #1): an entry only
-    // regresses if it moved beyond what the box itself moved — raw ratio
-    // divided by the calibration ratio. Raw ratios stay in the artifact.
-    val medianAdj = medianRatio / calibRatio
+    // calibration-normalized MEMBERSHIP (VERDICT r13 next #1): an entry
+    // only enters the regression list if it moved beyond what the box
+    // itself moved (raw ratio / calibration ratio > 1.5) — a board-wide
+    // box swing produces an empty list instead of 60 entries. CLASSING
+    // within the list stays against the pack median (did it move ALONE?)
+    // — dividing both sides by calibRatio there would cancel out, so the
+    // two anchors are deliberately separate: calibration filters,
+    // the pack classes. Raw and calibrated ratios both ride the artifact.
     val regs = ratios
       .filter { case (_, p, _, r) => r / calibRatio > 1.5 && p >= 0.2 }
       .sortBy(-_._4)
     regs.foreach { case (k, p, c, r) =>
-      val cls =
-        if (r / calibRatio > 1.5 * medianAdj) "SUSPECT" else "environment"
+      val cls = if (r > 1.5 * medianRatio) "SUSPECT" else "environment"
       System.err.println(
         f"[bench] regression $k%-36s $p%7.3f -> $c%7.3f  " +
           f"(${r}%.2fx raw, ${r / calibRatio}%.2fx calibrated, $cls)")
     }
     val regJson = regs.take(15).map { case (k, p, c, r) =>
-      val cls =
-        if (r / calibRatio > 1.5 * medianAdj) "suspect" else "environment"
+      val cls = if (r > 1.5 * medianRatio) "suspect" else "environment"
       f"""{"q":"$k","prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,"adj":${r / calibRatio}%.2f,"class":"$cls"}"""
     }.mkString("[", ",", "]")
     val prevJson = prevTotal.map(t => f"$t%.3f").getOrElse("null")
@@ -402,7 +404,7 @@ object Bench {
     // per-entry ratio (box-state drift indicator), regression count and
     // the worst suspect-classed entry, if any
     val worstSuspect = regs
-      .find { case (_, _, _, r) => r / calibRatio > 1.5 * medianAdj }
+      .find { case (_, _, _, r) => r > 1.5 * medianRatio }
       .map { case (k, _, _, r) => f""""$k:${r / calibRatio}%.2fx"""" }
       .getOrElse("null")
     val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(headline)},"n_queries":${confirmed.size},"n_ok":$nOk,"failed":${failed.mkString("[", ",", "]")},"prev_total":$prevJson,"median_vs_prev":$medianRatio%.3f,"calib_sec":$calibSec%.3f,"calib_ratio":$calibRatio%.3f,"n_regressions":${regs.size},"worst_suspect":$worstSuspect,"fixture_changed":$fixtureChanged,"full":"$outPath","sf":"$sfDir","fixture":$fixtureStamp,"ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f,"point_read_served_ms":${servedSec * 1000}%.2f,"fof_served_ms":${fofSec * 1000}%.2f}"""

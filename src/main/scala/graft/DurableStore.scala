@@ -1318,6 +1318,13 @@ class DurableStore(val spark: SparkSession, val root: String,
           s"${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}" +
           " — use updateAllVertices (copy-on-write) for this schema")
       }
+      // LOUD budget gate (not the served path's silent None): past it,
+      // servedVertexRowM's refusal would read as "vertex absent" and
+      // first-touch would overwrite a live row with defaults
+      require(m.vtombs.map(_.rows).sum <= ServeTombRowBudget,
+        s"$root v${m.version}: ${m.vtombs.map(_.rows).sum} live vertex-row " +
+          s"tombstones exceed the serving budget ($ServeTombRowBudget) — " +
+          "compact() before point-setting vertex properties")
       val baseDf = servedVertexRowM(m, id) match {
         case Some(row) =>
           import scala.jdk.CollectionConverters._
@@ -1463,6 +1470,11 @@ class DurableStore(val spark: SparkSession, val root: String,
 
   private def servedVertexRowM(m: Manifest, id: Long): Option[Seq[Any]] = {
     if (m.vschemaDDL.isEmpty) return None
+    // Option contract: REFUSE (never throw) past the tombstone-row
+    // budget, like every other served path — callers that must
+    // distinguish "absent row" from "refused" gate the budget first
+    // (setVertexProp does, loudly)
+    if (m.vtombs.map(_.rows).sum > ServeTombRowBudget) return None
     val floor = vTombKillFloor(cachedVTombIndexM(m)).apply(id)
     val hit = m.vfiles.filter(f => id >= f.srcMin && id <= f.srcMax &&
       f.seq >= floor)
@@ -1531,7 +1543,14 @@ class DurableStore(val spark: SparkSession, val root: String,
     val resolved = readVerticesResolved(m.copy(vfiles = hitBase ++ deltas))
     val (_, newFiles) = writeVertexSide(resolved, s"$root/v$nv/vp", bounds,
       targetFileRows, m.vMaxSeq)
-    (bounds, keep ++ newFiles)
+    // restamp the kept files to the fold's seq — manifest metadata only.
+    // Buckets partition ids disjointly and the kept buckets hold no
+    // delta/tombstone-affected rows, so every id is unique across the
+    // post-fold file set and uniform seqs are semantically identical —
+    // while keeping readVerticesResolved on its single-seq fast path
+    // (mixed seqs would shunt every later full scan onto the
+    // window/row_number shuffle forever, review r14)
+    (bounds, keep.map(_.copy(seq = m.vMaxSeq)) ++ newFiles)
   }
 
   /** One id-sorted bucketed write of a vertex frame + its per-file id
@@ -1670,15 +1689,14 @@ class DurableStore(val spark: SparkSession, val root: String,
       Files.createDirectories(dir)
       val p = dir.resolve(tombName(vertex = true)).toString
       writeTombParquet(serveConf, p, vertex = true, vs.map(v => (v, v)))
+      // the vertex-ROW tombstone shares the SAME parquet file (identical
+      // id list) — only the manifest entry differs (vertex seq ordering);
+      // vacuum's keep-path set and the kind-prefixed index cache both
+      // handle the shared path
       val vt =
         if (m.vschemaDDL.isEmpty) Nil
-        else {
-          val vsq = m.vMaxSeq + 1
-          val vp = dir.resolve(tombName(vertex = true)).toString
-          writeTombParquet(serveConf, vp, vertex = true, vs.map(v => (v, v)))
-          Seq(TombFile(vsq, vertex = true, vp,
-            vs.min, vs.max, vs.min, vs.max, vs.size))
-        }
+        else Seq(TombFile(m.vMaxSeq + 1, vertex = true, p,
+          vs.min, vs.max, vs.min, vs.max, vs.size))
       Some(m.copy(tombs = m.tombs :+ TombFile(sq, vertex = true, p,
         vs.min, vs.max, vs.min, vs.max, vs.size),
         vtombs = m.vtombs ++ vt))
@@ -2002,6 +2020,22 @@ class DurableStore(val spark: SparkSession, val root: String,
         }
       Files.deleteIfExists(manifestPath(root, v))
     }
+    // version-claim objects left by ObjectStoreCommit below the keep
+    // horizon — including MANIFEST-LESS ones (a writer that crashed
+    // between claim and manifest write) which the per-version loop
+    // above can never enumerate. Claims at or above keepFrom must stay:
+    // they are what keeps a lock-free writer from reusing the number.
+    locally {
+      val stream = Files.list(Paths.get(root, "manifest"))
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".claim"))
+        .filter { p =>
+          val n = p.getFileName.toString.stripPrefix("v").stripSuffix(".claim")
+          n.forall(_.isDigit) && n.nonEmpty && n.toInt < keepFrom
+        }
+        .foreach(Files.deleteIfExists(_))
+      finally stream.close()
+    }
     removed
   }
 
@@ -2101,8 +2135,11 @@ class DurableStore(val spark: SparkSession, val root: String,
         // the first try
         var nv = nextVersion(root)
         while (!commit.claimVersion(root, nv)) nv += 1
+        // contract: a build returning None has written NOTHING under
+        // v<nv> (all no-op paths bail before their writes) — so the
+        // claim can be handed back for the next writer to reuse
         build(m, nv) match {
-          case None => fromV
+          case None => commit.releaseVersion(root, nv); fromV
           case Some(built) =>
             writeManifest(root, built.copy(version = nv))
             commit.casPointer(root, if (linearHistory) fromV else cur, nv)
@@ -2147,6 +2184,14 @@ object DurableStore {
       * [[withCommitLock]] (the local default) get uniqueness from the
       * lock and need no claim objects. */
     def claimVersion(root: String, v: Int): Boolean = true
+
+    /** Release an unused claim: called when a commit turns out to be a
+      * NO-OP (build returned None — idempotent replays, empty batches)
+      * so replay-heavy streams don't leak one claim object per skipped
+      * batch. Safe because a None build writes nothing under v<N> (the
+      * commitOpt contract). Best-effort — a crash between claim and
+      * release leaks one harmless number gap. Default no-op. */
+    def releaseVersion(root: String, v: Int): Unit = ()
 
     /** Hold the deployment-wide commit lock for `root` across an ENTIRE
       * commit — version allocation, data + manifest writes, and the
@@ -2233,6 +2278,9 @@ object DurableStore {
       Files.createDirectories(Paths.get(root, "manifest"))
       try { Files.createFile(Paths.get(root, "manifest", s"v$v.claim")); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    }
+    override def releaseVersion(root: String, v: Int): Unit = {
+      Files.deleteIfExists(Paths.get(root, "manifest", s"v$v.claim")); ()
     }
     def casPointer(root: String, expect: Int, v: Int): Unit =
       monitors.computeIfAbsent(root, _ => new Object).synchronized {

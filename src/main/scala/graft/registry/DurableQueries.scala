@@ -192,25 +192,30 @@ object DurableQueries {
   private[graft] def outRowsWithVertexServedOrJob(s: SparkSession,
       st: DurableStore, v: Int, keys: Array[Long], vcols: Seq[String],
       fileBudget: Int = DurableStore.ServeLocalFileBudget)
-      : org.apache.spark.sql.DataFrame =
-    st.servedOutRowsWithVertex(v, keys, vcols,
+      : org.apache.spark.sql.DataFrame = {
+    val vs = org.apache.spark.sql.types.StructType
+      .fromDDL(st.manifest(v).vschemaDDL)
+    // resolve the "all non-id columns" default HERE so the served
+    // schema and the fallback projection always agree (review r14)
+    val cols =
+      if (vcols.nonEmpty) vcols else vs.fieldNames.filterNot(_ == "id").toSeq
+    st.servedOutRowsWithVertex(v, keys, cols,
         localFileBudget = fileBudget) match {
       case Some(rows) =>
         val es = org.apache.spark.sql.types.StructType
           .fromDDL(st.manifest(v).schemaDDL)
-        val vs = org.apache.spark.sql.types.StructType
-          .fromDDL(st.manifest(v).vschemaDDL)
         val schema = org.apache.spark.sql.types.StructType(
-          es.fields ++ vcols.map(c => vs(c).copy(nullable = true)))
+          es.fields ++ cols.map(c => vs(c).copy(nullable = true)))
         import scala.jdk.CollectionConverters._
         s.createDataFrame(
           rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
       case None =>
         st.readForSrcs(v, keys).filter(col("src").isin(keys.toSeq: _*))
-          .join(st.readVertices(v).select(("id" +: vcols).map(col): _*),
+          .join(st.readVertices(v).select(("id" +: cols).map(col): _*),
             col("dst") === col("id"), "left")
           .drop("id")
     }
+  }
 
   /** Vertex side-table lifecycle on [[baseStore]], built once per
     * (session, fixture): attach the TPC-H vertex columns (acctbal in

@@ -108,6 +108,10 @@ class Round14Spec extends AnyFunSuite {
     val after = m3.vfiles.filter(_.srcMin > loMax).map(_.path).toSet
     assert(before.nonEmpty && before == after,
       s"untouched vertex buckets were rewritten: $before vs $after")
+    // kept files restamp to the fold's seq (manifest-only) so the full
+    // read keeps its single-seq fast path after a partial fold
+    assert(m3.vfiles.map(_.seq).distinct.size == 1,
+      s"partial fold left mixed seqs: ${m3.vfiles.map(_.seq).distinct}")
     assert(m3.vfiles.map(_.path).toSet != m1.vfiles.map(_.path).toSet)
     // values resolve correctly through the partial fold
     assert(st.readVertices(v3).filter(col("id") === 1L)
@@ -286,5 +290,37 @@ class Round14Spec extends AnyFunSuite {
     // made version-named paths single-writer); compact still works
     val vc = re.compact(re.currentVersion)
     assert(re.read(vc).count() == base.size + 8)
+    // a NO-OP commit (idempotent batch replay) releases its claim
+    // instead of leaking one object per skipped batch
+    def claims() = {
+      val s2 = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "manifest"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s2.iterator().asScala.count(_.getFileName.toString.endsWith(".claim"))
+      } finally s2.close()
+    }
+    val stC = new DurableStore(spark, root,
+      commit = DurableStore.ObjectStoreCommit)
+    val vr = stC.append(stC.currentVersion, edges((90L, 100L)), batchId = 7L)
+    val nClaims = claims()
+    assert(stC.append(vr, edges((90L, 100L)), batchId = 7L) == vr)
+    assert(claims() == nClaims, "no-op replay leaked a version claim")
+    // vacuum sweeps claims (incl. manifest-less crash orphans) below the
+    // keep horizon and keeps the live ones
+    // v1 was created by DurableStore.create (no claim) — planting one
+    // simulates a writer that crashed between claim and manifest write
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(root, "manifest", "v1.claim"))
+    stC.vacuum(stC.currentVersion)
+    val s3 = java.nio.file.Files.list(java.nio.file.Paths.get(root, "manifest"))
+    val left = try {
+      import scala.jdk.CollectionConverters._
+      s3.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".claim")).toSeq
+    } finally s3.close()
+    assert(!left.contains("v1.claim"), "vacuum left a stale claim behind")
+    assert(left.contains(s"v${stC.currentVersion}.claim"),
+      "vacuum swept the LIVE version's claim")
   }
 }
