@@ -250,12 +250,14 @@ object Dedup {
     // restrict the shingle self-join to candidate documents FIRST — the
     // unrestricted join is quadratic in the hottest shingle's frequency,
     // exactly the blowup the LSH stage exists to avoid
-    val candDocs = cand.select(col("a").as("doc_id"))
-      .union(cand.select(col("b").as("doc_id"))).distinct()
-      .localCheckpoint(true)
-    // cluster-size guard (VERDICT r4 next-7): both counts are over already-
-    // checkpointed frames, so the check costs two cheap local scans
-    val (nPairs, nDocs) = (cand.count(), candDocs.count())
+    // fused materialize+count (r14, Traversals.checkpointCount): the
+    // blowup guard's count is the action that checkpoints candDocs
+    val (candDocs, nDocs) = Traversals.checkpointCount(
+      cand.select(col("a").as("doc_id"))
+        .union(cand.select(col("b").as("doc_id"))).distinct())
+    // cluster-size guard (VERDICT r4 next-7): cand is already
+    // checkpointed, so its count is a cheap local scan
+    val nPairs = cand.count()
     if (pairBlowup(nPairs, nDocs))
       System.err.println(
         s"[graft.Dedup] jaccardVerify: $nPairs candidate pairs over $nDocs " +
@@ -311,15 +313,16 @@ object Dedup {
     // pipeline is the sweep's dominant cost, quadratic on exactly the
     // blowup-shaped corpora this metric exists to measure)
     val cand2 = minhashCandidatesFrom(sh, 2).localCheckpoint(true)
-    val truth = jaccardVerifyCandidates(sh, cand2)
-      .filter(col("jacc_pct") >= jaccThresholdPct)
-      .select("a", "b").localCheckpoint(true)
-    val nTrue = truth.count()
+    // fused materialize+count for the truth set and the r=4 candidates
+    // (r14, Traversals.checkpointCount): 2 jobs each → 1
+    val (truth, nTrue) = Traversals.checkpointCount(
+      jaccardVerifyCandidates(sh, cand2)
+        .filter(col("jacc_pct") >= jaccThresholdPct)
+        .select("a", "b"))
     Seq(2, 4).map { r =>
-      val cand =
-        if (r == 2) cand2
-        else minhashCandidatesFrom(sh, r).localCheckpoint(true)
-      val nCand = cand.count()
+      val (cand, nCand) =
+        if (r == 2) (cand2, cand2.count())
+        else Traversals.checkpointCount(minhashCandidatesFrom(sh, r))
       val nHit = cand.join(truth, Seq("a", "b"), "left_semi").count()
       (r, nCand, nHit,
         if (nTrue == 0) 1000000L else 1000000L * nHit / nTrue)
@@ -871,8 +874,11 @@ object Dedup {
     // checkpoint the shared representatives frame ONCE: both the
     // signature and shingle branches re-executed the d1 exact-dedup
     // shuffle otherwise
-    val reps = representatives(docs).localCheckpoint(true)
-    val sg = signatureDirect(reps).localCheckpoint(true)
+    // lazy (r14): reps materializes inside its first consumer's stages
+    // and sg is a cheap per-row projection over it — neither needs the
+    // eager checkpoint's extra full-pass job
+    val reps = representatives(docs).localCheckpoint(false)
+    val sg = signatureDirect(reps).localCheckpoint(false)
     val matchExpr = (0 until NumHashes)
       .map(k => s"CASE WHEN a_m$k = b_m$k THEN 1 ELSE 0 END")
       .mkString(" + ")

@@ -69,6 +69,11 @@ object MultiBFSPacked {
         VState(s, Array.tabulate(k)(j => if (j == i) 0: Byte else -1: Byte))
       })
     val agg = new MinVec(k)
+    // materialize the 2-column edge projection once: the per-depth join
+    // otherwise re-plans and re-scans the full derivation every round
+    // (r14 — the bfsDistances discipline)
+    val e2 = edges.select(col("src").cast("long").as("s"),
+      col("dst").cast("long").as("t")).localCheckpoint(true)
 
     for (depth <- 1 to maxDepth) {
       val d = depth.toByte
@@ -76,19 +81,21 @@ object MultiBFSPacked {
       // settled vertices would emit useless all-(-1) proposals per edge
       // per remaining superstep
       val frontier = state.filter(_.dist.contains((d - 1).toByte))
-      val proposals = frontier.joinWith(
-          edges.select(col("src").cast("long").as("s"), col("dst").cast("long").as("t")),
+      val proposals = frontier.joinWith(e2,
           col("id") === col("s"))
         .map { case (vs, row) =>
           VState(row.getLong(1),
             vs.dist.map(x => if (x == d - 1) d else -1: Byte))
         }
       // gather: pointwise-min merge of proposals into the state
+      // lazy: lineage truncates at plan level; the next round's (or the
+      // final flatMap's) action materializes the persisted state (r14 —
+      // drops one full vertex-state pass per superstep)
       state = state.union(proposals)
         .groupByKey(_.id)
         .agg(agg.toColumn.name("dist"))
         .map { case (id, dist) => VState(id, dist) }
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     state.flatMap(vs => vs.dist.zipWithIndex.collect {
       case (dist, i) if dist >= 0 => (sources(i), vs.id, dist.toLong)

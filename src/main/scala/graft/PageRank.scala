@@ -49,7 +49,11 @@ object PageRank {
       .persist()
     val ed = e.join(deg, "src").persist()
     ed.count()
-    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    // verts derives from the CACHED ed, not the raw edge frame: ed is an
+    // inner join on src against per-src degrees, so it holds every edge
+    // row — deriving vertices from e would re-run the full fact-table
+    // derivation a second time per entry (r14; guide §2.4)
+    val verts = ed.select(col("src").as("id")).union(ed.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
     val n = verts.agg(count(lit(1)).as("n")).localCheckpoint(true)
     var ranksS = deg.select(col("src"), lit(0L).as("r"))
@@ -106,9 +110,10 @@ object PageRank {
       .persist()
     val ed = e.join(deg, "src").persist()
     ed.count()
-    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    // verts/seed derive from the CACHED ed (see [[top20]], r14)
+    val verts = ed.select(col("src").as("id")).union(ed.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
-    val seed = e.agg(min("src").as("seed")).localCheckpoint(true)
+    val seed = ed.agg(min("src").as("seed")).localCheckpoint(true)
     var ranksS = deg.crossJoin(broadcast(seed))
       .select(col("src"),
         when(col("src") === col("seed"), lit(Scale)).otherwise(lit(0L)).as("r"))

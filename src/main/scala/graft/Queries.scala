@@ -385,8 +385,11 @@ object Queries {
     * same bound and errors loudly, the g3/g4 discipline). */
   def kTruss(canon: DataFrame, k: Int, maxIter: Int = 8): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
-    var e = canon.select("src", "dst").localCheckpoint(true)
-    var n = e.count()
+    // fused materialize+count per peel round (r14, Traversals discipline):
+    // 2 jobs/round → 1
+    val (e0, n0) = Traversals.checkpointCount(canon.select("src", "dst"))
+    var e = e0
+    var n = n0
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -399,10 +402,11 @@ object Queries {
         .unionByName(tri.select(least(col("b"), col("c")).as("src"),
           greatest(col("b"), col("c")).as("dst")))
         .groupBy("src", "dst").agg(count(lit(1)).as("sup"))
-      e = e.join(sup, Seq("src", "dst"), "left")
-        .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
-        .select("src", "dst").localCheckpoint(true)
-      val n2 = e.count()
+      val (e2, n2) = Traversals.checkpointCount(
+        e.join(sup, Seq("src", "dst"), "left")
+          .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+          .select("src", "dst"))
+      e = e2
       converged = n2 == n
       n = n2
     }
@@ -453,8 +457,8 @@ object Queries {
     *
     * Input: canonical undirected edge set (src < dst, distinct). */
   def linkPredictRA(canon: DataFrame, k: Int = 20, maxDeg: Int = 64): DataFrame = {
-    val sym = canon.select(col("src"), col("dst"))
-      .unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
+    // one-pass symmetrization (r14 — Tables.symmetrize rationale)
+    val sym = Tables.symmetrize(canon.select("src", "dst"), Seq("src", "dst"))
     val deg = sym.groupBy(col("src").as("z")).agg(count(lit(1)).as("d"))
     // adjacency annotated with the center's degree, hubs cut
     val zd = sym.select(col("src").as("z"), col("dst").as("n"))
@@ -519,11 +523,14 @@ object Queries {
     val starts = adjAll.select(col("src").as("v")).distinct()
       .orderBy(md5(concat(lit(s"${salt}0|"), col("v").cast("string"))), col("v"))
       .limit(nStarts)
+    // lazy: each step's frontier COLLECT is the action that materializes
+    // the previous step's checkpoint — one driver action per step, not
+    // two (r14; the Traversals checkpointCount discipline)
     val w0 = starts.select(col("v"),
         explode(sequence(lit(0), lit(walksPerStart - 1))).as("k"))
       .select(concat(col("v").cast("string"), lit("_"), col("k").cast("string"))
         .as("walk_id"), col("v"), lit(0).as("step"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var cur = w0
     val acc = scala.collection.mutable.ArrayBuffer[DataFrame](w0)
     var s = 1
@@ -552,12 +559,13 @@ object Queries {
             count(lit(1)).over(bySrc).as("deg"))
         val h = expr(
           s"CAST(conv(substring(md5(concat('$salt|', walk_id, '|$s')), 1, 15), 16, 10) AS BIGINT)")
-        // checkpoint per step: the frontier is ≤ #walks rows, and cutting
-        // lineage keeps step s from re-running every prior step's scan
+        // lazy checkpoint per step: lineage still truncates at plan level
+        // (step s never re-plans prior steps' scans) and the NEXT step's
+        // frontier collect is the one action that materializes it
         cur = cur.join(rk, cur("v") === rk("src"))
           .filter(col("rk") === h % col("deg") + 1)
           .select(col("walk_id"), col("dst").as("v"), lit(s).as("step"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         acc += cur
         s += 1
       }

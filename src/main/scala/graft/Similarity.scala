@@ -234,8 +234,8 @@ object Similarity {
     // checkpoint the input ONCE; the count (bits sizing) and both derived
     // frames (signatures, norms) read the materialized rows instead of
     // re-running the upstream lineage per consumer (ADVICE r2)
-    val e = emb.localCheckpoint(true)
-    val n = e.count()
+    // fused materialize+count (r14, Traversals.checkpointCount)
+    val (e, n) = Traversals.checkpointCount(emb)
     if (n == 0)
       return e.select(col("vec_id").as("x"), col("vec_id").as("y"),
         lit(0L).as("cos_scaled")).limit(0)

@@ -111,9 +111,10 @@ object SparkEntry {
     //      row groups. Same oracle as q1 (same rows by construction). ----
     ("q1b_fof_excl_top20_store",
       (s: SparkSession, d: String) => {
-        val e = Tables.orderEdgesStored(s, d)
-        val sym = e.unionByName(e.select(e("dst").as("src"), e("src").as("dst"),
-          e("etype"), e("ets"), e("weight"), e("rating")))
+        // one-pass symmetrization (r14): the union form scanned the
+        // store twice per plan — Tables.symmetrize rationale
+        val sym = Tables.symmetrize(Tables.orderEdgesStored(s, d),
+          Seq("src", "dst", "etype", "ets", "weight", "rating"))
         Queries.friendsOfFriendsExclTop20(sym)
       },
       Some(withSql(Oracle.UEDGES,

@@ -98,13 +98,38 @@ object Tables {
         ((floor(li("l_quantity")).cast("int") % 5) + 1).as("rating"))
   }
 
-  /** Symmetrized multi-etype graph (etype rides both directions). */
-  def orderEdgesTypedSym(spark: SparkSession, dir: String): DataFrame = {
-    val e = orderEdgesTyped(spark, dir)
-    e.unionByName(e.select(
-      e("dst").as("src"), e("src").as("dst"),
-      e("etype"), e("ets"), e("weight"), e("rating")))
+  /** Symmetrize an edge frame by emitting both directions from ONE pass
+    * (r14; guide §2.4): the previous `e.unionByName(e.reversed)` embedded
+    * the derivation subtree TWICE per plan, so every symmetric-graph
+    * entry re-ran the lineitem⋈orders join (or the store scan) once per
+    * direction — Catalyst has no cross-branch common-subexpression reuse.
+    * An explode over a 2-element struct array reads each input row once
+    * and emits the identical row multiset (forward first, reversed
+    * second — union order is multiset-irrelevant to every consumer and
+    * to the oracle hash). Filters on src/dst no longer push through to
+    * the base scan, which none of the symmetric consumers relied on:
+    * their vertex parameters are runtime broadcast joins, not static
+    * predicates. */
+  private[graft] def symmetrize(e: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.take(2) == Seq("src", "dst"),
+      s"symmetrize expects cols to start with (src, dst), got $cols")
+    // the generator explodes a LITERAL two-element array (not a struct of
+    // the edge columns): column pruning then flows through Generate to
+    // the base scan — a struct-of-all-columns form was measured to defeat
+    // nested pruning and drag every edge column into plans that use only
+    // (src, dst)
+    val rest = cols.filterNot(c => c == "src" || c == "dst")
+    e.select(col("*"), explode(array(lit(0), lit(1))).as("_flip"))
+      .select(
+        when(col("_flip") === 0, col("src")).otherwise(col("dst")).as("src") +:
+        when(col("_flip") === 0, col("dst")).otherwise(col("src")).as("dst") +:
+        rest.map(c => col(c)): _*)
   }
+
+  /** Symmetrized multi-etype graph (etype rides both directions). */
+  def orderEdgesTypedSym(spark: SparkSession, dir: String): DataFrame =
+    symmetrize(orderEdgesTyped(spark, dir),
+      Seq("src", "dst", "etype", "ets", "weight", "rating"))
 
   /** Materialized sorted edge store (the S6 shard-writer shape, reference
     * FastSharder.java:55-198): [[orderEdges]] written once per fixture dir
@@ -271,12 +296,11 @@ object Tables {
   /** Symmetrized order graph (both directions, etype 0) — the "social"
     * graph used by the frontier / FoF queries, like the mutual-follow
     * LiveJournal graph of reference SocialNetworkExample.scala:77-82. */
-  def socialEdges(spark: SparkSession, dir: String): DataFrame = {
-    val e = orderEdges(spark, dir)
-    e.unionByName(e.select(
-      e("dst").as("src"), e("src").as("dst"),
-      e("etype"), e("ets"), e("weight"), e("rating")))
-  }
+  def socialEdges(spark: SparkSession, dir: String): DataFrame =
+    // one-pass symmetrization (r14): the union form derived the
+    // lineitem⋈orders join twice per consuming plan
+    symmetrize(orderEdges(spark, dir),
+      Seq("src", "dst", "etype", "ets", "weight", "rating"))
 
   /** Typed hierarchy graph: {customer,supplier} --0--> nation --1--> region.
     * Gives known ≤4-hop BFS diameters per region component (FIXTURES.md §3
@@ -296,10 +320,8 @@ object Tables {
   }
 
   /** Undirected view of [[nationEdges]] (both directions, etype kept). */
-  def nationEdgesSym(spark: SparkSession, dir: String): DataFrame = {
-    val e = nationEdges(spark, dir)
-    e.unionByName(e.select(e("dst").as("src"), e("src").as("dst"), e("etype")))
-  }
+  def nationEdgesSym(spark: SparkSession, dir: String): DataFrame =
+    symmetrize(nationEdges(spark, dir), Seq("src", "dst", "etype"))
 
   /** Vertex table with properties (FIXTURES.md §3 `vertices`): all
     * customers and suppliers under the disjoint id scheme. Vertex property

@@ -12,26 +12,59 @@ import org.apache.spark.sql.functions._
   * the role of the reference's materialized per-iteration vertex state. */
 object Traversals {
 
+  /** Superstep job fusion (r14, guide §1.2/§5): materialize `df` as a
+    * LAZY local checkpoint and count its rows in ONE Spark job. The
+    * returned Dataset's logical plan is already the truncated LogicalRDD
+    * (lineage stays O(1) across supersteps exactly as with the eager
+    * form); the internal-row count is the single action that both
+    * persists the checkpoint blocks and returns the cardinality the
+    * loop's convergence test needs. Replaces the eager
+    * `localCheckpoint(true)` + `isEmpty`/`count` pair — two to three
+    * driver actions per superstep — with one. Row-identical. */
+  private[graft] def checkpointCount(df: DataFrame): (DataFrame, Long) = {
+    val c = df.localCheckpoint(false)
+    (c, c.queryExecution.toRdd.count())
+  }
+
   /** BFS distances from every seed in `sources(source, id)` — the MultiBFS
     * pattern (reference MultiBFS.scala:100-157) with the per-vertex counter
     * vector replaced by (source, vertex) rows; single-source BFS (Q6,
-    * reference Queries.scala:198-243) is the one-seed case. */
+    * reference Queries.scala:198-243) is the one-seed case.
+    *
+    * ==One action per superstep (r14)==
+    * The previous loop ran THREE driver actions per round: eager
+    * checkpoint of the new frontier, eager re-checkpoint of the whole
+    * visited union (a full vertex-sized re-materialization), and an
+    * isEmpty probe. Now [[checkpointCount]] materializes the frontier and
+    * returns its size in one action, and the visited set accumulates as a
+    * LAZY union of the per-round checkpointed frontiers — linear plan
+    * growth (each part is a flat LogicalRDD), scanned by the anti-join
+    * exactly as the materialized union was, never re-materialized. */
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // materialize the 2-column edge projection once (the bfsSigma
+    // discipline): every round joins it, and an un-checkpointed frame
+    // re-analyzes and RE-SCANS the full derivation per superstep — for
+    // the sym graphs that is 6 parquet scans a round (r14; guide §2.4).
+    // Out-of-core-scale callers stream edges per superstep via
+    // connectedComponentsScan instead; bounded-depth sweeps keep the
+    // projection resident like the reference keeps shards mapped.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var visited = sources.select(col("source"), col("id"), lit(0L).as("dist"))
       .localCheckpoint(true)
     var frontier = visited
+    var fN = -1L // unknown; the first round always runs
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && fN != 0) {
       depth += 1
-      val next = frontier.join(e, frontier("id") === e("src"))
-        .select(col("source"), col("dst").as("id"), lit(depth.toLong).as("dist"))
-        .distinct()
-        .join(visited.select(col("source").as("vsource"), col("id").as("vid")),
-          col("id") === col("vid") && col("source") === col("vsource"), "left_anti")
-        .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+      val (next, n) = checkpointCount(
+        frontier.join(e, frontier("id") === e("src"))
+          .select(col("source"), col("dst").as("id"), lit(depth.toLong).as("dist"))
+          .distinct()
+          .join(visited.select(col("source").as("vsource"), col("id").as("vid")),
+            col("id") === col("vid") && col("source") === col("vsource"), "left_anti"))
+      visited = visited.union(next)
       frontier = next
+      fN = n
     }
     visited
   }
@@ -44,22 +77,25 @@ object Traversals {
     * set is de-duplicated first; path multiplicity through parallel edges
     * is not meaningful). Returns (source, id, dist, sigma). */
   def bfsSigma(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    // same one-action-per-superstep shape as [[bfsDistances]] (r14)
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     var visited = sources.select(col("source"), col("id"),
       lit(0L).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
     var frontier = visited
+    var fN = -1L
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && fN != 0) {
       depth += 1
-      val next = frontier.join(e, frontier("id") === e("src"))
-        .groupBy(frontier("source"), e("dst").as("id"))
-        .agg(sum("sigma").as("sigma"))
-        .join(visited.select(col("source").as("vsource"), col("id").as("vid")),
-          col("id") === col("vid") && col("source") === col("vsource"), "left_anti")
-        .select(col("source"), col("id"), lit(depth.toLong).as("dist"), col("sigma"))
-        .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+      val (next, n) = checkpointCount(
+        frontier.join(e, frontier("id") === e("src"))
+          .groupBy(frontier("source"), e("dst").as("id"))
+          .agg(sum("sigma").as("sigma"))
+          .join(visited.select(col("source").as("vsource"), col("id").as("vid")),
+            col("id") === col("vid") && col("source") === col("vsource"), "left_anti")
+          .select(col("source"), col("id"), lit(depth.toLong).as("dist"), col("sigma")))
+      visited = visited.union(next)
       frontier = next
+      fN = n
     }
     visited
   }
@@ -113,19 +149,25 @@ object Traversals {
     * condition). */
   def expandUntil(edges: DataFrame, seeds: DataFrame, maxDepth: Int)
                  (until: DataFrame => Boolean): Expansion = {
-    val e = edges.select("src", "dst")
+    // one fused materialize+count action per superstep plus the caller's
+    // `until` probe; the visited set accumulates as a lazy union of the
+    // checkpointed frontiers (r14 — see [[bfsDistances]])
+    val e = edges.select("src", "dst").localCheckpoint(true)
     var frontier = seeds.select("id").distinct().localCheckpoint(true)
     var visited = frontier
     var depth = 0
+    var fN = -1L
     var hit = until(frontier)
-    while (!hit && depth < maxDepth && !frontier.isEmpty) {
+    while (!hit && depth < maxDepth && fN != 0) {
       depth += 1
-      val next = e.join(frontier.withColumnRenamed("id", "src"), "src", "left_semi")
-        .select(col("dst").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti").localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+      val (next, n) = checkpointCount(
+        e.join(frontier.withColumnRenamed("id", "src"), "src", "left_semi")
+          .select(col("dst").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti"))
+      visited = visited.union(next)
       frontier = next
-      hit = until(frontier)
+      fN = n
+      hit = n > 0 && until(frontier)
     }
     Expansion(frontier, visited, depth, hit)
   }
@@ -165,22 +207,31 @@ object Traversals {
     // running minimum equals the old full visA ⋈ visB probe.
     def step(vis: DataFrame, fr: DataFrame, other: DataFrame, e: DataFrame,
              d: Long): (DataFrame, DataFrame, Long, Option[Long]) = {
+      // ONE action per superstep, for real this time (r14): the lazy
+      // checkpoint truncates `next`'s lineage at plan level, the
+      // (count, meet) aggregate is the single job that materializes its
+      // blocks, and the visited union stays a lazy union of checkpointed
+      // frontiers instead of re-materializing per step
       val next = e.join(fr.select(col("id").as("src")), "src", "left_semi")
         .select(col("dst").as("id")).distinct()
         .join(vis, Seq("id"), "left_anti")
-        .withColumn("dist", lit(d)).localCheckpoint(true)
+        .withColumn("dist", lit(d)).localCheckpoint(false)
       val row = next
         .join(other.select(col("id"), col("dist").as("bdist")), Seq("id"), "left")
         .agg(count(lit(1)).as("n"), min(col("dist") + col("bdist")).as("meet")).first()
       val meet = if (row.isNullAt(1)) None else Some(row.getLong(1))
-      (vis.union(next).localCheckpoint(true), next, row.getLong(0), meet)
+      (vis.union(next), next, row.getLong(0), meet)
     }
-    var visA = from.toDF("id").distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
-    var visB = to.toDF("id").distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
+    val (visA0, aSize0) =
+      checkpointCount(from.toDF("id").distinct().withColumn("dist", lit(0L)))
+    val (visB0, bSize0) =
+      checkpointCount(to.toDF("id").distinct().withColumn("dist", lit(0L)))
+    var visA = visA0
+    var visB = visB0
     var frA = visA
     var frB = visB
-    var aSize = frA.count()
-    var bSize = frB.count()
+    var aSize = aSize0
+    var bSize = bSize0
     var dA = 0L
     var dB = 0L
     var steps = 0
@@ -218,17 +269,19 @@ object Traversals {
   def shortestPathNodes(edges: DataFrame, from: DataFrame, to: DataFrame,
                         maxDepth: Int): DataFrame = {
     val tree = ssspTree(edges, from, maxDepth).localCheckpoint(true)
-    var cur = tree.join(to.toDF("tid"), col("id") === col("tid"), "left_semi")
-      .localCheckpoint(true)
+    // fused materialize+count per hop (r14 — see [[checkpointCount]])
+    val (cur0, n0) = checkpointCount(
+      tree.join(to.toDF("tid"), col("id") === col("tid"), "left_semi"))
+    var cur = cur0
     var path = cur.select("id", "dist")
-    var done = cur.isEmpty
+    var done = n0 == 0
     var i = 0
     while (!done && i < maxDepth) {
       i += 1
-      val nxt = tree.join(
+      val (nxt, n) = checkpointCount(tree.join(
         cur.filter(col("parent") =!= col("id")).select(col("parent").as("pid")),
-        col("id") === col("pid"), "left_semi").localCheckpoint(true)
-      done = nxt.isEmpty
+        col("id") === col("pid"), "left_semi"))
+      done = n == 0
       if (!done) { path = path.union(nxt.select("id", "dist")); cur = nxt }
     }
     path.select(col("dist").as("pos"), col("id"))
@@ -271,10 +324,10 @@ object Traversals {
     var i = tDist.head.getLong(0)
     while (!done && i > 0) {
       i -= 1
-      val nxt = tree.join(
+      val (nxt, n) = checkpointCount(tree.join(
         cur.filter(col("parent") =!= col("id")).select(col("parent").as("pid")),
-        col("id") === col("pid"), "left_semi").localCheckpoint(true)
-      done = nxt.isEmpty
+        col("id") === col("pid"), "left_semi"))
+      done = n == 0
       if (!done) { path = path.union(nxt.select("id", "dist")); cur = nxt }
     }
     val walk = path.orderBy("dist").collect().map(_.getLong(0)).toSeq
@@ -350,12 +403,15 @@ object Traversals {
       iter += 1
       val nbMin = e.join(joinSide(labels.withColumnRenamed("id", "src")), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nblabel"))
+      // lazy checkpoint + one counting action (r14): the changed-row
+      // count's job is what materializes the checkpoint blocks — the
+      // eager form paid a separate full |V| pass per superstep first
       val next = labels.join(nbMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nblabel"), col("label"))).as("label"),
           coalesce(col("nblabel") < col("label"), lit(false)).as("_chg"))
-        .localCheckpoint(true)
-      changed = next.filter(col("_chg")).count()
+        .localCheckpoint(false)
+      changed = next.filter(col("_chg")).queryExecution.toRdd.count()
       labels = next.select("id", "label")
       if (gcEvery > 0 && iter % gcEvery == 0) System.gc()
     }
@@ -433,7 +489,7 @@ object Traversals {
       .unionByName(edges.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
     var cur = edges.select(col("src").as("a"), col("dst").as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.select(xxhash64(col("a"), col("b")).as("h"))
         .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
@@ -456,11 +512,13 @@ object Traversals {
       val oriented = large.select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       val m2 = oriented.groupBy("u").agg(min("v").as("m"))
+      // lazy checkpoint: the signature aggregate is the one action that
+      // materializes the round's edge set (r14)
       val small = oriented.join(m2, "u")
         .select(col("v").as("a"), col("m").as("b"))
         .unionByName(m2.select(col("u").as("a"), col("m").as("b")))
         .filter(col("a") =!= col("b")).distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nfp = signature(small)
       done = nfp == fp
       fp = nfp
@@ -508,17 +566,23 @@ object Traversals {
     var dist = e.agg(min("src").as("id")).select(col("id"), lit(0L).as("d"))
       .localCheckpoint(true)
     var delta = dist
+    var dN = -1L
     var iter = 0
-    while (iter < maxIter && !delta.isEmpty) {
+    while (iter < maxIter && dN != 0) {
       iter += 1
       val relax = delta.join(e, delta("id") === e("src"))
         .select(e("dst").as("id"), (delta("d") + e("w")).as("d"))
+      // both frames lazy-checkpoint; the single delta count materializes
+      // next AND delta in one action (r14 — 3 jobs/round → 1)
       val next = dist.unionByName(relax)
-        .groupBy("id").agg(min("d").as("d")).localCheckpoint(true)
-      delta = next.join(dist.select(col("id").as("pid"), col("d").as("pd")),
+        .groupBy("id").agg(min("d").as("d")).localCheckpoint(false)
+      val (d2, n) = checkpointCount(
+        next.join(dist.select(col("id").as("pid"), col("d").as("pd")),
           next("id") === col("pid"), "left_outer")
         .filter(col("pd").isNull || next("d") < col("pd"))
-        .select(next("id"), next("d")).localCheckpoint(true)
+        .select(next("id"), next("d")))
+      delta = d2
+      dN = n
       dist = next
     }
     dist.select(col("id"), col("d").as("dist"))
@@ -539,9 +603,10 @@ object Traversals {
     * (O(1) lineage), and the hub absorbs into a combiner cell. */
   def kCore(canon: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     val e = canon.select("src", "dst").localCheckpoint(true)
-    var cur = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
-    var n = cur.count()
+    val (cur0, n0) = checkpointCount(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    var cur = cur0
+    var n = n0
     var iter = 0
     var result: DataFrame = null
     while (result == null && iter < maxIter) {
@@ -551,8 +616,8 @@ object Traversals {
         .join(cur.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       val deg = ie.select(col("src").as("id")).union(ie.select(col("dst").as("id")))
         .groupBy("id").agg(count(lit(1)).as("d"))
-      val next = deg.filter(col("d") >= k).localCheckpoint(true)
-      val m = next.count()
+      // fused materialize+count (r14): one action per peel round
+      val (next, m) = checkpointCount(deg.filter(col("d") >= k))
       if (m == n) result = next else { cur = next.select("id"); n = m }
     }
     // deep peel chains (a path graph peels one layer per round) can
@@ -613,9 +678,12 @@ object Traversals {
       val votes = cnt.withColumn("mx", max("c").over(Window.partitionBy("vv")))
         .filter(col("c") === col("mx"))
         .groupBy(col("vv")).agg(min("lbl").as("vlbl"))
+      // lazy: lineage truncates at plan level, the blocks materialize
+      // inside the next round's (or the caller's) action — no per-round
+      // full-pass count job for a fixed-round loop (r14)
       lab = lab.join(votes, lab("v") === votes("vv"), "left")
         .select(lab("v"), coalesce(col("vlbl"), lab("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     lab
   }
@@ -688,21 +756,27 @@ object Traversals {
     var arr = sources.select(col("v")).withColumn("arr", lit(0L))
       .localCheckpoint(true)
     var delta = arr
+    var dN = -1L
     var h = 0
-    while (h < hops && !delta.isEmpty) {
+    while (h < hops && dN != 0) {
       // messages from the improved frontier only; ONE min-combine shuffle
       // per hop folds them into the running arrivals (partial-combining,
       // so the exchange carries ~V rows, not the raw message volume)
       val msgs = delta.join(e, delta("v") === e("src") && e("ets") >= delta("arr"))
         .select(e("dst").as("v"), e("ets").as("arr"))
+      // both frames lazy-checkpoint; the single delta count materializes
+      // arrNew AND delta in one action (r14 — 3 jobs/hop → 1)
       val arrNew = arr.unionByName(msgs).groupBy("v").agg(min("arr").as("arr"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // next frontier = vertices whose arrival changed (vertex-sized
       // frames; AQE broadcasts the smaller side)
-      delta = arrNew.join(arr.select(col("v").as("pv"), col("arr").as("prev")),
+      val (d2, n) = checkpointCount(
+        arrNew.join(arr.select(col("v").as("pv"), col("arr").as("prev")),
           arrNew("v") === col("pv"), "left_outer")
         .filter(col("prev").isNull || arrNew("arr") < col("prev"))
-        .select(arrNew("v"), arrNew("arr")).localCheckpoint(true)
+        .select(arrNew("v"), arrNew("arr")))
+      delta = d2
+      dN = n
       arr = arrNew
       h += 1
     }
@@ -717,21 +791,27 @@ object Traversals {
     var hub = verts.withColumn("h", lit(Scale))
     var auth = verts.withColumn("a", lit(0L))
     for (_ <- 1 to iters) {
+      // ar/hr are each read twice (the max scalar + the rank join):
+      // lazy-checkpointing them computes each once per half-step (r14)
       val ar = e.join(hub.select(col("id").as("src"), col("h").as("hs")), "src")
         .groupBy(col("dst").as("id")).agg(sum("hs").as("s"))
+        .localCheckpoint(false)
       val amax = ar.agg(max("s").as("m"))
       // greatest(m, 1): on a degenerate edge set (empty after upstream
       // filtering) max(s) is null — ranks must become defined zeros, not
       // silently null (ADVICE r5); greatest skips nulls in Spark
+      // lazy checkpoints (r14): a fixed-iteration loop needs lineage
+      // truncation, not per-half-step full-pass count jobs
       auth = verts.join(ar, Seq("id"), "left_outer").crossJoin(broadcast(amax))
         .select(col("id"), expr(s"(coalesce(s, 0L) * ${Scale}L) div greatest(m, 1L)").as("a"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val hr = e.join(auth.select(col("id").as("dst"), col("a").as("av")), "dst")
         .groupBy(col("src").as("id")).agg(sum("av").as("s"))
+        .localCheckpoint(false)
       val hmax = hr.agg(max("s").as("m"))
       hub = verts.join(hr, Seq("id"), "left_outer").crossJoin(broadcast(hmax))
         .select(col("id"), expr(s"(coalesce(s, 0L) * ${Scale}L) div greatest(m, 1L)").as("h"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     auth.join(hub, "id")
       .select(col("id"), col("a").as("auth_scaled"), col("h").as("hub_scaled"))
@@ -749,8 +829,8 @@ object Traversals {
     * undirected simple edges, symmetrized internally. */
   def doubleSweepDiameter(canon: DataFrame, salt: String = "ds",
                           maxDepth: Int = 6): DataFrame = {
-    val sym = canon.select("src", "dst")
-      .unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
+    // one-pass symmetrization (r14 — Tables.symmetrize rationale)
+    val sym = Tables.symmetrize(canon.select("src", "dst"), Seq("src", "dst"))
       .localCheckpoint(true)
     val pivot = sym.select(col("src").as("id")).distinct()
       .orderBy(md5(concat(lit(salt + "0|"), col("id").cast("string"))), col("id"))
@@ -817,18 +897,19 @@ object Traversals {
       // per-component argmin carries (la, lb) through the struct (they
       // sort AFTER dst, so the (w, src, dst) order is untouched) — the
       // selected edges double as the CONTRACTED component graph below
-      val sel = cross
+      // fused materialize+count (r14): one action selects the round's
+      // edges; the forest accumulates as a lazy union of checkpointed
+      // selections (≤ maxRounds parts, linear plan growth)
+      val (sel, nSel) = checkpointCount(cross
         .select(explode(array(col("la"), col("lb"))).as("c"),
           struct(col("w"), col("src"), col("dst"), col("la"), col("lb")).as("k"))
         .groupBy("c").agg(min("k").as("k"))
         .select(col("k.src").as("src"), col("k.dst").as("dst"),
           col("k.w").as("w"), col("k.la").as("la"), col("k.lb").as("lb"))
-        .distinct().localCheckpoint(true)
-      val nSel = sel.count()
+        .distinct())
       if (nSel == 0L) done = true
       else {
         forest = forest.unionByName(sel.select("src", "dst", "w"))
-          .localCheckpoint(true)
         // contract in LABEL space: CC over the selected component-graph
         // (components-sized, halving each round — never the whole
         // forest), then compose onto the vertex labels. min-label CC of
@@ -869,9 +950,10 @@ object Traversals {
           } else
             ccBigStar(sel.select(col("la").as("src"), col("lb").as("dst")))
               .select(col("id").as("label"), col("label").as("nl"))
+        // lazy: materialized by the next round's selection action (r14)
         lab = lab.join(ccc, Seq("label"), "left")
           .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
     if (!done) throw new IllegalStateException(
@@ -898,16 +980,17 @@ object Traversals {
     * list persists hashed on src once. Fails loudly past `maxIter`. */
   def maximalIndependentSet(canon: DataFrame, salt: String = "mis",
                             maxIter: Int = 20): DataFrame = {
-    val sym = canon.select("src", "dst")
-      .unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
+    // one-pass symmetrization (r14 — Tables.symmetrize rationale)
+    val sym = Tables.symmetrize(canon.select("src", "dst"), Seq("src", "dst"))
       .repartition(col("src")).persist()
     sym.count()
     val prio = concat(md5(concat(lit(salt + "|"), col("id").cast("string"))),
       lpad(col("id").cast("string"), 10, "0"))
-    var undecided = sym.select(col("src").as("id")).distinct()
-      .withColumn("p", prio).localCheckpoint(true)
+    val (und0, rem0) = checkpointCount(
+      sym.select(col("src").as("id")).distinct().withColumn("p", prio))
+    var undecided = und0
     var mis = undecided.select("id").limit(0).localCheckpoint(true)
-    var remaining = undecided.count()
+    var remaining = rem0
     var iter = 0
     while (remaining > 0 && iter < maxIter) {
       iter += 1
@@ -916,16 +999,20 @@ object Traversals {
       val nmin = sym
         .join(undecided.select(col("id").as("src"), col("p").as("sp")), "src")
         .groupBy(col("dst").as("id")).agg(min("sp").as("np"))
+      // winners lazy-checkpoints; the fused undecided count is the ONE
+      // action per round and materializes both (r14 — 4 jobs/round → 1);
+      // the MIS accumulates as a lazy union of checkpointed winner sets
       val winners = undecided.join(nmin, Seq("id"), "left_outer")
         .filter(col("np").isNull || col("p") < col("np"))
-        .select("id").localCheckpoint(true)
-      mis = mis.unionByName(winners).localCheckpoint(true)
+        .select("id").localCheckpoint(false)
+      mis = mis.unionByName(winners)
       val excluded = winners.unionByName(
         sym.join(winners.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"))).distinct()
-      undecided = undecided.join(excluded, Seq("id"), "left_anti")
-        .localCheckpoint(true)
-      remaining = undecided.count()
+      val (und2, rem2) = checkpointCount(
+        undecided.join(excluded, Seq("id"), "left_anti"))
+      undecided = und2
+      remaining = rem2
     }
     if (remaining > 0) throw new IllegalStateException(
       s"maximalIndependentSet did not decide all vertices within maxIter=$maxIter rounds")
@@ -1056,6 +1143,8 @@ object Traversals {
           .groupBy(col("dst").as("id")).agg(min("f").as("mf"))
         val msgB = ecR.join(f.select(col("id").as("src"), col("b")), "src")
           .groupBy(col("dst").as("id")).agg(min("b").as("mb"))
+        // lazy checkpoint + fused changed-count (r14): one action per
+        // lock-step round materializes the frame and counts movers
         val next = f.join(msgF, Seq("id"), "left_outer")
           .join(msgB, Seq("id"), "left_outer")
           .select(col("id"), col("cls"),
@@ -1063,8 +1152,8 @@ object Traversals {
             least(col("b"), coalesce(col("mb"), col("b"))).as("b"),
             (coalesce(col("mf") < col("f"), lit(false)) ||
               coalesce(col("mb") < col("b"), lit(false))).as("_chg"))
-          .localCheckpoint(true)
-        changed = next.filter(col("_chg")).count()
+          .localCheckpoint(false)
+        changed = next.filter(col("_chg")).queryExecution.toRdd.count()
         f = next.select("id", "cls", "f", "b")
       }
       if (changed > 0) throw new IllegalStateException(
@@ -1107,7 +1196,7 @@ object Traversals {
           .repartition(col("src")).persist()
         ecR.count()
         val refined =
-          try minPropBoth(ec, ecR).select("id", "f", "b").localCheckpoint(true)
+          try minPropBoth(ec, ecR).select("id", "f", "b").localCheckpoint(false)
           catch { case t: Throwable =>
             // a maxInner abort must not leak persisted edge frames into a
             // long-lived session (ADVICE r8): this round's pair AND the
@@ -1120,12 +1209,13 @@ object Traversals {
         if (ecur ne e0) ecur.unpersist()
         ecur = ec
         ecR.unpersist()
-        if (refined.filter(col("f") =!= col("b")).count() == 0L)
+        if (refined.filter(col("f") =!= col("b"))
+              .queryExecution.toRdd.count() == 0L)
           result = refined.select(col("id"), col("f").as("label"))
         else
           lab = refined.select(col("id"),
             (col("f") * lit(1000000L) + col("b")).as("cls"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
       }
     }
     if (ecur ne e0) ecur.unpersist()
@@ -1160,13 +1250,16 @@ object Traversals {
       if (nRoots <= 0) verts
       else verts.orderBy(md5(concat(lit(salt + "|"), col("u").cast("string"))), col("u"))
         .limit(nRoots)
-    var pairs = roots.select(col("u"), col("u").as("v")).localCheckpoint(true)
-    val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)]((0, pairs.count()))
+    // fused materialize+count per hop (r14): 2 jobs/hop → 1
+    val (pairs0, n0) = checkpointCount(roots.select(col("u"), col("u").as("v")))
+    var pairs = pairs0
+    val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)]((0, n0))
     for (h <- 1 to maxH) {
       val nxt = pairs.join(e, pairs("v") === e("src"))
         .select(pairs("u"), e("dst").as("v"))
-      pairs = pairs.unionByName(nxt).distinct().localCheckpoint(true)
-      counts += ((h, pairs.count()))
+      val (p2, n) = checkpointCount(pairs.unionByName(nxt).distinct())
+      pairs = p2
+      counts += ((h, n))
     }
     counts.toSeq.toDF("h", "n_pairs")
   }
@@ -1206,7 +1299,7 @@ object Traversals {
       .orderBy(md5(concat(lit(salt + "|"), col("id").cast("string"))), col("id"))
       .limit(nRoots).localCheckpoint(true)
     var sk = verts.groupBy("id")
-      .agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk")).localCheckpoint(true)
+      .agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk")).localCheckpoint(false)
     def total(s: DataFrame): Long = {
       val r = s.join(broadcast(roots), "id")
         .agg(sum(hll_sketch_estimate(col("sk")))).head()
@@ -1218,12 +1311,14 @@ object Traversals {
       // in-neighbors, then one union-agg per vertex (self rides along)
       val fromNbr = e.join(sk.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("sk"))
+      // lazy: each hop's total() aggregate is the action that
+      // materializes the round's sketches (r14 — 2 jobs/hop → 1)
       sk = sk.unionByName(fromNbr).groupBy("id")
-        .agg(hll_union_agg(col("sk")).as("sk")).localCheckpoint(true)
+        .agg(hll_union_agg(col("sk")).as("sk")).localCheckpoint(false)
       est += ((h, total(sk)))
     }
-    // every consumer of e has materialized (sketches are eagerly
-    // checkpointed, totals are actions) — release the cached edge frame
+    // every consumer of e has materialized (each hop's total() action
+    // computed and persisted that hop's sketches) — release the cache
     e.unpersist()
     // the exact sampled counts can be injected (e.g. the registry shares
     // one computation between the g18 and g18b entries) so this
@@ -1378,11 +1473,12 @@ object Traversals {
         .groupBy("vv").agg(min(struct((-col("c")).as("nc"), col("nl").as("l")))
           .as("m"))
         .select(col("vv"), col("m.l").as("voted"))
+      // lazy: fixed-round loop needs lineage truncation only (r14)
       lab = lab.join(votes, lab("id") === votes("vv"), "left")
         .select(lab("id"),
           when(lab("id") % 10 === 0, lab("lbl"))
             .otherwise(coalesce(col("voted"), lab("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     lab.select(col("id"), coalesce(col("lbl"), lit(-1L)).as("lbl"))
   }
@@ -1410,27 +1506,34 @@ object Traversals {
         lit("|"), col("dst").cast("string"))),
       lpad(col("src").cast("string"), 10, "0"),
       lpad(col("dst").cast("string"), 10, "0"))
-    var e = canon.select("src", "dst").filter(col("src") =!= col("dst"))
-      .distinct().withColumn("p", prio).localCheckpoint(true)
+    val (e0, rem0) = checkpointCount(
+      canon.select("src", "dst").filter(col("src") =!= col("dst"))
+        .distinct().withColumn("p", prio))
+    var e = e0
     var matched = e.select("src", "dst").limit(0).localCheckpoint(true)
-    var remaining = e.count()
+    var remaining = rem0
     var iter = 0
     while (remaining > 0 && iter < maxIter) {
       iter += 1
       val vmin = e.select(explode(array(col("src"), col("dst"))).as("v"), col("p"))
         .groupBy("v").agg(min("p").as("mp"))
+      // winners lazy-checkpoints, the matching accumulates as a lazy
+      // union, and the fused survivor count is the ONE action per round
+      // (r14 — 5 jobs/round → 1)
       val winners = e
         .join(vmin.select(col("v").as("src"), col("mp").as("mpa")), "src")
         .join(vmin.select(col("v").as("dst"), col("mp").as("mpb")), "dst")
         .filter(col("p") === col("mpa") && col("p") === col("mpb"))
-        .select("src", "dst").localCheckpoint(true)
-      matched = matched.unionByName(winners).localCheckpoint(true)
+        .select("src", "dst").localCheckpoint(false)
+      matched = matched.unionByName(winners)
       val mv = winners.select(explode(array(col("src"), col("dst"))).as("v"))
-        .distinct().localCheckpoint(true)
-      e = e.join(mv.withColumnRenamed("v", "src"), Seq("src"), "left_anti")
-        .join(mv.withColumnRenamed("v", "dst"), Seq("dst"), "left_anti")
-        .select("src", "dst", "p").localCheckpoint(true)
-      remaining = e.count()
+        .distinct()
+      val (e2, rem2) = checkpointCount(
+        e.join(mv.withColumnRenamed("v", "src"), Seq("src"), "left_anti")
+          .join(mv.withColumnRenamed("v", "dst"), Seq("dst"), "left_anti")
+          .select("src", "dst", "p"))
+      e = e2
+      remaining = rem2
     }
     if (remaining > 0) throw new IllegalStateException(
       s"maximalMatching did not retire all edges within maxIter=$maxIter rounds")
@@ -1454,12 +1557,13 @@ object Traversals {
     * tagged union + one keyed sum — the r9 single-shuffle trick. Edge
     * list persists hashed on src once, like [[ccLabelProp]]. */
   def katzCentrality(edges: DataFrame, k: Int = 20): DataFrame = {
+    // no eager count: the cache materializes inside w1's stage job, and
+    // lazy checkpoints skip the per-term full-pass count jobs (r14)
     val e = edges.select("src", "dst").repartition(col("src")).persist()
-    e.count()
-    val w1 = e.groupBy("dst").agg(count(lit(1)).as("w")).localCheckpoint(true)
+    val w1 = e.groupBy("dst").agg(count(lit(1)).as("w")).localCheckpoint(false)
     def step(prev: DataFrame): DataFrame =
       e.join(prev.select(col("dst").as("src"), col("w")), "src")
-        .groupBy("dst").agg(sum("w").as("w")).localCheckpoint(true)
+        .groupBy("dst").agg(sum("w").as("w")).localCheckpoint(false)
     val w2 = step(w1)
     val w3 = step(w2)
     w1.select(col("dst"), (col("w") * 4).as("c"))

@@ -2,9 +2,15 @@ package graft.examples
 
 import graft._
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 
 /** Ad-hoc timing probe for a single registry entry (dev tool).
-  * Usage: runMain graft.examples.PerfProbe <sfDir> <name> [reps] */
+  * Usage: runMain graft.examples.PerfProbe <sfDir> <name> [reps]
+  *
+  * Prints, per rep, the entry's wall-clock plus the Spark-side job
+  * breakdown (job count, per-job wall ms, stage/task counts, summed task
+  * time) — the measure-first evidence (guide §1) separating driver-side
+  * planning cost from executed work in a superstep loop. */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -18,12 +24,42 @@ object PerfProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    @volatile var taskMs = 0L
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobWall = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1; jobStart.put(j.jobId, System.nanoTime())
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        Option(jobStart.remove(j.jobId))
+          .foreach(t0 => jobWall.add((System.nanoTime() - t0) / 1000000L))
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages += 1
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks += 1
+        if (t.taskInfo != null) taskMs += t.taskInfo.duration
+      }
+    })
+
     Tables.lineitem(spark, dir).count() // session warm
     (1 to reps).foreach { i =>
+      jobs = 0; stages = 0; tasks = 0; taskMs = 0L; jobWall.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
-      println(f"[probe] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // let listener events drain
+      import scala.jdk.CollectionConverters._
+      val jw = jobWall.asScala.toSeq.sorted.reverse
+      println(f"[probe] $name rep$i: $wall%.3f s | jobs=$jobs stages=$stages " +
+        f"tasks=$tasks taskTime=${taskMs / 1000.0}%.1f s | " +
+        s"jobWallMs top=${jw.take(12).mkString(",")} sum=${jw.sum}")
     }
     spark.stop()
   }
