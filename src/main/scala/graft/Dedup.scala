@@ -705,9 +705,12 @@ object Dedup {
     * first. */
   def clusterSafeSplit(docs: DataFrame, evalPct: Int = 10,
                        salt: String = "split"): DataFrame = {
-    val pairs = minhashCandidatesDirect(docs)
-    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // one-pass symmetrization (r14): the union form evaluated the whole
+    // LSH candidate pipeline once per branch — Tables.symmetrize emits
+    // both directions from a single evaluation
+    val sym = Tables.symmetrize(
+      minhashCandidatesDirect(docs).select(col("a").as("src"), col("b").as("dst")),
+      Seq("src", "dst"))
     val labels = Traversals.connectedComponents(sym)
       .withColumnRenamed("id", "doc_id")
     docs.select("doc_id").join(labels, Seq("doc_id"), "left")
@@ -734,9 +737,12 @@ object Dedup {
     * label. */
   def qualityKeeper(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minhashCandidatesDirect(docs)
-    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // one-pass symmetrization (r14): the union form evaluated the whole
+    // LSH candidate pipeline once per branch — Tables.symmetrize emits
+    // both directions from a single evaluation
+    val sym = Tables.symmetrize(
+      minhashCandidatesDirect(docs).select(col("a").as("src"), col("b").as("dst")),
+      Seq("src", "dst"))
     val labels = Traversals.connectedComponents(sym)
       .withColumnRenamed("id", "doc_id")
     val q = TextOps.qualityScore(docs)

@@ -2814,17 +2814,23 @@ object DurableStore {
              targetFileRows: Long = DefaultTargetFileRows,
              withInEdgeIndex: Boolean = false,
              commit: CommitProtocol = LocalFsCommit): DurableStore = {
-    val e = edges.localCheckpoint(true)
-    require(!e.isEmpty, "DurableStore.create needs a non-empty edge table")
+    // one materialization of the input (r14): the fused checkpoint+count
+    // replaces the eager-checkpoint + isEmpty pair, and writeBuckets is
+    // told the frame is already resident — its own checkpoint would copy
+    // the whole edge set a second time (and a third for the mirror)
+    val (e, nE) = Traversals.checkpointCount(edges)
+    require(nE > 0, "DurableStore.create needs a non-empty edge table")
     val bounds = boundsFor(e, "src", numBuckets)
     val files = writeBuckets(spark, e.withColumn("_b", bucketCol("src", bounds)),
-      s"$root/v1", targetFileRows, minParts = bounds.size)
+      s"$root/v1", targetFileRows, minParts = bounds.size,
+      preMaterialized = Some(nE))
     val (mb, mf) =
       if (!withInEdgeIndex) (Nil, Nil)
       else {
         val mbounds = boundsFor(e, "dst", numBuckets)
         (mbounds, writeBuckets(spark, e.withColumn("_b", bucketCol("dst", mbounds)),
-          s"$root/v1/m", targetFileRows, minParts = mbounds.size, key = "dst", sec = "src"))
+          s"$root/v1/m", targetFileRows, minParts = mbounds.size, key = "dst",
+          sec = "src", preMaterialized = Some(nE)))
       }
     Files.createDirectories(Paths.get(root, "manifest"))
     writeManifest(root, Manifest(1, bounds, files, schemaDDL = e.schema.toDDL,
@@ -2843,9 +2849,18 @@ object DurableStore {
     * in-edge mirror. */
   private def writeBuckets(spark: SparkSession, eb: DataFrame, dir: String,
                            targetFileRows: Long, minParts: Int = 1,
-                           key: String = "src", sec: String = "dst"): Seq[StoreFile] = {
-    val e = eb.localCheckpoint(true)
-    val total = e.count()
+                           key: String = "src", sec: String = "dst",
+                           preMaterialized: Option[Long] = None): Seq[StoreFile] = {
+    // `preMaterialized = Some(rowCount)`: the caller already holds `eb`'s
+    // rows resident (a cheap projection over a checkpointed frame) — skip
+    // the checkpoint copy here and reuse the known count (r14). Compaction
+    // callers keep the fused checkpoint: their input is an expensive merge
+    // that repartitionByRange would otherwise evaluate twice (sampling +
+    // shuffle).
+    val (e, total) = preMaterialized match {
+      case Some(n) => (eb, n)
+      case None => Traversals.checkpointCount(eb)
+    }
     if (total == 0) return Nil
     val nParts = math.max(minParts,
       ((total + targetFileRows - 1) / targetFileRows).toInt)
