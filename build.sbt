@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program stdout goes STRAIGHT to sbt's stdout instead of through
+// sbt's logger: the bench driver parses ONE JSON line from the log tail,
+// and the logger's "[info] " prefix meant no line ever STARTED with '{'
+// — six rounds of BENCH_r*.json carried "parsed": null (VERDICT r14
+// next #1). StdoutOutput makes graft.Bench's compact line a bare line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

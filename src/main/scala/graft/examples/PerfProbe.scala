@@ -54,7 +54,10 @@ object PerfProbe {
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(200) // let listener events drain
+      // deterministic drain (ADVICE r14 #3): block until the async
+      // listener bus has delivered every event from this rep before the
+      // counters are read (and reset by the next rep)
+      org.apache.spark.graftdev.ListenerDrain.drain(spark.sparkContext)
       import scala.jdk.CollectionConverters._
       val jw = jobWall.asScala.toSeq.sorted.reverse
       println(f"[probe] $name rep$i: $wall%.3f s | jobs=$jobs stages=$stages " +
