@@ -40,6 +40,17 @@ object Dedup {
         explode(graft.functions.ShingleArray.shingles(docs.sparkSession, col("text"))).as("s"))
       .distinct()
 
+  /** The same distinct shingle set as [[shingles]], kept as ONE ARRAY row
+    * per document with ZERO shuffle (r15): the [[graft.functions
+    * .ShingleArray]] projection + a per-row `array_distinct`. The
+    * explode+distinct form pays a corpus-sized exchange before any
+    * consumer; verification legs that only need per-document sets
+    * ([[jaccardVerifyCandidatesArr]]) skip it entirely. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(graft.functions.ShingleArray.shingles(
+        docs.sparkSession, col("text"))).as("ss"))
+
   /** The composed-from-built-ins shingle derivation (mirrors the oracle
     * SQL shape); semantically identical to [[shingles]]. */
   def shinglesComposed(docs: DataFrame): DataFrame = {
@@ -122,7 +133,14 @@ object Dedup {
     * are the only shuffle (fixed-width 32-char keys). `rowsPerBand` is
     * the same S-curve knob as [[bands]] — size it to the corpus. */
   def minhashCandidatesDirect(docs: DataFrame,
-                              rowsPerBand: Int = RowsPerBand): DataFrame = {
+                              rowsPerBand: Int = RowsPerBand): DataFrame =
+    minhashCandidatesFromSignature(signatureDirect(docs), rowsPerBand)
+
+  /** The band bucket-join off an already-computed wide signature frame
+    * (doc_id, m0..m7) — the seam d16/d17 use so one signature projection
+    * feeds several band widths (r15). */
+  private[graft] def minhashCandidatesFromSignature(
+      sg: DataFrame, rowsPerBand: Int = RowsPerBand): DataFrame = {
     require(rowsPerBand >= 1 && NumHashes % rowsPerBand == 0,
       s"rowsPerBand must divide NumHashes=$NumHashes (got $rowsPerBand)")
     val nBands = NumHashes / rowsPerBand
@@ -132,7 +150,7 @@ object Dedup {
           .mkString(", ")
         s"$b, md5(concat($ms))"
       }.mkString(", ")
-    val bd = signatureDirect(docs).select(col("doc_id"),
+    val bd = sg.select(col("doc_id"),
       expr(s"stack($nBands, $pairs)").as(Seq("b", "sig")))
     val x = bd.select(col("b"), col("sig"), col("doc_id").as("a"))
     val y = bd.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bb"))
@@ -246,8 +264,7 @@ object Dedup {
     * not regenerate the candidate set it already has. */
   private[graft] def jaccardVerifyCandidates(sh: DataFrame,
                                              cand: DataFrame): DataFrame = {
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // restrict the shingle self-join to candidate documents FIRST — the
+    // restrict the set build to candidate documents FIRST — the
     // unrestricted join is quadratic in the hottest shingle's frequency,
     // exactly the blowup the LSH stage exists to avoid
     // fused materialize+count (r14, Traversals.checkpointCount): the
@@ -265,13 +282,43 @@ object Dedup {
           "shape; prefer jaccardVerify(representatives(docs)) (collapse " +
           "exact duplicates first, the d3b composition)")
     val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
-    // PAIR-BOUNDED intersection (the d14 discipline, and what the oracle
-    // SQL already does): route each candidate pair's a-side shingles
-    // against the b-side by (b, s) — work ∝ Σ_pairs |shingles|, never
-    // the all-co-shingle-pairs blowup inside a fat candidate cluster
-    // (the r7 form self-joined shC on s, recomputing every in-cluster
-    // pair's intersection even when the cap kept only a few: 22.6 s at
-    // sf1 with the 50k cap vs ~5 s pair-bounded)
+    // per-doc shingle SETS + per-pair array intersection (r15): ONE
+    // doc-keyed exchange builds the candidate docs' sets, two doc-keyed
+    // joins attach them to the pairs, and the intersection is a per-row
+    // codegen'd set operation — the (pair × shingle) routing join this
+    // replaces shuffled every candidate pair's a-side shingles by
+    // (b, s) and then paid a pair-keyed count-combine plus two size
+    // joins. Work stays ∝ Σ_pairs |shingles| (inside the projection,
+    // not an exchange); values are identical ([[Round15Spec]] pins the
+    // two forms row-for-row, and the oracle pins the published jacc).
+    val sets = shC.groupBy("doc_id").agg(collect_list(col("s")).as("ss"))
+    jaccardVerifyCandidatesArr(sets, cand)
+  }
+
+  /** Exact Jaccard over candidate pairs from per-document shingle SETS
+    * (one `ss` array column of distinct shingles). Shared by the
+    * sh-derived path above and the zero-shuffle [[shingleSets]] path
+    * (d14/d16/d17). */
+  private[graft] def jaccardVerifyCandidatesArr(docSets: DataFrame,
+                                                cand: DataFrame): DataFrame =
+    cand
+      .join(docSets.select(col("doc_id").as("a"), col("ss").as("sa")), "a")
+      .join(docSets.select(col("doc_id").as("b"), col("ss").as("sb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("i"),
+        size(col("sa")).cast("long").as("na"),
+        size(col("sb")).cast("long").as("nb"))
+      .select(col("a"), col("b"),
+        expr("(100 * i) div (na + nb - i)").as("jacc_pct"))
+
+  /** The r14 pair-routed exploded intersection, kept as the REFERENCE
+    * the array form is spec-pinned against (Round15Spec). */
+  private[graft] def jaccardVerifyCandidatesExploded(sh: DataFrame,
+                                                     cand: DataFrame): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
     val inter = cand
       .join(shC.select(col("doc_id").as("a"), col("s")), "a")
       .join(shC.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
@@ -306,23 +353,30 @@ object Dedup {
   def lshBandSweep(docsIn: DataFrame, jaccThresholdPct: Int = 50): DataFrame = {
     val spark = docsIn.sparkSession
     import spark.implicits._
-    val docs = representatives(docsIn)
-    val sh = shingles(docs).localCheckpoint(true)
+    // zero-shuffle signature + shingle-set projections (r15): the sweep's
+    // shingle side used to pay the explode+distinct exchange and each
+    // band width re-shuffled the exploded rows through signatureFrom;
+    // now ONE lazy checkpoint of the representatives feeds the codegen
+    // signature projection (both widths) and the array-form exact verify
+    // — the band bucket-joins are the only corpus-sized exchanges left.
+    val docs = representatives(docsIn).localCheckpoint(false)
+    val sg = signatureDirect(docs).localCheckpoint(false)
     // the r=2 candidates are BOTH the truth basis and the r=2 row —
     // materialize once and verify off the shared frame (the candidate
     // pipeline is the sweep's dominant cost, quadratic on exactly the
-    // blowup-shaped corpora this metric exists to measure)
-    val cand2 = minhashCandidatesFrom(sh, 2).localCheckpoint(true)
+    // blowup-shaped corpora this metric exists to measure); this eager
+    // checkpoint also materializes docs and sg above
+    val cand2 = minhashCandidatesFromSignature(sg, 2).localCheckpoint(true)
     // fused materialize+count for the truth set and the r=4 candidates
     // (r14, Traversals.checkpointCount): 2 jobs each → 1
     val (truth, nTrue) = Traversals.checkpointCount(
-      jaccardVerifyCandidates(sh, cand2)
+      jaccardVerifyCandidatesArr(shingleSets(docs), cand2)
         .filter(col("jacc_pct") >= jaccThresholdPct)
         .select("a", "b"))
     Seq(2, 4).map { r =>
       val (cand, nCand) =
         if (r == 2) (cand2, cand2.count())
-        else Traversals.checkpointCount(minhashCandidatesFrom(sh, r))
+        else Traversals.checkpointCount(minhashCandidatesFromSignature(sg, r))
       val nHit = cand.join(truth, Seq("a", "b"), "left_semi").count()
       (r, nCand, nHit,
         if (nTrue == 0) 1000000L else 1000000L * nHit / nTrue)
@@ -843,21 +897,20 @@ object Dedup {
     * shingle self-join is restricted to candidate documents, and the
     * intersection count partial-combines per (a, b). */
   def containmentVerify(docs: DataFrame, allPairs: Boolean = false): DataFrame = {
-    val sh = shingles(verifyBase(docs, allPairs)).localCheckpoint(true)
-    val cand = minhashCandidatesFrom(sh).localCheckpoint(true)
-    val candDocs = cand.select(col("a").as("doc_id"))
-      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
-    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    val sz = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(shc.select(col("doc_id").as("a"), col("s")), "a")
-      .join(shc.select(col("doc_id").as("b2"), col("s").as("s2")),
-        col("b") === col("b2") && col("s") === col("s2"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
-      .join(sz.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
-      .join(sz.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+    // zero-shuffle signature + shingle-set projections and the per-pair
+    // array intersection (r15 — the d16 rationale): the band join over
+    // the codegen signature is the only corpus-sized exchange; the
+    // asymmetric containments come straight off the attached sets
+    val base = verifyBase(docs, allPairs).localCheckpoint(false)
+    val cand = minhashCandidatesDirect(base).localCheckpoint(true)
+    val sets = shingleSets(base)
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("ss").as("sa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("ss").as("sb")), "b")
+      .select(col("a"), col("b"),
+        size(col("sa")).cast("long").as("n_a"),
+        size(col("sb")).cast("long").as("n_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"))
       .select(col("a"), col("b"), col("n_a"), col("n_b"), col("inter"),
         expr("1000000 * inter div n_a").as("c_ab_ppm"),
         expr("1000000 * inter div n_b").as("c_ba_ppm"))
@@ -888,8 +941,13 @@ object Dedup {
     val matchExpr = (0 until NumHashes)
       .map(k => s"CASE WHEN a_m$k = b_m$k THEN 1 ELSE 0 END")
       .mkString(" + ")
-    val sh = shingles(reps).localCheckpoint(true)
-    val exact = jaccardVerifyFrom(sh)
+    // candidates off the SAME signature frame + array-form exact verify
+    // (r15): the explode+distinct shingle exchange and the exploded
+    // signatureFrom re-shuffle are gone — the candidate band join is
+    // this entry's only corpus-sized exchange; its eager checkpoint
+    // materializes reps and sg for every consumer
+    val cand = minhashCandidatesFromSignature(sg).localCheckpoint(true)
+    val exact = jaccardVerifyCandidatesArr(shingleSets(reps), cand)
       .select(col("a"), col("b"), col("jacc_pct"))
     val sa = sg.select(col("doc_id").as("a") +:
       (0 until NumHashes).map(k => col(s"m$k").as(s"a_m$k")): _*)

@@ -1559,9 +1559,10 @@ class DurableStore(val spark: SparkSession, val root: String,
   private def writeVertexSide(df: DataFrame, dir: String, bounds0: Seq[Long],
                               targetFileRows: Long, seq: Long,
                               numBuckets: Int = 8): (Seq[Long], Seq[StoreFile]) = {
-    val d = df.localCheckpoint(true)
+    // fused materialize+count (r15 — the r14 create discipline applied
+    // to the vertex side): one action instead of checkpoint + count
+    val (d, total) = Traversals.checkpointCount(df)
     val bounds = if (bounds0.nonEmpty) bounds0 else boundsFor(d, "id", numBuckets)
-    val total = d.count()
     if (total == 0) return (bounds, Nil)
     val nParts = math.max(bounds.size,
       ((total + targetFileRows - 1) / targetFileRows).toInt)
@@ -1569,13 +1570,16 @@ class DurableStore(val spark: SparkSession, val root: String,
       .repartitionByRange(nParts, col("_b"), col("id"))
       .sortWithinPartitions("_b", "id")
       .write.mode(SaveMode.Overwrite).partitionBy("_b").parquet(dir)
-    val fs = spark.read.parquet(dir)
-      .groupBy(col("_b").cast("int").as("b"), input_file_name().as("path"))
-      .agg(min("id").as("i0"), max("id").as("i1"), count(lit(1)).as("n"))
-      .collect().toSeq
-      .map(r => StoreFile(r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getLong(2), r.getLong(3), sorted = true, r.getLong(4), seq))
-      .sortBy(f => (f.bucket, f.srcMin))
+    // footer-based per-file stats (r15) — see statsForDir; the vertex
+    // ranges carry the id envelope on both StoreFile sides
+    val fs = statsFromFooters(spark, dir, "id", "id").getOrElse {
+      spark.read.parquet(dir)
+        .groupBy(col("_b").cast("int").as("b"), input_file_name().as("path"))
+        .agg(min("id").as("i0"), max("id").as("i1"), count(lit(1)).as("n"))
+        .collect().toSeq
+        .map(r => StoreFile(r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(2), r.getLong(3), sorted = true, r.getLong(4)))
+    }.map(_.copy(seq = seq)).sortBy(f => (f.bucket, f.srcMin))
     (bounds, fs)
   }
 
@@ -1859,7 +1863,11 @@ class DurableStore(val spark: SparkSession, val root: String,
       // GraphChiDatabase.scala:622-795). Buckets no tombstone overlaps
       // are untouched (tombHits is conservative: no overlap proves no
       // matching row).
-      val dRaw = readStore(m, deltas).localCheckpoint(true)
+      // no deltas → nothing to read or checkpoint (r15): the p4b-class
+      // tombstone-only compaction used to pay an empty checkpoint job
+      val dRaw =
+        if (deltas.isEmpty) emptyLike(spark, m.schemaDDL)
+        else readStore(m, deltas).localCheckpoint(true)
       val readClean = (fs: Seq[StoreFile]) => readStore(m, fs)
       val sq = m.maxSeq
       val forcedP = keep.filter(f => m.tombs.exists(tombHits(_, f)))
@@ -1949,14 +1957,17 @@ class DurableStore(val spark: SparkSession, val root: String,
                         outSeq: Long = 0L): (Seq[Long], Seq[StoreFile]) = {
     val rd: Seq[StoreFile] => DataFrame =
       if (readClean == null) fs => readFiles(spark, fs.map(_.path)) else readClean
-    val d = delta.withColumn("_b", bucketCol(key, bounds0)).localCheckpoint(true)
+    // LAZY checkpoints (r15): the hit-bucket collect materializes `d` and
+    // the per-bucket aggregate materializes `merged` — the eager form
+    // paid one standalone full pass for each before its first consumer
+    val d = delta.withColumn("_b", bucketCol(key, bounds0)).localCheckpoint(false)
     val hitBuckets =
       d.select("_b").distinct().collect().map(_.getInt(0)).toSet ++ forced
     val (hit, untouched0) = sortedFiles.partition(f => hitBuckets.contains(f.bucket))
     val merged = (if (hit.isEmpty) d
       else rd(hit)
         .withColumn("_b", bucketCol(key, bounds0)).unionByName(d))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val perBucket = merged.groupBy("_b")
       .agg(count(lit(1)).as("n"), percentile_approx(col(key), lit(0.5), lit(1000)).as("med"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
@@ -1987,6 +1998,14 @@ class DurableStore(val spark: SparkSession, val root: String,
     val rewrite = (if (pulled.isEmpty) merged
       else merged.unionByName(rd(pulled)
         .withColumn("_b", bucketCol(key, bounds0))))
+    // the rewrite's row count is already exact on the driver: merged rows
+    // from the per-bucket aggregate, pulled rows from manifest stats (a
+    // pulled file is outside every tombstone's envelope by construction —
+    // tombstone-hit buckets are forced into `hit` — so readClean drops
+    // nothing from it). Passing it spares writeBuckets its own
+    // checkpoint+count copy of the rewrite (r15): merged's blocks are
+    // resident, and the re-bucket projection over them is cheap for
+    // repartitionByRange's two consumptions (sample + shuffle).
     val out = writeBuckets(spark,
       (if (splits.isEmpty && removed.isEmpty) rewrite
        else rewrite.drop("_b").withColumn("_b", bucketCol(key, bounds))),
@@ -2870,8 +2889,20 @@ object DurableStore {
     statsForDir(spark, dir)
   }
 
-  /** Per-file stats of a freshly written bucket dir, one grouped scan. */
+  /** Per-file stats of a freshly written bucket dir from parquet
+    * FOOTERS — a DRIVER-SIDE metadata read (r15, guide §5/§6) replacing
+    * the full Spark read-back scan of the just-written output: at
+    * bulk-load scale the read-back was a second complete pass over the
+    * store (and one more per compaction). min/max/rows per file
+    * aggregate exactly from each footer's per-row-group INT64
+    * statistics, which parquet-mr records unconditionally for the
+    * integer key columns these stores sort by. Falls back to the
+    * original grouped scan if any footer lacks a usable statistic. */
   private def statsForDir(spark: SparkSession, dir: String): Seq[StoreFile] =
+    statsFromFooters(spark, dir, "src", "dst")
+      .getOrElse(statsForDirScan(spark, dir))
+
+  private def statsForDirScan(spark: SparkSession, dir: String): Seq[StoreFile] =
     spark.read.parquet(dir)
       .groupBy(col("_b").cast("int").as("b"), input_file_name().as("path"))
       .agg(min("src").as("s0"), max("src").as("s1"),
@@ -2880,6 +2911,77 @@ object DurableStore {
       .map(r => StoreFile(r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), sorted = true, r.getLong(6)))
       .sortBy(f => (f.bucket, f.srcMin))
+
+  /** Footer-statistics walk behind [[statsForDir]]/[[writeVertexSide]]:
+    * per `_b=N` partition dir, per data file, the (c0, c1) min/max and
+    * row count summed over row groups. None when a populated file lacks
+    * stats for either column (caller then runs the scan form). Paths are
+    * emitted as `file:` URIs — the same scheme input_file_name produced,
+    * so manifests stay consumable by the same readers either way. */
+  private def statsFromFooters(spark: SparkSession, dir: String,
+                               c0: String, c1: String): Option[Seq[StoreFile]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootP = Paths.get(dir)
+    if (!Files.isDirectory(rootP)) return Some(Nil)
+    val partDirs = {
+      val s = Files.list(rootP)
+      try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("_b=")).toSeq
+      finally s.close()
+    }
+    try {
+      val out = partDirs.flatMap { pd =>
+        val b = pd.getFileName.toString.stripPrefix("_b=").toInt
+        dataFilesIn(pd.toString).map { fp =>
+          val footer = {
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(Paths.get(fp).toUri), conf))
+            try r.getFooter finally r.close()
+          }
+          var rows = 0L
+          var s0 = Long.MaxValue; var s1 = Long.MinValue
+          var d0 = Long.MaxValue; var d1 = Long.MinValue
+          footer.getBlocks.asScala.foreach { blk =>
+            if (blk.getRowCount > 0) {
+              rows += blk.getRowCount
+              def mm(name: String): (Long, Long) = {
+                val cc = blk.getColumns.asScala
+                  .find(_.getPath.toDotString == name)
+                  .getOrElse(throw MissingFooterStats)
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue)
+                  throw MissingFooterStats
+                (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+              }
+              val (a0, a1) = mm(c0); val (b0, b1) = mm(c1)
+              s0 = math.min(s0, a0); s1 = math.max(s1, a1)
+              d0 = math.min(d0, b0); d1 = math.max(d1, b1)
+            }
+          }
+          (rows, StoreFile(b, Paths.get(fp).toUri.toString, s0, s1, d0, d1,
+            sorted = true, rows))
+        }.collect { case (rows, f) if rows > 0 => f }
+      }
+      Some(out.sortBy(f => (f.bucket, f.srcMin)))
+    } catch { case MissingFooterStats => None }
+  }
+
+  private object MissingFooterStats extends Exception {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Data files (no `_`/`.` side files) directly under a dir. */
+  private def dataFilesIn(dir: String): Seq[String] = {
+    val s = Files.list(Paths.get(dir))
+    try s.iterator().asScala.map(_.toString)
+      .filter { n =>
+        val base = n.substring(n.lastIndexOf('/') + 1)
+        base.endsWith(".parquet") && !base.startsWith("_") && !base.startsWith(".")
+      }.toSeq.sorted
+    finally s.close()
+  }
 
   /** Write one unsorted delta file set with its stats (bucket = -1). */
   private def writeDelta(df: DataFrame, dir: String): Seq[StoreFile] = {

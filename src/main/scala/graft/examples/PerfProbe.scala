@@ -29,15 +29,29 @@ object PerfProbe {
     @volatile var stages = 0
     @volatile var tasks = 0
     @volatile var taskMs = 0L
-    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-    val jobWall = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobWall = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val execSite = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execSite.put(s.executionId, s.description.takeWhile(_ != '\n').trim)
+          case _ => ()
+        }
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobs += 1; jobStart.put(j.jobId, System.nanoTime())
+        jobs += 1
+        // label = the SQL execution's action callsite (AQE submits stage
+        // jobs from its async pool, so stage/RDD callsites are useless)
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .flatMap(id => Option(execSite.get(id.toLong))).getOrElse("")
+        jobStart.put(j.jobId, (System.nanoTime(), site))
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         Option(jobStart.remove(j.jobId))
-          .foreach(t0 => jobWall.add((System.nanoTime() - t0) / 1000000L))
+          .foreach { case (t0, site) =>
+            jobWall.add(((System.nanoTime() - t0) / 1000000L, site)) }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages += 1
@@ -59,10 +73,11 @@ object PerfProbe {
       // counters are read (and reset by the next rep)
       org.apache.spark.graftdev.ListenerDrain.drain(spark.sparkContext)
       import scala.jdk.CollectionConverters._
-      val jw = jobWall.asScala.toSeq.sorted.reverse
+      val jw = jobWall.asScala.toSeq.sortBy(-_._1)
       println(f"[probe] $name rep$i: $wall%.3f s | jobs=$jobs stages=$stages " +
         f"tasks=$tasks taskTime=${taskMs / 1000.0}%.1f s | " +
-        s"jobWallMs top=${jw.take(12).mkString(",")} sum=${jw.sum}")
+        s"jobWallMs top=${jw.take(10).map { case (ms, s) => s"$ms@$s" }.mkString(",")} " +
+        s"sum=${jw.map(_._1).sum}")
     }
     spark.stop()
   }

@@ -56,6 +56,43 @@ class Round15Spec extends AnyFunSuite {
     } finally s.conf.unset(key)
   }
 
+  test("array-intersect Jaccard == exploded-routing Jaccard, row for row") {
+    val s = spark; import s.implicits._
+    // texts with exact dups, near-dups, disjoint docs, and a <3-token doc
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "the quick brown fox jumps over the lazy cat again and again",
+      4L -> "a completely different document about spark physical plans",
+      5L -> "tiny doc",
+      6L -> "the quick brown fox jumps over the lazy dog once more today"
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs).localCheckpoint(true)
+    // all ordered pairs as candidates — covers zero-intersection pairs
+    val ids = docs.select($"doc_id".as("a"))
+    val cand = ids.crossJoin(docs.select($"doc_id".as("b")))
+      .filter($"a" < $"b").localCheckpoint(true)
+    val legacy = Dedup.jaccardVerifyCandidatesExploded(sh, cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaSh = Dedup.jaccardVerifyCandidates(sh, cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaSets = Dedup.jaccardVerifyCandidatesArr(Dedup.shingleSets(docs), cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaSh == legacy, "sh-derived array form diverged from the exploded reference")
+    assert(viaSets == legacy, "shingleSets form diverged from the exploded reference")
+    assert(legacy((1L, 2L)) == 100L) // exact dup pair sanity
+  }
+
+  test("shingleSets matches the exploded distinct shingle multiset per doc") {
+    val s = spark; import s.implicits._
+    val docs = Seq(1L -> "a b c a b c a b", 2L -> "xy").toDF("doc_id", "text")
+    val exploded = Dedup.shingles(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val sets = Dedup.shingleSets(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(sets == exploded)
+  }
+
   test("foldAccum is identity off the fold cadence and folds on it") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 2L)).toDF("a", "b").localCheckpoint(true)
